@@ -1,0 +1,308 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Column zone-map stats: min/max as strings with a type tag, mirroring the reference's
+  * ColumnStatistics (src/metadata/s3.rs:84-127). Values are stored as JSON scalars
+  * (string / long / double) — we keep them as typed options.
+  */
+final case class ColumnStats(
+    minString: Option[String] = None,
+    maxString: Option[String] = None,
+    minLong: Option[Long] = None,
+    maxLong: Option[Long] = None,
+    minDouble: Option[Double] = None,
+    maxDouble: Option[Double] = None,
+    hasNulls: Boolean = false)
+
+object ColumnStats {
+  def ofString(min: String, max: String, hasNulls: Boolean = false): ColumnStats =
+    ColumnStats(minString = Some(min), maxString = Some(max), hasNulls = hasNulls)
+  def ofLong(min: Long, max: Long, hasNulls: Boolean = false): ColumnStats =
+    ColumnStats(minLong = Some(min), maxLong = Some(max), hasNulls = hasNulls)
+  def ofDouble(min: Double, max: Double, hasNulls: Boolean = false): ColumnStats =
+    ColumnStats(minDouble = Some(min), maxDouble = Some(max), hasNulls = hasNulls)
+}
+
+/** Extended chunk metadata, mirroring ChunkMetadataExtended
+  * (reference src/ingester/mod.rs:834-842 + src/metadata/s3.rs:84-127):
+  * base fields + per-column zone maps + compaction level + optional shard id.
+  * Timestamps are raw nanoseconds (the reference's unit).
+  */
+final case class ChunkMeta(
+    path: String,
+    minTimestampNs: Long,
+    maxTimestampNs: Long,
+    rowCount: Long,
+    sizeBytes: Long,
+    level: Int = 0,
+    shardId: Option[String] = None,
+    columnStats: Map[String, ColumnStats] = Map.empty) {
+
+  def overlaps(startNs: Long, endNs: Long): Boolean =
+    minTimestampNs <= endNs && maxTimestampNs >= startNs
+}
+
+/** The unified catalog document: {version, chunks, time_index} — reference
+  * src/metadata/s3.rs:104-116. time_index buckets chunks by hour of minTimestamp.
+  *
+  * Persistence is a single JSON file committed by atomic rename (single-writer Spark
+  * driver stands in for the reference's ETag compare-and-swap, s3.rs:181-339). Reads
+  * go through a TTL cache (reference uses 60 s, s3.rs:427-450).
+  */
+final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
+
+  import ChunkCatalog._
+
+  private val catalogFile = root.resolve("catalog.json")
+  @volatile private var cache: Option[(Long, CatalogState)] = None
+  private val lock = new Object
+
+  Files.createDirectories(root)
+
+  // --- reads ---------------------------------------------------------------
+
+  def state: CatalogState = {
+    val now = System.currentTimeMillis()
+    cache match {
+      case Some((ts, st)) if now - ts < cacheTtlMs => st
+      case _ =>
+        val st = load()
+        cache = Some((now, st))
+        st
+    }
+  }
+
+  def allChunks: Seq[ChunkMeta] = state.chunks.values.toSeq.sortBy(_.path)
+
+  /** Hour-bucket range scan + [min,max] overlap — the "eliminates 99%+ of data" time
+    * pruning (reference src/metadata/s3.rs:1083-1103).
+    */
+  def chunksInRange(startNs: Long, endNs: Long): Seq[ChunkMeta] = {
+    val st = state
+    val startBucket = hourBucket(startNs)
+    val endBucket = hourBucket(endNs)
+    val candidatePaths = st.timeIndex
+      .range(startBucket, endBucket + 1)
+      .valuesIterator.flatten.toSet
+    candidatePaths.toSeq.sorted
+      .flatMap(st.chunks.get)
+      .filter(_.overlaps(startNs, endNs))
+  }
+
+  /** True if any shard split is in a phase requiring query-time dedup
+    * (reference has_active_split, src/metadata/client.rs:182-188).
+    */
+  def hasActiveSplit: Boolean = state.activeSplits.nonEmpty
+
+  // --- writes (all single-writer, atomic-rename committed) -----------------
+
+  def register(chunk: ChunkMeta): Unit = mutate { st =>
+    st.copy(
+      chunks = st.chunks + (chunk.path -> chunk),
+      timeIndex = addToIndex(st.timeIndex, chunk))
+  }
+
+  def registerAll(chunks: Seq[ChunkMeta]): Unit = mutate { st =>
+    chunks.foldLeft(st) { (s, c) =>
+      s.copy(chunks = s.chunks + (c.path -> c), timeIndex = addToIndex(s.timeIndex, c))
+    }
+  }
+
+  /** Atomically remove source chunks and add the compacted chunk — mirrors the
+    * reference's single-CAS compaction swap (src/metadata/s3.rs:1277-1332).
+    */
+  def replaceChunks(removePaths: Seq[String], add: Seq[ChunkMeta]): Unit = mutate { st =>
+    val removed = removePaths.toSet
+    val keptChunks = st.chunks -- removed
+    val prunedIndex = st.timeIndex.map { case (k, v) =>
+      k -> v.filterNot(removed.contains)
+    }.filter(_._2.nonEmpty)
+    val withAdds = add.foldLeft((keptChunks, prunedIndex)) { case ((cs, ti), c) =>
+      (cs + (c.path -> c), addToIndex(ti, c))
+    }
+    st.copy(chunks = withAdds._1, timeIndex = withAdds._2)
+  }
+
+  def remove(paths: Seq[String]): Unit = replaceChunks(paths, Nil)
+
+  def setActiveSplits(splits: Seq[String]): Unit = mutate(_.copy(activeSplits = splits.toList))
+
+  /** Deletions deferred by a grace period (reference 5 min GC grace,
+    * src/compactor/mod.rs:816-918). Entries are (path, deletableAfterMs).
+    */
+  def deferDelete(paths: Seq[String], nowMs: Long, graceMs: Long = 300000L): Unit =
+    mutate { st =>
+      st.copy(pendingDeletes = st.pendingDeletes ++ paths.map(p => p -> (nowMs + graceMs)))
+    }
+
+  /** Physically delete files whose grace period elapsed; returns deleted paths. */
+  def gc(nowMs: Long): Seq[String] = lock.synchronized {
+    val st = load()
+    val (ripe, keep) = st.pendingDeletes.partition(_._2 <= nowMs)
+    ripe.foreach { case (p, _) =>
+      val f = Paths.get(p)
+      if (Files.exists(f)) Files.delete(f)
+    }
+    persist(st.copy(pendingDeletes = keep))
+    ripe.map(_._1)
+  }
+
+  private def mutate(f: CatalogState => CatalogState): Unit = lock.synchronized {
+    persist(f(load()))
+  }
+
+  private def persist(st: CatalogState): Unit = {
+    val tmp = root.resolve(s"catalog.json.tmp.${Thread.currentThread().getId}")
+    Files.write(tmp, render(st).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, catalogFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    cache = Some((System.currentTimeMillis(), st))
+  }
+
+  private def load(): CatalogState =
+    if (Files.exists(catalogFile))
+      parse(new String(Files.readAllBytes(catalogFile), StandardCharsets.UTF_8))
+    else CatalogState.empty
+
+  def invalidateCache(): Unit = cache = None
+}
+
+object ChunkCatalog {
+
+  final case class CatalogState(
+      version: Long,
+      chunks: Map[String, ChunkMeta],
+      timeIndex: scala.collection.immutable.TreeMap[Long, List[String]],
+      activeSplits: List[String],
+      pendingDeletes: List[(String, Long)])
+
+  object CatalogState {
+    val empty: CatalogState = CatalogState(1L, Map.empty,
+      scala.collection.immutable.TreeMap.empty, Nil, Nil)
+  }
+
+  /** Hour bucket of an ns timestamp (reference src/metadata/s3.rs:341-344). */
+  def hourBucket(tsNs: Long): Long = Math.floorDiv(tsNs, 3600L * 1000000000L)
+
+  private def addToIndex(idx: scala.collection.immutable.TreeMap[Long, List[String]],
+                         c: ChunkMeta): scala.collection.immutable.TreeMap[Long, List[String]] = {
+    // A chunk spanning multiple hours is indexed under every bucket it touches,
+    // so a range scan over buckets never misses it.
+    val buckets = hourBucket(c.minTimestampNs) to hourBucket(c.maxTimestampNs)
+    buckets.foldLeft(idx) { (i, b) =>
+      val cur = i.getOrElse(b, Nil)
+      if (cur.contains(c.path)) i else i.updated(b, c.path :: cur)
+    }
+  }
+
+  // --- JSON (json4s ships with Spark) --------------------------------------
+
+  private def statsToJson(s: ColumnStats): JObject = {
+    def v(str: Option[String], l: Option[Long], d: Option[Double]): JValue =
+      str.map(JString(_): JValue)
+        .orElse(l.map(JLong(_): JValue))
+        .orElse(d.map(JDouble(_): JValue))
+        .getOrElse(JNull)
+    JObject(
+      "min" -> v(s.minString, s.minLong, s.minDouble),
+      "max" -> v(s.maxString, s.maxLong, s.maxDouble),
+      "has_nulls" -> JBool(s.hasNulls))
+  }
+
+  private def chunkToJson(c: ChunkMeta): JObject = JObject(
+    "path" -> JString(c.path),
+    "min_timestamp" -> JLong(c.minTimestampNs),
+    "max_timestamp" -> JLong(c.maxTimestampNs),
+    "row_count" -> JLong(c.rowCount),
+    "size_bytes" -> JLong(c.sizeBytes),
+    "level" -> JInt(c.level),
+    "shard_id" -> c.shardId.map(JString(_): JValue).getOrElse(JNull),
+    "column_stats" -> JObject(c.columnStats.toList.sortBy(_._1).map {
+      case (k, v) => k -> (statsToJson(v): JValue)
+    }))
+
+  def render(st: CatalogState): String = {
+    val doc = JObject(
+      "version" -> JLong(st.version),
+      "chunks" -> JObject(st.chunks.toList.sortBy(_._1).map {
+        case (k, v) => k -> (chunkToJson(v): JValue)
+      }),
+      "time_index" -> JObject(st.timeIndex.toList.map {
+        case (k, v) => k.toString -> (JArray(v.sorted.map(JString(_): JValue)): JValue)
+      }),
+      "active_splits" -> JArray(st.activeSplits.map(JString(_): JValue)),
+      "pending_deletes" -> JArray(st.pendingDeletes.map { case (p, t) =>
+        JObject("path" -> JString(p), "after" -> JLong(t)): JValue
+      }))
+    JsonMethods.pretty(JsonMethods.render(doc))
+  }
+
+  private def statsFromJson(j: JValue): ColumnStats = {
+    def typed(v: JValue): (Option[String], Option[Long], Option[Double]) = v match {
+      case JString(s) => (Some(s), None, None)
+      case JLong(l) => (None, Some(l), None)
+      case JInt(i) => (None, Some(i.toLong), None)
+      case JDouble(d) => (None, None, Some(d))
+      case JDecimal(d) => (None, None, Some(d.toDouble))
+      case _ => (None, None, None)
+    }
+    val (mins, minl, mind) = typed(j \ "min")
+    val (maxs, maxl, maxd) = typed(j \ "max")
+    val nulls = (j \ "has_nulls") match { case JBool(b) => b; case _ => false }
+    ColumnStats(mins, maxs, minl, maxl, mind, maxd, nulls)
+  }
+
+  private def long(j: JValue): Long = j match {
+    case JLong(l) => l
+    case JInt(i) => i.toLong
+    case JDouble(d) => d.toLong
+    case _ => 0L
+  }
+
+  def parse(json: String): CatalogState = {
+    val doc = JsonMethods.parse(json)
+    val chunks = (doc \ "chunks") match {
+      case JObject(fields) => fields.map { case (path, j) =>
+        val stats = (j \ "column_stats") match {
+          case JObject(sf) => sf.map { case (k, v) => k -> statsFromJson(v) }.toMap
+          case _ => Map.empty[String, ColumnStats]
+        }
+        path -> ChunkMeta(
+          path = path,
+          minTimestampNs = long(j \ "min_timestamp"),
+          maxTimestampNs = long(j \ "max_timestamp"),
+          rowCount = long(j \ "row_count"),
+          sizeBytes = long(j \ "size_bytes"),
+          level = long(j \ "level").toInt,
+          shardId = (j \ "shard_id") match { case JString(s) => Some(s); case _ => None },
+          columnStats = stats)
+      }.toMap
+      case _ => Map.empty[String, ChunkMeta]
+    }
+    val timeIndex = (doc \ "time_index") match {
+      case JObject(fields) =>
+        scala.collection.immutable.TreeMap.from(fields.map { case (k, v) =>
+          k.toLong -> (v match {
+            case JArray(a) => a.collect { case JString(s) => s }
+            case _ => Nil
+          })
+        })
+      case _ => scala.collection.immutable.TreeMap.empty[Long, List[String]]
+    }
+    val splits = (doc \ "active_splits") match {
+      case JArray(a) => a.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val pending = (doc \ "pending_deletes") match {
+      case JArray(a) => a.collect { case o: JObject =>
+        ((o \ "path") match { case JString(s) => s; case _ => "" }) -> long(o \ "after")
+      }
+      case _ => Nil
+    }
+    CatalogState(long(doc \ "version"), chunks, timeIndex, splits, pending)
+  }
+}

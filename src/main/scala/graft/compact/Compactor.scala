@@ -1,0 +1,108 @@
+package graft.compact
+
+import org.apache.spark.sql.SparkSession
+import graft.catalog.{ChunkCatalog, ChunkMeta}
+import graft.ingest.ChunkStats
+import java.util.UUID
+
+/** Leveled compaction as Spark batch jobs — mirrors the reference compactor
+  * (src/compactor/mod.rs, src/compactor/merge.rs):
+  *
+  *  - L0 candidates: group L0 chunks by hour bucket of minTimestamp; compact groups
+  *    with ≥ `l0FileThreshold` files (s3.rs:1188-1217; threshold 15 at mod.rs:84).
+  *  - Leveled candidates: level-N chunks sorted by minTimestamp, greedily grouped up
+  *    to the level's target size (s3.rs:1219-1263; targets mod.rs:84-97).
+  *  - Merge = read group → sort by timestamp (single-column sort, faithful to
+  *    merge.rs:56-74 — the "and metric name" comment there is aspirational) →
+  *    write one chunk → atomic catalog swap with level = max(source levels)+1
+  *    (s3.rs:1277-1332).
+  *  - Retention: drop chunks wholly older than the cutoff (mod.rs:921-947).
+  *
+  * Scale posture: candidate groups are independent — at 100 TB each group compacts as
+  * its own job in parallel; no group ever needs more than the level's target size in
+  * one task tree, and the sort is a shuffle-free within-chunk-set range sort.
+  */
+final class Compactor(
+    spark: SparkSession,
+    catalog: ChunkCatalog,
+    l0FileThreshold: Int = 15,
+    levelTargetBytes: Int => Long = Compactor.defaultLevelTargets) {
+
+  /** L0: hour-bucketed groups with at least `l0FileThreshold` members. */
+  def l0Candidates(): Seq[Seq[ChunkMeta]] =
+    catalog.allChunks.filter(_.level == 0)
+      .groupBy(c => ChunkCatalog.hourBucket(c.minTimestampNs))
+      .values.toSeq
+      .filter(_.size >= l0FileThreshold)
+      .map(_.sortBy(_.minTimestampNs))
+      .sortBy(_.head.minTimestampNs)
+
+  /** Level N≥1: greedy size-bounded grouping of time-sorted chunks. */
+  def leveledCandidates(level: Int): Seq[Seq[ChunkMeta]] = {
+    val target = levelTargetBytes(level)
+    val sorted = catalog.allChunks.filter(_.level == level).sortBy(_.minTimestampNs)
+    val groups = Seq.newBuilder[Seq[ChunkMeta]]
+    var cur = Vector.empty[ChunkMeta]
+    var curBytes = 0L
+    sorted.foreach { c =>
+      if (cur.nonEmpty && curBytes + c.sizeBytes > target) {
+        if (cur.size >= 2) groups += cur
+        cur = Vector.empty; curBytes = 0L
+      }
+      cur :+= c; curBytes += c.sizeBytes
+    }
+    if (cur.size >= 2) groups += cur
+    groups.result()
+  }
+
+  /** Merge one candidate group into a single sorted chunk and swap it into the
+    * catalog atomically. Returns the new chunk.
+    */
+  def compactGroup(group: Seq[ChunkMeta]): ChunkMeta = {
+    require(group.nonEmpty, "empty compaction group")
+    val newLevel = group.map(_.level).max + 1
+    val target = catalog.root.resolve(
+      s"default/data/compacted/level=$newLevel/chunk_${UUID.randomUUID()}")
+    val df = spark.read.option("mergeSchema", "true").parquet(group.map(_.path): _*)
+    df.sort("timestamp_ns")
+      .coalesce(1)
+      .write.option("compression", "zstd")
+      .parquet(target.toString)
+    val meta = ChunkStats.compute(spark, target.toString, df.schema).copy(level = newLevel)
+    catalog.replaceChunks(group.map(_.path), Seq(meta))
+    // Old files go through grace-period GC rather than immediate delete
+    // (reference 5-min grace, mod.rs:816-918).
+    catalog.deferDelete(group.map(_.path), System.currentTimeMillis())
+    meta
+  }
+
+  /** One compaction sweep: all ripe L0 groups, then each populated level. */
+  def runOnce(maxLevels: Int = 3): Seq[ChunkMeta] = {
+    val l0 = l0Candidates().map(compactGroup)
+    val leveled = (1 to maxLevels).flatMap(l => leveledCandidates(l).map(compactGroup))
+    l0 ++ leveled
+  }
+
+  /** Retention: schedule deletion of chunks wholly older than cutoff
+    * (reference 90 d default with 30 s clock-skew margin, mod.rs:921-947).
+    */
+  def applyRetention(cutoffNs: Long, skewMarginNs: Long = 30L * 1000000000L): Seq[String] = {
+    val safeCutoff = cutoffNs - skewMarginNs
+    val expired = catalog.allChunks.filter(_.maxTimestampNs < safeCutoff).map(_.path)
+    if (expired.nonEmpty) {
+      catalog.remove(expired)
+      catalog.deferDelete(expired, System.currentTimeMillis())
+    }
+    expired
+  }
+}
+
+object Compactor {
+  /** L0 250 MB, L1 2 GB, L2 10 GB, L3+ 50 GB (reference mod.rs:84-97,991-998). */
+  def defaultLevelTargets(level: Int): Long = level match {
+    case 0 => 250L << 20
+    case 1 => 2L << 30
+    case 2 => 10L << 30
+    case _ => 50L << 30
+  }
+}

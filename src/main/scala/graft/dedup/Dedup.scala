@@ -1,0 +1,178 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, designed shuffle-minimal:
+  *
+  *  - exact: one hash-groupBy (single shuffle on the fingerprint).
+  *  - MinHash+LSH near-dup: shingle → minhash signature (map-side, codegen'd
+  *    expressions only) → band → bucket join (shuffle on band keys, NOT an O(n²)
+  *    cross join) → exact Jaccard verify on candidates only.
+  *  - SimHash: 64-bit signature per doc, map-side.
+  *  - n-gram Jaccard: exact pairwise similarity on candidate pairs.
+  *
+  * All hash functions are xxhash64-derived (codegen'd, deterministic across runs and
+  * partitionings — no Math.random / Date seeds).
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** Exact dedup on normalized text: keeps the row with the smallest `idCol` per
+    * fingerprint group (deterministic first-wins; one shuffle).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fp = graft.text.TextFunctions.fingerprint(col(textCol))
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    docs.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  // ---- shingling + MinHash -------------------------------------------------
+
+  /** Word k-shingles of normalized text, as an array column. Documents shorter than
+    * k tokens contribute their whole text as one shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val n = size(tokens)
+    when(n < k, array(concat_ws(" ", tokens)))
+      .otherwise(transform(
+        sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: `numHashes` permutations h_i(s) = xxhash64(s, seed=i); the
+    * signature element i is min_s h_i(s). Arrays of shingles stay distributed; each
+    * element is an `aggregate` over the shingle array (map-side only).
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { i =>
+      aggregate(shingleArr, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, lit(i))))
+    }: _*)
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand` and hash
+    * each band. Docs sharing any band hash are near-dup candidates.
+    * Returns (docId, band, bandHash) — exploded, one row per band.
+    */
+  def lshBuckets(docs: DataFrame, idCol: String, sigCol: String,
+                 bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandArr = transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("|",
+        transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))
+    docs.select(col(idCol), posexplode(bandArr).as(Seq("band", "band_hash")))
+  }
+
+  /** Exact Jaccard similarity of two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact n-gram-Jaccard verification.
+    *
+    * Pipeline: shingle → minhash sig → band-explode → self-join on (band, band_hash)
+    * (id < id to dedupe pairs) → distinct candidate pairs → exact Jaccard on the
+    * candidates only → threshold filter.
+    *
+    * At 100 TB: the only shuffles are the band-key join and the candidate distinct —
+    * both proportional to data + collisions, never O(n²). Skewed "empty text" buckets
+    * are pre-filtered (band buckets larger than `maxBucket` are dropped, matching
+    * standard LSH practice for degenerate keys).
+    */
+  def minhashNearDupPairs(docs: DataFrame,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          k: Int = 3,
+                          numHashes: Int = 64,
+                          bands: Int = 16,
+                          threshold: Double = 0.7,
+                          maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withShingles = docs.select(col(idCol), col(textCol))
+      .withColumn("__sh", shingles(col(textCol), k))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .cache()
+
+    val buckets = lshBuckets(withShingles, idCol, "__sig", bands, rowsPerBand)
+    val pruned = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("__n") <= maxBucket)
+    val l = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val r = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sa = withShingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val sb = withShingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens: bit b of the signature is 1 iff
+    * Σ_tokens (bit b of xxhash64(token) ? +1 : -1) > 0. Pure expressions, map-side.
+    */
+  def simhash(text: Column): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val hashes = transform(tokens, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hashes, lit(0L),
+          (s, h) => s + when(call_function("shiftright", h, b)
+            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+      })
+  }
+
+  /** Hamming distance between two 64-bit signatures (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: banded on 4 16-bit sub-blocks (a pair within Hamming
+    * distance ≤3 of 64 bits must agree exactly on at least one block — pigeonhole),
+    * then verified by full Hamming distance.
+    */
+  def simhashNearDupPairs(docs: DataFrame,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), simhash(col(textCol)).as("sig")).cache()
+    val blocks = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("block", "block_val")))
+    val l = blocks.select(col("block"), col("block_val"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = blocks.select(col("block"), col("block_val"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup --------------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, via the similarity
+    * module's LSH-bucketed join (see graft.sim.Similarity.cosineNearDupPairs).
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            threshold: Double = 0.95): DataFrame =
+    graft.sim.Similarity.cosineNearDupPairs(embeddings, idCol, vecCol, threshold)
+}

@@ -1,0 +1,98 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.catalog.ChunkCatalog
+import graft.prune.{ColumnPredicate, PredicateExtraction, TimeRange}
+import graft.schema.MetricSchema
+
+/** The query pipeline of the reference (src/query/mod.rs:158-241), Spark-first:
+  *
+  *  1. PARSE/ANALYZE — parse the SQL's WHERE via Catalyst and extract the time range
+  *     (default: last 1 hour) + column predicates (engine.rs:368-487, 493-650).
+  *  2. METADATA PRUNE — hour-bucket time-index range scan + zone-map filter over the
+  *     catalog (s3.rs:1075-1136). This is the layer Spark doesn't give us for free.
+  *  3. REGISTER — the pruned chunk set becomes the `metrics` temp view
+  *     (mergeSchema=true mirrors DataFusion's multi-path schema inference); empty
+  *     store ⇒ empty DataFrame with the default schema (engine.rs:97-101,189-205).
+  *  4. EXECUTE — spark.sql: Catalyst does analyze/optimize/physical; the vectorized
+  *     Parquet reader re-prunes row groups from footer stats (two-tier pruning like
+  *     the reference: metadata prune then Parquet prune).
+  *  5. DEDUP — when a shard split is active, first-wins dedup on
+  *     (timestamp, metric_name) ONLY — labels intentionally ignored, faithful to
+  *     src/query/dedup.rs:27.
+  *
+  * Scale posture: pruning happens on catalog metadata (driver-side, tiny); the data
+  * path is a straight partitioned Parquet scan that Catalyst parallelizes — no
+  * collect() anywhere on the data path.
+  */
+final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
+
+  @volatile private var lastRegisteredPaths: Seq[String] = null
+
+  def sql(query: String, nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
+    val (range, preds) = analyze(query, nowNs)
+    val paths = prune(range, preds)
+    register(paths)
+    val result = spark.sql(query)
+    if (catalog.hasActiveSplit)
+      result.dropDuplicates(MetricSchema.TimestampCol :: MetricSchema.MetricNameCol :: Nil)
+    else result
+  }
+
+  /** Step 1: extract time range + column predicates from the query's WHERE clauses.
+    * We parse the full statement and walk its Filter conditions (unresolved is fine —
+    * we only need column names and literals).
+    */
+  def analyze(query: String, nowNs: Long): (TimeRange, Seq[ColumnPredicate]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    val conds = parsed.collect { case LFilter(c, _) => c }
+    if (conds.isEmpty) (TimeRange(nowNs - PredicateExtraction.DefaultWindowNs, nowNs), Nil)
+    else {
+      val all = conds.map(PredicateExtraction.extractFromExpression(_, nowNs))
+      val range = all.map(_._1).reduce { (a, b) =>
+        TimeRange(math.max(a.startNs, b.startNs), math.min(a.endNs, b.endNs))
+      }
+      // If every condition contributed only the default window, treat as default.
+      (range, all.flatMap(_._2))
+    }
+  }
+
+  /** Step 2: catalog prune — time index then zone maps. */
+  def prune(range: TimeRange, preds: Seq[ColumnPredicate]): Seq[String] =
+    catalog.chunksInRange(range.startNs, range.endNs)
+      .filter(c => preds.forall(_.keepChunk(c)))
+      .map(_.path)
+
+  /** Step 3: (re)register the `metrics` view over exactly the pruned chunk set; cached
+    * when the path set is unchanged (engine.rs:133-187).
+    */
+  def register(paths: Seq[String]): Unit = synchronized {
+    if (lastRegisteredPaths == paths) return
+    val df =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          MetricSchema.default)
+      else
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    df.createOrReplaceTempView("metrics")
+    lastRegisteredPaths = paths
+  }
+
+  /** information_schema-equivalent label discovery
+    * (reference src/api/query/prometheus_api.rs:289-291): all string columns of the
+    * current `metrics` view minus internal columns, plus `__name__`.
+    */
+  def labels(): Seq[String] = {
+    register(catalog.allChunks.map(_.path))
+    val cols = spark.table("metrics").schema.fieldNames.toSeq
+    ("__name__" +: cols.filterNot(MetricSchema.internalColumns.contains)).distinct.sorted
+  }
+
+  def labelValues(label: String): DataFrame = {
+    register(catalog.allChunks.map(_.path))
+    val c = if (label == "__name__") MetricSchema.MetricNameCol else label
+    spark.table("metrics").select(col(c)).where(col(c).isNotNull).distinct()
+  }
+}

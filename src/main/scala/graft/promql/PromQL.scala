@@ -1,0 +1,187 @@
+package graft.promql
+
+import scala.util.matching.Regex
+
+/** Parsed PromQL — mirrors ParsedPromQL (reference
+  * src/api/query/prometheus_api.rs:689-703).
+  */
+final case class ParsedPromQL(
+    metricName: String,
+    labelMatchers: Seq[LabelMatcher],
+    aggregation: Option[String],
+    groupBy: Seq[String],
+    rangeSeconds: Option[Long],
+    function: Option[String])
+
+/** One `label op "value"` matcher; op ∈ {=, !=, =~, !~}. */
+final case class LabelMatcher(label: String, op: String, value: String)
+
+/** Regex-based PromQL parser + SQL transpiler — a faithful port of the reference's
+  * (~700 LoC) prometheus_api.rs transpiler, with the single dialect change
+  * `regexp_match(c,'re') IS NOT NULL` → `c RLIKE 're'` (both unanchored, so the
+  * semantics line up — SURVEY.md §2.6).
+  *
+  * Intentionally ported quirks:
+  *  - regex matchers are UNANCHORED (unlike real Prometheus) — prometheus_api.rs:727;
+  *  - topk/bottomk parse but degrade to plain ORDER BY value (no k-limit) —
+  *    prometheus_api.rs:899-929;
+  *  - rate/irate ≈ (MAX-MIN)/range and increase/delta ≈ MAX-MIN per bucket — no
+  *    counter-reset handling, no extrapolation — prometheus_api.rs:964-1013;
+  *  - unknown aggregation falls back to AVG.
+  */
+object PromQL {
+
+  /** COALESCE across the 3 value columns (PROM_VALUE_EXPR, prometheus_api.rs:26-27). */
+  val ValueExpr =
+    "COALESCE(value_f64, CAST(value_i64 AS DOUBLE), CAST(value_u64 AS DOUBLE))"
+
+  private val aggRe: Regex =
+    """^\s*(sum|avg|count|min|max|stddev|stdvar|topk|bottomk)\s*(?:by\s*\(([^)]*)\)\s*)?\((.+)\)\s*$""".r
+  private val aggByAfterRe: Regex =
+    """^\s*(sum|avg|count|min|max|stddev|stdvar|topk|bottomk)\s*\((.+)\)\s*by\s*\(([^)]*)\)\s*$""".r
+  private val rangeFnRe: Regex =
+    """^\s*(rate|increase|irate|delta|idelta|deriv)\s*\(\s*(.+?)\s*\[\s*(\d+)(ms|s|m|h|d|w)\s*\]\s*\)\s*$""".r
+  private val selectorRe: Regex =
+    """^\s*([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?\s*$""".r
+  private val matcherRe: Regex =
+    """([a-zA-Z_][a-zA-Z0-9_]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"""".r
+
+  /** Parse agg → range-fn → selector, recursing through the aggregation's inner
+    * expression (reference parse_promql, prometheus_api.rs:744-826). Fallback: the
+    * whole string is the metric name.
+    */
+  def parse(q: String): ParsedPromQL = q match {
+    case aggRe(agg, by, inner) =>
+      val innerParsed = parse(inner)
+      innerParsed.copy(
+        aggregation = Some(agg),
+        groupBy = Option(by).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil))
+    case aggByAfterRe(agg, inner, by) =>
+      val innerParsed = parse(inner)
+      innerParsed.copy(
+        aggregation = Some(agg),
+        groupBy = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case rangeFnRe(fn, inner, n, unit) =>
+      val innerParsed = parse(inner)
+      innerParsed.copy(function = Some(fn), rangeSeconds = Some(toSeconds(n.toLong, unit)))
+    case selectorRe(name, matchers) =>
+      ParsedPromQL(name, parseMatchers(Option(matchers).getOrElse("")), None, Nil, None, None)
+    case other => ParsedPromQL(other.trim, Nil, None, Nil, None, None)
+  }
+
+  private def toSeconds(n: Long, unit: String): Long = unit match {
+    case "ms" => math.max(1L, n / 1000)
+    case "s" => n
+    case "m" => n * 60
+    case "h" => n * 3600
+    case "d" => n * 86400
+    case "w" => n * 604800
+    case _ => n
+  }
+
+  def parseMatchers(s: String): Seq[LabelMatcher] =
+    matcherRe.findAllMatchIn(s).map { m =>
+      LabelMatcher(m.group(1), m.group(2), m.group(3).replace("\\\"", "\""))
+    }.toSeq
+
+  /** matcher → SQL condition (reference prometheus_api.rs:705-741,829-853);
+    * single quotes escaped; `=~`/`!~` → RLIKE / NOT RLIKE (unanchored, same as
+    * the reference's unanchored regexp_match).
+    */
+  def matcherToSql(m: LabelMatcher): String = {
+    val col = s""""${m.label}""""
+    val v = m.value.replace("'", "''")
+    m.op match {
+      case "=" => s"$col = '$v'"
+      case "!=" => s"$col != '$v'"
+      case "=~" => s"$col RLIKE '$v'"
+      case "!~" => s"NOT ($col RLIKE '$v')"
+      case _ => "1=1"
+    }
+  }
+
+  private def aggSql(agg: String): String = agg match {
+    case "sum" => s"SUM($ValueExpr)"
+    case "avg" => s"AVG($ValueExpr)"
+    case "count" => "COUNT(*)"
+    case "min" => s"MIN($ValueExpr)"
+    case "max" => s"MAX($ValueExpr)"
+    case "stddev" => s"STDDEV($ValueExpr)"
+    case "stdvar" => s"VARIANCE($ValueExpr)"
+    // topk/bottomk degrade to the un-limited ORDER BY shape, like the reference.
+    case "topk" | "bottomk" => s"MAX($ValueExpr)"
+    case _ => s"AVG($ValueExpr)" // unknown → AVG (prometheus_api.rs:916)
+  }
+
+  /** Range-function per-bucket expression (reference prometheus_api.rs:964-1013). */
+  private def rangeFnSql(fn: String, rangeSecs: Long): String = fn match {
+    case "rate" | "irate" =>
+      s"(MAX($ValueExpr) - MIN($ValueExpr)) / $rangeSecs.0"
+    case "increase" | "delta" | "idelta" =>
+      s"MAX($ValueExpr) - MIN($ValueExpr)"
+    case _ => s"AVG($ValueExpr)"
+  }
+
+  private def whereClause(p: ParsedPromQL, extra: Seq[String]): String = {
+    val conds = Seq(s"metric_name = '${p.metricName.replace("'", "''")}'") ++
+      p.labelMatchers.map(matcherToSql) ++ extra
+    conds.mkString(" AND ")
+  }
+
+  /** Instant query → SQL (reference prometheus_api.rs:877-935). `timeNs` bounds the
+    * lookback (`timestamp <= t`); no aggregation ⇒ latest sample per series shape
+    * (ORDER BY timestamp DESC LIMIT 1-per-query, as the reference does globally).
+    */
+  def transpileInstant(q: String, timeNs: Option[Long] = None): String = {
+    val p = parse(q)
+    val timeCond = timeNs.map(t => s"timestamp_ns <= $t").toSeq
+    p.aggregation match {
+      case Some(agg) =>
+        val groupCols = ("metric_name" +: p.groupBy.map(g => s""""$g"""")).mkString(", ")
+        s"""SELECT $groupCols, ${aggSql(agg)} AS value, MAX(timestamp_ns) AS timestamp_ns
+           |FROM metrics WHERE ${whereClause(p, timeCond)}
+           |GROUP BY $groupCols ORDER BY value DESC""".stripMargin.replace("\n", " ")
+      case None =>
+        s"""SELECT * FROM metrics WHERE ${whereClause(p, timeCond)}
+           |ORDER BY timestamp_ns DESC LIMIT 1""".stripMargin.replace("\n", " ")
+    }
+  }
+
+  /** Range query → SQL with integer-division time bucketing
+    * `(timestamp_ns / step) * step AS time_bucket` (reference
+    * prometheus_api.rs:938-1087). stepSeconds buckets; ns bounds inclusive.
+    */
+  def transpileRange(q: String, startNs: Long, endNs: Long, stepSeconds: Long): String = {
+    val p = parse(q)
+    val stepNs = stepSeconds * 1000000000L
+    val bucket = s"(timestamp_ns DIV $stepNs) * $stepNs"
+    val timeConds = Seq(s"timestamp_ns >= $startNs", s"timestamp_ns <= $endNs")
+    val valueExpr = (p.function, p.aggregation) match {
+      case (Some(fn), _) => rangeFnSql(fn, p.rangeSeconds.getOrElse(stepSeconds))
+      case (None, Some(agg)) => aggSql(agg)
+      case (None, None) => s"AVG($ValueExpr)" // default per-bucket AVG
+    }
+    val groupCols = ("metric_name" +: p.groupBy.map(g => s""""$g"""")).mkString(", ")
+    s"""SELECT $bucket AS time_bucket, $groupCols, $valueExpr AS value
+       |FROM metrics WHERE ${whereClause(p, timeConds)}
+       |GROUP BY time_bucket, $groupCols
+       |ORDER BY time_bucket, $groupCols""".stripMargin.replace("\n", " ")
+  }
+
+  /** `/api/v1/label/{name}/values` → SQL (reference prometheus_api.rs:380-500):
+    * SELECT DISTINCT with matcher/time WHERE; `__name__` maps to metric_name.
+    * Identifier validation mirrors the reference's anti-injection check
+    * (prometheus_api.rs:1240-1255).
+    */
+  def labelValuesSql(label: String, matchers: Seq[LabelMatcher] = Nil): String = {
+    require(isValidIdentifier(label), s"invalid label identifier: $label")
+    val col = if (label == "__name__") "metric_name" else label
+    val where =
+      if (matchers.isEmpty) "" else " WHERE " + matchers.map(matcherToSql).mkString(" AND ")
+    s"""SELECT DISTINCT "$col" AS value FROM metrics$where ORDER BY value"""
+  }
+
+  def isValidIdentifier(s: String): Boolean =
+    s == "__name__" || s.matches("[a-zA-Z_][a-zA-Z0-9_]*")
+}

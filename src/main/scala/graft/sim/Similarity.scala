@@ -1,0 +1,123 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (Array[Float]).
+  *
+  *  - Brute-force cosine top-k: the exact baseline. Queries are broadcast (small
+  *    side), the corpus streams — one map-side pass + a per-query top-k
+  *    (TakeOrderedAndProject-shaped), no O(n²) shuffle.
+  *  - LSH (random signed hyperplanes): the 100 TB scale path — deterministic
+  *    hyperplanes derived from xxhash64, bucket join on signatures, exact re-rank
+  *    within buckets only. Multi-probe via several independent signature tables
+  *    raises recall without touching the whole corpus.
+  *
+  * Dot products use `zip_with` + `aggregate` over array columns in doubles —
+  * sequential left-to-right summation, bit-identical to a single-threaded loop,
+  * which keeps results oracle-comparable.
+  */
+object Similarity {
+
+  /** Σ a_i*b_i in doubles, sequential. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k by cosine for each query vector. `queries` must be small enough to
+    * broadcast (it is hinted); corpus-side work is one scan.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id",
+                     queryVecCol: String = "query_vec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  // ---- LSH: random signed hyperplanes --------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a value in [-1, 1) derived from xxhash64 — no RNG state, reproducible across
+    * runs and cluster layouts.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** `numPlanes`-bit signature: bit p = sign(v · r_p). */
+  def hyperplaneSignature(vec: Column, numPlanes: Int = 16, seed: Int = 0): Column =
+    aggregate(
+      sequence(lit(0), lit(numPlanes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") *
+              (xxhash64(p + lit(seed * 1000003), i).cast("double") / lit(Long.MaxValue.toDouble))),
+          lit(0.0), (s, x) => s + x)
+        acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      })
+
+  /** ANN top-k: candidates = corpus vectors sharing a signature with the query in ANY
+    * of `tables` independent hyperplane tables (multi-probe), re-ranked exactly.
+    * Recall < 1 by construction; raise `tables` / lower `numPlanes` to trade cost for
+    * recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 12, tables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val sigTables = (0 until tables).map { t =>
+      corpus.select(col(idCol), col(vecCol),
+        hyperplaneSignature(col(vecCol), numPlanes, t).as("sig"), lit(t).as("tbl"))
+    }.reduce(_ unionAll _)
+    val qTables = (0 until tables).map { t =>
+      queries.select(col(queryIdCol), col(queryVecCol),
+        hyperplaneSignature(col(queryVecCol), numPlanes, t).as("sig"), lit(t).as("tbl"))
+    }.reduce(_ unionAll _)
+    val candidates = sigTables.join(broadcast(qTables), Seq("tbl", "sig"))
+      .select(col(queryIdCol), col(queryVecCol), col(idCol), col(vecCol))
+      .distinct()
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+    candidates
+      .withColumn("cosine", cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucket self-join then exact cosine filter.
+    * Same shuffle shape as MinHash-LSH dedup — proportional to collisions, not n².
+    */
+  def cosineNearDupPairs(embeddings: DataFrame,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         threshold: Double = 0.95,
+                         numPlanes: Int = 12, tables: Int = 4): DataFrame = {
+    val sigs = (0 until tables).map { t =>
+      embeddings.select(col(idCol), col(vecCol),
+        hyperplaneSignature(col(vecCol), numPlanes, t).as("sig"), lit(t).as("tbl"))
+    }.reduce(_ unionAll _)
+    val l = sigs.select(col("tbl"), col("sig"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = sigs.select(col("tbl"), col("sig"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(r, Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .withColumn("cosine", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built entirely
+  * from codegen'd `org.apache.spark.sql.functions` (no UDFs in the hot path — every
+  * expression stays inside whole-stage codegen and is SQL-expressible, which also
+  * makes each one oracle-checkable in DuckDB).
+  *
+  * All operators are per-row map-side transforms: at 100 TB they pipeline inside the
+  * Parquet scan stage with zero shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. `split` on \s+ after trim; empty string → 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy count: word-boundary pieces (letter runs, digit runs,
+    * punctuation singletons). A deterministic regex stand-in for a real tokenizer —
+    * counts matches of `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]`.
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")) +
+        size(split(text, "[0-9]")) - lit(1) +
+        size(split(text, "[^A-Za-z0-9\\s]")) - lit(1))
+
+  /** Character-class ratios used for quality scoring. */
+  def alphaRatio(text: Column): Column = classRatio(text, "[A-Za-z]")
+  def digitRatio(text: Column): Column = classRatio(text, "[0-9]")
+  def punctRatio(text: Column): Column = classRatio(text, "[^A-Za-z0-9\\s]")
+  def whitespaceRatio(text: Column): Column = classRatio(text, "\\s")
+  def upperRatio(text: Column): Column = classRatio(text, "[A-Z]")
+
+  private def classRatio(text: Column, cls: String): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(regexp_replace(text, cls, ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** English-ish stopword hit count (non-overlapping occurrences of ` word ` with
+    * padded text, so boundary words count too).
+    */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    stopwords.map { w =>
+      size(split(padded, s" $w ")) - lit(1)
+    }.reduce(_ + _)
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Composite quality score in [0,1]: length signal + stopword density + penalties
+    * for digit/punct-heavy text. Heuristic weights; deterministic and SQL-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val tokens = tokenCount(text).cast("double")
+    val lengthSignal = least(tokens / lit(64.0), lit(1.0))
+    val stopDensity =
+      when(tokens === 0, lit(0.0))
+        .otherwise(least(stopwordHits(text, EnglishStopwords).cast("double") / tokens * lit(4.0), lit(1.0)))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(4.0))
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(text) * lit(4.0))
+    round(lit(0.35) * lengthSignal + lit(0.25) * stopDensity +
+      lit(0.2) * punctPenalty + lit(0.2) * digitPenalty, 6)
+  }
+
+  /** N-gram-free language ID heuristic: argmax of per-language stopword hit counts.
+    * Deterministic tie-break by fixed language order (en > fr > de > es), 'und' when
+    * nothing hits.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "y"))
+
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    // argmax with fixed-order tie-break: strictly-greater beats earlier languages
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          greatest(score, bestScore))
+    }
+    when(best._2 <= 0, lit("und")).otherwise(best._1)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. Used as the
+    * exact-dedup key; stable across engines (md5 hex is identical in Spark & DuckDB).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Full per-document feature extraction. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("token_count", tokenCount(t))
+      .withColumn("alpha_ratio", round(alphaRatio(t), 6))
+      .withColumn("digit_ratio", round(digitRatio(t), 6))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
