@@ -1,5 +1,11 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times every SparkEntry query on SPARK_GRAFT_SF_DIR plus an
+  * ingest-throughput measurement (generator → sorted hour-partitioned ZSTD chunks,
+  * the BASELINE.md "write throughput" axis). Prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +13,45 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JIT/session warmup so the first measured query isn't charged for startup
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      }
+    }
+
+    // ingest throughput: 1 M samples → sorted hour-partitioned ZSTD parquet chunks
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_bench_ingest_")
+    val catalog = new graft.catalog.ChunkCatalog(warehouse)
+    val writer = new graft.ingest.ChunkWriter(catalog)
+    val nSamples = 1000000L
+    val df = graft.fixtures.DataGenerator.generate(spark,
+      samplesPerSecond = 100, durationSeconds = 67, partitions = cpus.toInt * 2)
+      .limit(nSamples.toInt)
+    val ingestSec = time { writer.write(df) }
+    results("ingest_1m_samples") = ingestSec
+    val samplesPerSec = (nSamples / ingestSec).toLong
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${results.values.sum}%.3f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples_per_sec":$samplesPerSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

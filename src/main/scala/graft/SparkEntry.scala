@@ -1,13 +1,692 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one `queries` entry per implemented operator from SURVEY.md §2
+  * (+ the LLM-data-pipeline extensions), each with a DuckDB oracle where the operator
+  * is SQL-expressible. Column names are aligned between the Spark result and the
+  * oracle; every floating-point aggregate is rounded identically on both sides;
+  * every query is deterministically ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- table helpers -------------------------------------------------------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` stream table viewed as the reference's wide `metrics` table:
+    * ts → timestamp(+ns), event_type → metric_name, a derived `host` label, value →
+    * value_f64 (SURVEY.md §1.5 mapping).
+    *
+    * events.ts is physically TIMESTAMP(NANOS) Parquet; with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench/tests) it reads
+    * as a raw ns LongType — exactly the reference's ns-fidelity carrier
+    * (SURVEY.md §7.4.1). All bucket arithmetic uses integral `div` (never double
+    * division: 1.7e18 ns exceeds 2^53, doubles would mis-bucket boundary values).
+    */
+  private def eventsAsMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      timestamp_micros(expr("ts div 1000")).as("timestamp"),
+      col("ts").as("timestamp_ns"),
+      col("event_type").as("metric_name"),
+      concat(lit("h"), (col("user_id") % 10).cast("string")).as("host"),
+      col("value").as("value_f64"),
+      lit(null).cast("long").as("value_i64"),
+      lit(null).cast("long").as("value_u64"))
+
+  // epoch-ns constants for the events table's span (2024-01-01 .. 2024-01-30 UTC)
+  private val Jan1Ns = 1704067200L * 1000000000L
+  private val Jan2Ns = 1704153600L * 1000000000L
+  private val Jan3Ns = 1704240000L * 1000000000L
+  private val Feb1Ns = 1706745600L * 1000000000L
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_groupby")(spark, "/root/testdata/sf0.001")
+
+  // ---- the operator surface ------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.5 hash aggregate: partial+final GROUP BY with the aggs the reference
+    // exercises (COUNT/AVG/MIN/MAX/SUM — roundtrip_tests.rs:147-155).
+    "q_agg_groupby" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(min("l_discount"), 4).as("min_disc"),
+          round(max("l_discount"), 4).as("max_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.3 projection + filter (pushed to the Parquet scan by Catalyst, same as
+    // DataFusion pushdown at engine.rs:283).
+    "q_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.07)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.5 SELECT DISTINCT (prometheus_api.rs:369-371).
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.7 ORDER BY / LIMIT top-k (TakeOrderedAndProject).
+    "q_orderby_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // §2.7 window: faithful topk-per-group via row_number ≤ k.
+    "q_topk_group" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    // §2.7 window: running analytic frame (rows unbounded preceding).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // §2.5 COUNT(DISTINCT) + plain count per group.
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // §2.5 percentile_cont WITHIN GROUP (live.sql:2).
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
+          .as("p50"),
+          round(expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
+            .as("p95"))
+        .orderBy("l_returnflag")),
+
+    // §2.5 STDDEV (sample) — roundtrip aggregation set.
+    "q_stddev" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(stddev("l_extendedprice"), 2).as("sd_price"),
+          round(var_samp("l_extendedprice"), 1).as("var_price"))
+        .orderBy("l_returnflag")),
+
+    // §2.4 joins: multi-way equi-join with broadcast dims (region/nation/customer
+    // are the small sides — Spark plans BroadcastHashJoin, no big-side shuffle).
+    "q_join_broadcast" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = broadcast(t(s, dir, "customer"))
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // §2.4 semi join (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      t(s, dir, "customer")
+        .join(hi, col("c_custkey") === hi("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.4 anti join (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      t(s, dir, "customer")
+        .join(orders, col("c_custkey") === orders("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.7 set ops: UNION (distinct) + EXCEPT.
+    "q_setop_union" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_name").as("name"))
+        .union(t(s, dir, "nation").select(col("n_name").as("name")))
+        .distinct().orderBy("name")),
+
+    "q_setop_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    // §2.8 scalar function surface: coalesce/cast/LIKE/RLIKE/json path.
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          coalesce(col("value"), lit(0.0)).as("v"),
+          col("event_type").like("%ick%").as("is_click_like"),
+          col("event_type").rlike("^(vi|cl)").as("re_match"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // §2.5 time-bucket aggregate: integer-division bucketing in raw ns —
+    // (ts_ns DIV step) * step, the exact arithmetic of prometheus_api.rs:970-1011.
+    "q_ts_bucket_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(expr("(ts div 21600000000000) * 21600000000000").as("time_bucket"),
+          col("event_type").as("metric_name"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg("value"), 4).as("avg_value"),
+          round(min("value"), 6).as("min_value"),
+          round(max("value"), 6).as("max_value"))
+        .orderBy("time_bucket", "metric_name")),
+
+    // §2.5 date_trunc rollup (postrun.sql:1).
+    "q_ts_date_trunc" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          unix_micros(date_trunc("hour", timestamp_micros(expr("ts div 1000"))))
+            .as("hour_us"),
+          col("event_type").as("metric_name"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour_us", "metric_name")),
+
+    // §2.5 rate approximation: (MAX-MIN)/range_secs per bucket — faithful to the
+    // reference's non-extrapolating rate (prometheus_api.rs:964-1013).
+    "q_ts_rate" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(expr("(ts div 21600000000000) * 21600000000000").as("time_bucket"),
+          col("event_type").as("metric_name"))
+        .agg(((max("value") - min("value")) / lit(3600.0)).as("rate"))
+        .orderBy("time_bucket", "metric_name")),
+
+    // §2.3/§2.7 recent-window top-N scan: WHERE ts >= cutoff ORDER BY DESC LIMIT
+    // (roundtrip_tests.rs:200-204 shape).
+    "q_ts_recent_topn" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") >= lit(1706140800L * 1000000000L)) // 2024-01-25 in ns
+        .select(expr("ts div 1000").as("ts_us"), col("event_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts_us").desc, col("event_id"))
+        .limit(100)),
+
+    // §2.10 split dual-write dedup: first-wins on (timestamp, metric_name) ONLY —
+    // the reference's key ignores labels (dedup.rs:27); first = lowest event_id.
+    "q_ts_dedup_firstwins" -> ((s, dir) => {
+      val w = Window.partitionBy("ts_us", "event_type").orderBy("event_id")
+      t(s, dir, "events")
+        .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+          col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("ts_us", "event_type")
+    }),
+
+    // §2.6 instant-query shape: latest sample per series (ORDER BY ts DESC LIMIT 1
+    // per metric — prometheus_api.rs:877-935).
+    "q_ts_instant_last" -> ((s, dir) => {
+      val w = Window.partitionBy("metric_name")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("event_type").as("metric_name"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("metric_name")
+    }),
+
+    // §2.6 PromQL instant aggregation over the metrics view:
+    // `max by (host) (click)` through the real parser+transpiler.
+    "q_promql_instant" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      // DuckDB truncates parquet ns timestamps to µs, so the oracle can only see
+      // µs·1000 — align the emitted ns to the oracle's resolution.
+      s.sql(graft.promql.PromQL.transpileInstant("max by (host) (click)"))
+        .withColumn("timestamp_ns", expr("(timestamp_ns div 1000) * 1000"))
+        .orderBy("host")
+    }),
+
+    // §2.6 PromQL range query with label matcher + regex matcher:
+    // `sum by (host) (view{host=~"h[0-4]"})`, 6 h buckets, rounded.
+    "q_promql_range_sum" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange(
+          """sum by (host) (view{host=~"h[0-4]"})""", Jan1Ns, Feb1Ns, 21600L))
+        .withColumn("value", round(col("value"), 4))
+        .orderBy("time_bucket", "host")
+    }),
+
+    // §2.6 PromQL range rate: `rate(view[1h])` — (MAX-MIN)/3600 per 6 h bucket.
+    "q_promql_range_rate" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange("rate(view[1h])", Jan1Ns, Feb1Ns, 21600L))
+        .orderBy("time_bucket")
+    }),
+
+    // §2.6 PromQL metadata: label_values(__name__) (prometheus_api.rs:380-500).
+    "q_promql_label_values" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.labelValuesSql("__name__"))
+    }),
+
+    // §3.1 the full engine pipeline: ingest events→hour chunks (catalog + zone
+    // maps), then QueryEngine.sql with time-range extraction + chunk pruning.
+    "q_engine_prune_sql" -> ((s, dir) => {
+      val eng = engineWithData(s, dir, maxTsExclusiveNs = Jan3Ns)
+      eng.sql(
+        s"""SELECT metric_name, COUNT(*) AS cnt, ROUND(MAX(value_f64), 6) AS max_v
+           |FROM metrics
+           |WHERE timestamp_ns >= $Jan1Ns AND timestamp_ns < $Jan2Ns
+           |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
+    }),
+
+    // §2.10 compaction: merge the 2-files-per-hour L0 state into single chunks,
+    // then query through the engine — data must be byte-identical to pre-compaction.
+    "q_compact_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+      val catalog = new graft.catalog.ChunkCatalog(tmp)
+      val writer = new graft.ingest.ChunkWriter(catalog)
+      val half = Jan1Ns + 43200L * 1000000000L // first 12 hours only
+      val m = eventsAsMetrics(s, dir).filter(col("timestamp_ns") < half)
+      writer.write(m.filter(col("timestamp_ns") % 2 === 0))
+      writer.write(m.filter(col("timestamp_ns") % 2 =!= 0))
+      val compactor = new graft.compact.Compactor(s, catalog, l0FileThreshold = 2)
+      compactor.runOnce()
+      val eng = new graft.engine.QueryEngine(s, catalog)
+      eng.sql(
+        s"""SELECT metric_name, COUNT(*) AS cnt, ROUND(SUM(value_f64), 4) AS sum_v
+           |FROM metrics WHERE timestamp_ns >= $Jan1Ns AND timestamp_ns <= $half
+           |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
+    }),
+
+    // §2.1 Prometheus remote-write value routing: integral≥0 → value_u64, integral<0
+    // → value_i64, fractional/huge → value_f64; ms→ns; __name__→metric_name
+    // (prometheus.rs:356-485).
+    "q_ingest_prom_route" -> ((s, dir) => {
+      import graft.ingest.Converters
+      val samples = Seq(
+        Converters.promSample(1000L, Map("__name__" -> "cpu", "host" -> "a"), 5.0),
+        Converters.promSample(2000L, Map("__name__" -> "cpu", "host" -> "a"), -3.0),
+        Converters.promSample(3000L, Map("__name__" -> "cpu", "host" -> "b"), 0.5),
+        Converters.promSample(4000L, Map("__name__" -> "mem", "host" -> "b"), 1.5e16),
+        Converters.promSample(5000L, Map("__name__" -> "mem"), 100.0))
+      Converters.routedToDf(s, samples)
+        .select("metric_name", "timestamp_ns", "host",
+          "value_f64", "value_i64", "value_u64")
+        .orderBy("timestamp_ns")
+    }),
+
+    // LLM ops — exact dedup: md5 fingerprint of normalized text, deterministic
+    // keeper = min(doc_id), group size.
+    "q_doc_fingerprint_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("dup_cnt"))
+        .orderBy("fp")),
+
+    // LLM ops — token counting + character-class ratios.
+    "q_doc_token_stats" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("token_count"),
+        round(alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(digitRatio(col("text")), 6).as("digit_ratio"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — quality scoring (length/stopword/punct/digit heuristic).
+    "q_doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // LLM ops — language ID (stopword-marker argmax, deterministic tie-break).
+    "q_doc_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(graft.text.TextFunctions.langId(col("text")).as("lang_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_id")),
+
+    // LLM ops — brute-force cosine top-k similarity search (exact ANN baseline).
+    "q_emb_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Similarity.bruteForceTopK(emb, queries, 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LLM ops — MinHash+LSH near-dup candidates with exact Jaccard verify.
+    // No SQL oracle (LSH recall is probabilistic) → driver rows-only check;
+    // exactness is covered by DedupSpec unit tests.
+    "q_doc_minhash_neardup" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashNearDupPairs(
+        t(s, dir, "documents"), threshold = 0.2, numHashes = 32, bands = 16)
+        .orderBy("id_a", "id_b")),
+
+    // LLM ops — SimHash near-dup pairs (rows-only check, same reason).
+    "q_doc_simhash_neardup" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashNearDupPairs(
+        t(s, dir, "documents"), maxHamming = 14)
+        .orderBy("id_a", "id_b")),
+
+    // LLM ops — LSH-bucketed ANN (scale path; rows-only check vs brute force).
+    "q_emb_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Similarity.lshTopK(emb, queries, 5, numPlanes = 8, tables = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LLM ops — multimodal: metadata-only stats over binary payload columns (the
+    // scan must never decode payloads; column pruning keeps it to metadata cols).
+    "q_multimodal_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.mediaStats(
+        graft.multimodal.Multimodal.documentsAsMedia(t(s, dir, "documents")))
+        .withColumn("total_bytes", col("total_bytes").cast("long"))
+        .orderBy("modality", "mime_type"))
+  )
+
+  /** Build an engine over a temp warehouse containing events[Jan1, maxTs) ingested as
+    * hour chunks — shared by the engine-pipeline verify queries.
+    */
+  private def engineWithData(s: SparkSession, dir: String,
+                             maxTsExclusiveNs: Long): graft.engine.QueryEngine = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_engine_")
+    val catalog = new graft.catalog.ChunkCatalog(tmp)
+    val writer = new graft.ingest.ChunkWriter(catalog)
+    writer.write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") < maxTsExclusiveNs))
+    new graft.engine.QueryEngine(s, catalog)
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  /** Stopword-occurrence count snippet (DuckDB): non-overlapping hits of ` w ` in the
+    * padded lowercased text — mirrors TextFunctions.stopwordHits exactly.
+    */
+  private def duckHits(w: String): String =
+    s"(len(string_split(' ' || lower(text) || ' ', ' $w ')) - 1)"
+
+  private def duckHitsSum(words: Seq[String]): String =
+    words.map(duckHits).mkString("(", " + ", ")")
+
+  private val duckTokens =
+    "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+
+  private def duckRatio(cls: String): String =
+    s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(min(l_discount), 4) AS min_disc,
+        | round(max(l_discount), 4) AS max_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_orderby_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+        | round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stddev" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        | round(var_samp(l_extendedprice), 1) AS var_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_setop_union" ->
+      """SELECT r_name AS name FROM region
+        |UNION SELECT n_name AS name FROM nation ORDER BY name""".stripMargin,
+
+    "q_setop_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey AS custkey FROM orders ORDER BY custkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT event_id, coalesce(value, 0.0) AS v,
+        | event_type LIKE '%ick%' AS is_click_like,
+        | regexp_matches(event_type, '^(vi|cl)') AS re_match,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ts_bucket_agg" ->
+      """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        | event_type AS metric_name, count(*) AS cnt,
+        | round(avg(value), 4) AS avg_value,
+        | round(min(value), 6) AS min_value,
+        | round(max(value), 6) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_date_trunc" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+        | event_type AS metric_name, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_rate" ->
+      """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        | event_type AS metric_name,
+        | (max(value) - min(value)) / 3600.0 AS rate
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_recent_topn" ->
+      """SELECT epoch_ns(ts) // 1000 AS ts_us, event_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY ts_us DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_ts_dedup_firstwins" ->
+      """SELECT ts_us, event_type, event_id, value FROM (
+        | SELECT epoch_ns(ts) // 1000 AS ts_us, event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY epoch_ns(ts) // 1000, event_type ORDER BY event_id) AS rn
+        | FROM events) WHERE rn = 1
+        |ORDER BY ts_us, event_type""".stripMargin,
+
+    "q_ts_instant_last" ->
+      """SELECT metric_name, ts_us, event_id, value FROM (
+        | SELECT event_type AS metric_name, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1
+        |ORDER BY metric_name""".stripMargin,
+
+    "q_promql_instant" ->
+      """SELECT event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | max(value) AS value, max(epoch_ns(ts)) AS timestamp_ns
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY host""".stripMargin,
+
+    "q_promql_range_sum" ->
+      """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        | event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | round(sum(value), 4) AS value
+        |FROM events
+        |WHERE event_type = 'view'
+        | AND regexp_matches('h' || CAST(user_id % 10 AS VARCHAR), 'h[0-4]')
+        | AND epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
+        |GROUP BY 1, 2, 3 ORDER BY time_bucket, host""".stripMargin,
+
+    "q_promql_range_rate" ->
+      """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        | event_type AS metric_name,
+        | (max(value) - min(value)) / 3600.0 AS value
+        |FROM events
+        |WHERE event_type = 'view'
+        | AND epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
+        |GROUP BY 1, 2 ORDER BY time_bucket""".stripMargin,
+
+    "q_promql_label_values" ->
+      "SELECT DISTINCT event_type AS value FROM events ORDER BY value",
+
+    "q_engine_prune_sql" ->
+      """SELECT event_type AS metric_name, count(*) AS cnt, round(max(value), 6) AS max_v
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704153600000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_compact_merge" ->
+      """SELECT event_type AS metric_name, count(*) AS cnt, round(sum(value), 4) AS sum_v
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704110400000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ingest_prom_route" ->
+      """SELECT * FROM (VALUES
+        | ('cpu', CAST(1000000000 AS BIGINT), 'a', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(5 AS BIGINT)),
+        | ('cpu', CAST(2000000000 AS BIGINT), 'a', CAST(NULL AS DOUBLE), CAST(-3 AS BIGINT), CAST(NULL AS BIGINT)),
+        | ('cpu', CAST(3000000000 AS BIGINT), 'b', CAST(0.5 AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        | ('mem', CAST(4000000000 AS BIGINT), 'b', CAST(1.5e16 AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        | ('mem', CAST(5000000000 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(100 AS BIGINT))
+        |) t(metric_name, timestamp_ns, host, value_f64, value_i64, value_u64)
+        |ORDER BY timestamp_ns""".stripMargin,
+
+    "q_doc_fingerprint_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_doc_token_stats" ->
+      s"""SELECT doc_id,
+         | CAST($duckTokens AS BIGINT) AS token_count,
+         | round(${duckRatio("[A-Za-z]")}, 6) AS alpha_ratio,
+         | round(${duckRatio("[0-9]")}, 6) AS digit_ratio,
+         | round(${duckRatio("[^A-Za-z0-9\\s]")}, 6) AS punct_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality" ->
+      s"""SELECT doc_id, floor((
+         |  0.35 * least(CAST($duckTokens AS DOUBLE) / 64.0, 1.0)
+         |  + 0.25 * (CASE WHEN $duckTokens = 0 THEN 0.0
+         |      ELSE least(CAST(${duckHitsSum(graft.text.TextFunctions.EnglishStopwords)} AS DOUBLE)
+         |                 / CAST($duckTokens AS DOUBLE) * 4.0, 1.0) END)
+         |  + 0.2 * greatest(0.0, 1.0 - ${duckRatio("[^A-Za-z0-9\\s]")} * 4.0)
+         |  + 0.2 * greatest(0.0, 1.0 - ${duckRatio("[0-9]")} * 4.0)) * 1000000.0 + 0.5)
+         |  / 1000000.0 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_langid" -> {
+      val scores = graft.text.TextFunctions.LangMarkers.map { case (lang, words) =>
+        lang -> duckHitsSum(words)
+      }
+      val Seq(en, fr, de, es) = scores.map(_._2)
+      s"""SELECT lang_id, count(*) AS cnt FROM (
+         | SELECT CASE
+         |  WHEN greatest($en, $fr, $de, $es) <= 0 THEN 'und'
+         |  WHEN $en >= $fr AND $en >= $de AND $en >= $es THEN 'en'
+         |  WHEN $fr >= $de AND $fr >= $es THEN 'fr'
+         |  WHEN $de >= $es THEN 'de'
+         |  ELSE 'es' END AS lang_id
+         | FROM documents) GROUP BY 1 ORDER BY lang_id""".stripMargin
+    },
+
+    "q_emb_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        | SELECT q.query_id, c.vec_id,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y) z)
+        |  / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(c.embedding) AS x) z2))
+        |   * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(q.qv) AS y) z3))) AS cos
+        | FROM embeddings c, q)
+        |SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+        | SELECT query_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        | FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_multimodal_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime_type,
+        |       count(*) AS n,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+        |       CAST(max(n_chars * 10) AS BIGINT) AS max_duration_ms
+        |FROM documents GROUP BY 1, 2 ORDER BY modality, mime_type""".stripMargin
+  )
 }

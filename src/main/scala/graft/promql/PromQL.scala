@@ -90,7 +90,7 @@ object PromQL {
     * the reference's unanchored regexp_match).
     */
   def matcherToSql(m: LabelMatcher): String = {
-    val col = s""""${m.label}""""
+    val col = s"`${m.label}`"
     val v = m.value.replace("'", "''")
     m.op match {
       case "=" => s"$col = '$v'"
@@ -138,7 +138,7 @@ object PromQL {
     val timeCond = timeNs.map(t => s"timestamp_ns <= $t").toSeq
     p.aggregation match {
       case Some(agg) =>
-        val groupCols = ("metric_name" +: p.groupBy.map(g => s""""$g"""")).mkString(", ")
+        val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
         s"""SELECT $groupCols, ${aggSql(agg)} AS value, MAX(timestamp_ns) AS timestamp_ns
            |FROM metrics WHERE ${whereClause(p, timeCond)}
            |GROUP BY $groupCols ORDER BY value DESC""".stripMargin.replace("\n", " ")
@@ -162,7 +162,7 @@ object PromQL {
       case (None, Some(agg)) => aggSql(agg)
       case (None, None) => s"AVG($ValueExpr)" // default per-bucket AVG
     }
-    val groupCols = ("metric_name" +: p.groupBy.map(g => s""""$g"""")).mkString(", ")
+    val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
     s"""SELECT $bucket AS time_bucket, $groupCols, $valueExpr AS value
        |FROM metrics WHERE ${whereClause(p, timeConds)}
        |GROUP BY time_bucket, $groupCols
@@ -179,7 +179,7 @@ object PromQL {
     val col = if (label == "__name__") "metric_name" else label
     val where =
       if (matchers.isEmpty) "" else " WHERE " + matchers.map(matcherToSql).mkString(" AND ")
-    s"""SELECT DISTINCT "$col" AS value FROM metrics$where ORDER BY value"""
+    s"SELECT DISTINCT `$col` AS value FROM metrics$where ORDER BY value"
   }
 
   def isValidIdentifier(s: String): Boolean =

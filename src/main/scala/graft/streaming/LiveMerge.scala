@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.schema.MetricSchema
+
+/** Historical + live streaming merge — the Spark Structured Streaming equivalent of
+  * the reference's streaming query path (src/query/streaming.rs:73-202):
+  *
+  *  - The reference runs the SQL over a chunk snapshot, streams those batches, then
+  *    tails a broadcast of freshly-flushed batches; `merge_timestamp` is fixed at
+  *    query start and live rows with `timestamp < merge_timestamp` are DROPPED (the
+  *    dedup boundary between phases — streaming.rs:361-383). No watermark, no
+  *    retraction: late rows are silently dropped from the live phase only.
+  *
+  *  - Here: `historical` is a batch DataFrame over the snapshot; `liveTail` is a
+  *    file-source stream over the chunk directory (newly flushed chunk files ARE the
+  *    live feed) with the same WHERE applied per micro-batch — Catalyst replaces the
+  *    reference's hand-rolled 420-LoC row-filter interpreter
+  *    (streaming.rs:219-636) — plus the merge-timestamp cutoff.
+  *
+  * Topic filters (reference src/ingester/topic_broadcast.rs:13-222) map to plain
+  * column predicates on the stream (`metric_name isin ...`), composable with And/Or.
+  */
+object LiveMerge {
+
+  /** Snapshot phase: everything visible in the catalog at query start. */
+  def historical(engine: graft.engine.QueryEngine, sql: String,
+                 nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame =
+    engine.sql(sql, nowNs)
+
+  /** Live phase: tail the chunk directory as a file-source stream. Rows before
+    * `mergeTimestampNs` are dropped (reference cutoff, streaming.rs:361-383);
+    * `where` is the query's WHERE clause applied per live batch.
+    */
+  def liveTail(spark: SparkSession,
+               chunkRoot: String,
+               schema: StructType,
+               mergeTimestampNs: Long,
+               where: Option[String] = None,
+               maxFilesPerTrigger: Int = 64): DataFrame = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(chunkRoot)
+    val cut = raw.filter(col(MetricSchema.TimestampNsCol) >= mergeTimestampNs)
+    where.fold(cut)(w => cut.filter(expr(w)))
+  }
+
+  /** Topic subscription filters (All / Metrics / And / Or — reference
+    * topic_broadcast.rs:121-222) expressed as Column predicates.
+    */
+  sealed trait TopicFilter {
+    def toColumn: org.apache.spark.sql.Column = this match {
+      case TopicFilter.All => lit(true)
+      case TopicFilter.Metrics(ms) => col(MetricSchema.MetricNameCol).isin(ms: _*)
+      case TopicFilter.Shard(id) => col("shard_id") === id
+      case TopicFilter.Tenant(id) => col("tenant_id") === id
+      case TopicFilter.And(l, r) => l.toColumn && r.toColumn
+      case TopicFilter.Or(l, r) => l.toColumn || r.toColumn
+    }
+  }
+  object TopicFilter {
+    case object All extends TopicFilter
+    final case class Metrics(metrics: Seq[String]) extends TopicFilter
+    final case class Shard(id: String) extends TopicFilter
+    final case class Tenant(id: Long) extends TopicFilter
+    final case class And(l: TopicFilter, r: TopicFilter) extends TopicFilter
+    final case class Or(l: TopicFilter, r: TopicFilter) extends TopicFilter
+  }
+
+  /** EXTENSION (beyond the reference, flagged per SURVEY.md §2.9): real event-time
+    * windowed aggregation with a watermark — tumbling `windowSeconds` buckets of
+    * count/avg per metric, late data bounded by `lateness`.
+    */
+  def windowedAggExtension(live: DataFrame, windowSeconds: Int,
+                           lateness: String = "10 minutes"): DataFrame =
+    live
+      .withColumn("event_time",
+        timestamp_micros(expr(s"${MetricSchema.TimestampNsCol} div 1000")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), s"$windowSeconds seconds"),
+        col(MetricSchema.MetricNameCol))
+      .agg(count(lit(1)).as("cnt"), avg(col(MetricSchema.ValueF64)).as("avg_value"))
+}

@@ -64,8 +64,12 @@ object TextFunctions {
         .otherwise(least(stopwordHits(text, EnglishStopwords).cast("double") / tokens * lit(4.0), lit(1.0)))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(4.0))
     val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(text) * lit(4.0))
-    round(lit(0.35) * lengthSignal + lit(0.25) * stopDensity +
-      lit(0.2) * punctPenalty + lit(0.2) * digitPenalty, 6)
+    val raw = lit(0.35) * lengthSignal + lit(0.25) * stopDensity +
+      lit(0.2) * punctPenalty + lit(0.2) * digitPenalty
+    // floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): floor on doubles is
+    // IEEE-deterministic across engines, while round() implementations disagree on
+    // half-way ties at the 7th decimal.
+    floor(raw * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
   }
 
   /** N-gram-free language ID heuristic: argmax of per-language stopword hit counts.

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.{ChunkCatalog, ChunkMeta, ColumnStats}
+import java.nio.file.Files
+
+class CatalogSpec extends AnyFunSuite {
+
+  private def freshCatalog() =
+    new ChunkCatalog(Files.createTempDirectory("graft_cat_"), cacheTtlMs = 0L)
+
+  private val hourNs = 3600L * 1000000000L
+
+  private def chunk(path: String, minH: Long, maxH: Long, level: Int = 0) =
+    ChunkMeta(path, minH * hourNs, maxH * hourNs + hourNs - 1, 1000, 1 << 20, level,
+      columnStats = Map("metric_name" -> ColumnStats.ofString("cpu", "mem")))
+
+  test("register + JSON roundtrip preserves chunks, stats, index") {
+    val cat = freshCatalog()
+    cat.register(chunk("a", 0, 0))
+    cat.register(chunk("b", 1, 2))
+    cat.invalidateCache()
+    val st = cat.state
+    assert(st.chunks.keySet == Set("a", "b"))
+    assert(st.chunks("a").columnStats("metric_name").minString.contains("cpu"))
+    // b spans hours 1-2 → indexed under both buckets
+    assert(st.timeIndex(1L).contains("b") && st.timeIndex(2L).contains("b"))
+  }
+
+  test("chunksInRange: hour-bucket scan + overlap filter") {
+    val cat = freshCatalog()
+    cat.registerAll(Seq(chunk("h0", 0, 0), chunk("h5", 5, 5), chunk("h10", 10, 10)))
+    assert(cat.chunksInRange(5 * hourNs, 6 * hourNs - 1).map(_.path) == Seq("h5"))
+    assert(cat.chunksInRange(0, 11 * hourNs).map(_.path).toSet == Set("h0", "h5", "h10"))
+    assert(cat.chunksInRange(2 * hourNs, 3 * hourNs).isEmpty)
+  }
+
+  test("replaceChunks is atomic: sources removed, target added, index updated") {
+    val cat = freshCatalog()
+    cat.registerAll(Seq(chunk("s1", 3, 3), chunk("s2", 3, 3)))
+    cat.replaceChunks(Seq("s1", "s2"), Seq(chunk("merged", 3, 3, level = 1)))
+    cat.invalidateCache()
+    val st = cat.state
+    assert(st.chunks.keySet == Set("merged"))
+    assert(st.chunks("merged").level == 1)
+    assert(st.timeIndex(3L) == List("merged"))
+  }
+
+  test("GC: grace period respected, ripe files deleted") {
+    val cat = freshCatalog()
+    val f = cat.root.resolve("dead.parquet")
+    Files.write(f, Array[Byte](1, 2, 3))
+    cat.deferDelete(Seq(f.toString), nowMs = 1000L, graceMs = 300000L)
+    assert(cat.gc(nowMs = 2000L).isEmpty) // not ripe
+    assert(Files.exists(f))
+    assert(cat.gc(nowMs = 302000L) == Seq(f.toString)) // ripe
+    assert(!Files.exists(f))
+  }
+
+  test("active splits flag drives dedup decision") {
+    val cat = freshCatalog()
+    assert(!cat.hasActiveSplit)
+    cat.setActiveSplits(Seq("shard-1"))
+    cat.invalidateCache()
+    assert(cat.hasActiveSplit)
+  }
+
+  test("hour bucket arithmetic") {
+    assert(ChunkCatalog.hourBucket(0L) == 0L)
+    assert(ChunkCatalog.hourBucket(hourNs - 1) == 0L)
+    assert(ChunkCatalog.hourBucket(hourNs) == 1L)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.ChunkCatalog
+import graft.engine.QueryEngine
+import graft.ingest.{ChunkWriter, Converters, MetricPoint}
+import graft.prune.TimeRange
+import java.nio.file.Files
+
+/** End-to-end engine slice (SURVEY.md §7.2): ingest points → hour chunks → catalog
+  * prune → spark.sql, with provable chunk skipping and the reference's semantic
+  * rules (1-hour default window, split-time dedup, empty-store behavior).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val hourNs = 3600L * 1000000000L
+  private val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+
+  /** 3 hours × 2 metrics × 2 hosts, 1 point/10min → 36 points/hour-chunk. */
+  private def freshEngine(): (QueryEngine, ChunkCatalog) = {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_eng_"), cacheTtlMs = 0L)
+    val points = for {
+      h <- 0 until 3
+      m <- Seq("cpu_usage", "mem_usage")
+      host <- Seq("server1", "server2")
+      i <- 0 until 6
+    } yield MetricPoint(t0 + h * hourNs + i * 600L * 1000000000L,
+      m, (i % 100) / 100.0 + h, Map("host" -> host))
+    new ChunkWriter(cat).write(Converters.pointsToDf(spark, points))
+    (new QueryEngine(spark, cat), cat)
+  }
+
+  test("ingest produces one chunk per hour with ns-faithful stats") {
+    val (_, cat) = freshEngine()
+    val chunks = cat.allChunks
+    assert(chunks.size == 3)
+    assert(chunks.map(_.rowCount).sum == 72)
+    val c0 = chunks.minBy(_.minTimestampNs)
+    assert(c0.minTimestampNs == t0)
+    assert(c0.maxTimestampNs == t0 + 5 * 600L * 1000000000L)
+    assert(c0.columnStats("metric_name").minString.contains("cpu_usage"))
+    assert(c0.columnStats("host").maxString.contains("server2"))
+  }
+
+  test("time-range pruning provably skips out-of-range chunks") {
+    val (eng, cat) = freshEngine()
+    // hour 1 only
+    val paths = eng.prune(TimeRange(t0 + hourNs, t0 + 2 * hourNs - 1), Nil)
+    assert(paths.size == 1)
+    assert(cat.allChunks.size == 3)
+  }
+
+  test("zone-map pruning on label predicates") {
+    val (eng, _) = freshEngine()
+    val all = eng.prune(TimeRange(t0, t0 + 3 * hourNs), Nil)
+    assert(all.size == 3)
+    val none = eng.prune(TimeRange(t0, t0 + 3 * hourNs),
+      Seq(graft.prune.ColumnPredicate.Eq("metric_name", graft.prune.PValue.S("zzz_metric"))))
+    assert(none.isEmpty)
+  }
+
+  test("sql end-to-end: extraction + prune + execute") {
+    val (eng, _) = freshEngine()
+    val df = eng.sql(
+      s"""SELECT metric_name, COUNT(*) AS cnt, MIN(value_f64) AS min_v
+         |FROM metrics
+         |WHERE timestamp_ns >= ${t0 + hourNs} AND timestamp_ns < ${t0 + 2 * hourNs}
+         |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("cpu_usage", "mem_usage"))
+    assert(rows.forall(_.getLong(1) == 12L)) // 2 hosts × 6 points
+    assert(rows.forall(_.getDouble(2) == 1.0)) // hour offset 1 + 0/100
+  }
+
+  test("default 1-hour window when no time predicate (engine.rs:378-385)") {
+    val (eng, _) = freshEngine()
+    // "now" = t0+2h → default window [t0+1h, t0+2h] picks hours 1 and 2 chunks
+    val (range, _) = eng.analyze("SELECT COUNT(*) FROM metrics", t0 + 2 * hourNs)
+    assert(range == TimeRange(t0 + hourNs, t0 + 2 * hourNs))
+    val df = eng.sql("SELECT COUNT(*) AS cnt FROM metrics", nowNs = t0 + 2 * hourNs)
+    // pruning selects chunks overlapping the window; the SQL itself has no time
+    // filter, so all rows of the selected chunks count
+    assert(df.collect()(0).getLong(0) == 48L)
+  }
+
+  test("empty store: metrics resolvable, 0 rows, default schema (engine.rs:189-205)") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_empty_"), cacheTtlMs = 0L)
+    val eng = new QueryEngine(spark, cat)
+    val df = eng.sql("SELECT COUNT(*) AS c, MIN(timestamp) AS mn, MAX(timestamp) AS mx FROM metrics")
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("active split triggers first-wins dedup on (timestamp, metric_name) only") {
+    val (eng, cat) = freshEngine()
+    // duplicate the same logical points under a second shard write
+    val dupPoints = Seq(
+      MetricPoint(t0, "cpu_usage", 999.0, Map("host" -> "serverX")))
+    new ChunkWriter(cat, tenant = "default").write(Converters.pointsToDf(spark, dupPoints))
+    cat.setActiveSplits(Seq("shard-1"))
+    cat.invalidateCache()
+    val df = eng.sql(
+      s"""SELECT timestamp, metric_name, value_f64 FROM metrics
+         |WHERE timestamp_ns >= $t0 AND timestamp_ns < ${t0 + 1} AND metric_name = 'cpu_usage'
+         |""".stripMargin)
+    // 2 hosts + 1 dup row share (t0, cpu_usage) → exactly 1 survives
+    assert(df.collect().length == 1)
+  }
+
+  test("labels discovery mirrors information_schema behavior") {
+    val (eng, _) = freshEngine()
+    assert(eng.labels() == Seq("__name__", "host"))
+    val vals = eng.labelValues("host").collect().map(_.getString(0)).sorted.toSeq
+    assert(vals == Seq("server1", "server2"))
+  }
+}

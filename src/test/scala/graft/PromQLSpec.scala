@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.promql.{LabelMatcher, PromQL}
+
+/** Parser + transpiler goldens from FIXTURES.md F7 (reference parser cases at
+  * src/api/query/prometheus_api.rs:744-853).
+  */
+class PromQLSpec extends AnyFunSuite {
+
+  test("bare selector") {
+    val p = PromQL.parse("cpu_usage")
+    assert(p.metricName == "cpu_usage")
+    assert(p.labelMatchers.isEmpty && p.aggregation.isEmpty && p.function.isEmpty)
+  }
+
+  test("selector with matchers: = != =~ !~") {
+    val p = PromQL.parse("""http_requests{env!="prod", pod=~"web-.*"}""")
+    assert(p.metricName == "http_requests")
+    assert(p.labelMatchers == Seq(
+      LabelMatcher("env", "!=", "prod"), LabelMatcher("pod", "=~", "web-.*")))
+  }
+
+  test("single matcher") {
+    val p = PromQL.parse("""cpu_usage{host="server1"}""")
+    assert(p.labelMatchers == Seq(LabelMatcher("host", "=", "server1")))
+  }
+
+  test("aggregations with by clause") {
+    val p = PromQL.parse("sum by (service) (cpu_usage)")
+    assert(p.aggregation.contains("sum") && p.groupBy == Seq("service"))
+    val p2 = PromQL.parse("avg by (host, region) (mem_usage)")
+    assert(p2.aggregation.contains("avg") && p2.groupBy == Seq("host", "region"))
+    val p3 = PromQL.parse("sum(cpu_usage)")
+    assert(p3.aggregation.contains("sum") && p3.groupBy.isEmpty)
+  }
+
+  test("range functions") {
+    val p = PromQL.parse("rate(http_requests_total[5m])")
+    assert(p.function.contains("rate") && p.rangeSeconds.contains(300L))
+    assert(p.metricName == "http_requests_total")
+    val p2 = PromQL.parse("increase(errors_total[1h])")
+    assert(p2.function.contains("increase") && p2.rangeSeconds.contains(3600L))
+  }
+
+  test("aggregation over range function") {
+    val p = PromQL.parse("sum by (host) (rate(reqs[5m]))")
+    assert(p.aggregation.contains("sum") && p.function.contains("rate") &&
+      p.groupBy == Seq("host") && p.metricName == "reqs")
+  }
+
+  test("matcher → SQL: regex is unanchored RLIKE; quotes escaped") {
+    assert(PromQL.matcherToSql(LabelMatcher("pod", "=~", "web-.*")) ==
+      "`pod` RLIKE 'web-.*'")
+    assert(PromQL.matcherToSql(LabelMatcher("env", "!~", "prod")) ==
+      "NOT (`env` RLIKE 'prod')")
+    assert(PromQL.matcherToSql(LabelMatcher("h", "=", "o'brien")) ==
+      "`h` = 'o''brien'")
+  }
+
+  test("instant transpile: agg query shape") {
+    val sql = PromQL.transpileInstant("sum by (service) (cpu_usage)")
+    assert(sql.contains("SUM(COALESCE(value_f64, CAST(value_i64 AS DOUBLE), CAST(value_u64 AS DOUBLE)))"))
+    assert(sql.contains("metric_name = 'cpu_usage'"))
+    assert(sql.contains("GROUP BY metric_name, `service`"))
+    assert(sql.contains("ORDER BY value DESC"))
+  }
+
+  test("instant transpile: bare selector → latest row") {
+    val sql = PromQL.transpileInstant("cpu_usage", timeNs = Some(123L))
+    assert(sql.contains("SELECT * FROM metrics"))
+    assert(sql.contains("timestamp_ns <= 123"))
+    assert(sql.contains("ORDER BY timestamp_ns DESC LIMIT 1"))
+  }
+
+  test("range transpile: bucketing + rate approximation") {
+    val sql = PromQL.transpileRange("rate(reqs[5m])", 0L, 1000000000L, 60L)
+    assert(sql.contains("(timestamp_ns DIV 60000000000) * 60000000000 AS time_bucket"))
+    assert(sql.contains("(MAX(COALESCE(value_f64, CAST(value_i64 AS DOUBLE), CAST(value_u64 AS DOUBLE))) - MIN("))
+    assert(sql.contains("/ 300.0")) // rangeSeconds, not step
+    assert(sql.contains("timestamp_ns >= 0 AND timestamp_ns <= 1000000000"))
+  }
+
+  test("range transpile: default per-bucket AVG; unknown agg → AVG") {
+    val sql = PromQL.transpileRange("cpu_usage", 0L, 10L, 1L)
+    assert(sql.contains("AVG(COALESCE"))
+  }
+
+  test("topk degrades to non-limited aggregation (reference quirk)") {
+    val sql = PromQL.transpileInstant("topk(5, cpu)") // not the std form; parse fallback
+    assert(sql.nonEmpty)
+    val p = PromQL.parse("topk(cpu_usage)")
+    assert(p.aggregation.contains("topk"))
+  }
+
+  test("label values SQL + identifier validation") {
+    assert(PromQL.labelValuesSql("__name__") ==
+      "SELECT DISTINCT `metric_name` AS value FROM metrics ORDER BY value")
+    assert(PromQL.labelValuesSql("host").contains("`host`"))
+    intercept[IllegalArgumentException] {
+      PromQL.labelValuesSql("host; DROP TABLE metrics")
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.ChunkCatalog
+import graft.ingest.{ChunkWriter, Converters, MetricPoint}
+import graft.streaming.LiveMerge
+import java.nio.file.Files
+
+/** Historical+live merge semantics (reference src/query/streaming.rs:73-202):
+  * live rows with timestamp < merge_timestamp are dropped; WHERE filters apply per
+  * live batch; topic filters compose.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val t0 = 1704067200L * 1000000000L
+
+  test("liveTail drops rows before merge_timestamp and applies WHERE") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_stream_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    // historical chunk: before merge timestamp
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0, "cpu", 1.0, Map("host" -> "a")),
+      MetricPoint(t0 + 1000L, "mem", 2.0, Map("host" -> "a")))))
+    val mergeTs = t0 + 5000L
+
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(cat.allChunks.map(_.path): _*).schema
+    val stream = LiveMerge.liveTail(spark, cat.root.toString, schema, mergeTs,
+      where = Some("metric_name = 'cpu'"))
+    val q = stream.writeStream.format("memory").queryName("live_out")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+
+    // "freshly flushed" chunk arrives: one row before cutoff, two after (one wrong metric)
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0 + 4000L, "cpu", 3.0, Map("host" -> "b")), // late → dropped
+      MetricPoint(t0 + 6000L, "cpu", 4.0, Map("host" -> "b")), // survives
+      MetricPoint(t0 + 7000L, "mem", 5.0, Map("host" -> "b"))))) // filtered
+    val q2 = stream.writeStream.format("memory").queryName("live_out2")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.processAllAvailable()
+    q.stop(); q2.stop()
+
+    val rows = spark.table("live_out2")
+      .select("timestamp_ns", "metric_name", "value_f64").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((t0 + 6000L, "cpu", 4.0)))
+  }
+
+  test("topic filters compose (reference topic_broadcast truth table)") {
+    import LiveMerge.TopicFilter._
+    import spark.implicits._
+    val df = Seq(("cpu", 1.0), ("mem", 2.0), ("disk", 3.0))
+      .toDF("metric_name", "value_f64")
+    def matches(f: LiveMerge.TopicFilter): Set[String] =
+      df.filter(f.toColumn).select("metric_name").collect().map(_.getString(0)).toSet
+    assert(matches(All) == Set("cpu", "mem", "disk"))
+    assert(matches(Metrics(Seq("cpu", "mem"))) == Set("cpu", "mem"))
+    assert(matches(And(Metrics(Seq("cpu", "mem")), Metrics(Seq("mem")))) == Set("mem"))
+    assert(matches(Or(Metrics(Seq("cpu")), Metrics(Seq("disk")))) == Set("cpu", "disk"))
+  }
+
+  test("windowed agg extension produces per-window counts under watermark") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_stream2_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    writer.write(Converters.pointsToDf(spark, (0 until 20).map(i =>
+      MetricPoint(t0 + i * 30L * 1000000000L, "cpu", i.toDouble, Map("host" -> "a")))))
+    val schema = spark.read.parquet(cat.allChunks.head.path).schema
+    val live = LiveMerge.liveTail(spark, cat.root.toString, schema, mergeTimestampNs = 0L)
+    val agg = LiveMerge.windowedAggExtension(live, windowSeconds = 300)
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 20L)
+    assert(rows.length == 2) // 20 × 30 s = 600 s = two 5-min windows
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+class TextDedupSimSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("tokenCount: whitespace runs, trim, empty") {
+    val df = docs((1L, "a b  c"), (2L, "  x "), (3L, ""), (4L, "   "))
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+    assert(df.orderBy("doc_id").collect().map(_.getInt(1)).toSeq == Seq(3, 1, 0, 0))
+  }
+
+  test("character-class ratios") {
+    val df = docs((1L, "ab12!?"))
+      .select(
+        TextFunctions.alphaRatio(col("text")).as("a"),
+        TextFunctions.digitRatio(col("text")).as("d"),
+        TextFunctions.punctRatio(col("text")).as("p"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 2.0 / 6 && r.getDouble(1) == 2.0 / 6 && r.getDouble(2) == 2.0 / 6)
+  }
+
+  test("langId: stopword argmax with tie-break and und") {
+    val df = docs(
+      (1L, "the cat and the dog is here"), // en
+      (2L, "le chat et la maison est grande"), // fr
+      (3L, "der hund und die katze ist da"), // de
+      (4L, "xyzzy qwerty")) // und
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+    assert(df.orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      Seq("en", "fr", "de", "und"))
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    val df = docs((1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO\tWORLD "))
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    assert(df.distinct().count() == 1)
+  }
+
+  test("exact dedup keeps smallest doc_id per fingerprint") {
+    val df = Dedup.exact(docs((5L, "dup text"), (2L, "dup  TEXT"), (9L, "unique")))
+    assert(df.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 9L))
+  }
+
+  test("shingles: k-word windows and short-doc fallback") {
+    val df = docs((1L, "a b c d"), (2L, "a b"))
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](1) == Seq("a b"))
+  }
+
+  test("jaccard exact") {
+    val df = docs((1L, "x"))
+      .select(Dedup.jaccard(
+        array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("d"))).as("j"))
+    assert(df.collect()(0).getDouble(0) == 0.5)
+  }
+
+  test("minhash LSH finds near-dup pair, skips distinct docs") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark catalyst optimizer internals"))
+    val pairs = Dedup.minhashNearDupPairs(d, threshold = 0.5, numHashes = 32, bands = 16)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) > 0.5)
+  }
+
+  test("simhash: identical docs distance 0; near docs close; distinct docs far") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"))
+    val sigs = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(0)) == 0)
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <
+      java.lang.Long.bitCount(sigs(0) ^ sigs(2)))
+  }
+
+  test("cosine: hand-computed") {
+    val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.collect()(0).getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("bruteForceTopK: self is rank 1 with cosine 1") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("query_id", "query_vec")
+    val top = Similarity.bruteForceTopK(corpus, queries, 2).orderBy("rank").collect()
+    assert(top(0).getLong(1) == 1L && top(0).getDouble(2) == 1.0)
+    assert(top(1).getLong(1) == 3L)
+  }
+
+  test("lshTopK recall vs brute force on clustered vectors") {
+    val base = (0 until 50).map { i =>
+      val cluster = i % 5
+      (i.toLong, Array.tabulate(16)(j =>
+        (if (j % 5 == cluster) 1.0f else 0.0f) + (i * 31 + j * 17) % 7 * 0.01f))
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    val queries = base.take(3).map { case (id, v) => (id, v) }.toDF("query_id", "query_vec")
+    val exact = Similarity.bruteForceTopK(corpus, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(corpus, queries, 3, numPlanes = 6, tables = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low: exact=$exact approx=$approx")
+  }
+
+  test("multimodal: feature extraction preserves partitions and is deterministic") {
+    import graft.multimodal._
+    val media = Multimodal.documentsAsMedia(
+      Seq((0L, "hello world", "en", "web", 11L), (1L, "audio-ish payload", "en", "web", 17L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val ds = media.as[MediaRecord](org.apache.spark.sql.Encoders.product[MediaRecord])
+    val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).modality == "image" && feats(1).modality == "audio")
+    assert(feats(0).n_bytes == 11L)
+    val again = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+}
