@@ -59,7 +59,11 @@ object SparkEntry {
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
+          // avg = exact-decimal sum / count: round(sum,2) recovers the exact
+          // 2-decimal total (same double in Spark and DuckDB regardless of
+          // summation order), so the division is bit-identical across engines —
+          // a direct round(avg(...), k) sits on rounding-tie knife edges.
+          (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
           round(min("l_discount"), 4).as("min_disc"),
           round(max("l_discount"), 4).as("max_disc"),
           count(lit(1)).as("cnt"))
@@ -129,7 +133,7 @@ object SparkEntry {
     "q_stddev" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(round(stddev("l_extendedprice"), 2).as("sd_price"),
-          round(var_samp("l_extendedprice"), 1).as("var_price"))
+          round(var_samp("l_extendedprice"), 0).as("var_price"))
         .orderBy("l_returnflag")),
 
     // §2.4 joins: multi-way equi-join with broadcast dims (region/nation/customer
@@ -194,7 +198,7 @@ object SparkEntry {
         .groupBy(expr("(ts div 21600000000000) * 21600000000000").as("time_bucket"),
           col("event_type").as("metric_name"))
         .agg(count(lit(1)).as("cnt"),
-          round(avg("value"), 4).as("avg_value"),
+          (round(sum("value"), 2) / count(lit(1))).as("avg_value"),
           round(min("value"), 6).as("min_value"),
           round(max("value"), 6).as("max_value"))
         .orderBy("time_bucket", "metric_name")),
@@ -334,6 +338,44 @@ object SparkEntry {
         .orderBy("timestamp_ns")
     }),
 
+    // §2.1 OTLP-shaped ingest: points with union-of-label-keys explosion to nullable
+    // string columns (otlp.rs:249-295); single f64 value → value_f64.
+    "q_ingest_otlp" -> ((s, dir) => {
+      import graft.ingest.{Converters, MetricPoint}
+      val points = Seq(
+        MetricPoint(1000000000L, "cpu_usage", 0.85, Map("host" -> "server1")),
+        MetricPoint(2000000000L, "cpu_usage", 0.90, Map("host" -> "server2")),
+        MetricPoint(3000000000L, "requests", 17.0, Map("service" -> "api")))
+      Converters.pointsToDf(s, points)
+        .select("metric_name", "timestamp_ns", "host", "service", "value_f64")
+        .orderBy("timestamp_ns")
+    }),
+
+    // §2.10 downsampling (extension; reference configures but never implements it):
+    // 6 h rollup of the metrics view per (metric, host) — min/max/count are exact.
+    "q_downsample" -> ((s, dir) =>
+      graft.compact.Downsampler.downsample(
+          eventsAsMetrics(s, dir), resolutionSeconds = 21600L, labelCols = Seq("host"))
+        .drop("avg_value")
+        .orderBy("time_bucket", "metric_name", "host")),
+
+    // §2.10 5-phase shard split collapsed to a partition-rewrite job: ingest 12 h,
+    // split at hour 6, then engine-query counts — no row lost or duplicated.
+    "q_split_shard" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_split_q_")
+      val catalog = new graft.catalog.ChunkCatalog(tmp)
+      val half = Jan1Ns + 43200L * 1000000000L
+      new graft.ingest.ChunkWriter(catalog)
+        .write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") < half))
+      new graft.compact.ShardSplitter(s, catalog)
+        .split(Jan1Ns + 21600L * 1000000000L, "shard-a", "shard-b")
+      val eng = new graft.engine.QueryEngine(s, catalog)
+      eng.sql(
+        s"""SELECT metric_name, COUNT(*) AS cnt, ROUND(SUM(value_f64), 4) AS sum_v
+           |FROM metrics WHERE timestamp_ns >= $Jan1Ns AND timestamp_ns < $half
+           |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
+    }),
+
     // LLM ops — exact dedup: md5 fingerprint of normalized text, deterministic
     // keeper = min(doc_id), group size.
     "q_doc_fingerprint_dedup" -> ((s, dir) =>
@@ -447,7 +489,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,
-        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(sum(l_extendedprice), 2) / count(*) AS avg_price,
         | round(min(l_discount), 4) AS min_disc,
         | round(max(l_discount), 4) AS max_disc,
         | count(*) AS cnt
@@ -496,7 +538,7 @@ object SparkEntry {
     "q_stddev" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_extendedprice), 2) AS sd_price,
-        | round(var_samp(l_extendedprice), 1) AS var_price
+        | round(var_samp(l_extendedprice), 0) AS var_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_broadcast" ->
@@ -536,7 +578,7 @@ object SparkEntry {
     "q_ts_bucket_agg" ->
       """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
         | event_type AS metric_name, count(*) AS cnt,
-        | round(avg(value), 4) AS avg_value,
+        | round(sum(value), 2) / count(*) AS avg_value,
         | round(min(value), 6) AS min_value,
         | round(max(value), 6) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -621,6 +663,26 @@ object SparkEntry {
         | ('mem', CAST(5000000000 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(100 AS BIGINT))
         |) t(metric_name, timestamp_ns, host, value_f64, value_i64, value_u64)
         |ORDER BY timestamp_ns""".stripMargin,
+
+    "q_ingest_otlp" ->
+      """SELECT * FROM (VALUES
+        | ('cpu_usage', CAST(1000000000 AS BIGINT), 'server1', CAST(NULL AS VARCHAR), CAST(0.85 AS DOUBLE)),
+        | ('cpu_usage', CAST(2000000000 AS BIGINT), 'server2', CAST(NULL AS VARCHAR), CAST(0.90 AS DOUBLE)),
+        | ('requests', CAST(3000000000 AS BIGINT), CAST(NULL AS VARCHAR), 'api', CAST(17.0 AS DOUBLE))
+        |) t(metric_name, timestamp_ns, host, service, value_f64)
+        |ORDER BY timestamp_ns""".stripMargin,
+
+    "q_downsample" ->
+      """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        | event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | min(value) AS min_value, max(value) AS max_value, count(*) AS sample_count
+        |FROM events GROUP BY 1, 2, 3 ORDER BY time_bucket, metric_name, host""".stripMargin,
+
+    "q_split_shard" ->
+      """SELECT event_type AS metric_name, count(*) AS cnt, round(sum(value), 4) AS sum_v
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704110400000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_doc_fingerprint_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -1,0 +1,105 @@
+package graft.compact
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.catalog.{ChunkCatalog, ChunkMeta}
+import graft.ingest.ChunkStats
+import graft.schema.MetricSchema
+import java.util.UUID
+
+/** Shard split as a partition-rewrite batch job — the Spark collapse of the
+  * reference's 5-phase zero-downtime split (src/sharding/splitter.rs:23-260):
+  *
+  *  reference phases            → Spark equivalent
+  *  ─────────────────────────────────────────────────────────────────────
+  *  Preparation                 → mark split active in the catalog (queries begin
+  *                                first-wins dedup, mirroring DualWrite-visibility)
+  *  DualWrite + Backfill        → rewrite each chunk overlapping the split point
+  *                                into a < and a ≥ half (two filtered writes —
+  *                                `split_batch_by_key`, ingester/mod.rs:357-500)
+  *  Cutover (generation CAS)    → single atomic catalog swap (rename-commit)
+  *  Cleanup                     → grace-period GC of source chunks
+  *
+  * The 5-phase protocol exists because the reference must split under live writes;
+  * a Spark batch job is atomic at catalog-commit granularity, so the protocol
+  * collapses to rewrite + swap while preserving every observable behavior (dedup
+  * during split, atomicity, no data loss). Chunks are rewritten independently —
+  * embarrassingly parallel over chunks at 100 TB.
+  */
+final class ShardSplitter(spark: SparkSession, catalog: ChunkCatalog) {
+
+  def split(splitTsNs: Long, shardA: String, shardB: String): Seq[ChunkMeta] = {
+    catalog.setActiveSplits(Seq(s"$shardA/$shardB"))
+    try {
+      val affected = catalog.allChunks.filter(c =>
+        c.minTimestampNs < splitTsNs && c.maxTimestampNs >= splitTsNs)
+      val results = affected.flatMap { c =>
+        val df = spark.read.parquet(c.path)
+        def half(cond: org.apache.spark.sql.Column, shard: String): Option[ChunkMeta] = {
+          val part = df.filter(cond)
+          if (part.isEmpty) None
+          else {
+            val target = catalog.root.resolve(
+              s"default/data/shard=$shard/chunk_${UUID.randomUUID()}")
+            part.sort(MetricSchema.TimestampNsCol)
+              .write.option("compression", "zstd").parquet(target.toString)
+            Some(ChunkStats.compute(spark, target.toString, df.schema)
+              .copy(level = c.level, shardId = Some(shard)))
+          }
+        }
+        val lo = half(col(MetricSchema.TimestampNsCol) < splitTsNs, shardA)
+        val hi = half(col(MetricSchema.TimestampNsCol) >= splitTsNs, shardB)
+        val halves = Seq(lo, hi).flatten
+        catalog.replaceChunks(Seq(c.path), halves) // cutover per chunk, atomic
+        catalog.deferDelete(Seq(c.path), System.currentTimeMillis())
+        halves
+      }
+      results
+    } finally {
+      catalog.setActiveSplits(Nil) // cleanup: split no longer active
+    }
+  }
+}
+
+/** Column promotion backfill: rewrite chunks adding a dedicated column derived from
+  * an expression — the real version of the reference's scaffold
+  * (src/adaptive_index/column_promoter.rs:61-139, status-only there).
+  */
+final class ColumnPromoter(spark: SparkSession, catalog: ChunkCatalog) {
+
+  def promote(columnName: String, fromExpr: String): Seq[ChunkMeta] =
+    catalog.allChunks.map { c =>
+      val df = spark.read.parquet(c.path)
+        .withColumn(columnName, org.apache.spark.sql.functions.expr(fromExpr))
+      val target = catalog.root.resolve(
+        s"default/data/promoted/chunk_${UUID.randomUUID()}")
+      df.write.option("compression", "zstd").parquet(target.toString)
+      val meta = ChunkStats.compute(spark, target.toString, df.schema).copy(level = c.level)
+      catalog.replaceChunks(Seq(c.path), Seq(meta))
+      catalog.deferDelete(Seq(c.path), System.currentTimeMillis())
+      meta
+    }
+}
+
+/** Downsampling — EXTENSION (configured but unimplemented in the reference,
+  * compactor/mod.rs:70-91): roll raw points up to `resolutionSeconds` buckets with
+  * avg/min/max/count per (metric, labels) series.
+  */
+object Downsampler {
+  import org.apache.spark.sql.{DataFrame}
+  import org.apache.spark.sql.functions._
+
+  def downsample(df: DataFrame, resolutionSeconds: Long,
+                 labelCols: Seq[String]): DataFrame = {
+    val stepNs = resolutionSeconds * 1000000000L
+    val groupCols = (s"time_bucket" +: MetricSchema.MetricNameCol +: labelCols)
+    df.withColumn("time_bucket",
+        expr(s"(${MetricSchema.TimestampNsCol} div $stepNs) * $stepNs"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        avg(MetricSchema.ValueF64).as("avg_value"),
+        min(MetricSchema.ValueF64).as("min_value"),
+        max(MetricSchema.ValueF64).as("max_value"),
+        count(lit(1)).as("sample_count"))
+  }
+}
