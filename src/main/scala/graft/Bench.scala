@@ -40,13 +40,26 @@ object Bench {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_bench_ingest_")
     val catalog = new graft.catalog.ChunkCatalog(warehouse)
     val writer = new graft.ingest.ChunkWriter(catalog)
+    // exactly 1 M rows: 10 metrics × 5 hosts × 2 regions = 100 series × 100 Hz ×
+    // 100 s (no .limit — a global limit would collapse to one partition)
     val nSamples = 1000000L
     val df = graft.fixtures.DataGenerator.generate(spark,
-      samplesPerSecond = 100, durationSeconds = 67, partitions = cpus.toInt * 2)
-      .limit(nSamples.toInt)
+      metrics = 10, hosts = 5, regions = 2,
+      samplesPerSecond = 100, durationSeconds = 100, partitions = cpus.toInt * 2)
     val ingestSec = time { writer.write(df) }
     results("ingest_1m_samples") = ingestSec
     val samplesPerSec = (nSamples / ingestSec).toLong
+
+    // warm query latency over the freshly ingested warehouse (BASELINE: <100 ms p99
+    // warm): median of 7 runs of a pruned time-bucket aggregate
+    val eng = new graft.engine.QueryEngine(spark, catalog)
+    val qsql =
+      """SELECT metric_name, (timestamp_ns DIV 10000000000) * 10000000000 AS b,
+        | AVG(value_f64) AS v FROM metrics
+        | WHERE timestamp_ns >= 1704067210000000000 AND timestamp_ns < 1704067260000000000
+        | GROUP BY metric_name, b""".stripMargin
+    val lat = (1 to 7).map(_ => time { eng.sql(qsql).count() }).sorted
+    results("warm_query_median") = lat(3)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

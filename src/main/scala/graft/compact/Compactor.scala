@@ -76,12 +76,27 @@ final class Compactor(
     meta
   }
 
-  /** One compaction sweep: all ripe L0 groups, then each populated level. */
-  def runOnce(maxLevels: Int = 3): Seq[ChunkMeta] = {
-    val l0 = l0Candidates().map(compactGroup)
-    val leveled = (1 to maxLevels).flatMap(l => leveledCandidates(l).map(compactGroup))
+  /** One compaction sweep: all ripe L0 groups, then each populated level. Groups
+    * are independent → compacted CONCURRENTLY (the reference runs ≤4 concurrent
+    * compactions, mod.rs:174; on a cluster each group is its own parallel job).
+    */
+  def runOnce(maxLevels: Int = 3, concurrency: Int = 4): Seq[ChunkMeta] = {
+    val l0 = parMap(l0Candidates(), concurrency)(compactGroup)
+    val leveled = (1 to maxLevels).flatMap(l =>
+      parMap(leveledCandidates(l), concurrency)(compactGroup))
     l0 ++ leveled
   }
+
+  private def parMap[A, B](xs: Seq[A], par: Int)(f: A => B): Seq[B] =
+    if (xs.size <= 1 || par <= 1) xs.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+      finally pool.shutdown()
+    }
 
   /** Retention: schedule deletion of chunks wholly older than cutoff
     * (reference 90 d default with 30 s clock-skew margin, mod.rs:921-947).

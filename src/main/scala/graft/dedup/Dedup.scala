@@ -47,14 +47,13 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` permutations h_i(s) = xxhash64(s, seed=i); the
-    * signature element i is min_s h_i(s). Arrays of shingles stay distributed; each
-    * element is an `aggregate` over the shingle array (map-side only).
+    * signature element i is min_s h_i(s). A custom Catalyst expression
+    * (graft.functions.HashExpressions.MinHashSig): one imperative pass per row —
+    * the compositional `aggregate`-fold form runs interpreted per hash function and
+    * is ~100× slower in the 100 TB hot path.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { i =>
-      aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, lit(i))))
-    }: _*)
+    graft.functions.HashExpressions.minhash_sig(shingleArr, numHashes)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand` and hash
     * each band. Docs sharing any band hash are near-dup candidates.
@@ -122,20 +121,12 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: bit b of the signature is 1 iff
-    * Σ_tokens (bit b of xxhash64(token) ? +1 : -1) > 0. Pure expressions, map-side.
+    * Σ_tokens (bit b of xxhash64(token) ? +1 : -1) > 0. Custom expression — one
+    * imperative pass per row (map-side, no shuffle).
     */
   def simhash(text: Column): Column = {
     val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(tokens, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val vote = aggregate(hashes, lit(0L),
-          (s, h) => s + when(call_function("shiftright", h, b)
-            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-      })
+    graft.functions.HashExpressions.simhash64(tokens)
   }
 
   /** Hamming distance between two 64-bit signatures (bit_count of xor). */

@@ -95,4 +95,18 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
     val c = if (label == "__name__") MetricSchema.MetricNameCol else label
     spark.table("metrics").select(col(c)).where(col(c).isNotNull).distinct()
   }
+
+  /** `/api/v1/series`: DISTINCT over (metric_name + every label column), optionally
+    * matcher-filtered (reference prometheus_api.rs:503-649).
+    */
+  def series(matchers: Seq[graft.promql.LabelMatcher] = Nil): DataFrame = {
+    register(catalog.allChunks.map(_.path))
+    val base = spark.table("metrics")
+    val cols = MetricSchema.MetricNameCol +:
+      base.schema.fieldNames.toSeq.filterNot(MetricSchema.internalColumns.contains)
+    val filtered = matchers.foldLeft(base) { (df, m) =>
+      df.filter(org.apache.spark.sql.functions.expr(graft.promql.PromQL.matcherToSql(m)))
+    }
+    filtered.select(cols.map(col): _*).distinct()
+  }
 }

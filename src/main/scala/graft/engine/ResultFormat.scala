@@ -115,6 +115,40 @@ object ResultFormat {
     }
   }
 
+  /** Prometheus JSON matrix payload from a range-query result (reference
+    * convert_to_prometheus_matrix, prometheus_api.rs:1176-1237): rows grouped into
+    * series keyed by their label values (reference joins with \x00 internally);
+    * sample timestamps come from time_bucket / 1e9.
+    */
+  def toPromMatrix(df: DataFrame): String = {
+    val schema = df.schema
+    val labelCols = schema.fieldNames.filterNot(
+      Set("metric_name", "value", "timestamp_ns", "time_bucket").contains)
+    val rows = df.collect().toList
+    val series = rows.groupBy { row =>
+      (String.valueOf(row.getAs[Any]("metric_name")),
+        labelCols.toList.map(l => String.valueOf(row.getAs[Any](l))))
+    }
+    val results = series.toList.sortBy(_._1.toString).map { case ((name, labelVals), rs) =>
+      val metric = JObject(
+        ("__name__" -> (JString(name): JValue)) ::
+          labelCols.toList.zip(labelVals).collect {
+            case (l, v) if v != "null" => l -> (JString(v): JValue)
+          })
+      val values = JArray(rs.sortBy(_.getAs[Long]("time_bucket")).map { row =>
+        JArray(List(
+          JDouble(row.getAs[Long]("time_bucket") / 1e9),
+          JString(String.valueOf(row.getAs[Any]("value"))))): JValue
+      })
+      JObject("metric" -> metric, "values" -> values): JValue
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "status" -> JString("success"),
+      "data" -> JObject(
+        "resultType" -> JString("matrix"),
+        "result" -> JArray(results)))))
+  }
+
   /** Prometheus JSON vector payload from an instant-query result
     * (reference prometheus_api.rs:1126-1175): rows → {metric{__name__,labels},
     * value:[unix_s, "v"]}.

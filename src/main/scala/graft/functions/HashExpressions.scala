@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the sketch/similarity hot loops.
+  *
+  * Why custom: Spark's higher-order array functions (`transform`/`aggregate`/
+  * `zip_with`) evaluate their lambda bodies INTERPRETED, outside whole-stage
+  * codegen — a MinHash signature built from 64 nested `aggregate` folds costs two
+  * orders of magnitude more than a tight loop. These expressions keep each sketch a
+  * single imperative pass per row (CodegenFallback, but the eval itself is a flat
+  * Scala loop over primitive arrays — the per-row cost is the loop, not the
+  * expression-tree walk). Semantics match the compositional definitions used by the
+  * unit tests; hashes are xxhash64 (same XXH64 core as functions.xxhash64).
+  */
+object HashExpressions {
+
+  private def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** MinHash signature: out[i] = min over shingles s of xxhash64(s, seed=i). */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val s = arr.getUTF8String(j)
+          var i = 0
+          while (i < numHashes) {
+            val h = hashUtf8(s, i.toLong)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** 64-bit SimHash over tokens: bit b set iff Σ_tokens (bit b of xxhash64(token)
+    * ? +1 : -1) > 0.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      val n = arr.numElements()
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = hashUtf8(arr.getUTF8String(j), 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Signed-random-hyperplane LSH signature for a float/double vector: bit p =
+    * sign(Σ_i v_i · r_{p,i}) with r derived from xxhash64(p·k1 ⊕ i) — deterministic,
+    * no RNG state, identical across executors/runs.
+    */
+  case class HyperplaneSig(child: Expression, numPlanes: Int, seed: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sig needs array<float|double>, got ${child.dataType}")
+      }
+    // lazy: dataType is only legal on a RESOLVED child — a strict val would throw
+    // during analysis when the expression tree is still unresolved
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var sig = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          // component in [-1,1): hash of (plane, dim) → scaled
+          val h = XXH64.hashLong(p.toLong * 1000003L + seed.toLong * 777767777L, i.toLong)
+          dot += v * (h.toDouble / Long.MaxValue.toDouble)
+          i += 1
+        }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+  }
+
+  /** Cosine similarity of two numeric vectors with the SAME fold order as
+    * zip_with+aggregate (sequential left-to-right double accumulation) so results
+    * are bit-identical to the compositional definition — the DuckDB oracle stays
+    * valid.
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim needs two array<float|double>, got $other")
+      }
+    private def isFloat(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val fa = isFloat(left); val fb = isFloat(right)
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      java.lang.Double.valueOf(if (denom == 0) 0.0 else dot / denom)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  // ---- Column wrappers -----------------------------------------------------
+
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSig(ex(shingles), numHashes))
+  def simhash64(tokens: Column): Column = GraftBridge.column(SimHash64(ex(tokens)))
+  def hyperplane_sig(vec: Column, numPlanes: Int, seed: Int): Column =
+    GraftBridge.column(HyperplaneSig(ex(vec), numPlanes, seed))
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(ex(a), ex(b)))
+}

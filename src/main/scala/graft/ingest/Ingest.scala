@@ -124,8 +124,11 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
       .withColumn("month", month(col("timestamp")))
       .withColumn("day", dayofmonth(col("timestamp")))
       .withColumn("hour", hour(col("timestamp")))
+    // Range-partition on (hour cols, timestamp): a batch confined to one hour still
+    // fans out across all shuffle partitions (disjoint, sorted time slices → several
+    // sorted files per hour chunk) instead of serializing one hour = one task.
     stamped
-      .repartition(partCols.map(col): _*)
+      .repartitionByRange((partCols :+ MetricSchema.TimestampNsCol).map(col): _*)
       .sortWithinPartitions((partCols :+ MetricSchema.TimestampNsCol).map(col): _*)
       .write
       .partitionBy(partCols: _*)

@@ -28,10 +28,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine via a custom Catalyst expression (single imperative pass; the
+    * zip_with+aggregate form is interpreted per row). Fold order matches the
+    * compositional form bit-for-bit, so oracle comparisons are unaffected.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.HashExpressions.cosine_sim(a, b)
 
   /** Exact top-k by cosine for each query vector. `queries` must be small enough to
     * broadcast (it is hinted); corpus-side work is one scan.
@@ -58,19 +60,11 @@ object Similarity {
   private def planeComponent(p: Int, i: Column): Column =
     (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** `numPlanes`-bit signature: bit p = sign(v · r_p). */
+  /** `numPlanes`-bit signature: bit p = sign(v · r_p) — custom expression, one
+    * imperative pass per row.
+    */
   def hyperplaneSignature(vec: Column, numPlanes: Int = 16, seed: Int = 0): Column =
-    aggregate(
-      sequence(lit(0), lit(numPlanes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") *
-              (xxhash64(p + lit(seed * 1000003), i).cast("double") / lit(Long.MaxValue.toDouble))),
-          lit(0.0), (s, x) => s + x)
-        acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      })
+    graft.functions.HashExpressions.hyperplane_sig(vec, numPlanes, seed)
 
   /** ANN top-k: candidates = corpus vectors sharing a signature with the query in ANY
     * of `tables` independent hyperplane tables (multi-probe), re-ranked exactly.

@@ -130,6 +130,23 @@ class AdaptiveSplitFormatSpec extends AnyFunSuite {
     reader.close(); alloc.close()
   }
 
+  test("Prometheus matrix payload: series grouping + bucket timestamps") {
+    import spark.implicits._
+    val df = Seq(
+      ("cpu", "h1", 1.0, 1704067200000000000L),
+      ("cpu", "h1", 2.0, 1704067260000000000L),
+      ("cpu", "h2", 3.0, 1704067200000000000L))
+      .toDF("metric_name", "host", "value", "time_bucket")
+    val json = ResultFormat.toPromMatrix(df)
+    assert(json.contains(""""resultType":"matrix""""))
+    assert(json.contains(""""host":"h1"""") && json.contains(""""host":"h2""""))
+    assert(json.contains("1.7040672E9")) // bucket/1e9 seconds
+    // h1 series carries both samples in bucket order
+    val h1Idx = json.indexOf(""""host":"h1"""")
+    val h1Part = json.substring(h1Idx, math.min(json.length, h1Idx + 200))
+    assert(h1Part.contains(""""1.0"""") && h1Part.contains(""""2.0""""))
+  }
+
   test("Prometheus vector payload shape") {
     import spark.implicits._
     val df = Seq(("cpu", "h1", 42.0, 1704067200000000000L))

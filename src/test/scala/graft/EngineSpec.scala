@@ -115,4 +115,11 @@ class EngineSpec extends AnyFunSuite {
     val vals = eng.labelValues("host").collect().map(_.getString(0)).sorted.toSeq
     assert(vals == Seq("server1", "server2"))
   }
+
+  test("series endpoint: distinct label combinations, matcher-filtered") {
+    val (eng, _) = freshEngine()
+    assert(eng.series().count() == 4) // 2 metrics × 2 hosts
+    val filtered = eng.series(Seq(graft.promql.LabelMatcher("host", "=", "server1")))
+    assert(filtered.count() == 2)
+  }
 }
