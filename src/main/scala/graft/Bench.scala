@@ -56,7 +56,7 @@ object Bench {
     val qsql =
       """SELECT metric_name, (timestamp_ns DIV 10000000000) * 10000000000 AS b,
         | AVG(value_f64) AS v FROM metrics
-        | WHERE timestamp_ns >= 1704067210000000000 AND timestamp_ns < 1704067260000000000
+        | WHERE timestamp_ns >= 1704067210000000000 AND timestamp_ns < 1704067215000000000
         | GROUP BY metric_name, b""".stripMargin
     val lat = (1 to 7).map(_ => time { eng.sql(qsql).count() }).sorted
     results("warm_query_median") = lat(3)

@@ -35,16 +35,11 @@ object Dedup {
   // ---- shingling + MinHash -------------------------------------------------
 
   /** Word k-shingles of normalized text, as an array column. Documents shorter than
-    * k tokens contribute their whole text as one shingle.
+    * k tokens contribute their whole text as one shingle. Custom expression — one
+    * imperative pass per row.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val n = size(tokens)
-    when(n < k, array(concat_ws(" ", tokens)))
-      .otherwise(transform(
-        sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.HashExpressions.word_shingles(text, k)
 
   /** MinHash signature: `numHashes` permutations h_i(s) = xxhash64(s, seed=i); the
     * signature element i is min_s h_i(s). A custom Catalyst expression
@@ -94,15 +89,21 @@ object Dedup {
                           threshold: Double = 0.7,
                           maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // localCheckpoint (row-based block storage), NOT .cache(): the columnar cache
+    // encodes array columns at ~15× the cost of the compute, while the downstream
+    // self-joins would otherwise recompute this subtree ~6 times.
     val withShingles = docs.select(col(idCol), col(textCol))
       .withColumn("__sh", shingles(col(textCol), k))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-      .cache()
+      .localCheckpoint(true)
 
     val buckets = lshBuckets(withShingles, idCol, "__sig", bands, rowsPerBand)
-    val pruned = buckets
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-      .filter(col("__n") <= maxBucket)
+    // skew guard: drop degenerate buckets (e.g. empty-text collisions) via a
+    // broadcast anti-join on the few oversized keys — no window shuffle
+    val oversized = buckets.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select("band", "band_hash")
+    val pruned = buckets.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
     val l = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val r = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     val candidates = l.join(r, Seq("band", "band_hash"))
@@ -140,7 +141,8 @@ object Dedup {
                           textCol: String = "text",
                           idCol: String = "doc_id",
                           maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simhash(col(textCol)).as("sig")).cache()
+    val sigs = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+      .localCheckpoint(true)
     val blocks = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("block", "block_val")))

@@ -29,16 +29,36 @@ import graft.schema.MetricSchema
 final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
 
   @volatile private var lastRegisteredPaths: Seq[String] = null
+  /** Paths selected by the most recent sql() — observability for tests/telemetry. */
+  @volatile var lastPrunedPaths: Seq[String] = Nil
 
   def sql(query: String, nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
-    val (range, preds) = analyze(query, nowNs)
+    val (range, preds) = analyze(query, nowNs) match {
+      // Parse-only extraction found no explicit bounds: the WHERE may still carry
+      // foldable time expressions (now() - interval, literal arithmetic). Mirror
+      // the reference's two-phase trick (bootstrap-register then analyze the
+      // RESOLVED plan, mod.rs:163-184): register everything, let the optimizer
+      // constant-fold, and re-extract from the optimized plan.
+      case (range, preds) if range == TimeRange(nowNs - PredicateExtraction.DefaultWindowNs, nowNs) =>
+        analyzeOptimized(query, nowNs).getOrElse((range, preds))
+      case found => found
+    }
     val paths = prune(range, preds)
+    lastPrunedPaths = paths
     register(paths)
     val result = spark.sql(query)
     if (catalog.hasActiveSplit)
       result.dropDuplicates(MetricSchema.TimestampCol :: MetricSchema.MetricNameCol :: Nil)
     else result
   }
+
+  private def analyzeOptimized(query: String, nowNs: Long): Option[(TimeRange, Seq[ColumnPredicate])] =
+    try {
+      register(catalog.allChunks.map(_.path))
+      val optimized = spark.sql(query).queryExecution.optimizedPlan
+      val extracted = PredicateExtraction.extract(optimized, nowNs)
+      Some(extracted)
+    } catch { case _: Throwable => None }
 
   /** Step 1: extract time range + column predicates from the query's WHERE clauses.
     * We parse the full statement and walk its Filter conditions (unresolved is fine —

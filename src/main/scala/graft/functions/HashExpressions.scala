@@ -52,6 +52,42 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   }
 
+  /** Word k-shingles of normalized (lowercased, whitespace-collapsed) text — one
+    * imperative pass; the compositional transform/slice/concat_ws form evaluates
+    * interpreted lambdas per shingle. Shorter-than-k docs yield one whole-text
+    * shingle (matches Dedup.shingles contract).
+    */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val tokens = text.trim.toLowerCase.split("\\s+")
+      val out: Array[Any] =
+        if (tokens.length < k) Array[Any](UTF8String.fromString(tokens.mkString(" ")))
+        else {
+          val n = tokens.length - k + 1
+          val arr = new Array[Any](n)
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(tokens(i + j))
+              j += 1
+            }
+            arr(i) = UTF8String.fromString(sb.toString)
+            i += 1
+          }
+          arr
+        }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
   /** 64-bit SimHash over tokens: bit b set iff Σ_tokens (bit b of xxhash64(token)
     * ? +1 : -1) > 0.
     */
@@ -173,6 +209,8 @@ object HashExpressions {
 
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(ex(shingles), numHashes))
+  def word_shingles(text: Column, k: Int): Column =
+    GraftBridge.column(WordShingles(ex(text), k))
   def simhash64(tokens: Column): Column = GraftBridge.column(SimHash64(ex(tokens)))
   def hyperplane_sig(vec: Column, numPlanes: Int, seed: Int): Column =
     GraftBridge.column(HyperplaneSig(ex(vec), numPlanes, seed))

@@ -184,17 +184,20 @@ object PredicateExtraction {
     case _ => None
   }
 
-  /** Returns (contributesLowerBound, contributesUpperBound, ns). */
+  /** Returns (contributesLowerBound, contributesUpperBound, ns). Strict bounds are
+    * tightened by 1 ns (exact at the engine's resolution) so `ts < H` does not keep
+    * the chunk that starts exactly at H.
+    */
   private def timeBound(e: cx.Expression): Option[(Boolean, Boolean, Long)] = e match {
-    case cx.GreaterThan(c, l) if isTime(c) => literalNs(l).map(v => (true, false, v))
+    case cx.GreaterThan(c, l) if isTime(c) => literalNs(l).map(v => (true, false, v + 1))
     case cx.GreaterThanOrEqual(c, l) if isTime(c) => literalNs(l).map(v => (true, false, v))
-    case cx.LessThan(c, l) if isTime(c) => literalNs(l).map(v => (false, true, v))
+    case cx.LessThan(c, l) if isTime(c) => literalNs(l).map(v => (false, true, v - 1))
     case cx.LessThanOrEqual(c, l) if isTime(c) => literalNs(l).map(v => (false, true, v))
     case cx.EqualTo(c, l) if isTime(c) => literalNs(l).map(v => (true, true, v))
     // reversed literal-op-column forms
-    case cx.GreaterThan(l, c) if isTime(c) => literalNs(l).map(v => (false, true, v))
+    case cx.GreaterThan(l, c) if isTime(c) => literalNs(l).map(v => (false, true, v - 1))
     case cx.GreaterThanOrEqual(l, c) if isTime(c) => literalNs(l).map(v => (false, true, v))
-    case cx.LessThan(l, c) if isTime(c) => literalNs(l).map(v => (true, false, v))
+    case cx.LessThan(l, c) if isTime(c) => literalNs(l).map(v => (true, false, v + 1))
     case cx.LessThanOrEqual(l, c) if isTime(c) => literalNs(l).map(v => (true, false, v))
     case _ => None
   }

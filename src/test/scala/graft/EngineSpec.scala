@@ -116,6 +116,22 @@ class EngineSpec extends AnyFunSuite {
     assert(vals == Seq("server1", "server2"))
   }
 
+  test("foldable time expressions prune via the optimized plan (now()-interval path)") {
+    val (eng, _) = freshEngine()
+    // arithmetic bound: parse-only extraction can't see it; the optimizer folds it
+    val df = eng.sql(
+      s"""SELECT COUNT(*) AS cnt FROM metrics
+         |WHERE timestamp_ns >= ${t0} + ${hourNs} AND timestamp_ns < ${t0} + 2 * ${hourNs}
+         |""".stripMargin, nowNs = t0 + 100 * hourNs)
+    assert(df.collect()(0).getLong(0) == 24L)
+    assert(eng.lastPrunedPaths.size == 1) // only the hour-1 chunk survives pruning
+    // now()-based query: prunes to nothing against 2024 data, returns 0 rows cleanly
+    val df2 = eng.sql(
+      "SELECT COUNT(*) AS cnt FROM metrics WHERE timestamp > now() - INTERVAL '5' MINUTE")
+    assert(df2.collect()(0).getLong(0) == 0L)
+    assert(eng.lastPrunedPaths.isEmpty)
+  }
+
   test("series endpoint: distinct label combinations, matcher-filtered") {
     val (eng, _) = freshEngine()
     assert(eng.series().count() == 4) // 2 metrics × 2 hosts
