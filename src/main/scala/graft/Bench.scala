@@ -40,14 +40,15 @@ object Bench {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_bench_ingest_")
     val catalog = new graft.catalog.ChunkCatalog(warehouse)
     val writer = new graft.ingest.ChunkWriter(catalog)
-    // exactly 1 M rows: 10 metrics × 5 hosts × 2 regions = 100 series × 100 Hz ×
-    // 100 s (no .limit — a global limit would collapse to one partition)
-    val nSamples = 1000000L
+    // exactly 4 M rows: 10 metrics × 5 hosts × 2 regions = 100 series × 100 Hz ×
+    // 400 s (no .limit — a global limit would collapse to one partition); 4 M
+    // amortizes fixed job-scheduling overhead into a throughput-representative run
+    val nSamples = 4000000L
     val df = graft.fixtures.DataGenerator.generate(spark,
       metrics = 10, hosts = 5, regions = 2,
-      samplesPerSecond = 100, durationSeconds = 100, partitions = cpus.toInt * 2)
+      samplesPerSecond = 100, durationSeconds = 400, partitions = cpus.toInt * 2)
     val ingestSec = time { writer.write(df) }
-    results("ingest_1m_samples") = ingestSec
+    results("ingest_4m_samples") = ingestSec
     val samplesPerSec = (nSamples / ingestSec).toLong
 
     // warm query latency over the freshly ingested warehouse (BASELINE: <100 ms p99

@@ -420,6 +420,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // LLM ops — exact n-gram (word-3-shingle) Jaccard similarity over all pairs of
+    // a 40-doc sample; the exact-verification primitive under MinHash-LSH.
+    "q_doc_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(graft.dedup.Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("jaccard") > 0)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
     // LLM ops — MinHash+LSH near-dup candidates with exact Jaccard verify.
     // No SQL oracle (LSH recall is probabilistic) → driver rows-only check;
     // exactness is covered by DedupSpec unit tests.
@@ -688,6 +702,21 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_doc_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+        |  END AS shingles
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |       FROM documents WHERE doc_id < 40))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |  / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        | AND len(list_intersect(a.shingles, b.shingles)) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_doc_token_stats" ->
       s"""SELECT doc_id,

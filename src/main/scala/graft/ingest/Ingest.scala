@@ -135,7 +135,10 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
       .option("compression", "zstd")
       .parquet(batchDir.toString)
 
-    val metas = ChunkStats.computePartitioned(spark, batchDir.toString, partCols)
+    // Stats come from ONE agg over the in-memory batch (deterministic input), not a
+    // re-read of the freshly written ZSTD files — saves a full decompress pass per
+    // flush. File sizes are taken from the written tree.
+    val metas = ChunkStats.computePartitionedFromDf(stamped, batchDir.toString, partCols)
     catalog.registerAll(metas)
     metas
   }
@@ -203,8 +206,15 @@ object ChunkStats {
     * one output row (and one ChunkMeta) per hour partition.
     */
   def computePartitioned(spark: SparkSession, batchDir: String,
-                         partCols: Seq[String]): Seq[ChunkMeta] = {
-    val df = spark.read.parquet(batchDir)
+                         partCols: Seq[String]): Seq[ChunkMeta] =
+    computePartitionedFromDf(spark.read.parquet(batchDir), batchDir, partCols)
+
+  /** Same, but over an arbitrary (deterministic) DataFrame carrying the partition
+    * columns — lets the writer agg the in-memory batch instead of re-reading what
+    * it just compressed.
+    */
+  def computePartitionedFromDf(df: org.apache.spark.sql.DataFrame, batchDir: String,
+                               partCols: Seq[String]): Seq[ChunkMeta] = {
     val fields = statFields(df.schema, partCols.toSet)
     val aggs = statAggs(fields)
     val grouped = df.groupBy(partCols.map(col): _*)
