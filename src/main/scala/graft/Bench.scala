@@ -50,6 +50,11 @@ object Bench {
     val ingestSec = time { writer.write(df) }
     results("ingest_4m_samples") = ingestSec
     val samplesPerSec = (nSamples / ingestSec).toLong
+    // compression ratio vs the uncompressed in-memory row footprint
+    // (ts 8 + ts_ns 8 + name ~9 + host ~6 + region ~8 + 3 value slots 24 ≈ 63 B/row)
+    val writtenBytes = catalog.allChunks.map(_.sizeBytes).sum
+    val compressionRatio =
+      if (writtenBytes > 0) (nSamples * 63.0 / writtenBytes * 10).round / 10.0 else 0.0
 
     // warm query latency over the freshly ingested warehouse (BASELINE: <100 ms p99
     // warm): median of 7 runs of a pruned time-bucket aggregate
@@ -65,7 +70,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples_per_sec":$samplesPerSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples_per_sec":$samplesPerSec,"compression_ratio":$compressionRatio,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

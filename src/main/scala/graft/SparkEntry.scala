@@ -459,6 +459,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // LLM ops — IVF ANN (centroid-bucketed scale path; rows-only check vs brute
+    // force — recall is probabilistic, exactness covered by WireAndIvfSpec).
+    "q_emb_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Similarity.ivfTopK(emb, queries, 5, nCentroids = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // LLM ops — multimodal: metadata-only stats over binary payload columns (the
     // scan must never decode payloads; column pruning keeps it to metadata cols).
     "q_multimodal_stats" -> ((s, dir) =>

@@ -68,7 +68,8 @@ final class Compactor(
       .coalesce(1)
       .write.option("compression", "zstd")
       .parquet(target.toString)
-    val meta = ChunkStats.compute(spark, target.toString, df.schema).copy(level = newLevel)
+    // stats from the merge input (deterministic), not a re-read of the written file
+    val meta = ChunkStats.computeFromDf(df, target.toString).copy(level = newLevel)
     catalog.replaceChunks(group.map(_.path), Seq(meta))
     // Old files go through grace-period GC rather than immediate delete
     // (reference 5-min grace, mod.rs:816-918).

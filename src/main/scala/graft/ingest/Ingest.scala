@@ -70,6 +70,13 @@ object Converters {
     RoutedPoint(tsMs * 1000000L, name, labels - "__name__", f, i, u)
   }
 
+  /** OTLP Histogram/ExponentialHistogram/Summary points collapse to their `sum`
+    * (falling back to `count` when sum is absent) — reference otlp.rs:133-173.
+    */
+  def histogramPoint(timestampNs: Long, metricName: String, sum: Option[Double],
+                     count: Long, labels: Map[String, String]): MetricPoint =
+    MetricPoint(timestampNs, metricName, sum.getOrElse(count.toDouble), labels)
+
   /** Union of label keys across a batch → one nullable string column per key, sorted
     * (reference data_points_to_arrow, otlp.rs:249-295 + prometheus.rs:382-396).
     * OTLP-shaped points: the single f64 value lands in value_f64.
@@ -193,8 +200,11 @@ object ChunkStats {
     * metric_name min/max + null flags (reference registers these as column_stats,
     * src/metadata/s3.rs:84-127, computed at flush src/ingester/mod.rs:632-714).
     */
-  def compute(spark: SparkSession, path: String, schema: StructType): ChunkMeta = {
-    val df = spark.read.parquet(path)
+  def compute(spark: SparkSession, path: String, schema: StructType): ChunkMeta =
+    computeFromDf(spark.read.parquet(path), path)
+
+  /** Stats agg over an arbitrary (deterministic) DataFrame, attributed to `path`. */
+  def computeFromDf(df: org.apache.spark.sql.DataFrame, path: String): ChunkMeta = {
     val fields = statFields(df.schema, Set.empty)
     val aggs = statAggs(fields)
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)

@@ -94,6 +94,47 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCentroids` Voronoi cells
+    * around deterministically-chosen centroid vectors (every `n/nCentroids`-th
+    * corpus vector by id — reproducible, no RNG); a query probes only its `nProbe`
+    * nearest cells and re-ranks exactly inside them.
+    *
+    * Scale shape: centroids are tiny and broadcast twice (corpus assignment, query
+    * probe); the corpus is scanned once to assign cells (in production the
+    * assignment would be materialized/bucketed so queries touch only probed cells —
+    * cell assignment is the write-path cost, probing is the read-path cost).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    // deterministic centroid sample: rank by id, take every (n/nCentroids)-th
+    val ranked = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
+    val total = ranked.count()
+    val stride = math.max(1L, total / nCentroids)
+    val centroids = ranked.filter(col("__rn") % stride === 1).limit(nCentroids)
+      .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
+
+    def nearestCells(df: DataFrame, vec: String, keep: Int): DataFrame = {
+      val ww = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("__cid"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__csim", cosine(col(vec), col("__cvec")))
+        .withColumn("__crank", row_number().over(ww))
+        .filter(col("__crank") <= keep)
+        .drop("__csim", "__cvec", "__crank")
+    }
+
+    val assigned = nearestCells(corpus.select(col(idCol), col(vecCol)), vecCol, 1)
+    val probed = nearestCells(queries.select(col(queryIdCol), col(queryVecCol)), queryVecCol, nProbe)
+    val rerank = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+    assigned.join(broadcast(probed), "__cid")
+      .withColumn("cosine", cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join then exact cosine filter.
     * Same shuffle shape as MinHash-LSH dedup — proportional to collisions, not n².
     */
