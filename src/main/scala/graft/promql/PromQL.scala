@@ -96,11 +96,18 @@ object PromQL {
       case "=" => s"$col = '$v'"
       case "!=" => s"$col != '$v'"
       case "=~" => s"$col RLIKE '$v'"
-      case "!~" => s"NOT ($col RLIKE '$v')"
+      // reference `!~` is `regexp_match(col,'re') IS NULL` which is TRUE for NULL
+      // label values — a bare NOT RLIKE would drop them (3-valued logic), so keep
+      // the NULL-keeping behavior explicitly
+      case "!~" => s"($col IS NULL OR NOT ($col RLIKE '$v'))"
       case _ => "1=1"
     }
   }
 
+  /** Instant-path aggregation match (prometheus_api.rs:899-907): includes STDDEV;
+    * stdvar/topk/bottomk are PARSED but fall through to AVG — topk/bottomk thus
+    * degrade to a plain ORDER BY value DESC with no k-limit.
+    */
   private def aggSql(agg: String): String = agg match {
     case "sum" => s"SUM($ValueExpr)"
     case "avg" => s"AVG($ValueExpr)"
@@ -108,17 +115,35 @@ object PromQL {
     case "min" => s"MIN($ValueExpr)"
     case "max" => s"MAX($ValueExpr)"
     case "stddev" => s"STDDEV($ValueExpr)"
-    case "stdvar" => s"VARIANCE($ValueExpr)"
-    // topk/bottomk degrade to the un-limited ORDER BY shape, like the reference.
-    case "topk" | "bottomk" => s"MAX($ValueExpr)"
-    case _ => s"AVG($ValueExpr)" // unknown → AVG (prometheus_api.rs:916)
+    case _ => s"AVG($ValueExpr)"
   }
 
-  /** Range-function per-bucket expression (reference prometheus_api.rs:964-1013). */
+  /** Range-path aggregation match (prometheus_api.rs:1018-1026): NO stddev — it
+    * falls to AVG here, unlike the instant path. Ported quirk.
+    */
+  private def rangeAggSql(agg: String): String = agg match {
+    case "sum" => s"SUM($ValueExpr)"
+    case "avg" => s"AVG($ValueExpr)"
+    case "count" => "COUNT(*)"
+    case "min" => s"MIN($ValueExpr)"
+    case "max" => s"MAX($ValueExpr)"
+    case _ => s"AVG($ValueExpr)"
+  }
+
+  /** Label columns = matcher labels ∪ group_by, first-seen order (reference
+    * discover_label_columns, prometheus_api.rs:856-874).
+    */
+  def discoverLabelColumns(p: ParsedPromQL): Seq[String] =
+    (p.labelMatchers.map(_.label) ++ p.groupBy).distinct
+
+  /** Range-function per-bucket expression (reference prometheus_api.rs:964-1013):
+    * rate|irate → (MAX-MIN)/range; increase|delta → MAX-MIN; anything else
+    * (incl. idelta/deriv) → AVG, exactly like the reference's `_` arm.
+    */
   private def rangeFnSql(fn: String, rangeSecs: Long): String = fn match {
     case "rate" | "irate" =>
-      s"(MAX($ValueExpr) - MIN($ValueExpr)) / $rangeSecs.0"
-    case "increase" | "delta" | "idelta" =>
+      s"(MAX($ValueExpr) - MIN($ValueExpr)) / ($rangeSecs)"
+    case "increase" | "delta" =>
       s"MAX($ValueExpr) - MIN($ValueExpr)"
     case _ => s"AVG($ValueExpr)"
   }
@@ -157,16 +182,23 @@ object PromQL {
     val stepNs = stepSeconds * 1000000000L
     val bucket = s"(timestamp_ns DIV $stepNs) * $stepNs"
     val timeConds = Seq(s"timestamp_ns >= $startNs", s"timestamp_ns <= $endNs")
+    // Faithful column sets (prometheus_api.rs:938-1087): range FUNCTIONS and the
+    // no-agg default group by discover_label_columns (matcher labels ∪ by-labels);
+    // AGGREGATIONS group by the by-labels only.
+    val labelCols = p.aggregation match {
+      case Some(_) if p.function.isEmpty => p.groupBy
+      case _ => discoverLabelColumns(p)
+    }
     val valueExpr = (p.function, p.aggregation) match {
       case (Some(fn), _) => rangeFnSql(fn, p.rangeSeconds.getOrElse(stepSeconds))
-      case (None, Some(agg)) => aggSql(agg)
+      case (None, Some(agg)) => rangeAggSql(agg)
       case (None, None) => s"AVG($ValueExpr)" // default per-bucket AVG
     }
-    val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
+    val groupCols = ("metric_name" +: labelCols.map(g => s"`$g`")).mkString(", ")
     s"""SELECT $bucket AS time_bucket, $groupCols, $valueExpr AS value
        |FROM metrics WHERE ${whereClause(p, timeConds)}
        |GROUP BY time_bucket, $groupCols
-       |ORDER BY time_bucket, $groupCols""".stripMargin.replace("\n", " ")
+       |ORDER BY time_bucket""".stripMargin.replace("\n", " ")
   }
 
   /** `/api/v1/label/{name}/values` → SQL (reference prometheus_api.rs:380-500):

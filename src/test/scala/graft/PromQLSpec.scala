@@ -53,7 +53,7 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.matcherToSql(LabelMatcher("pod", "=~", "web-.*")) ==
       "`pod` RLIKE 'web-.*'")
     assert(PromQL.matcherToSql(LabelMatcher("env", "!~", "prod")) ==
-      "NOT (`env` RLIKE 'prod')")
+      "(`env` IS NULL OR NOT (`env` RLIKE 'prod'))")
     assert(PromQL.matcherToSql(LabelMatcher("h", "=", "o'brien")) ==
       "`h` = 'o''brien'")
   }
@@ -77,7 +77,7 @@ class PromQLSpec extends AnyFunSuite {
     val sql = PromQL.transpileRange("rate(reqs[5m])", 0L, 1000000000L, 60L)
     assert(sql.contains("(timestamp_ns DIV 60000000000) * 60000000000 AS time_bucket"))
     assert(sql.contains("(MAX(COALESCE(value_f64, CAST(value_i64 AS DOUBLE), CAST(value_u64 AS DOUBLE))) - MIN("))
-    assert(sql.contains("/ 300.0")) // rangeSeconds, not step
+    assert(sql.contains("/ (300)")) // rangeSeconds, not step
     assert(sql.contains("timestamp_ns >= 0 AND timestamp_ns <= 1000000000"))
   }
 
