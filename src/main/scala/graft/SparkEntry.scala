@@ -257,6 +257,35 @@ object SparkEntry {
         .orderBy("metric_name")
     }),
 
+    // Beyond-reference operator: AS-OF JOIN (point-in-time lookup) — for each
+    // 'click' event, the most recent 'view' by the same user. One shuffle on the
+    // key (union + running last_value), no range cross-join. Oracle: DuckDB's
+    // native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      // µs-aligned ns (the oracle's DuckDB reads parquet ns as µs timestamps)
+      val ev = t(s, dir, "events").withColumn("ts_us1000", expr("(ts div 1000) * 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us1000").as("ts_ns"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us1000").as("ts_ns"), col("value"))
+      graft.operators.Operators.asOfJoin(
+          clicks, views, Seq("user_id"), "ts_ns", "ts_ns", Seq("value"))
+        .filter(col("right_ts_ns").isNotNull)
+        .select("event_id", "user_id", "ts_ns", "value", "right_ts_ns", "right_value")
+        .orderBy("event_id")
+    }),
+
+    // §2.7 top-k per group via the balanced two-phase operator (same results as the
+    // naive window, no few-groups shuffle collapse).
+    "q_topk_twophase" -> ((s, dir) => {
+      val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      graft.operators.Operators.topKPerGroup(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), order, 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+        .orderBy("l_returnflag", "rn")
+    }),
+
     // §2.6 PromQL instant aggregation over the metrics view:
     // `max by (host) (click)` through the real parser+transpiler.
     "q_promql_instant" -> ((s, dir) => {
@@ -638,6 +667,27 @@ object SparkEntry {
         |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1
         |ORDER BY metric_name""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts_ns, c.value,
+        |       v.ts_ns AS right_ts_ns, v.value AS right_value
+        |FROM clicks c ASOF JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts_ns >= v.ts_ns
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_topk_twophase" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_returnflag, rn""".stripMargin,
 
     "q_promql_instant" ->
       """SELECT event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,

@@ -132,6 +132,41 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.lastPrunedPaths.isEmpty)
   }
 
+  test("schema drift across chunks: label-set union, null-fill, NULL-keeping !~") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_drift_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    // batch 1 has {host}, batch 2 has {zone} — mirrors per-payload dynamic schemas
+    // (otlp.rs:249-295) with schema-homogeneous chunks (ingester/mod.rs:585-630)
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0, "cpu", 1.0, Map("host" -> "a")))))
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0 + hourNs, "cpu", 2.0, Map("zone" -> "z1")))))
+    val eng = new QueryEngine(spark, cat)
+    val all = eng.sql(
+      s"""SELECT host, zone, value_f64 FROM metrics
+         |WHERE timestamp_ns >= $t0 AND timestamp_ns <= ${t0 + 2 * hourNs}
+         |ORDER BY timestamp_ns""".stripMargin).collect()
+    assert(all.length == 2)
+    assert(all(0).getString(0) == "a" && all(0).isNullAt(1))
+    assert(all(1).isNullAt(0) && all(1).getString(1) == "z1")
+    // `!~` keeps the NULL-host row (reference regexp_match IS NULL semantics)
+    val sql = graft.promql.PromQL.transpileInstant("""cpu{host!~"a.*"}""")
+      .replace("ORDER BY timestamp_ns DESC LIMIT 1", "") // look at all rows
+    val kept = eng.sql(
+      s"SELECT value_f64 FROM metrics WHERE timestamp_ns >= $t0 AND timestamp_ns <= ${t0 + 2 * hourNs} " +
+        s"AND " + graft.promql.PromQL.matcherToSql(graft.promql.LabelMatcher("host", "!~", "a.*")))
+      .collect()
+    assert(kept.map(_.getDouble(0)).toSeq == Seq(2.0))
+  }
+
+  test("empty batch write is a no-op") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_empty2_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    val metas = writer.write(Converters.pointsToDf(spark, Seq.empty))
+    assert(metas.isEmpty)
+    assert(cat.allChunks.isEmpty)
+  }
+
   test("series endpoint: distinct label combinations, matcher-filtered") {
     val (eng, _) = freshEngine()
     assert(eng.series().count() == 4) // 2 metrics × 2 hosts
