@@ -44,6 +44,11 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
         size() > 100
     }
 
+  /** Query-pattern stats feeding index recommendations — populated per query like
+    * the reference's adaptive-index hooks (engine.rs:259-300).
+    */
+  val adaptiveStats = new graft.adaptive.AdaptiveIndex.StatsCollector()
+
   def sql(query: String, nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
     val (range, preds) = analyze(query, nowNs) match {
       // Parse-only extraction found no explicit bounds: the WHERE may still carry
@@ -65,6 +70,8 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
     }
     register(paths)
     val raw = spark.sql(query)
+    try adaptiveStats.recordFromPlan(raw.queryExecution.analyzed)
+    catch { case _: Throwable => () } // stats are advisory, never fail a query
     val result =
       if (split)
         raw.dropDuplicates(MetricSchema.TimestampCol :: MetricSchema.MetricNameCol :: Nil)

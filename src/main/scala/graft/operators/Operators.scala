@@ -34,6 +34,26 @@ object Operators {
       .filter(col(rankCol) <= k)
   }
 
+  /** Skew-safe aggregation: two-phase groupBy with a salt on the hot key. Phase 1
+    * partially aggregates on (key, salt) — a heavy-hitter key fans out over
+    * `saltBuckets` reducers instead of melting one — phase 2 merges the partials.
+    * Caller supplies mergeable partial/final agg pairs (sum/sum, count/sum,
+    * min/min, max/max). AQE's skew handling covers joins; this covers the
+    * aggregation side at 100 TB.
+    */
+  def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
+                      partial: Seq[(String, Column)],
+                      finalAgg: Seq[(String, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted.groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partial.head._2.as(partial.head._1),
+        partial.tail.map { case (n, c) => c.as(n) }: _*)
+    phase1.groupBy(keyCols.map(col): _*)
+      .agg(finalAgg.head._2(col(finalAgg.head._1)).as(finalAgg.head._1),
+        finalAgg.tail.map { case (n, f) => f(col(n)).as(n) }: _*)
+  }
+
   /** As-of join (time-series point-in-time lookup): for every left row, the single
     * most recent right row with `rightTs <= leftTs` (within `toleranceNs` when
     * given), matched on `keyCols`. Spark has no built-in; the union+last_value

@@ -21,6 +21,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("saltedAggregate matches plain groupBy for sum/count/min/max") {
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) "cold" + i else "hot", i.toDouble))
+      .toDF("k", "v").repartition(8)
+    val salted = Operators.saltedAggregate(df, Seq("k"), saltBuckets = 16,
+      partial = Seq("s" -> sum("v"), "c" -> count(lit(1)), "mn" -> min("v"), "mx" -> max("v")),
+      finalAgg = Seq("s" -> (sum(_)), "c" -> (sum(_)), "mn" -> (min(_)), "mx" -> (max(_))))
+      .orderBy("k").collect()
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k").collect()
+    assert(salted.length == plain.length)
+    salted.zip(plain).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
+      assert(a.getLong(2) == b.getLong(2))
+      assert(a.getDouble(3) == b.getDouble(3) && a.getDouble(4) == b.getDouble(4))
+    }
+  }
+
+  test("maintenance sweep: compaction + retention + GC in one pass") {
+    val spark2 = spark
+    val cat = new graft.catalog.ChunkCatalog(
+      java.nio.file.Files.createTempDirectory("graft_maint_"), cacheTtlMs = 0L)
+    val writer = new graft.ingest.ChunkWriter(cat)
+    val t0 = 1704067200L * 1000000000L
+    val mk = (off: Long) => (0 until 5).map(i =>
+      graft.ingest.MetricPoint(t0 + i * 1000000000L + off, "cpu", i.toDouble, Map("h" -> "x")))
+    writer.write(graft.ingest.Converters.pointsToDf(spark2, mk(0)))
+    writer.write(graft.ingest.Converters.pointsToDf(spark2, mk(500)))
+    val maint = new graft.compact.Maintenance(spark2, cat,
+      compactor = new graft.compact.Compactor(spark2, cat, l0FileThreshold = 2))
+    val report = maint.runOnce()
+    assert(report.compacted.size == 1)
+    // 2024 data is past the 90-day retention horizon → swept out
+    assert(report.retentionRemoved.size == 1)
+    assert(report.gcDeleted.isEmpty) // grace period (5 min) not yet elapsed
+    cat.invalidateCache()
+    assert(cat.allChunks.isEmpty)
+    // with a horizon that still covers the data, the compacted chunk survives
+    val cat2 = new graft.catalog.ChunkCatalog(
+      java.nio.file.Files.createTempDirectory("graft_maint2_"), cacheTtlMs = 0L)
+    val w2 = new graft.ingest.ChunkWriter(cat2)
+    w2.write(graft.ingest.Converters.pointsToDf(spark2, mk(0)))
+    w2.write(graft.ingest.Converters.pointsToDf(spark2, mk(500)))
+    val keepAll = new graft.compact.Maintenance(spark2, cat2,
+      retentionNs = 100L * 365 * 86400 * 1000000000L,
+      compactor = new graft.compact.Compactor(spark2, cat2, l0FileThreshold = 2))
+    val r2 = keepAll.runOnce()
+    assert(r2.compacted.size == 1 && r2.retentionRemoved.isEmpty)
+    cat2.invalidateCache()
+    assert(cat2.allChunks.size == 1)
+  }
+
   test("asOfJoin: most recent right row at-or-before left ts, per key") {
     val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"), (3L, 50L, "d"))
       .toDF("k", "ts", "tag")
