@@ -40,9 +40,20 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
   private val planCache =
     new java.util.LinkedHashMap[(String, Seq[String], Boolean), DataFrame](128, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Seq[String], Boolean), DataFrame]): Boolean =
-        size() > 100
+          e: java.util.Map.Entry[(String, Seq[String], Boolean), DataFrame]): Boolean = {
+        val evict = size() > 100
+        if (evict) try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+        evict
+      }
     }
+
+  /** RAM result-cache tier, the Spark analog of the reference's L1 moka cache
+    * (README.md:280-283: L1 RAM ~10 ms). Cached plans are persisted
+    * MEMORY_AND_DISK; the cache key includes the pruned chunk-path set, so any
+    * newly ingested or compacted chunk changes the key and stale hits are
+    * impossible. Evicted entries are unpersisted.
+    */
+  @volatile var resultCacheEnabled: Boolean = true
 
   /** Query-pattern stats feeding index recommendations — populated per query like
     * the reference's adaptive-index hooks (engine.rs:259-300).
@@ -56,7 +67,10 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
       // the reference's two-phase trick (bootstrap-register then analyze the
       // RESOLVED plan, mod.rs:163-184): register everything, let the optimizer
       // constant-fold, and re-extract from the optimized plan.
-      case (range, preds) if range == TimeRange(nowNs - PredicateExtraction.DefaultWindowNs, nowNs) =>
+      // Also re-analyze on the full-range fallback (an unconvertible time
+      // reference, e.g. arithmetic the optimizer can constant-fold).
+      case (range, preds) if range == TimeRange(nowNs - PredicateExtraction.DefaultWindowNs, nowNs) ||
+          range == TimeRange(Long.MinValue, Long.MaxValue) =>
         analyzeOptimized(query, nowNs).getOrElse((range, preds))
       case found => found
     }
@@ -72,10 +86,18 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
     val raw = spark.sql(query)
     try adaptiveStats.recordFromPlan(raw.queryExecution.analyzed)
     catch { case _: Throwable => () } // stats are advisory, never fail a query
+    // Split-dedup only applies when the result still carries the dedup key
+    // columns; aggregated results pass through untouched, mirroring the
+    // reference's dedup_batches which skips batches lacking the key columns
+    // (src/query/dedup.rs:35-43). Without this guard every GROUP BY query
+    // would throw AnalysisException during an active split.
+    val dedupCols = MetricSchema.TimestampCol :: MetricSchema.MetricNameCol :: Nil
     val result =
-      if (split)
-        raw.dropDuplicates(MetricSchema.TimestampCol :: MetricSchema.MetricNameCol :: Nil)
+      if (split && dedupCols.forall(raw.schema.fieldNames.contains))
+        raw.dropDuplicates(dedupCols)
       else raw
+    if (resultCacheEnabled)
+      result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     planCache.synchronized { planCache.put(key, result) }
     result
   }

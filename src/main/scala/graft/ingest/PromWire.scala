@@ -64,7 +64,12 @@ object PromWire {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => require(pos + 8 <= end); pos += 8
-      case 2 => val len = readVarint().toInt; require(pos + len <= end); pos += len
+      case 2 =>
+        val len = readVarint().toInt
+        // len >= 0 guards a 64-bit varint truncating to a negative Int, which
+        // would move pos BACKWARDS and loop forever on malformed bytes.
+        require(len >= 0 && pos + len <= end, "truncated length-delimited field")
+        pos += len
       case 5 => require(pos + 4 <= end); pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }

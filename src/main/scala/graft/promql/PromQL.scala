@@ -91,7 +91,10 @@ object PromQL {
     */
   def matcherToSql(m: LabelMatcher): String = {
     val col = s"`${m.label}`"
-    val v = m.value.replace("'", "''")
+    // Escape backslashes BEFORE quote-doubling: Spark SQL string literals eat
+    // `\d` → `d` (so `=~"\d+"` would silently match "d+"), and a value ending
+    // in `\` would escape the closing quote — an injection surface.
+    val v = m.value.replace("\\", "\\\\").replace("'", "''")
     m.op match {
       case "=" => s"$col = '$v'"
       case "!=" => s"$col != '$v'"

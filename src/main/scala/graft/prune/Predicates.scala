@@ -129,25 +129,66 @@ object PredicateExtraction {
                                    nowNs: Long): (TimeRange, Seq[ColumnPredicate]) = {
     var lo: Option[Long] = None
     var hi: Option[Long] = None
+    // A time-column reference we could NOT convert to a bound (opaque function,
+    // OR branch without bounds, …). When set and no bounds were found, the
+    // default last-1-hour window would silently drop matching rows — fall back
+    // to the full range instead (the reference widens bounds through Or the
+    // same way, engine.rs:456-459).
+    var unconvertedTimeRef = false
     val preds = Seq.newBuilder[ColumnPredicate]
 
     def bumpLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
     def bumpHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
 
     conjuncts.foreach { c =>
-      timeBound(c) match {
-        case Some((isLower, isUpper, ns)) =>
-          if (isLower) bumpLo(ns)
-          if (isUpper) bumpHi(ns)
-        case None =>
-          toPredicate(c).foreach(preds += _)
-      }
+      val (blo, bhi) = boundsOf(c)
+      blo.foreach(bumpLo)
+      bhi.foreach(bumpHi)
+      if (blo.isEmpty && bhi.isEmpty && referencesTime(c)) unconvertedTimeRef = true
+      if (timeBound(c).isEmpty) toPredicate(c).foreach(preds += _)
     }
     val range = (lo, hi) match {
-      case (None, None) => TimeRange(nowNs - DefaultWindowNs, nowNs)
+      case (None, None) =>
+        if (unconvertedTimeRef) TimeRange(Long.MinValue, Long.MaxValue)
+        else TimeRange(nowNs - DefaultWindowNs, nowNs)
       case (l, h) => TimeRange(l.getOrElse(Long.MinValue), h.getOrElse(Long.MaxValue))
     }
     (range, preds.result())
+  }
+
+  /** Time bounds implied by an arbitrary boolean expression: AND intersects
+    * (tightest), OR unions (loosest — an OR branch with no bound on a side makes
+    * the whole OR unbounded on that side). This is how `ts >= X OR host = 'a'`
+    * correctly yields NO lower bound, and `(w1) OR (w2)` yields the union window.
+    */
+  private def boundsOf(e: cx.Expression): (Option[Long], Option[Long]) = e match {
+    case cx.And(l, r) =>
+      val (llo, lhi) = boundsOf(l); val (rlo, rhi) = boundsOf(r)
+      (pickOpt(llo, rlo)(math.max), pickOpt(lhi, rhi)(math.min))
+    case cx.Or(l, r) =>
+      val (llo, lhi) = boundsOf(l); val (rlo, rhi) = boundsOf(r)
+      (for { a <- llo; b <- rlo } yield math.min(a, b),
+       for { a <- lhi; b <- rhi } yield math.max(a, b))
+    case other => timeBound(other) match {
+      case Some((isLower, isUpper, ns)) =>
+        (if (isLower) Some(ns) else None, if (isUpper) Some(ns) else None)
+      case None => (None, None)
+    }
+  }
+
+  private def pickOpt(a: Option[Long], b: Option[Long])(f: (Long, Long) => Long): Option[Long] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(f(x, y))
+      case _ => a.orElse(b)
+    }
+
+  private def referencesTime(e: cx.Expression): Boolean = {
+    val direct = e.collectFirst {
+      case a: cx.AttributeReference if timeCols.contains(a.name.toLowerCase) => ()
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if timeCols.contains(u.name.toLowerCase) => ()
+    }
+    direct.isDefined
   }
 
   private def splitConjuncts(e: cx.Expression): Seq[cx.Expression] = e match {
@@ -167,6 +208,10 @@ object PredicateExtraction {
 
   /** Normalize a time literal to ns: heuristically detect s / ms / µs / ns magnitude
     * like the reference (engine.rs:430-470), plus native timestamp literals (µs).
+    * Applied ONLY to the non-ns time columns (`timestamp`/`time`/`ts`) — literals
+    * compared against `timestamp_ns` are raw ns, matching the reference's Int64
+    * pass-through (engine.rs:483); rescaling a legitimately small raw-ns epoch
+    * would prune every chunk.
     */
   def normalizeToNs(v: Long): Long =
     if (v < 100000000000L) v * 1000000000L // seconds (pre-5138 CE)
@@ -174,13 +219,13 @@ object PredicateExtraction {
     else if (v < 100000000000000000L) v * 1000L // microseconds
     else v // nanoseconds
 
-  private def literalNs(e: cx.Expression): Option[Long] = e match {
+  private def literalNs(e: cx.Expression, rawNsCol: Boolean): Option[Long] = e match {
     case cx.Literal(v: Long, t) => t match {
       case org.apache.spark.sql.types.TimestampType => Some(v * 1000L) // µs → ns
-      case _ => Some(normalizeToNs(v))
+      case _ => Some(if (rawNsCol) v else normalizeToNs(v))
     }
-    case cx.Literal(v: Int, _) => Some(normalizeToNs(v.toLong))
-    case cx.Cast(child, _, _, _) => literalNs(child)
+    case cx.Literal(v: Int, _) => Some(if (rawNsCol) v.toLong else normalizeToNs(v.toLong))
+    case cx.Cast(child, _, _, _) => literalNs(child, rawNsCol)
     case _ => None
   }
 
@@ -188,18 +233,22 @@ object PredicateExtraction {
     * tightened by 1 ns (exact at the engine's resolution) so `ts < H` does not keep
     * the chunk that starts exactly at H.
     */
-  private def timeBound(e: cx.Expression): Option[(Boolean, Boolean, Long)] = e match {
-    case cx.GreaterThan(c, l) if isTime(c) => literalNs(l).map(v => (true, false, v + 1))
-    case cx.GreaterThanOrEqual(c, l) if isTime(c) => literalNs(l).map(v => (true, false, v))
-    case cx.LessThan(c, l) if isTime(c) => literalNs(l).map(v => (false, true, v - 1))
-    case cx.LessThanOrEqual(c, l) if isTime(c) => literalNs(l).map(v => (false, true, v))
-    case cx.EqualTo(c, l) if isTime(c) => literalNs(l).map(v => (true, true, v))
-    // reversed literal-op-column forms
-    case cx.GreaterThan(l, c) if isTime(c) => literalNs(l).map(v => (false, true, v - 1))
-    case cx.GreaterThanOrEqual(l, c) if isTime(c) => literalNs(l).map(v => (false, true, v))
-    case cx.LessThan(l, c) if isTime(c) => literalNs(l).map(v => (true, false, v + 1))
-    case cx.LessThanOrEqual(l, c) if isTime(c) => literalNs(l).map(v => (true, false, v))
-    case _ => None
+  private def timeBound(e: cx.Expression): Option[(Boolean, Boolean, Long)] = {
+    def ns(c: cx.Expression, l: cx.Expression): Option[Long] =
+      literalNs(l, rawNsCol = colName(c).contains("timestamp_ns"))
+    e match {
+      case cx.GreaterThan(c, l) if isTime(c) => ns(c, l).map(v => (true, false, v + 1))
+      case cx.GreaterThanOrEqual(c, l) if isTime(c) => ns(c, l).map(v => (true, false, v))
+      case cx.LessThan(c, l) if isTime(c) => ns(c, l).map(v => (false, true, v - 1))
+      case cx.LessThanOrEqual(c, l) if isTime(c) => ns(c, l).map(v => (false, true, v))
+      case cx.EqualTo(c, l) if isTime(c) => ns(c, l).map(v => (true, true, v))
+      // reversed literal-op-column forms
+      case cx.GreaterThan(l, c) if isTime(c) => ns(c, l).map(v => (false, true, v - 1))
+      case cx.GreaterThanOrEqual(l, c) if isTime(c) => ns(c, l).map(v => (false, true, v))
+      case cx.LessThan(l, c) if isTime(c) => ns(c, l).map(v => (true, false, v + 1))
+      case cx.LessThanOrEqual(l, c) if isTime(c) => ns(c, l).map(v => (true, false, v))
+      case _ => None
+    }
   }
 
   private def isTime(e: cx.Expression): Boolean = colName(e).exists(timeCols.contains)

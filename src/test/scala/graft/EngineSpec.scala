@@ -109,6 +109,25 @@ class EngineSpec extends AnyFunSuite {
     assert(df.collect().length == 1)
   }
 
+  test("aggregation query during an active split passes through (no dedup-key columns)") {
+    val (eng, cat) = freshEngine()
+    cat.setActiveSplits(Seq("shard-1"))
+    cat.invalidateCache()
+    // result lacks (timestamp, metric_name) → dedup must be skipped, not throw
+    // (reference dedup_batches passes batches through when key columns are
+    // absent, src/query/dedup.rs:35-43)
+    val df = eng.sql(
+      s"""SELECT metric_name, COUNT(*) AS cnt FROM metrics
+         |WHERE timestamp_ns >= $t0 AND timestamp_ns < ${t0 + hourNs}
+         |GROUP BY metric_name""".stripMargin)
+    assert(df.collect().map(_.getLong(1)).sum == 24L)
+    // fully-aggregated result (no metric_name either) also passes through
+    val df2 = eng.sql(
+      s"""SELECT COUNT(*) AS cnt FROM metrics
+         |WHERE timestamp_ns >= $t0 AND timestamp_ns < ${t0 + hourNs}""".stripMargin)
+    assert(df2.collect()(0).getLong(0) == 24L)
+  }
+
   test("labels discovery mirrors information_schema behavior") {
     val (eng, _) = freshEngine()
     assert(eng.labels() == Seq("__name__", "host"))

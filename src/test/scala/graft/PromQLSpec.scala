@@ -58,6 +58,24 @@ class PromQLSpec extends AnyFunSuite {
       "`h` = 'o''brien'")
   }
 
+  test("matcher → SQL: backslashes survive Spark string-literal escaping") {
+    // `=~"\d+"` must reach RLIKE as \d+ — Spark literals eat single backslashes,
+    // so the SQL text needs them doubled
+    assert(PromQL.matcherToSql(LabelMatcher("pod", "=~", "\\d+")) ==
+      "`pod` RLIKE '\\\\d+'")
+    // a value ending in a backslash must not escape the closing quote
+    assert(PromQL.matcherToSql(LabelMatcher("path", "=", "C:\\")) ==
+      "`path` = 'C:\\\\'")
+    // end-to-end: the generated condition actually matches digits via Spark
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq("abc123", "nodigits", "d+").toDF("pod")
+    val got = df.filter(org.apache.spark.sql.functions.expr(
+      PromQL.matcherToSql(LabelMatcher("pod", "=~", "\\d+"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("abc123"))
+  }
+
   test("instant transpile: agg query shape") {
     val sql = PromQL.transpileInstant("sum by (service) (cpu_usage)")
     assert(sql.contains("SUM(COALESCE(value_f64, CAST(value_i64 AS DOUBLE), CAST(value_u64 AS DOUBLE)))"))

@@ -61,6 +61,15 @@ class WireAndIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("skip rejects 64-bit lengths truncating to negative Int (no backwards pos)") {
+    // unknown field 9, wire type 2, length varint 0xFFFFFFFF → toInt = -1;
+    // without the len >= 0 guard pos would move BACKWARDS and loop forever
+    val evil = tag(9, 2) ++ varint(4294967295L)
+    intercept[IllegalArgumentException] {
+      PromWire.parseWriteRequest(evil)
+    }
+  }
+
   test("histogram collapse: sum preferred, count fallback (otlp.rs:133-173)") {
     val withSum = Converters.histogramPoint(1L, "lat", Some(12.5), 100L, Map.empty)
     assert(withSum.value == 12.5)
