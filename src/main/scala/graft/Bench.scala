@@ -21,8 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JIT/session warmup so the first measured query isn't charged for startup
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // JIT/session warmup so the first measured query isn't charged for startup:
+    // exercise scan, codegen'd agg, shuffle, broadcast join and sort machinery once
+    {
+      import org.apache.spark.sql.functions.{broadcast, sum => fsum}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      li.groupBy("l_returnflag").agg(fsum("l_quantity")).count()
+      li.limit(1000).join(broadcast(n), li("l_suppkey") % 25 === n("n_nationkey"))
+        .orderBy("l_orderkey").count()
+    }
 
     def time(f: => Unit): Double = {
       val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9

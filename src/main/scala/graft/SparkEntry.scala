@@ -338,9 +338,13 @@ object SparkEntry {
       val catalog = new graft.catalog.ChunkCatalog(tmp)
       val writer = new graft.ingest.ChunkWriter(catalog)
       val half = Jan1Ns + 43200L * 1000000000L // first 12 hours only
+      // The two interleaved L0 writes each make two passes (stats + shuffle) —
+      // cache the 12 h slice once instead of decoding the parquet 4×.
       val m = eventsAsMetrics(s, dir).filter(col("timestamp_ns") < half)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       writer.write(m.filter(col("timestamp_ns") % 2 === 0))
       writer.write(m.filter(col("timestamp_ns") % 2 =!= 0))
+      m.unpersist(blocking = false)
       val compactor = new graft.compact.Compactor(s, catalog, l0FileThreshold = 2)
       compactor.runOnce()
       val eng = new graft.engine.QueryEngine(s, catalog)

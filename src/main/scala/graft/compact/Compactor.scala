@@ -64,12 +64,23 @@ final class Compactor(
     val target = catalog.root.resolve(
       s"default/data/compacted/level=$newLevel/chunk_${UUID.randomUUID()}")
     val df = spark.read.option("mergeSchema", "true").parquet(group.map(_.path): _*)
-    df.sort("timestamp_ns")
-      .coalesce(1)
+    // Zone-map stats are collected INSIDE the merge-write job via observe
+    // (CollectMetrics) — one read of the group instead of two, one job per
+    // group instead of two. Same single-pass shape the reference's writer
+    // uses (stats accumulated while encoding, parquet_writer.rs:16-89).
+    val fields = ChunkStats.statFields(df.schema, Set.empty)
+    val aggs = ChunkStats.statAggs(fields)
+    val obs = org.apache.spark.sql.Observation(s"compact_${UUID.randomUUID()}")
+    // repartition(1) + sortWithinPartitions, NOT sort().coalesce(1): a global
+    // sort runs a RangePartitioner sampling pass that would execute the
+    // observe subtree twice (double-counting stats); the output is one chunk
+    // file either way, so the single-task sort costs nothing extra.
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .repartition(1)
+      .sortWithinPartitions("timestamp_ns")
       .write.option("compression", "zstd")
       .parquet(target.toString)
-    // stats from the merge input (deterministic), not a re-read of the written file
-    val meta = ChunkStats.computeFromDf(df, target.toString).copy(level = newLevel)
+    val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, newLevel)
     catalog.replaceChunks(group.map(_.path), Seq(meta))
     // Old files go through grace-period GC rather than immediate delete
     // (reference 5-min grace, mod.rs:816-918).

@@ -35,17 +35,25 @@ final class ShardSplitter(spark: SparkSession, catalog: ChunkCatalog) {
         c.minTimestampNs < splitTsNs && c.maxTimestampNs >= splitTsNs)
       val results = affected.flatMap { c =>
         val df = spark.read.parquet(c.path)
+        // One job per half: stats collected via observe during the filtered
+        // write (no isEmpty pre-pass, no re-read of the written file). An
+        // empty half writes an empty dir, which is removed again.
+        val fields = ChunkStats.statFields(df.schema, Set.empty)
+        val aggs = ChunkStats.statAggs(fields)
         def half(cond: org.apache.spark.sql.Column, shard: String): Option[ChunkMeta] = {
-          val part = df.filter(cond)
-          if (part.isEmpty) None
-          else {
-            val target = catalog.root.resolve(
-              s"default/data/shard=$shard/chunk_${UUID.randomUUID()}")
-            part.sort(MetricSchema.TimestampNsCol)
-              .write.option("compression", "zstd").parquet(target.toString)
-            Some(ChunkStats.compute(spark, target.toString, df.schema)
-              .copy(level = c.level, shardId = Some(shard)))
-          }
+          val target = catalog.root.resolve(
+            s"default/data/shard=$shard/chunk_${UUID.randomUUID()}")
+          val obs = org.apache.spark.sql.Observation(s"split_${UUID.randomUUID()}")
+          // repartition(1)+sortWithinPartitions: a global sort's range-sampling
+          // pass would run the observe subtree twice (doubled stats)
+          df.filter(cond).observe(obs, aggs.head, aggs.tail: _*)
+            .repartition(1)
+            .sortWithinPartitions(MetricSchema.TimestampNsCol)
+            .write.option("compression", "zstd").parquet(target.toString)
+          val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, c.level)
+            .copy(shardId = Some(shard))
+          if (meta.rowCount == 0L) { ChunkStats.deleteDir(target); None }
+          else Some(meta)
         }
         val lo = half(col(MetricSchema.TimestampNsCol) < splitTsNs, shardA)
         val hi = half(col(MetricSchema.TimestampNsCol) >= splitTsNs, shardB)
@@ -73,8 +81,13 @@ final class ColumnPromoter(spark: SparkSession, catalog: ChunkCatalog) {
         .withColumn(columnName, org.apache.spark.sql.functions.expr(fromExpr))
       val target = catalog.root.resolve(
         s"default/data/promoted/chunk_${UUID.randomUUID()}")
-      df.write.option("compression", "zstd").parquet(target.toString)
-      val meta = ChunkStats.compute(spark, target.toString, df.schema).copy(level = c.level)
+      // stats fused into the rewrite via observe — one pass per chunk
+      val fields = ChunkStats.statFields(df.schema, Set.empty)
+      val aggs = ChunkStats.statAggs(fields)
+      val obs = org.apache.spark.sql.Observation(s"promote_${UUID.randomUUID()}")
+      df.observe(obs, aggs.head, aggs.tail: _*)
+        .write.option("compression", "zstd").parquet(target.toString)
+      val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, c.level)
       catalog.replaceChunks(Seq(c.path), Seq(meta))
       catalog.deferDelete(Seq(c.path), System.currentTimeMillis())
       meta

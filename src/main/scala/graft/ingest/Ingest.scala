@@ -131,47 +131,68 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
       .withColumn("month", month(col("timestamp")))
       .withColumn("day", dayofmonth(col("timestamp")))
       .withColumn("hour", hour(col("timestamp")))
-    // Range-partition on (hour cols, timestamp): a batch confined to one hour still
-    // fans out across all shuffle partitions (disjoint, sorted time slices → several
-    // sorted files per hour chunk) instead of serializing one hour = one task.
+
+    // Pass 1: ONE grouped agg over the batch → per-hour zone maps AND the batch's
+    // time span. Doing stats first lets pass 2 partition on deterministic time
+    // slices computed from the known span — repartitionByRange would add a THIRD
+    // pass (its RangePartitioner sampling scan) to learn the same thing.
+    val metas = ChunkStats.computePartitionedFromDf(stamped, batchDir.toString, partCols)
+    if (metas.isEmpty) return Nil
+    val minTs = metas.map(_.minTimestampNs).min
+    val maxTs = metas.map(_.maxTimestampNs).max
+    val par = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sliceNs = math.max(1L, (maxTs - minTs) / (par * 2L) + 1L)
+
+    // Pass 2: hash-partition on (hour cols, time slice) — a batch confined to one
+    // hour still fans out across ~2·partitions disjoint slices (several time-sorted
+    // files per hour chunk) instead of serializing one hour = one task. Each file
+    // is sorted within itself; Parquet row-group stats stay tight either way.
     stamped
-      .repartitionByRange((partCols :+ MetricSchema.TimestampNsCol).map(col): _*)
+      .withColumn("__slice", expr(s"${MetricSchema.TimestampNsCol} div $sliceNs"))
+      .repartition((partCols :+ "__slice").map(col): _*)
       .sortWithinPartitions((partCols :+ MetricSchema.TimestampNsCol).map(col): _*)
+      .drop("__slice")
       .write
       .partitionBy(partCols: _*)
       .option("compression", "zstd")
       .parquet(batchDir.toString)
 
-    // Stats come from ONE agg over the in-memory batch (deterministic input), not a
-    // re-read of the freshly written ZSTD files — saves a full decompress pass per
-    // flush. File sizes are taken from the written tree.
-    val metas = ChunkStats.computePartitionedFromDf(stamped, batchDir.toString, partCols)
-    catalog.registerAll(metas)
-    metas
+    // File sizes exist only after the write — patch them into the metas.
+    val sized = metas.map(m => m.copy(sizeBytes = ChunkStats.dirSize(Paths.get(m.path))))
+    catalog.registerAll(sized)
+    sized
   }
 }
 
 object ChunkStats {
 
-  private def statFields(schema: StructType, exclude: Set[String]): Array[StructField] =
+  def statFields(schema: StructType, exclude: Set[String]): Array[StructField] =
     schema.fields.filter { f =>
       !exclude.contains(f.name) &&
         (f.dataType == StringType || f.dataType == DoubleType || f.dataType == LongType)
     }
 
-  private def statAggs(fields: Array[StructField]): Seq[org.apache.spark.sql.Column] =
+  def statAggs(fields: Array[StructField]): Seq[org.apache.spark.sql.Column] =
     Seq(count(lit(1)).as("__rows")) ++ fields.flatMap { f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"),
           max(col(f.name)).as(s"__max_${f.name}"),
           sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
     }
 
-  private def rowToStats(r: Row, fields: Array[StructField]): (Long, Map[String, ColumnStats]) = {
-    val rows = r.getAs[Long]("__rows")
+  private def rowToStats(r: Row, fields: Array[StructField]): (Long, Map[String, ColumnStats]) =
+    statsFrom(name => r.getAs[Any](name), fields)
+
+  /** Shared decode for a stats row, whether it came from an agg Row or an
+    * Observation's metric map (the observe path fuses stats collection into the
+    * write job — one read instead of two).
+    */
+  private def statsFrom(get: String => Any,
+                        fields: Array[StructField]): (Long, Map[String, ColumnStats]) = {
+    val rows = get("__rows").asInstanceOf[Long]
     val stats = fields.flatMap { f =>
-      val mn = r.getAs[Any](s"__min_${f.name}")
-      val mx = r.getAs[Any](s"__max_${f.name}")
-      val nulls = r.getAs[Long](s"__nulls_${f.name}") > 0
+      val mn = get(s"__min_${f.name}")
+      val mx = get(s"__max_${f.name}")
+      val nulls = get(s"__nulls_${f.name}").asInstanceOf[Long] > 0
       (mn, mx) match {
         case (null, _) | (_, null) => None
         case (a: String, b: String) => Some(f.name -> ColumnStats.ofString(a, b, nulls))
@@ -212,6 +233,15 @@ object ChunkStats {
     toMeta(path, rows, stats, level = 0)
   }
 
+  /** Decode an `Observation` metric row (collected inside another job via
+    * `df.observe`) into a ChunkMeta — the zero-extra-pass stats path.
+    */
+  def metaFromMetrics(metrics: Map[String, Any], fields: Array[StructField],
+                      path: String, level: Int): ChunkMeta = {
+    val (rows, stats) = statsFrom(metrics.getOrElse(_, null), fields)
+    toMeta(path, rows, stats, level)
+  }
+
   /** Grouped variant: ONE distributed agg over a whole hour-partitioned batch dir —
     * one output row (and one ChunkMeta) per hour partition.
     */
@@ -234,6 +264,16 @@ object ChunkStats {
       val path = batchDir + "/" + partCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
       val (rows, stats) = rowToStats(r, fields)
       toMeta(path, rows, stats, level = 0)
+    }
+  }
+
+  /** Recursively delete a written-then-discarded chunk dir (empty split half). */
+  def deleteDir(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
     }
   }
 
