@@ -40,7 +40,8 @@ final case class ChunkMeta(
     sizeBytes: Long,
     level: Int = 0,
     shardId: Option[String] = None,
-    columnStats: Map[String, ColumnStats] = Map.empty) {
+    columnStats: Map[String, ColumnStats] = Map.empty,
+    schemaDdl: Option[String] = None) {
 
   def overlaps(startNs: Long, endNs: Long): Boolean =
     minTimestampNs <= endNs && maxTimestampNs >= startNs
@@ -188,6 +189,31 @@ object ChunkCatalog {
   /** Hour bucket of an ns timestamp (reference src/metadata/s3.rs:341-344). */
   def hourBucket(tsNs: Long): Long = Math.floorDiv(tsNs, 3600L * 1000000000L)
 
+  /** Union schema of a chunk set from catalog-held DDL — None when any chunk
+    * lacks a stored schema or two chunks disagree on a column's type (caller
+    * falls back to mergeSchema footer inference). Field order: first seen.
+    * Keeping the schema in metadata lets every read skip the distributed
+    * parquet-footer inference job, the same way the reference serves schema
+    * from its metadata store rather than from S3 object footers.
+    */
+  def mergedSchema(chunks: Seq[ChunkMeta]): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    if (chunks.isEmpty || chunks.exists(_.schemaDdl.isEmpty)) return None
+    try {
+      val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+      chunks.foreach { c =>
+        StructType.fromDDL(c.schemaDdl.get).fields.foreach { f =>
+          fields.get(f.name) match {
+            case None => fields(f.name) = f.copy(nullable = true)
+            case Some(prev) if prev.dataType != f.dataType => return None
+            case _ => ()
+          }
+        }
+      }
+      Some(StructType(fields.values.toSeq))
+    } catch { case _: Throwable => None }
+  }
+
   private def addToIndex(idx: scala.collection.immutable.TreeMap[Long, List[String]],
                          c: ChunkMeta): scala.collection.immutable.TreeMap[Long, List[String]] = {
     // A chunk spanning multiple hours is indexed under every bucket it touches,
@@ -221,6 +247,7 @@ object ChunkCatalog {
     "size_bytes" -> JLong(c.sizeBytes),
     "level" -> JInt(c.level),
     "shard_id" -> c.shardId.map(JString(_): JValue).getOrElse(JNull),
+    "schema_ddl" -> c.schemaDdl.map(JString(_): JValue).getOrElse(JNull),
     "column_stats" -> JObject(c.columnStats.toList.sortBy(_._1).map {
       case (k, v) => k -> (statsToJson(v): JValue)
     }))
@@ -279,7 +306,8 @@ object ChunkCatalog {
           sizeBytes = long(j \ "size_bytes"),
           level = long(j \ "level").toInt,
           shardId = (j \ "shard_id") match { case JString(s) => Some(s); case _ => None },
-          columnStats = stats)
+          columnStats = stats,
+          schemaDdl = (j \ "schema_ddl") match { case JString(s) => Some(s); case _ => None })
       }.toMap
       case _ => Map.empty[String, ChunkMeta]
     }

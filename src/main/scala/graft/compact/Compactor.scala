@@ -63,7 +63,12 @@ final class Compactor(
     val newLevel = group.map(_.level).max + 1
     val target = catalog.root.resolve(
       s"default/data/compacted/level=$newLevel/chunk_${UUID.randomUUID()}")
-    val df = spark.read.option("mergeSchema", "true").parquet(group.map(_.path): _*)
+    // Catalog-held schema skips the distributed footer-inference job; falls
+    // back to mergeSchema only for chunks registered without one.
+    val df = ChunkCatalog.mergedSchema(group) match {
+      case Some(schema) => spark.read.schema(schema).parquet(group.map(_.path): _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(group.map(_.path): _*)
+    }
     // Zone-map stats are collected INSIDE the merge-write job via observe
     // (CollectMetrics) — one read of the group instead of two, one job per
     // group instead of two. Same single-pass shape the reference's writer
@@ -81,6 +86,7 @@ final class Compactor(
       .write.option("compression", "zstd")
       .parquet(target.toString)
     val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, newLevel)
+      .copy(schemaDdl = Some(df.schema.toDDL))
     catalog.replaceChunks(group.map(_.path), Seq(meta))
     // Old files go through grace-period GC rather than immediate delete
     // (reference 5-min grace, mod.rs:816-918).

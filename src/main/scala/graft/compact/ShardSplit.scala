@@ -51,7 +51,7 @@ final class ShardSplitter(spark: SparkSession, catalog: ChunkCatalog) {
             .sortWithinPartitions(MetricSchema.TimestampNsCol)
             .write.option("compression", "zstd").parquet(target.toString)
           val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, c.level)
-            .copy(shardId = Some(shard))
+            .copy(shardId = Some(shard), schemaDdl = Some(df.schema.toDDL))
           if (meta.rowCount == 0L) { ChunkStats.deleteDir(target); None }
           else Some(meta)
         }
@@ -88,6 +88,7 @@ final class ColumnPromoter(spark: SparkSession, catalog: ChunkCatalog) {
       df.observe(obs, aggs.head, aggs.tail: _*)
         .write.option("compression", "zstd").parquet(target.toString)
       val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, c.level)
+        .copy(schemaDdl = Some(df.schema.toDDL))
       catalog.replaceChunks(Seq(c.path), Seq(meta))
       catalog.deferDelete(Seq(c.path), System.currentTimeMillis())
       meta

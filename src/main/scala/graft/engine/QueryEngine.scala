@@ -144,8 +144,17 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           MetricSchema.default)
-      else
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else {
+        // Catalog-held union schema → the scan skips the distributed
+        // parquet-footer inference job; mergeSchema only as fallback for
+        // chunks registered without a stored schema.
+        val metas = paths.flatMap(catalog.state.chunks.get)
+        graft.catalog.ChunkCatalog.mergedSchema(metas) match {
+          case Some(schema) if metas.size == paths.size =>
+            spark.read.schema(schema).parquet(paths: _*)
+          case _ => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        }
+      }
     df.createOrReplaceTempView("metrics")
     lastRegisteredPaths = paths
   }

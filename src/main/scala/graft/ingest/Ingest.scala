@@ -157,8 +157,14 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
       .option("compression", "zstd")
       .parquet(batchDir.toString)
 
-    // File sizes exist only after the write — patch them into the metas.
-    val sized = metas.map(m => m.copy(sizeBytes = ChunkStats.dirSize(Paths.get(m.path))))
+    // File sizes exist only after the write — patch them into the metas, along
+    // with the file schema (partition columns live in dir names, not files) so
+    // later reads can skip parquet-footer schema inference.
+    val fileSchema = org.apache.spark.sql.types.StructType(
+      stamped.schema.fields.filterNot(f => partCols.contains(f.name)))
+    val ddl = fileSchema.toDDL
+    val sized = metas.map(m => m.copy(
+      sizeBytes = ChunkStats.dirSize(Paths.get(m.path)), schemaDdl = Some(ddl)))
     catalog.registerAll(sized)
     sized
   }

@@ -70,4 +70,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(ChunkCatalog.hourBucket(hourNs - 1) == 0L)
     assert(ChunkCatalog.hourBucket(hourNs) == 1L)
   }
+
+  test("schema DDL roundtrips through the catalog; mergedSchema unions and bails on conflict") {
+    val cat = freshCatalog()
+    val ddlA = "ts BIGINT,metric_name STRING,host STRING"
+    val ddlB = "ts BIGINT,metric_name STRING,region STRING"
+    cat.register(ChunkMeta("a", 0, 1, 1, 1, schemaDdl = Some(ddlA)))
+    cat.register(ChunkMeta("b", 0, 1, 1, 1, schemaDdl = Some(ddlB)))
+    cat.invalidateCache()
+    val st = cat.state
+    assert(st.chunks("a").schemaDdl.contains(ddlA))
+    // union keeps first-seen order, adds new columns, all nullable
+    val merged = ChunkCatalog.mergedSchema(Seq(st.chunks("a"), st.chunks("b"))).get
+    assert(merged.fieldNames.toSeq == Seq("ts", "metric_name", "host", "region"))
+    assert(merged.fields.forall(_.nullable))
+    // a chunk without stored schema → None (caller must footer-infer)
+    assert(ChunkCatalog.mergedSchema(Seq(st.chunks("a"), ChunkMeta("c", 0, 1, 1, 1))).isEmpty)
+    // type conflict → None, never a silent wrong schema
+    val conflict = ChunkMeta("d", 0, 1, 1, 1, schemaDdl = Some("ts STRING"))
+    assert(ChunkCatalog.mergedSchema(Seq(st.chunks("a"), conflict)).isEmpty)
+  }
 }
