@@ -116,6 +116,22 @@ final class Compactor(
       finally pool.shutdown()
     }
 
+  /** Compaction backpressure signal for ingesters (reference
+    * Compactor::backpressure, src/compactor/mod.rs:203-221): threshold = 3× the
+    * L0 merge threshold; recommended delay 50 ms beyond it, 100 ms beyond 2×.
+    * On a cluster the ingest job polls this between micro-batches and sleeps
+    * the recommended delay, exactly like the reference's ingesters.
+    */
+  def backpressure(): Compactor.CompactionBackpressure = {
+    val l0Pending = catalog.allChunks.count(_.level == 0).toLong
+    val threshold = 3L * l0FileThreshold
+    val delayMs =
+      if (l0Pending > threshold * 2) 100L
+      else if (l0Pending > threshold) 50L
+      else 0L
+    Compactor.CompactionBackpressure(l0Pending, l0Pending > threshold, delayMs)
+  }
+
   /** Retention: schedule deletion of chunks wholly older than cutoff
     * (reference 90 d default with 30 s clock-skew margin, mod.rs:921-947).
     */
@@ -131,6 +147,10 @@ final class Compactor(
 }
 
 object Compactor {
+
+  final case class CompactionBackpressure(
+      l0PendingFiles: Long, isBehind: Boolean, recommendedDelayMs: Long)
+
   /** L0 250 MB, L1 2 GB, L2 10 GB, L3+ 50 GB (reference mod.rs:84-97,991-998). */
   def defaultLevelTargets(level: Int): Long = level match {
     case 0 => 250L << 20

@@ -26,7 +26,45 @@ import graft.schema.MetricSchema
   * path is a straight partitioned Parquet scan that Catalyst parallelizes — no
   * collect() anywhere on the data path.
   */
-final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
+final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
+                        val limits: QueryEngine.QueryLimits = QueryEngine.QueryLimits()) {
+
+  /** Fair semaphore = the reference's 100-permit query gate
+    * (src/query/mod.rs:50-60); excess queries queue FIFO.
+    */
+  private val querySlots = new java.util.concurrent.Semaphore(limits.maxConcurrent, true)
+
+  /** Run `action` on a query's DataFrame under the engine's concurrency cap and
+    * statement timeout (reference QueryNode: 100 concurrent / 300 s). All Spark
+    * jobs launched by the action are tagged with a per-query job group and
+    * cancelled when the timeout fires; the caller sees QueryTimeoutException.
+    */
+  def execute[T](query: String,
+                 nowNs: Long = System.currentTimeMillis() * 1000000L)
+                (action: DataFrame => T): T = {
+    querySlots.acquire()
+    val sc = spark.sparkContext
+    val tag = s"graft-q-${java.util.UUID.randomUUID()}"
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = QueryEngine.watchdog.schedule(new Runnable {
+      // AndFutureJobs: a timeout firing while the query is still in Catalyst
+      // planning must also kill the jobs it submits AFTERWARDS — plain
+      // cancelJobGroup only reaches jobs already running.
+      override def run(): Unit = { timedOut.set(true); sc.cancelJobGroupAndFutureJobs(tag) }
+    }, limits.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try {
+      sc.setJobGroup(tag, s"graft query: ${query.replaceAll("\\s+", " ").take(120)}",
+        interruptOnCancel = true)
+      try action(sql(query, nowNs))
+      catch {
+        case e: Throwable if timedOut.get() =>
+          throw new QueryEngine.QueryTimeoutException(limits.timeoutMs, e)
+      } finally sc.clearJobGroup()
+    } finally {
+      watchdog.cancel(false)
+      querySlots.release()
+    }
+  }
 
   @volatile private var lastRegisteredPaths: Seq[String] = null
   /** Paths selected by the most recent sql() — observability for tests/telemetry. */
@@ -188,4 +226,23 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog) {
     }
     filtered.select(cols.map(col): _*).distinct()
   }
+}
+
+object QueryEngine {
+
+  /** Reference QueryNode defaults: 100 concurrent queries, 300 s statement
+    * timeout (src/query/mod.rs:50-60).
+    */
+  final case class QueryLimits(maxConcurrent: Int = 100, timeoutMs: Long = 300000L)
+
+  final class QueryTimeoutException(timeoutMs: Long, cause: Throwable)
+    extends RuntimeException(s"query exceeded ${timeoutMs} ms timeout and was cancelled", cause)
+
+  /** Shared daemon scheduler firing query-timeout cancellations. */
+  private val watchdog: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-watchdog")
+      t.setDaemon(true)
+      t
+    })
 }
