@@ -467,6 +467,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // LLM ops — benchmark decontamination: distinct 3-grams shared with the
+    // probe set (doc_id % 50 == 0), broadcast map-side join.
+    "q_doc_contamination" -> ((s, dir) =>
+      graft.dedup.Dedup.contamination(
+          t(s, dir, "documents"), col("doc_id") % 50 === 0, k = 3)
+        .orderBy("doc_id")),
+
+    // LLM ops — intra-doc repetition (C4/Gopher-style quality signal).
+    "q_doc_repetition" -> ((s, dir) =>
+      graft.text.TextFunctions.repetitionStats(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // LLM ops — corpus vocabulary top-k (tokenizer-training precursor scan).
+    "q_doc_vocab_topk" -> ((s, dir) =>
+      graft.text.TextFunctions.vocabTopK(t(s, dir, "documents"), 20)),
+
     // LLM ops — MinHash+LSH near-dup candidates with exact Jaccard verify.
     // No SQL oracle (LSH recall is probabilistic) → driver rows-only check;
     // exactness is covered by DedupSpec unit tests.
@@ -767,6 +783,36 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_doc_contamination" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+        |  END AS grams
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |       FROM documents)),
+        |probe AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS shared_grams
+        |FROM corpus c JOIN probe p USING (gram)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_doc_repetition" ->
+      """SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS total_tokens,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+        | floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+        |   * 1000000 + 0.5) / 1000000 AS rep_ratio
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        | FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "q_doc_ngram_jaccard" ->
       """WITH sh AS (

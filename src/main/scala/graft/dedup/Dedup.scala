@@ -119,6 +119,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark-decontamination check: for every corpus document (NOT matching
+    * `probeFilter`), count the distinct word k-grams it shares with ANY probe
+    * document (the benchmark set). shared_grams > 0 ⇒ the doc leaks benchmark
+    * text and should be dropped from training data — the standard n-gram
+    * decontamination step of LLM data pipelines.
+    *
+    * Scale shape: probe sets (benchmark suites) are tiny next to a 100 TB
+    * corpus, so the distinct probe-gram set is BROADCAST and the check is a
+    * map-side join inside the corpus scan — no corpus shuffle except the final
+    * per-doc aggregation. Set `broadcastProbes = false` for a giant probe set
+    * (falls back to a shuffle join AQE can re-plan).
+    */
+  def contamination(docs: DataFrame, probeFilter: Column, k: Int = 5,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    broadcastProbes: Boolean = true): DataFrame = {
+    val g = docs.select(col(idCol), probeFilter.as("__probe"),
+      shingles(col(textCol), k).as("__g"))
+    val probes0 = g.filter(col("__probe")).select(explode(col("__g")).as("gram")).distinct()
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    g.filter(!col("__probe"))
+      .select(col(idCol), explode(col("__g")).as("gram"))
+      .join(probes, "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct("gram").as("shared_grams"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: bit b of the signature is 1 iff

@@ -11,7 +11,13 @@ final case class ParsedPromQL(
     aggregation: Option[String],
     groupBy: Seq[String],
     rangeSeconds: Option[Long],
-    function: Option[String])
+    function: Option[String],
+    /** EXTENSION: the k / q of two-arg topk/bottomk/quantile. The reference's
+      * regex parser has no two-arg form (prometheus_api.rs:744-826 would fold
+      * `topk(5, m)` into a garbage metric name); we parse it properly and apply
+      * a real LIMIT k / percentile.
+      */
+    param: Option[Double] = None)
 
 /** One `label op "value"` matcher; op ∈ {=, !=, =~, !~}. */
 final case class LabelMatcher(label: String, op: String, value: String)
@@ -37,6 +43,12 @@ object PromQL {
 
   private val aggRe: Regex =
     """^\s*(sum|avg|count|min|max|stddev|stdvar|topk|bottomk)\s*(?:by\s*\(([^)]*)\)\s*)?\((.+)\)\s*$""".r
+  // EXTENSION: two-arg topk/bottomk/quantile — must match before aggRe, whose
+  // greedy inner group would swallow "5, expr" whole.
+  private val paramAggRe: Regex =
+    """^\s*(topk|bottomk|quantile)\s*(?:by\s*\(([^)]*)\)\s*)?\(\s*([0-9]+(?:\.[0-9]+)?)\s*,\s*(.+)\)\s*$""".r
+  private val paramAggByAfterRe: Regex =
+    """^\s*(topk|bottomk|quantile)\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*,\s*(.+)\)\s*by\s*\(([^)]*)\)\s*$""".r
   private val aggByAfterRe: Regex =
     """^\s*(sum|avg|count|min|max|stddev|stdvar|topk|bottomk)\s*\((.+)\)\s*by\s*\(([^)]*)\)\s*$""".r
   private val rangeFnRe: Regex =
@@ -51,6 +63,18 @@ object PromQL {
     * whole string is the metric name.
     */
   def parse(q: String): ParsedPromQL = q match {
+    case paramAggByAfterRe(agg, num, inner, by) =>
+      parse(inner).copy(
+        aggregation = Some(agg),
+        groupBy = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        param = Some(num.toDouble))
+    case paramAggRe(agg, by, num, inner) =>
+      val innerParsed = parse(inner)
+      innerParsed.copy(
+        aggregation = Some(agg),
+        groupBy = Option(by).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil),
+        param = Some(num.toDouble))
     case aggRe(agg, by, inner) =>
       val innerParsed = parse(inner)
       innerParsed.copy(
@@ -165,6 +189,21 @@ object PromQL {
     val p = parse(q)
     val timeCond = timeNs.map(t => s"timestamp_ns <= $t").toSeq
     p.aggregation match {
+      // EXTENSION: two-arg topk/bottomk get a real k-limit (per-series MAX,
+      // ordered, LIMIT k); two-arg quantile becomes an exact PERCENTILE.
+      case Some(agg @ ("topk" | "bottomk")) if p.param.isDefined =>
+        val k = p.param.get.toLong max 0L
+        val dir = if (agg == "topk") "DESC" else "ASC"
+        val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
+        s"""SELECT $groupCols, MAX($ValueExpr) AS value, MAX(timestamp_ns) AS timestamp_ns
+           |FROM metrics WHERE ${whereClause(p, timeCond)}
+           |GROUP BY $groupCols ORDER BY value $dir LIMIT $k""".stripMargin.replace("\n", " ")
+      case Some("quantile") if p.param.isDefined =>
+        val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
+        s"""SELECT $groupCols, PERCENTILE($ValueExpr, ${p.param.get}) AS value,
+           |MAX(timestamp_ns) AS timestamp_ns
+           |FROM metrics WHERE ${whereClause(p, timeCond)}
+           |GROUP BY $groupCols ORDER BY value DESC""".stripMargin.replace("\n", " ")
       case Some(agg) =>
         val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
         s"""SELECT $groupCols, ${aggSql(agg)} AS value, MAX(timestamp_ns) AS timestamp_ns

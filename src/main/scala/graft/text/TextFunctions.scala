@@ -99,6 +99,42 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Normalized whitespace tokens — the shared tokenization of the repetition /
+    * vocabulary operators (identical to DuckDB's
+    * `regexp_split_to_array(lower(trim(text)), '\s+')` for oracle parity).
+    */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Intra-document repetition stats: total tokens, distinct tokens, and the
+    * repeated-token ratio 1 − distinct/total — the standard C4/Gopher-style
+    * repetition quality signal. Map-side only; zero shuffle at any scale.
+    * Ratio uses floor(x·1e6+0.5)/1e6 (IEEE-deterministic across engines).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val total = size(toks).cast("long")
+    val distinctToks = size(array_distinct(toks)).cast("long")
+    val ratio = lit(1.0) - distinctToks.cast("double") / total.cast("double")
+    docs.select(
+      col(idCol),
+      total.as("total_tokens"),
+      distinctToks.as("distinct_tokens"),
+      (floor(ratio * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("rep_ratio"))
+  }
+
+  /** Corpus vocabulary top-k: token frequencies across all documents — the
+    * precursor scan of tokenizer training (BPE seed vocabulary). One explode +
+    * one hash aggregation (partial map-side combine), then a tiny global top-k:
+    * the only shuffle is the (token → count) aggregation.
+    */
+  def vocabTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** Full per-document feature extraction. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -58,6 +58,21 @@ class PromQLSpec extends AnyFunSuite {
       "`h` = 'o''brien'")
   }
 
+  test("EXTENSION: two-arg topk/bottomk/quantile parse the param and apply it") {
+    val p = PromQL.parse("""topk(5, cpu_usage{env="prod"})""")
+    assert(p.aggregation.contains("topk") && p.param.contains(5.0) &&
+      p.metricName == "cpu_usage")
+    val sql = PromQL.transpileInstant("""topk(5, cpu_usage{env="prod"})""")
+    assert(sql.contains("ORDER BY value DESC LIMIT 5"))
+    val bk = PromQL.transpileInstant("bottomk(3, mem_usage) by (host)")
+    assert(bk.contains("ORDER BY value ASC LIMIT 3") && bk.contains("GROUP BY metric_name, `host`"))
+    val q = PromQL.transpileInstant("quantile(0.95, lat)")
+    assert(q.contains("PERCENTILE(") && q.contains("0.95"))
+    // single-arg topk keeps the reference's degrade-to-no-limit quirk
+    val quirk = PromQL.transpileInstant("topk(cpu_usage)")
+    assert(!quirk.contains("LIMIT"))
+  }
+
   test("matcher → SQL: backslashes survive Spark string-literal escaping") {
     // `=~"\d+"` must reach RLIKE as \d+ — Spark literals eat single backslashes,
     // so the SQL text needs them doubled

@@ -125,6 +125,42 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low: exact=$exact approx=$approx")
   }
 
+  test("contamination: corpus docs sharing k-grams with probes are flagged, others not") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"), // probe (id % 2 == 0 in this test)
+      (1L, "lazy dog sat on the quick brown fox mat"), // shares "the quick brown"+"quick brown fox"
+      (3L, "entirely different words here today"), // clean
+      (5L, "the quick brown")) // shares exactly one 3-gram
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.contamination(
+        docs, org.apache.spark.sql.functions.col("doc_id") % 2 === 0, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 5L -> 1L)) // doc 3 absent: zero shared grams
+  }
+
+  test("repetition stats: exact counts and deterministic ratio") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b a"), (1L, "x y z")).toDF("doc_id", "text")
+    val rows = graft.text.TextFunctions.repetitionStats(docs)
+      .orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) == 5L && rows(0).getLong(2) == 2L &&
+      rows(0).getDouble(3) == 0.6)
+    assert(rows(1).getLong(1) == 3L && rows(1).getLong(2) == 3L &&
+      rows(1).getDouble(3) == 0.0)
+  }
+
+  test("vocab top-k: frequency order with alphabetical tiebreak") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq((0L, "b a b c"), (1L, "a b c a")).toDF("doc_id", "text")
+    val rows = graft.text.TextFunctions.vocabTopK(docs, 2).collect()
+    // a and b both ×3 → alphabetical tiebreak puts a first
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 3L)))
+  }
+
   test("multimodal: feature extraction preserves partitions and is deterministic") {
     import graft.multimodal._
     val media = Multimodal.documentsAsMedia(
