@@ -72,6 +72,38 @@ object LiveMerge {
     final case class Or(l: TopicFilter, r: TopicFilter) extends TopicFilter
   }
 
+  /** Streaming INGEST sink — the Structured Streaming equivalent of the
+    * reference's continuous ingester (WAL → write buffer → flush triggers,
+    * src/ingester/mod.rs:75-88,632-714): each micro-batch flushes through the
+    * SAME production path as batch ingest (sorted hour-partitioned ZSTD chunks
+    * + zone maps + atomic catalog registration via ChunkWriter.write), so a
+    * stream and a backfill produce byte-identical warehouses.
+    *
+    * Durability mapping: the reference's WAL replay-on-crash is provided by the
+    * streaming checkpoint (exactly-once per micro-batch re-execution); its
+    * flush triggers (5 min OR 1 M rows OR 100 MB) map to the stream trigger
+    * interval and micro-batch sizing options (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger on the source).
+    *
+    * Returns the StreamingQuery; caller owns lifecycle.
+    */
+  def ingestSink(metrics: DataFrame, // a STREAMING DataFrame in the metrics schema
+                 catalog: graft.catalog.ChunkCatalog,
+                 checkpointDir: String,
+                 tenant: String = "default",
+                 triggerIntervalMs: Long = 250L // reference micro-batch 250 ms
+                ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = new graft.ingest.ChunkWriter(catalog, tenant)
+    metrics.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerIntervalMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { writer.write(batch); () }
+      }
+      .start()
+  }
+
   /** EXTENSION (beyond the reference, flagged per SURVEY.md §2.9): real event-time
     * windowed aggregation with a watermark — tumbling `windowSeconds` buckets of
     * count/avg per metric, late data bounded by `lateness`.

@@ -51,6 +51,35 @@ class StreamingSpec extends AnyFunSuite {
       Set((t0 + 6000L, "cpu", 4.0)))
   }
 
+  test("ingestSink: stream flushes through the production chunk path, queryable mid-stream") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_sink_"), cacheTtlMs = 0L)
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt_").toString
+    // a one-chunk "upstream" dir acts as the stream source
+    val srcCat = new ChunkCatalog(Files.createTempDirectory("graft_sink_src_"), cacheTtlMs = 0L)
+    new ChunkWriter(srcCat).write(Converters.pointsToDf(spark, (0 until 50).map(i =>
+      MetricPoint(t0 + i * 1000000000L, "cpu", i.toDouble, Map("host" -> "a")))))
+    val schema = spark.read.parquet(srcCat.allChunks.head.path).schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
+      .parquet(srcCat.root.toString)
+
+    val q = LiveMerge.ingestSink(src, cat, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // the sink wrote REAL chunks: registered, zone-mapped, schema-carrying
+    val chunks = cat.allChunks
+    assert(chunks.nonEmpty && chunks.map(_.rowCount).sum == 50L)
+    assert(chunks.forall(_.schemaDdl.isDefined))
+    assert(chunks.map(_.minTimestampNs).min == t0)
+    // and the engine queries them like any batch-ingested warehouse
+    val eng = new graft.engine.QueryEngine(spark, cat)
+    val r = eng.sql(
+      s"""SELECT COUNT(*) AS cnt, ROUND(SUM(value_f64), 2) AS s FROM metrics
+         |WHERE timestamp_ns >= $t0 AND timestamp_ns <= ${t0 + 49L * 1000000000L}
+         |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 50L && r.getDouble(1) == 1225.0)
+  }
+
   test("topic filters compose (reference topic_broadcast truth table)") {
     import LiveMerge.TopicFilter._
     import spark.implicits._
