@@ -94,27 +94,68 @@ final class Compactor(
     meta
   }
 
-  /** One compaction sweep: all ripe L0 groups, then each populated level. Groups
-    * are independent → compacted CONCURRENTLY (the reference runs ≤4 concurrent
-    * compactions, mod.rs:174; on a cluster each group is its own parallel job).
+  /** Compact MANY candidate groups in ONE Spark job pair (union scan tagged by
+    * group → hash-repartition on the group id → partitionBy write, then one
+    * grouped stats agg) + a single atomic catalog swap.
+    *
+    * Why: per-group jobs make a sweep O(#groups) in driver job-scheduling — at
+    * 100 TB a backlogged L0 can hold hundreds of ripe hour-groups, and the
+    * per-job overhead (not the I/O) becomes the bottleneck. Batched, the sweep
+    * is 2 jobs regardless of group count; every group's rows hash to one
+    * reducer, so each group still becomes exactly one sorted chunk file, same
+    * as compactGroup. Failure granularity is the sweep, not the group — the
+    * catalog swap is all-or-nothing either way.
     */
-  def runOnce(maxLevels: Int = 3, concurrency: Int = 4): Seq[ChunkMeta] = {
-    val l0 = parMap(l0Candidates(), concurrency)(compactGroup)
-    val leveled = (1 to maxLevels).flatMap(l =>
-      parMap(leveledCandidates(l), concurrency)(compactGroup))
-    l0 ++ leveled
+  def compactGroups(groups: Seq[Seq[ChunkMeta]]): Seq[ChunkMeta] = {
+    if (groups.isEmpty) return Nil
+    if (groups.size == 1) return Seq(compactGroup(groups.head))
+    import org.apache.spark.sql.functions.{col, lit}
+    val batchDir = catalog.root.resolve(
+      s"default/data/compacted/sweep=${UUID.randomUUID()}")
+    val tagged = groups.zipWithIndex.map { case (g, i) =>
+      val df = ChunkCatalog.mergedSchema(g) match {
+        case Some(schema) => spark.read.schema(schema).parquet(g.map(_.path): _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(g.map(_.path): _*)
+      }
+      df.withColumn("__grp", lit(i))
+    }
+    val union = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    union
+      .repartition(col("__grp"))
+      .sortWithinPartitions(col("__grp"), col("timestamp_ns"))
+      .write
+      .partitionBy("__grp")
+      .option("compression", "zstd")
+      .parquet(batchDir.toString)
+    // one grouped agg over the same union → one zone-map row per group
+    val statsMetas = ChunkStats.computePartitionedFromDf(union, batchDir.toString, Seq("__grp"))
+      .map(m => m.path -> m).toMap
+    val newMetas = groups.zipWithIndex.map { case (g, i) =>
+      val path = s"$batchDir/__grp=$i"
+      val m = statsMetas.getOrElse(path,
+        throw new IllegalStateException(s"missing sweep stats for group $i"))
+      m.copy(
+        level = g.map(_.level).max + 1,
+        sizeBytes = ChunkStats.dirSize(java.nio.file.Paths.get(path)),
+        schemaDdl = Some(org.apache.spark.sql.types.StructType(
+          union.schema.fields.filterNot(_.name == "__grp")).toDDL))
+    }
+    val oldPaths = groups.flatten.map(_.path)
+    catalog.replaceChunks(oldPaths, newMetas)
+    catalog.deferDelete(oldPaths, System.currentTimeMillis())
+    newMetas
   }
 
-  private def parMap[A, B](xs: Seq[A], par: Int)(f: A => B): Seq[B] =
-    if (xs.size <= 1 || par <= 1) xs.map(f)
-    else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.size))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
-      finally pool.shutdown()
-    }
+  /** One compaction sweep: all ripe L0 groups, then each populated level. Each
+    * level's groups compact as ONE batched job pair (see compactGroups) — the
+    * reference instead caps at 4 concurrent per-group merges (mod.rs:174); the
+    * batched sweep subsumes that concurrency inside a single Spark job.
+    */
+  def runOnce(maxLevels: Int = 3, concurrency: Int = 4): Seq[ChunkMeta] = {
+    val l0 = compactGroups(l0Candidates())
+    val leveled = (1 to maxLevels).flatMap(l => compactGroups(leveledCandidates(l)))
+    l0 ++ leveled
+  }
 
   /** Compaction backpressure signal for ingesters (reference
     * Compactor::backpressure, src/compactor/mod.rs:203-221): threshold = 3× the

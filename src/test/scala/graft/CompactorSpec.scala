@@ -57,6 +57,42 @@ class CompactorSpec extends AnyFunSuite {
     assert(ts.sorted.toSeq == ts.toSeq)
   }
 
+  test("compactGroups: many groups in one sweep — one sorted chunk each, atomic swap") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_cmp4_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    // 3 hours × 2 interleaved L0 writes per hour
+    val mk = (hour: Int, offset: Long) => (0 until 10).map(i =>
+      MetricPoint(t0 + hour * hourNs + i * 60L * 1000000000L + offset,
+        "cpu", i.toDouble, Map("h" -> "x")))
+    (0 until 3).foreach { h =>
+      writer.write(Converters.pointsToDf(spark, mk(h, 0)))
+      writer.write(Converters.pointsToDf(spark, mk(h, 1000)))
+    }
+    assert(cat.allChunks.size == 6)
+    val comp = new Compactor(spark, cat, l0FileThreshold = 2)
+    // the batched L0 sweep directly (runOnce would additionally cascade the
+    // three fresh tiny L1 chunks into an L2 group — separate, existing behavior)
+    val merged = comp.compactGroups(comp.l0Candidates())
+    assert(merged.size == 3)
+    assert(merged.forall(_.level == 1))
+    assert(merged.forall(_.rowCount == 20))
+    assert(merged.forall(_.schemaDdl.isDefined))
+    cat.invalidateCache()
+    assert(cat.allChunks.size == 3)
+    assert(cat.state.pendingDeletes.size == 6)
+    // each group: one sorted file set carrying exactly its hour's rows
+    merged.sortBy(_.minTimestampNs).zipWithIndex.foreach { case (m, h) =>
+      val df = spark.read.parquet(m.path)
+      assert(df.count() == 20)
+      assert(!df.columns.contains("__grp"))
+      val ts = df.select("timestamp_ns").collect().map(_.getLong(0))
+      assert(ts.sorted.toSeq == ts.toSeq)
+      assert(m.minTimestampNs == t0 + h * hourNs)
+      // zone maps survived the sweep (stats per group, not global)
+      assert(m.columnStats("timestamp_ns").minLong.contains(t0 + h * hourNs))
+    }
+  }
+
   test("retention removes wholly-expired chunks with skew margin") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_cmp4_"), cacheTtlMs = 0L)
     cat.registerAll(Seq(
