@@ -331,6 +331,18 @@ object SparkEntry {
            |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
     }),
 
+    // §3.1 scan-layer pruning via the custom ZoneMapFileIndex: the DataFrame's
+    // own filters prune chunk files at PLANNING time (no engine pre-prune).
+    "q_engine_fileindex" -> ((s, dir) => {
+      val eng = engineWithData(s, dir, maxTsExclusiveNs = Jan3Ns)
+      graft.plans.ZoneMapFileIndex.table(s, eng.catalog)
+        .filter(col("timestamp_ns") >= Jan1Ns && col("timestamp_ns") < Jan2Ns &&
+          col("host") === "h3")
+        .groupBy("metric_name")
+        .agg(count(lit(1)).as("cnt"), round(max("value_f64"), 6).as("max_v"))
+        .orderBy("metric_name")
+    }),
+
     // §2.10 compaction: merge the 2-files-per-hour L0 state into single chunks,
     // then query through the engine — data must be byte-identical to pre-compaction.
     "q_compact_merge" -> ((s, dir) => {
@@ -741,6 +753,13 @@ object SparkEntry {
       """SELECT event_type AS metric_name, count(*) AS cnt, round(max(value), 6) AS max_v
         |FROM events
         |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704153600000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_engine_fileindex" ->
+      """SELECT event_type AS metric_name, count(*) AS cnt, round(max(value), 6) AS max_v
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704153600000000000
+        | AND 'h' || CAST(user_id % 10 AS VARCHAR) = 'h3'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_compact_merge" ->
