@@ -68,24 +68,65 @@ object Multimodal {
       (col("n_chars") * 10).as("duration_ms"),
       lit(16000).as("sample_rate"))
 
-  /** Per-partition feature extraction: the distributed skeleton a real decoder plugs
-    * into. Partition count is preserved; each task handles an iterator batch.
+  /** Per-partition feature extraction: the distributed skeleton a real decoder
+    * plugs into. Partition count is preserved. Records are processed in
+    * `batchSize` groups — the explicit batch shape a vectorized decoder (or an
+    * accelerator round-trip) needs, same contract as pandas-UDF Arrow batches:
+    * a real impl decodes the whole group in one call instead of per-row.
     */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeature] = {
+  def extractFeatures(media: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        val feat = m.modality match {
-          case "image" => stubDecodeImage(m.payload, m.width, m.height)
-          case "audio" => stubAudioFeatures(m.payload, m.sample_rate)
-          case _ => stubFrameSample(m.payload, m.duration_ms, 4).flatten.toArray
+      it.grouped(batchSize).flatMap { batch =>
+        // ---- a real decoder processes `batch` as ONE vectorized call ----
+        batch.map { m =>
+          val feat = m.modality match {
+            case "image" => stubDecodeImage(m.payload, m.width, m.height)
+            case "audio" => stubAudioFeatures(m.payload, m.sample_rate)
+            case _ => stubFrameSample(m.payload, m.duration_ms, 4).flatten.toArray
+          }
+          var crc = 0L
+          var i = 0
+          while (i < m.payload.length) { crc = crc * 31 + m.payload(i); i += 1 }
+          MediaFeature(m.media_id, m.modality, m.payload.length.toLong, crc, feat)
         }
-        var crc = 0L
-        var i = 0
-        while (i < m.payload.length) { crc = crc * 31 + m.payload(i); i += 1 }
-        MediaFeature(m.media_id, m.modality, m.payload.length.toLong, crc, feat)
       }
     }
+  }
+
+  /** ---- STUB decode, REAL plumbing ---- Resize pass: payload → payload with
+    * updated dimension metadata, batched like extractFeatures. A real impl
+    * re-encodes pixels; the stub truncates/pads the byte budget
+    * deterministically (w·h/8 bytes) so sizes behave like a real downscale.
+    */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int,
+                   batchSize: Int = 64): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          if (m.modality != "image") m
+          else {
+            val budget = math.max(1, w * h / 8)
+            val resized =
+              if (m.payload.length >= budget) m.payload.take(budget)
+              else m.payload ++ Array.fill[Byte](budget - m.payload.length)(0)
+            m.copy(payload = resized, width = w, height = h)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL logic (no codec needed): uniform frame-sample timestamps for a video
+    * of `durationMs` — the schedule a real frame extractor seeks to. n points
+    * at the centers of n equal sub-intervals (never 0 or durationMs exactly,
+    * avoiding first/last-frame edge effects).
+    */
+  def frameTimestampsMs(durationMs: Long, n: Int): Seq[Long] = {
+    require(n > 0, "need at least one frame")
+    (0 until n).map(i => durationMs * (2 * i + 1) / (2 * n))
   }
 
   /** Metadata-only stats over a media table — pure column ops (no decode), the query

@@ -173,5 +173,26 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(feats(0).n_bytes == 11L)
     val again = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+    // batch shape: sub-batch-size batches behave identically to default
+    val small = Multimodal.extractFeatures(ds, batchSize = 1).collect().sortBy(_.media_id)
+    assert(small.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
+  }
+
+  test("multimodal: resize updates dims/byte budget for images only; frame schedule real") {
+    import graft.multimodal._
+    val media = Multimodal.documentsAsMedia(
+      Seq((0L, "x" * 600, "en", "web", 600L), (1L, "short audio", "en", "web", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val ds = media.as[MediaRecord](org.apache.spark.sql.Encoders.product[MediaRecord])
+    val resized = Multimodal.resizeImages(ds, 32, 32).collect().sortBy(_.media_id)
+    val img = resized(0); val aud = resized(1)
+    assert(img.modality == "image" && img.width == 32 && img.height == 32 &&
+      img.payload.length == 32 * 32 / 8)
+    assert(aud.modality == "audio" && aud.payload.length == 11) // untouched
+    // uniform frame sampling: centers of equal sub-intervals, strictly inside
+    assert(Multimodal.frameTimestampsMs(1000L, 4) == Seq(125L, 375L, 625L, 875L))
+    assert(Multimodal.frameTimestampsMs(1000L, 1) == Seq(500L))
+    val ts = Multimodal.frameTimestampsMs(9973L, 7)
+    assert(ts.head > 0 && ts.last < 9973L && ts == ts.sorted)
   }
 }
