@@ -70,6 +70,19 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // §2.5 skew-safe two-phase aggregation (salt on the hot key, partial on
+    // (key, salt), merge partials). l_quantity is integral → sums are exact
+    // doubles, identical to the oracle's unsalted GROUP BY.
+    "q_agg_salted" -> ((s, dir) =>
+      graft.operators.Operators.saltedAggregate(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), saltBuckets = 16,
+          partial = Seq("sum_qty" -> sum("l_quantity"), "cnt" -> count(lit(1)),
+            "min_qty" -> min("l_quantity"), "max_qty" -> max("l_quantity")),
+          finalAgg = Seq("sum_qty" -> (sum(_)), "cnt" -> (sum(_)),
+            "min_qty" -> (min(_)), "max_qty" -> (max(_))))
+        .withColumn("sum_qty", round(col("sum_qty"), 4))
+        .orderBy("l_returnflag")),
+
     // §2.3 projection + filter (pushed to the Parquet scan by Catalyst, same as
     // DataFusion pushdown at engine.rs:283).
     "q_filter_project" -> ((s, dir) => {
@@ -754,6 +767,12 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704153600000000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_engine_fileindex" ->
       """SELECT event_type AS metric_name, count(*) AS cnt, round(max(value), 6) AS max_v
