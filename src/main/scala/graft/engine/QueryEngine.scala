@@ -214,11 +214,11 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   }
 
   /** `/api/v1/series`: DISTINCT over (metric_name + every label column), optionally
-    * matcher-filtered (reference prometheus_api.rs:503-649).
+    * matcher-filtered (reference prometheus_api.rs:503-649). Served over the
+    * ZoneMapFileIndex table so equality matchers prune chunks at scan planning.
     */
   def series(matchers: Seq[graft.promql.LabelMatcher] = Nil): DataFrame = {
-    register(catalog.allChunks.map(_.path))
-    val base = spark.table("metrics")
+    val base = graft.plans.ZoneMapFileIndex.table(spark, catalog)
     val cols = MetricSchema.MetricNameCol +:
       base.schema.fieldNames.toSeq.filterNot(MetricSchema.internalColumns.contains)
     val filtered = matchers.foldLeft(base) { (df, m) =>
