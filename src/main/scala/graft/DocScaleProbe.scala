@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the LLM-pipeline operators: synthesizes a corpus with
+  * PLANTED exact and near duplicates, then runs exact dedup, MinHash+LSH
+  * near-dup, contamination, repetition and vocab top-k at millions-of-docs
+  * scale. Verifies the planted structure is actually recovered (not just that
+  * the jobs finish) and prints per-op throughput.
+  *
+  * Corpus shape (deterministic, xxhash64-derived):
+  *  - base doc: 80 words drawn from a 1000-word vocab keyed on (base_id, pos);
+  *  - id % 40 == 1  → EXACT copy of id-1 (id-1 is its own base);
+  *  - id % 40 == 21 → NEAR dup of id-21 (also its own base): same words except
+  *    the last replaced → ~77/81 shingles shared, Jaccard ≈ 0.93;
+  *  - else unique text.
+  */
+object DocScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(f"[docs] $name: ${(System.nanoTime() - t) / 1e9}%.2f s"); r
+    }
+
+    val docs = spark.range(0L, nDocs, 1L, 64)
+      .withColumn("base_id",
+        when(col("id") % 40 === 1, col("id") - 1)
+          .when(col("id") % 40 === 21, col("id") - 21)
+          .otherwise(col("id")))
+      .withColumn("words", expr(
+        "transform(sequence(1, 80), p -> concat('w', pmod(xxhash64(base_id, p), 1000)))"))
+      .withColumn("text",
+        when(col("id") % 40 === 21,
+          concat(array_join(slice(col("words"), 1, 79), " "), lit(" zmut")))
+          .otherwise(array_join(col("words"), " ")))
+      .select(col("id").as("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = time("generate corpus")(docs.count())
+    println(s"[docs] corpus: $n docs, ~80 words each")
+
+    val plantedExact = n / 40
+    val kept = time("exact dedup")(graft.dedup.Dedup.exact(docs).count())
+    println(s"[docs] exact dedup: kept $kept of $n " +
+      s"(expected ${n - plantedExact}; planted $plantedExact exact dups) " +
+      (if (kept == n - plantedExact) "OK" else "MISMATCH"))
+
+    val nearPairs = time("minhash near-dup")(
+      graft.dedup.Dedup.minhashNearDupPairs(docs, threshold = 0.8,
+        numHashes = 32, bands = 16).count())
+    // each 40-block plants a TRIPLE {base, exact copy, near dup} → 3 pairs
+    // with jaccard ≥ 0.8 per block
+    println(s"[docs] minhash pairs at j>=0.8: $nearPairs " +
+      s"(planted ${3 * (n / 40)}; recall " +
+      f"${nearPairs.toDouble / (3 * (n / 40))}%.3f)")
+
+    val contaminated = time("contamination")(
+      graft.dedup.Dedup.contamination(docs, col("doc_id") % 1000 === 0, k = 5).count())
+    println(s"[docs] contaminated corpus docs (share 5-grams with probe set): $contaminated")
+
+    time("repetition stats")(graft.text.TextFunctions.repetitionStats(docs).count())
+    val top = time("vocab top-k")(
+      graft.text.TextFunctions.vocabTopK(docs, 10).collect())
+    println(s"[docs] top token: ${top.head.getString(0)} ×${top.head.getLong(1)}")
+
+    val simPairs = time("simhash near-dup")(
+      graft.dedup.Dedup.simhashNearDupPairs(docs, maxHamming = 3).count())
+    println(s"[docs] simhash pairs at hamming<=3: $simPairs")
+    spark.stop()
+  }
+}
