@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for similarity search: 1 M clustered 64-dim vectors, exact
+  * brute-force ground truth for a query panel, then IVF and LSH ANN recall@10
+  * + throughput. Clusters make ANN meaningful (uniform random vectors have no
+  * neighbors to find).
+  */
+object VecScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val dim = 64
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(f"[vecs] $name: ${(System.nanoTime() - t) / 1e9}%.2f s"); r
+    }
+
+    // 200 clusters; component = cluster center ± 5% deterministic noise
+    val corpus = spark.range(0L, nVecs, 1L, 64)
+      .withColumn("cluster", col("id") % 200)
+      .withColumn("embedding", expr(
+        s"""transform(sequence(1, $dim), j -> cast(
+           |  (pmod(xxhash64(cluster, j), 2000) / 1000.0 - 1.0)
+           |  + (pmod(xxhash64(id, j), 100) / 1000.0 - 0.05) as float))""".stripMargin))
+      .select(col("id").as("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("generate corpus")(corpus.count())
+    println(s"[vecs] corpus: $nVecs vectors, dim $dim, 200 clusters")
+
+    val queries = corpus.filter(col("vec_id") % (nVecs / 16) === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nq = queries.count()
+    println(s"[vecs] query panel: $nq vectors")
+
+    val k = 10
+    // materialize INSIDE the timed region — these plans are lazy
+    val truth = time("brute force (exact)") {
+      val t = graft.sim.Similarity.bruteForceTopK(corpus, queries, k)
+        .select("query_id", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      t.count(); t
+    }
+
+    def recall(name: String, ann: org.apache.spark.sql.DataFrame): Unit = {
+      val hits = ann.select("query_id", "vec_id").join(truth, Seq("query_id", "vec_id")).count()
+      println(f"[vecs] $name recall@$k: ${hits.toDouble / (nq * k)}%.3f ($hits/${nq * k})")
+    }
+
+    val ivf = time("IVF ANN (256 cells, probe 16)") {
+      val d = graft.sim.Similarity.ivfTopK(corpus, queries, k, nCentroids = 256, nProbe = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      d.count(); d
+    }
+    recall("IVF", ivf)
+
+    val lsh = time("LSH ANN (12 planes x 6 tables)") {
+      val d = graft.sim.Similarity.lshTopK(corpus, queries, k, numPlanes = 12, tables = 6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      d.count(); d
+    }
+    recall("LSH", lsh)
+    spark.stop()
+  }
+}

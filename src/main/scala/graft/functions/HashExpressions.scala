@@ -203,6 +203,60 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Index of the max-cosine centroid for a vector — the IVF cell-assignment
+    * hot loop as ONE imperative pass (nCentroids × dim multiply-adds per row).
+    * The compositional alternative (crossJoin with the centroid table + a
+    * per-vector window argmax) shuffles |corpus|·nCentroids rows; this is a
+    * pure map inside the scan stage. Centroids ship inside the expression
+    * (tiny: nCentroids·dim doubles — the same data a broadcast would carry).
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid needs array<float|double>, got $other")
+      }
+    @transient private lazy val cNorms: Array[Double] =
+      centroids.map(c => math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x)))
+    @transient private lazy val isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val v = new Array[Double](n)
+      var nv = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        v(i) = x; nv += x * x; i += 1
+      }
+      val vn = math.sqrt(nv)
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        val m = math.min(n, cv.length)
+        var dot = 0.0
+        var j = 0
+        while (j < m) { dot += v(j) * cv(j); j += 1 }
+        val denom = vn * cNorms(c)
+        val sim = if (denom == 0) 0.0 else dot / denom
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+  }
+
   // ---- Column wrappers -----------------------------------------------------
 
   private def ex(c: Column): Expression = GraftBridge.expression(c)
@@ -216,4 +270,6 @@ object HashExpressions {
     GraftBridge.column(HyperplaneSig(ex(vec), numPlanes, seed))
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(ex(a), ex(b)))
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(NearestCentroid(ex(vec), centroids))
 }

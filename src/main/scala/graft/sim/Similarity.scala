@@ -108,13 +108,15 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
-    // deterministic centroid sample: rank by id, take every (n/nCentroids)-th
-    val ranked = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
-    val total = ranked.count()
+    // deterministic centroid sample WITHOUT a global window (a partition-less
+    // row_number() would serialize the whole corpus through one task): hash
+    // every ~stride-th id, cap at nCentroids with a distributed TakeOrdered.
+    val total = corpus.count()
     val stride = math.max(1L, total / nCentroids)
-    val centroids = ranked.filter(col("__rn") % stride === 1).limit(nCentroids)
-      .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
+    val centroids = corpus.select(col(idCol), col(vecCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
 
     def nearestCells(df: DataFrame, vec: String, keep: Int): DataFrame = {
       val ww = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("__cid"))
@@ -125,7 +127,20 @@ object Similarity {
         .drop("__csim", "__cvec", "__crank")
     }
 
-    val assigned = nearestCells(corpus.select(col(idCol), col(vecCol)), vecCol, 1)
+    // Corpus assignment is the hot side (|corpus| rows): a single imperative
+    // nearest_centroid pass inside the scan — the crossJoin+window form would
+    // shuffle |corpus|·nCentroids rows. Queries (tiny) keep the join form for
+    // the top-nProbe cells.
+    val cents = centroids.collect()
+    val cvecs: Array[Array[Double]] = cents.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => other.toString.toDouble
+    }.toArray)
+    val cidArr: Seq[Long] = cents.map(_.getLong(0)).toSeq
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__cid", element_at(typedLit(cidArr),
+        graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs) + 1))
     val probed = nearestCells(queries.select(col(queryIdCol), col(queryVecCol)), queryVecCol, nProbe)
     val rerank = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
     assigned.join(broadcast(probed), "__cid")
