@@ -93,6 +93,17 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Query-pack shape `recent_error_like_signals` (reference
+    // scripts/telemetry/query-pack/live.sql): LIKE filter + newest-first
+    // LIMIT. Tiebreak on event_id for a deterministic total order.
+    "q_like_recent" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type").like("%ick%"))
+        .select(col("event_id"), col("event_type"),
+          expr("(ts div 1000) * 1000").as("ts_ns"), col("value"))
+        .orderBy(col("ts_ns").desc, col("event_id"))
+        .limit(200)),
+
     // §2.5 SELECT DISTINCT (prometheus_api.rs:369-371).
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
@@ -775,6 +786,11 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704153600000000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_like_recent" ->
+      """SELECT event_id, event_type, epoch_ns(ts) AS ts_ns, value
+        |FROM events WHERE event_type LIKE '%ick%'
+        |ORDER BY ts_ns DESC, event_id LIMIT 200""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
