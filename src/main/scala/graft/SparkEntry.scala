@@ -533,6 +533,20 @@ object SparkEntry {
         t(s, dir, "documents"), maxHamming = 14)
         .orderBy("id_a", "id_b")),
 
+    // LLM ops — exact embedding-cosine near-dup pairs (brute-force baseline;
+    // the LSH-bucketed scale path in Dedup.embeddingNearDupPairs is
+    // probabilistic and spec-gated instead).
+    "q_emb_neardup_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(graft.sim.Similarity.cosine(col("va"), col("vb")), 4))
+        .filter(col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    }),
+
     // LLM ops — LSH-bucketed ANN (scale path; rows-only check vs brute force).
     "q_emb_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -924,6 +938,19 @@ object SparkEntry {
          |  ELSE 'es' END AS lang_id
          | FROM documents) GROUP BY 1 ORDER BY lang_id""".stripMargin
     },
+
+    "q_emb_neardup_exact" ->
+      """WITH scored AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
+        |  / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(a.embedding) AS x) z2))
+        |   * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(b.embedding) AS y) z3))), 4) AS cosine
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_emb_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
