@@ -70,6 +70,17 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   /** Paths selected by the most recent sql() — observability for tests/telemetry. */
   @volatile var lastPrunedPaths: Seq[String] = Nil
 
+  /** PLANNING lock: every register-view → resolve-plan pair must be atomic.
+    * The engine plans each query against the single shared `metrics` temp view
+    * (the reference's per-engine registration mutex, engine.rs:127-187); without
+    * this lock two concurrent sql() calls with different pruned chunk sets race —
+    * one query's spark.sql() can resolve against the OTHER query's registered
+    * paths and silently return rows from the wrong chunk set. Planning serializes
+    * (cheap, driver-side); EXECUTION of the resolved DataFrames stays fully
+    * concurrent — the analyzed plan captures its own file listing.
+    */
+  private val planLock = new Object
+
   /** Plan cache: (query, pruned path set, split-active) → analyzed DataFrame.
     * Re-running a repeated dashboard query skips Catalyst analysis/optimization —
     * the dominant cost of a warm pruned query (~100 ms). Size mirrors the
@@ -120,8 +131,14 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       val hit = planCache.get(key)
       if (hit != null) return hit
     }
-    register(paths)
-    val raw = spark.sql(query)
+    val raw = planLock.synchronized {
+      register(paths)
+      val df = spark.sql(query)
+      // Force resolution while we still hold the lock: the view lookup (and the
+      // scan's file listing) must bind to THIS query's registered path set.
+      df.queryExecution.assertAnalyzed()
+      df
+    }
     try adaptiveStats.recordFromPlan(raw.queryExecution.analyzed)
     catch { case _: Throwable => () } // stats are advisory, never fail a query
     // Split-dedup only applies when the result still carries the dedup key
@@ -141,7 +158,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   }
 
   private def analyzeOptimized(query: String, nowNs: Long): Option[(TimeRange, Seq[ColumnPredicate])] =
-    try {
+    try planLock.synchronized {
       register(catalog.allChunks.map(_.path))
       val optimized = spark.sql(query).queryExecution.optimizedPlan
       val extracted = PredicateExtraction.extract(optimized, nowNs)
@@ -201,13 +218,13 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * (reference src/api/query/prometheus_api.rs:289-291): all string columns of the
     * current `metrics` view minus internal columns, plus `__name__`.
     */
-  def labels(): Seq[String] = {
+  def labels(): Seq[String] = planLock.synchronized {
     register(catalog.allChunks.map(_.path))
     val cols = spark.table("metrics").schema.fieldNames.toSeq
     ("__name__" +: cols.filterNot(MetricSchema.internalColumns.contains)).distinct.sorted
   }
 
-  def labelValues(label: String): DataFrame = {
+  def labelValues(label: String): DataFrame = planLock.synchronized {
     register(catalog.allChunks.map(_.path))
     val c = if (label == "__name__") MetricSchema.MetricNameCol else label
     spark.table("metrics").select(col(c)).where(col(c).isNotNull).distinct()

@@ -123,9 +123,25 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
 
   private val partCols = Seq("year", "month", "day", "hour")
 
-  def write(df: DataFrame): Seq[ChunkMeta] = {
+  /** Write one batch of metrics. `batchTag`, when given, makes the write
+    * IDEMPOTENT: the batch directory is derived from the tag instead of a fresh
+    * UUID, and a batch whose chunks are already registered in the catalog is
+    * skipped (returns the registered metas). A half-written, never-registered
+    * directory from a crashed attempt is deleted and rewritten — registration is
+    * the commit point, so replays converge instead of duplicating chunks. The
+    * streaming sink passes its micro-batch id here (reference WAL replay:
+    * entries > flushed_seq are re-applied exactly once, src/ingester/mod.rs:218-291).
+    */
+  def write(df: DataFrame, batchTag: Option[String] = None): Seq[ChunkMeta] = {
     val spark = df.sparkSession
-    val batchDir = catalog.root.resolve(s"$tenant/data/batch=${UUID.randomUUID()}")
+    val batchName = batchTag.getOrElse(UUID.randomUUID().toString)
+    val batchDir = catalog.root.resolve(s"$tenant/data/batch=$batchName")
+    if (batchTag.isDefined) {
+      val dirPrefix = batchDir.toString + "/"
+      val already = catalog.allChunks.filter(_.path.startsWith(dirPrefix))
+      if (already.nonEmpty) return already // replayed micro-batch: no-op
+      ChunkStats.deleteDir(batchDir) // stale partial write from a crashed attempt
+    }
     val stamped = df
       .withColumn("year", year(col("timestamp")))
       .withColumn("month", month(col("timestamp")))

@@ -114,7 +114,10 @@ object PromQL {
     * the reference's unanchored regexp_match).
     */
   def matcherToSql(m: LabelMatcher): String = {
-    val col = s"`${m.label}`"
+    // Escape the IDENTIFIER too, not just the value: a backtick inside a parsed
+    // label name would otherwise break out of the identifier quoting (same
+    // injection class as the value escaping below).
+    val col = s"`${m.label.replace("`", "``")}`"
     // Escape backslashes BEFORE quote-doubling: Spark SQL string literals eat
     // `\d` → `d` (so `=~"\d+"` would silently match "d+"), and a value ending
     // in `\` would escape the closing quote — an injection surface.
@@ -189,13 +192,16 @@ object PromQL {
     val p = parse(q)
     val timeCond = timeNs.map(t => s"timestamp_ns <= $t").toSeq
     p.aggregation match {
-      // EXTENSION: two-arg topk/bottomk get a real k-limit (per-series MAX,
-      // ordered, LIMIT k); two-arg quantile becomes an exact PERCENTILE.
+      // EXTENSION: two-arg topk/bottomk get a real k-limit, ordered, LIMIT k.
+      // Series representative: topk = MAX(value), bottomk = MIN(value) — a MAX
+      // representative ordered ASC would pick the k series whose MAXIMUM is
+      // smallest, inverting bottomk's intent for wide-range series.
+      // Two-arg quantile becomes an exact PERCENTILE.
       case Some(agg @ ("topk" | "bottomk")) if p.param.isDefined =>
         val k = p.param.get.toLong max 0L
-        val dir = if (agg == "topk") "DESC" else "ASC"
+        val (rep, dir) = if (agg == "topk") ("MAX", "DESC") else ("MIN", "ASC")
         val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
-        s"""SELECT $groupCols, MAX($ValueExpr) AS value, MAX(timestamp_ns) AS timestamp_ns
+        s"""SELECT $groupCols, $rep($ValueExpr) AS value, MAX(timestamp_ns) AS timestamp_ns
            |FROM metrics WHERE ${whereClause(p, timeCond)}
            |GROUP BY $groupCols ORDER BY value $dir LIMIT $k""".stripMargin.replace("\n", " ")
       case Some("quantile") if p.param.isDefined =>

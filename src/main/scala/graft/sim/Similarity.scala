@@ -113,10 +113,24 @@ object Similarity {
     // every ~stride-th id, cap at nCentroids with a distributed TakeOrdered.
     val total = corpus.count()
     val stride = math.max(1L, total / nCentroids)
-    val centroids = corpus.select(col(idCol), col(vecCol))
+    val sampled = corpus.select(col(idCol), col(vecCol))
       .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+    // The hash sample can come back empty on tiny/adversarial corpora — fall
+    // back to the first nCentroids ids so the decode below never sees an empty
+    // centroid set (element_at over an empty array throws under ANSI mode).
+    val cents = {
+      val s = sampled.collect()
+      if (s.nonEmpty) s
+      else corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nCentroids).collect()
+    }
+    if (cents.isEmpty) // empty corpus: brute force is equally empty, right schema
+      return bruteForceTopK(corpus, queries, k, idCol, vecCol, queryIdCol, queryVecCol)
+    val centroids = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cents: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        corpus.schema(idCol).copy(name = "__cid"),
+        corpus.schema(vecCol).copy(name = "__cvec"))))
 
     def nearestCells(df: DataFrame, vec: String, keep: Int): DataFrame = {
       val ww = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("__cid"))
@@ -131,15 +145,16 @@ object Similarity {
     // nearest_centroid pass inside the scan — the crossJoin+window form would
     // shuffle |corpus|·nCentroids rows. Queries (tiny) keep the join form for
     // the top-nProbe cells.
-    val cents = centroids.collect()
     val cvecs: Array[Array[Double]] = cents.map(_.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d
       case other => other.toString.toDouble
     }.toArray)
-    val cidArr: Seq[Long] = cents.map(_.getLong(0)).toSeq
+    // Decode centroid ids generically (idCol is caller-chosen: long, int,
+    // string, ... — a hard getLong would throw on anything non-Long).
+    val cidArr = array(cents.map(r => lit(r.get(0))): _*)
     val assigned = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__cid", element_at(typedLit(cidArr),
+      .withColumn("__cid", element_at(cidArr,
         graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs) + 1))
     val probed = nearestCells(queries.select(col(queryIdCol), col(queryVecCol)), queryVecCol, nProbe)
     val rerank = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))

@@ -80,10 +80,14 @@ object LiveMerge {
     * stream and a backfill produce byte-identical warehouses.
     *
     * Durability mapping: the reference's WAL replay-on-crash is provided by the
-    * streaming checkpoint (exactly-once per micro-batch re-execution); its
-    * flush triggers (5 min OR 1 M rows OR 100 MB) map to the stream trigger
-    * interval and micro-batch sizing options (maxFilesPerTrigger /
-    * maxOffsetsPerTrigger on the source).
+    * streaming checkpoint; foreachBatch is AT-LEAST-once (a micro-batch whose
+    * write succeeded but whose checkpoint commit didn't is re-executed), so the
+    * sink is made IDEMPOTENT by keying each write on the micro-batch id: the
+    * batch dir is derived from batchId and a batch already registered in the
+    * catalog is skipped (see ChunkWriter.write batchTag) — replays are no-ops,
+    * giving effective exactly-once. The reference's flush triggers (5 min OR
+    * 1 M rows OR 100 MB) map to the stream trigger interval and micro-batch
+    * sizing options (maxFilesPerTrigger / maxOffsetsPerTrigger on the source).
     *
     * Returns the StreamingQuery; caller owns lifecycle.
     */
@@ -91,18 +95,25 @@ object LiveMerge {
                  catalog: graft.catalog.ChunkCatalog,
                  checkpointDir: String,
                  tenant: String = "default",
-                 triggerIntervalMs: Long = 250L // reference micro-batch 250 ms
+                 triggerIntervalMs: Long = 250L, // reference micro-batch 250 ms
+                 sinkId: String = "stream" // distinguishes concurrent sinks on one catalog
                 ): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = new graft.ingest.ChunkWriter(catalog, tenant)
     metrics.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerIntervalMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { writer.write(batch); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(writer, batch, batchId, sinkId); ()
       }
       .start()
   }
+
+  /** The foreachBatch body, exposed for direct testing of replay semantics. */
+  def ingestBatch(writer: graft.ingest.ChunkWriter, batch: DataFrame, batchId: Long,
+                  sinkId: String = "stream"): Seq[graft.catalog.ChunkMeta] =
+    if (batch.isEmpty) Nil
+    else writer.write(batch, batchTag = Some(s"$sinkId-$batchId"))
 
   /** EXTENSION (beyond the reference, flagged per SURVEY.md §2.9): real event-time
     * windowed aggregation with a watermark — tumbling `windowSeconds` buckets of

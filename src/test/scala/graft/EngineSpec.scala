@@ -192,4 +192,33 @@ class EngineSpec extends AnyFunSuite {
     val filtered = eng.series(Seq(graft.promql.LabelMatcher("host", "=", "server1")))
     assert(filtered.count() == 2)
   }
+
+  test("concurrent queries with different pruned chunk sets never cross-contaminate") {
+    // Regression: prune→register→spark.sql used to be non-atomic, so two
+    // concurrent sql() calls could resolve the shared `metrics` view against
+    // each other's registered path set — a query silently reading the WRONG
+    // chunks. Planning now serializes under a lock; execution stays concurrent.
+    val (eng, _) = freshEngine()
+    eng.resultCacheEnabled = false
+    val iters = 25
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def worker(hour: Int): Thread = new Thread(() => {
+      try {
+        (0 until iters).foreach { i =>
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          val lo = t0 + hour * hourNs
+          val hi = t0 + (hour + 1) * hourNs - 1
+          // unique text per iteration so the plan cache never hides the race
+          val q = s"SELECT COUNT(*) AS c FROM metrics " +
+            s"WHERE timestamp_ns >= $lo AND timestamp_ns <= $hi LIMIT ${1000 + i}"
+          val n = eng.execute(q)(df => df.collect()(0).getLong(0))
+          if (n != 24L) errs.add(s"hour $hour iter $i: got $n rows (wrong chunk set)")
+        }
+      } catch { case e: Throwable => errs.add(s"hour $hour: $e") }
+    })
+    val ts = Seq(worker(0), worker(2))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+  }
 }

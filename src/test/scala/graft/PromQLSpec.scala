@@ -56,6 +56,10 @@ class PromQLSpec extends AnyFunSuite {
       "(`env` IS NULL OR NOT (`env` RLIKE 'prod'))")
     assert(PromQL.matcherToSql(LabelMatcher("h", "=", "o'brien")) ==
       "`h` = 'o''brien'")
+    // the IDENTIFIER is escaped too: a backtick inside a label name cannot
+    // break out of the identifier quoting (same injection class as the value)
+    assert(PromQL.matcherToSql(LabelMatcher("a`b", "=", "x")) ==
+      "`a``b` = 'x'")
   }
 
   test("EXTENSION: two-arg topk/bottomk/quantile parse the param and apply it") {
@@ -64,8 +68,13 @@ class PromQLSpec extends AnyFunSuite {
       p.metricName == "cpu_usage")
     val sql = PromQL.transpileInstant("""topk(5, cpu_usage{env="prod"})""")
     assert(sql.contains("ORDER BY value DESC LIMIT 5"))
+    assert(sql.contains("MAX(") && !sql.replace("MAX(timestamp_ns)", "").contains("MIN("))
     val bk = PromQL.transpileInstant("bottomk(3, mem_usage) by (host)")
     assert(bk.contains("ORDER BY value ASC LIMIT 3") && bk.contains("GROUP BY metric_name, `host`"))
+    // bottomk's series representative is MIN(value): ordering per-series MAXima
+    // ascending would pick the k series whose maximum is smallest — inverted
+    // intent for series with wide value ranges.
+    assert(bk.contains("MIN(COALESCE") && bk.contains("MIN(COALESCE(value_f64"))
     val q = PromQL.transpileInstant("quantile(0.95, lat)")
     assert(q.contains("PERCENTILE(") && q.contains("0.95"))
     // single-arg topk keeps the reference's degrade-to-no-limit quirk

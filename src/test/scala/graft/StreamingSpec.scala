@@ -80,6 +80,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(0) == 50L && r.getDouble(1) == 1225.0)
   }
 
+  test("ingestSink replay is idempotent: re-executed micro-batch registers no duplicates") {
+    // foreachBatch is at-least-once — a micro-batch whose write succeeded but
+    // whose checkpoint commit didn't is re-executed after a crash. The sink keys
+    // the write on batchId, so the replay must be a no-op (no duplicate chunks,
+    // unchanged query results), and a half-written never-registered dir from a
+    // crashed attempt must be overwritten, not doubled.
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_replay_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    val batch = Converters.pointsToDf(spark, (0 until 20).map(i =>
+      MetricPoint(t0 + i * 1000000000L, "cpu", i.toDouble, Map("host" -> "a"))))
+
+    val first = LiveMerge.ingestBatch(writer, batch, batchId = 7L)
+    assert(first.nonEmpty && cat.allChunks.map(_.rowCount).sum == 20L)
+    val pathsAfterFirst = cat.allChunks.map(_.path).sorted
+
+    // crash-replay of the SAME micro-batch
+    val replay = LiveMerge.ingestBatch(writer, batch, batchId = 7L)
+    assert(replay.map(_.path).sorted == pathsAfterFirst) // returns the committed metas
+    assert(cat.allChunks.map(_.path).sorted == pathsAfterFirst)
+    assert(cat.allChunks.map(_.rowCount).sum == 20L) // no duplicate rows
+
+    // a DIFFERENT batch id still writes
+    LiveMerge.ingestBatch(writer, batch, batchId = 8L)
+    assert(cat.allChunks.map(_.rowCount).sum == 40L)
+
+    // half-written dir without registration (crash before catalog commit):
+    // simulate by writing files under the tag dir for batch 9 with no register
+    val staleDir = cat.root.resolve("default/data/batch=stream-9/junk")
+    Files.createDirectories(staleDir)
+    Files.write(staleDir.resolve("partial.parquet"), Array[Byte](1, 2, 3))
+    LiveMerge.ingestBatch(writer, batch, batchId = 9L)
+    assert(cat.allChunks.map(_.rowCount).sum == 60L)
+    assert(!Files.exists(staleDir.resolve("partial.parquet"))) // stale attempt purged
+  }
+
   test("topic filters compose (reference topic_broadcast truth table)") {
     import LiveMerge.TopicFilter._
     import spark.implicits._

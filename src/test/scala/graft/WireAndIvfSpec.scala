@@ -99,6 +99,38 @@ class WireAndIvfSpec extends AnyFunSuite {
     assert((exact & got).size.toDouble / exact.size >= 0.5)
   }
 
+  test("IVF top-k: non-Long id columns and an empty hash sample both work") {
+    // Regression: the centroid decode hard-cast ids with getLong (throws for any
+    // non-LongType idCol), and a hash-sampled centroid set coming back EMPTY made
+    // element_at over an empty array fail under ANSI mode. Ids are now decoded
+    // generically and an empty sample falls back to the first nCentroids ids.
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // stride = 24/4 = 6; keep only ids whose xxhash64 % 6 != 0 → sample is empty
+    val stride = 6L
+    val candidates = (0 until 200).map(i => s"doc_$i")
+    val hashed = candidates.toDF("vec_id")
+      .withColumn("h", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("vec_id")),
+        org.apache.spark.sql.functions.lit(stride)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nonZero = hashed.filter(_._2 != 0L).map(_._1).take(24)
+    assert(nonZero.length == 24, "fixture needs 24 ids that the hash sample misses")
+    val base = nonZero.zipWithIndex.map { case (id, i) =>
+      val cluster = i % 4
+      (id, Array.tabulate(12)(j =>
+        (if (j % 4 == cluster) 1.0f else 0.05f) + ((i * 13 + j * 7) % 5) * 0.02f))
+    }
+    val corpus = base.toSeq.toDF("vec_id", "embedding") // STRING ids
+    val queries = base.take(2).map { case (id, v) => (id, v) }.toSeq
+      .toDF("query_id", "query_vec")
+    val ivf = graft.sim.Similarity.ivfTopK(corpus, queries, 3,
+      nCentroids = 4, nProbe = 4).collect()
+    val rank1 = ivf.filter(_.getAs[Int]("rank") == 1)
+    assert(rank1.length == 2)
+    assert(rank1.forall(r => r.getAs[String]("query_id") == r.getAs[String]("vec_id")))
+  }
+
   test("catalog: concurrent register/replace keeps every committed chunk (atomicity)") {
     val cat = new graft.catalog.ChunkCatalog(
       java.nio.file.Files.createTempDirectory("graft_conc_"), cacheTtlMs = 0L)
