@@ -83,6 +83,33 @@ object SparkEntry {
         .withColumn("sum_qty", round(col("sum_qty"), 4))
         .orderBy("l_returnflag")),
 
+    // §2.5 ROLLUP subtotals + grand total with GROUPING() markers (available in
+    // the reference via DataFusion SQL; first-class here).
+    "q_agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_rollup_v")
+      s.sql(
+        """SELECT
+          | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+          | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+          | ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS cnt
+          |FROM lineitem_rollup_v
+          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+
+    // §2.5 CUBE: every grouping-set combination in one pass.
+    "q_agg_cube" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_cube_v")
+      s.sql(
+        """SELECT
+          | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS st,
+          | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS pri,
+          | ROUND(SUM(o_totalprice), 2) AS sum_price, COUNT(*) AS cnt
+          |FROM orders_cube_v
+          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY st, pri""".stripMargin)
+    }),
+
     // §2.3 projection + filter (pushed to the Parquet scan by Catalyst, same as
     // DataFusion pushdown at engine.rs:283).
     "q_filter_project" -> ((s, dir) => {
@@ -344,6 +371,25 @@ object SparkEntry {
       s.sql(graft.promql.PromQL.labelValuesSql("__name__"))
     }),
 
+    // §2.6 EXTENSION: two-arg topk — real LIMIT k, per-series MAX representative.
+    "q_promql_topk" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileInstant("topk(3, click) by (host)"))
+        .withColumn("timestamp_ns", expr("(timestamp_ns div 1000) * 1000"))
+        .withColumn("value", round(col("value"), 2))
+        .orderBy(col("value").desc)
+    }),
+
+    // §2.6 EXTENSION: two-arg bottomk — MIN representative (ordering per-series
+    // MAXima ascending would invert bottomk's intent for wide-range series).
+    "q_promql_bottomk" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileInstant("bottomk(3, click) by (host)"))
+        .withColumn("timestamp_ns", expr("(timestamp_ns div 1000) * 1000"))
+        .withColumn("value", round(col("value"), 2))
+        .orderBy(col("value").asc)
+    }),
+
     // §3.1 the full engine pipeline: ingest events→hour chunks (catalog + zone
     // maps), then QueryEngine.sql with time-range extraction + chunk pruning.
     "q_engine_prune_sql" -> ((s, dir) => {
@@ -518,6 +564,41 @@ object SparkEntry {
     // LLM ops — corpus vocabulary top-k (tokenizer-training precursor scan).
     "q_doc_vocab_topk" -> ((s, dir) =>
       graft.text.TextFunctions.vocabTopK(t(s, dir, "documents"), 20)),
+
+    // LLM ops — deterministic train/val/test split by engine-portable id hash
+    // (md5-hex60): a doc keeps its split across re-runs and engines.
+    "q_doc_split_hash" -> ((s, dir) =>
+      graft.pipeline.Pipeline.trainValTest(t(s, dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")),
+
+    // LLM ops — deterministic stratified sampling: per-language keep rates
+    // (en 10%, rest 50%) assigned by the same portable hash.
+    "q_doc_stratified_sample" -> ((s, dir) =>
+      graft.pipeline.Pipeline.stratifiedSample(t(s, dir, "documents"), "doc_id",
+          when(col("lang") === "en", 10).otherwise(50))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // LLM ops — per-source sampling weights rebalancing to a uniform training
+    // mixture (downweight over-represented domains).
+    "q_corpus_mix_weights" -> ((s, dir) =>
+      graft.pipeline.Pipeline.mixtureWeights(t(s, dir, "documents"), "source")
+        .orderBy("source")),
+
+    // LLM ops — corpus length histogram (16-token buckets), integral div.
+    "q_doc_length_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("tc"))
+        .select(expr("tc div 16").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // §2.5 extension — KMV distinct-count sketch: deterministic (unlike HLL),
+    // so the ESTIMATE itself is oracle-verified bit-for-bit.
+    "q_distinct_kmv" -> ((s, dir) =>
+      graft.pipeline.Pipeline.kmvDistinct(t(s, dir, "events"), col("user_id"), 64)),
 
     // LLM ops — MinHash+LSH near-dup candidates with exact Jaccard verify.
     // No SQL oracle (LSH recall is probabilistic) → driver rows-only check;
@@ -795,6 +876,18 @@ object SparkEntry {
     "q_promql_label_values" ->
       "SELECT DISTINCT event_type AS value FROM events ORDER BY value",
 
+    "q_promql_topk" ->
+      """SELECT event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | round(max(value), 2) AS value, max(epoch_ns(ts)) AS timestamp_ns
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY value DESC LIMIT 3""".stripMargin,
+
+    "q_promql_bottomk" ->
+      """SELECT event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | round(min(value), 2) AS value, max(epoch_ns(ts)) AS timestamp_ns
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY value ASC LIMIT 3""".stripMargin,
+
     "q_engine_prune_sql" ->
       """SELECT event_type AS metric_name, count(*) AS cnt, round(max(value), 6) AS max_v
         |FROM events
@@ -811,6 +904,24 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS cnt,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT
+        | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS st,
+        | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS pri,
+        | round(sum(o_totalprice), 2) AS sum_price, count(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
 
     "q_engine_fileindex" ->
       """SELECT event_type AS metric_name, count(*) AS cnt, round(max(value), 6) AS max_v
@@ -889,6 +1000,48 @@ object SparkEntry {
         | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
         | FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    // hex60 = first 15 hex chars of md5 as a 60-bit int — DuckDB parses hex via
+    // ('0x'||…)::BIGINT, Spark via conv(…,16,10); identical values either way.
+    "q_doc_split_hash" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        | FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_doc_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_mix_weights" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+        |             CAST(count(*) AS BIGINT) AS n FROM c)
+        |SELECT c.source, c.cnt,
+        | floor(CAST(c.cnt AS DOUBLE) / t.total * 1000000.0 + 0.5) / 1000000.0 AS share,
+        | floor((1.0 / t.n) / (CAST(c.cnt AS DOUBLE) / t.total) * 1000000.0 + 0.5)
+        |   / 1000000.0 AS weight
+        |FROM c, t ORDER BY c.source""".stripMargin,
+
+    "q_doc_length_hist" ->
+      s"""SELECT CAST($duckTokens AS BIGINT) // 16 AS bucket, count(*) AS cnt
+         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT
+        |  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM events),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+        |SELECT CAST(64 AS BIGINT) AS k, max(h) AS kth_hash,
+        | CAST(floor(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT)
+        |   AS est_distinct
+        |FROM k""".stripMargin,
 
     "q_doc_ngram_jaccard" ->
       """WITH sh AS (

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators that need DETERMINISTIC, engine-portable
+  * randomness: dataset splits, stratified sampling, sampling-weight computation,
+  * and a KMV distinct-count sketch.
+  *
+  * All of them derive uniform pseudo-randomness from `hex60` — the first 15 hex
+  * chars of md5 parsed as a 60-bit integer. md5 produces identical lowercase hex
+  * in every SQL engine, so the same rows land in the same split/sample/sketch in
+  * Spark, DuckDB, or any warehouse that runs the equivalent SQL: the assignment
+  * is reproducible across engines, re-runs, and cluster layouts, and is
+  * verifiable row-for-row by the DuckDB oracle (unlike rand(seed), which is
+  * engine-private, or xxhash64, which DuckDB lacks).
+  *
+  * Scale shape: every operator here is a narrow map over the id column plus at
+  * most one aggregation — no joins, no skew sensitivity (md5 output is uniform
+  * regardless of key distribution), safe at any corpus size.
+  */
+object Pipeline {
+
+  /** First 60 bits of md5(expr) as a non-negative long (15 hex chars < 2^60). */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Uniform bucket in [0, n) — the portable analog of `pmod(hash, n)`. */
+  def hashBucket(c: Column, n: Int): Column = pmod(hex60(c), lit(n.toLong))
+
+  /** Deterministic train/val/test assignment by id hash: bucket < trainPct →
+    * train, < trainPct+valPct → val, else test. A document keeps its split
+    * forever (append-only corpora never leak val rows into train on re-split).
+    */
+  def trainValTest(df: DataFrame, idCol: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split $trainPct/$valPct")
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its id-hash bucket falls
+    * under the stratum's rate (percent). Rates are a Column expression mapping
+    * the stratum column to 0..100 — e.g. downsample an over-represented
+    * language while keeping all of a rare one.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, ratePct: Column): DataFrame =
+    df.filter(hashBucket(col(idCol), 100) < ratePct)
+
+  /** Per-group sampling weights that rebalance the corpus to a target mixture
+    * (default: uniform across groups). weight = targetShare / actualShare —
+    * groups over target get weight < 1 (downsample), rare groups > 1
+    * (upsample/repeat). Output: group, cnt, share, weight (µ-rounded for
+    * cross-engine float determinism).
+    */
+  def mixtureWeights(df: DataFrame, byCol: String,
+                     targetShare: Option[Column] = None): DataFrame = {
+    val counts = df.groupBy(byCol).agg(count(lit(1)).as("cnt"))
+    // the unpartitioned windows run over the AGGREGATED side only (|groups|
+    // rows, not |corpus|) — the single-task stage is trivially small
+    val total = sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val nGroups = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val target = targetShare.getOrElse(lit(1.0) / nGroups)
+    val micro = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    counts
+      .withColumn("share", micro(col("cnt").cast("double") / total))
+      .withColumn("weight", micro(target / (col("cnt").cast("double") / total)))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch: estimate = (k-1) · 2^60 /
+    * h_k where h_k is the k-th smallest distinct hex60 hash. Unlike HLL
+    * (approx_count_distinct), the estimate is a pure function of the data —
+    * bit-identical across engines and runs, so it can be oracle-verified
+    * exactly. Returns (k, kth_hash, est_distinct).
+    *
+    * Scale: the k smallest hashes are found with a distributed TakeOrdered
+    * (per-partition top-k then merge of k·partitions values) — no global sort,
+    * no full distinct shuffle.
+    */
+  def kmvDistinct(df: DataFrame, c: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(hex60(c).as("h")).distinct()
+    val kth = hashes.orderBy("h").limit(k)
+      .agg(max("h").as("kth"), count(lit(1)).as("n")).collect()(0)
+    val n = kth.getLong(1)
+    val kthHash = if (kth.isNullAt(0)) 0L else kth.getLong(0)
+    val est =
+      if (n < k) n // fewer than k distinct values: the sketch is exact
+      else math.floor((k - 1).toDouble * 1152921504606846976.0 /* 2^60 */ / kthHash.toDouble).toLong
+    Seq((k.toLong, kthHash, est)).toDF("k", "kth_hash", "est_distinct")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+
+/** Deterministic-randomness pipeline ops: portable hash, splits, stratified
+  * sampling, mixture weights, KMV distinct sketch.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("hex60 equals the first 15 hex chars of md5, as a long") {
+    val got = Seq("42").toDF("v").select(Pipeline.hex60(col("v"))).collect()(0).getLong(0)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == java.lang.Long.parseLong(md5.take(15), 16))
+    assert(got >= 0L && got < (1L << 60))
+  }
+
+  test("trainValTest: deterministic, exhaustive, roughly 80/10/10") {
+    val ids = (0 until 2000).map(_.toLong).toDF("doc_id")
+    val split = Pipeline.trainValTest(ids, "doc_id")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~80%
+    assert(counts("val") > 120 && counts("val") < 280) // ~10%
+    // same ids → same assignment (re-split never moves a document)
+    val again = Pipeline.trainValTest(ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+  }
+
+  test("stratifiedSample: per-stratum rates honored deterministically") {
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = Pipeline.stratifiedSample(df, "doc_id",
+      when(col("lang") === "en", 10).otherwise(50))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 en at 10% ≈ 50, 500 fr at 50% ≈ 250 (hash noise tolerated)
+    assert(byLang("en") > 25 && byLang("en") < 85, byLang.toString)
+    assert(byLang("fr") > 200 && byLang("fr") < 300, byLang.toString)
+    assert(kept.count() == Pipeline.stratifiedSample(df, "doc_id",
+      when(col("lang") === "en", 10).otherwise(50)).count()) // deterministic
+  }
+
+  test("mixtureWeights: weight is inverse to share; uniform target") {
+    val df = (Seq.fill(300)("common") ++ Seq.fill(100)("rare")).toDF("source")
+    val w = Pipeline.mixtureWeights(df, "source").collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("share"), r.getAs[Double]("weight"))).toMap
+    assert(w("common")._1 == 0.75 && w("rare")._1 == 0.25)
+    assert(w("common")._2 == 0.666667) // (1/2) / 0.75, µ-rounded
+    assert(w("rare")._2 == 2.0) // (1/2) / 0.25
+  }
+
+  test("kmvDistinct: exact below k, close estimate above k") {
+    val small = (0 until 40).map(_.toLong).toDF("v")
+    val exactRow = Pipeline.kmvDistinct(small, col("v"), 64).collect()(0)
+    assert(exactRow.getAs[Long]("est_distinct") == 40L)
+    // 5000 distinct values, k=64: KMV standard error ~ 1/sqrt(64) = 12.5%
+    val big = (0 until 5000).map(_.toLong).toDF("v")
+    val est = Pipeline.kmvDistinct(big, col("v"), 64).collect()(0).getAs[Long]("est_distinct")
+    assert(est > 3000 && est < 7000, s"estimate $est far from 5000")
+    // duplicates don't inflate the estimate
+    val dup = (0 until 5000).map(i => (i % 50).toLong).toDF("v")
+    val estDup = Pipeline.kmvDistinct(dup, col("v"), 64).collect()(0).getAs[Long]("est_distinct")
+    assert(estDup == 50L) // 50 distinct < k → exact
+  }
+}
