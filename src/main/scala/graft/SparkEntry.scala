@@ -308,6 +308,33 @@ object SparkEntry {
         .orderBy("metric_name")
     }),
 
+    // Beyond-reference operator: gap-based SESSIONIZATION — per-user sessions
+    // close after 6h idle; lag→flag→running-sum, one shuffle on user_id.
+    "q_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+      graft.operators.Operators
+        .sessionize(e, Seq("user_id"), "ts_us", 21600000000L, Seq(col("event_id")))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts_us").as("session_start_us"), max("ts_us").as("session_end_us"),
+          count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // Beyond-reference EXTENSION: counter-reset-aware rate (true Prometheus
+    // semantics — the reference's own rate is (MAX-MIN)/range with no reset
+    // handling, kept faithfully as q_ts_rate/q_promql_range_rate).
+    "q_counter_rate" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_type").as("metric_name"),
+        concat(lit("h"), (col("user_id") % 10).cast("string")).as("host"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+      graft.operators.Operators
+        .counterRate(e, Seq("metric_name", "host"), "ts_us", "value",
+          1000000L, Seq(col("event_id")))
+        .orderBy("metric_name", "host")
+    }),
+
     // Beyond-reference operator: AS-OF JOIN (point-in-time lookup) — for each
     // 'click' event, the most recent 'view' by the same user. One shuffle on the
     // key (union + running last_value), no range cross-join. Oracle: DuckDB's
@@ -599,6 +626,39 @@ object SparkEntry {
     // so the ESTIMATE itself is oracle-verified bit-for-bit.
     "q_distinct_kmv" -> ((s, dir) =>
       graft.pipeline.Pipeline.kmvDistinct(t(s, dir, "events"), col("user_id"), 64)),
+
+    // LLM ops — duplicated-passage ratio (ExactSubstr-style, Lee et al. 2022):
+    // fraction of each doc's 16-token windows that also occur in another doc.
+    "q_doc_passage_dup" -> ((s, dir) =>
+      graft.dedup.Dedup.duplicatedPassageRatio(t(s, dir, "documents"), 16)
+        .orderBy("doc_id")),
+
+    // LLM ops — PII scrub: detection counts + redacted-text hash. The corpus has
+    // no PII, so deterministic synthetic PII is injected per doc (email always,
+    // IP on even ids, phone on ids % 3 == 0) and then found + redacted.
+    "q_doc_pii" -> ((s, dir) => {
+      import graft.text.PiiFunctions
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" from 10.1."), (col("doc_id") % 200).cast("string"), lit(".77")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(" call +1 415-555-0133")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), injected.as("txt"))
+        .select(col("doc_id"),
+          PiiFunctions.emailCount(col("txt")).as("n_email"),
+          PiiFunctions.ipv4Count(col("txt")).as("n_ip"),
+          PiiFunctions.phoneCount(col("txt")).as("n_phone"),
+          substring(md5(PiiFunctions.redact(col("txt"))), 1, 16).as("redacted_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — fixed 32-token training-sequence chunking; chunk content verified
+    // by a 64-bit md5 prefix, so the oracle checks CONTENT, not just counts.
+    "q_doc_chunk_tokens" -> ((s, dir) =>
+      graft.pipeline.Pipeline.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32)
+        .orderBy("doc_id", "chunk_idx")),
 
     // LLM ops — MinHash+LSH near-dup candidates with exact Jaccard verify.
     // No SQL oracle (LSH recall is probabilistic) → driver rows-only check;
@@ -1039,9 +1099,84 @@ object SparkEntry {
         | FROM events),
         |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
         |SELECT CAST(64 AS BIGINT) AS k, max(h) AS kth_hash,
-        | CAST(floor(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT)
-        |   AS est_distinct
+        | CASE WHEN count(*) < 64 THEN count(*) -- fewer than k distinct: exact
+        |      ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE))
+        |        AS BIGINT) END AS est_distinct
         |FROM k""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |        OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |t AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM s)
+        |SELECT user_id, session_idx, min(ts_us) AS session_start_us,
+        | max(ts_us) AS session_end_us, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM t GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_counter_rate" ->
+      """WITH e AS (SELECT event_type AS metric_name,
+        |        'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        |        epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |d AS (SELECT *, lag(value) OVER w AS pv, value - lag(value) OVER w AS delta
+        |      FROM e WINDOW w AS (PARTITION BY metric_name, host ORDER BY ts_us, event_id)),
+        |a AS (SELECT metric_name, host, count(*) AS n_samples,
+        |        round(sum(CASE WHEN pv IS NULL THEN NULL
+        |                       WHEN delta < 0 THEN value ELSE delta END), 2) AS increase,
+        |        max(ts_us) - min(ts_us) AS elapsed
+        |      FROM d GROUP BY 1, 2)
+        |SELECT metric_name, host, n_samples, increase, elapsed,
+        | increase / (CAST(elapsed AS DOUBLE) / 1000000.0) AS rate
+        |FROM a WHERE n_samples >= 2 AND elapsed > 0
+        |ORDER BY metric_name, host""".stripMargin,
+
+    "q_doc_passage_dup" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |            FROM documents),
+        |win AS (SELECT doc_id, array_to_string(toks[i:i+15], ' ') AS passage
+        |        FROM tk, UNNEST(generate_series(1, len(toks) - 15)) AS u(i)
+        |        WHERE len(toks) >= 16),
+        |multi AS (SELECT passage
+        |          FROM (SELECT passage, count(DISTINCT doc_id) AS nd FROM win GROUP BY 1)
+        |          WHERE nd > 1)
+        |SELECT w.doc_id, count(*) AS n_windows,
+        | CAST(sum(CASE WHEN m.passage IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | floor(CAST(sum(CASE WHEN m.passage IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
+        |FROM win w LEFT JOIN multi m ON w.passage = m.passage
+        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_doc_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}"
+      val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val phone = "(\\+[0-9]{1,2} )?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+      s"""WITH d AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |  || '@mail.example.com'
+         |  || CASE WHEN doc_id % 2 = 0
+         |       THEN ' from 10.1.' || CAST(doc_id % 200 AS VARCHAR) || '.77' ELSE '' END
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' call +1 415-555-0133' ELSE '' END AS txt
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(txt, '$ip')) AS BIGINT) AS n_ip,
+         | CAST(len(regexp_extract_all(txt, '$phone')) AS BIGINT) AS n_phone,
+         | substring(md5(regexp_replace(regexp_replace(regexp_replace(txt,
+         |   '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')),
+         |   1, 16) AS redacted_hash
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_chunk_tokens" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |            FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id, i AS chunk_idx, toks[i*32+1 : i*32+32] AS chunk
+        |      FROM tk, UNNEST(generate_series(0, (len(toks) - 1) // 32)) AS u(i))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(len(chunk) AS BIGINT) AS n_tok,
+        | substring(md5(array_to_string(chunk, ' ')), 1, 16) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_doc_ngram_jaccard" ->
       """WITH sh AS (

@@ -145,6 +145,46 @@ object Dedup {
       .agg(countDistinct("gram").as("shared_grams"))
   }
 
+  /** Duplicated-passage ratio (ExactSubstr-style signal, Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"): for every doc,
+    * the fraction of its `windowTokens`-token sliding windows (stride 1) that
+    * also occur in at least one OTHER document. High ratio = the doc is largely
+    * stitched from corpus-duplicated passages; pipelines drop or trim such docs.
+    *
+    * Output: (idCol, n_windows, n_dup, dup_ratio) — ratio µ-rounded for
+    * cross-engine float determinism. Docs shorter than `windowTokens` tokens are
+    * excluded (no full window exists).
+    *
+    * Scale shape: windows are generated map-side (custom one-pass shingle
+    * expression); the corpus-wide window→doc-count aggregation and the join back
+    * are both keyed on the window hash — collision-proportional shuffles, never
+    * O(n²). At 100 TB, hash the window string to a 64-bit key (xxhash64) so the
+    * shuffle carries 8-byte keys instead of raw 16-token strings.
+    */
+  def duplicatedPassageRatio(docs: DataFrame, windowTokens: Int = 16,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val eligible = docs
+      .filter(graft.text.TextFunctions.tokenCount(col(textCol)) >= windowTokens)
+    // one row per window POSITION (intra-doc repeats keep their positions)
+    val positions = eligible.select(col(idCol),
+      explode(shingles(col(textCol), windowTokens)).as("__w"))
+    // #distinct docs containing each window; only multi-doc windows matter, and
+    // only their keys are needed — prune before the join back
+    val multiDoc = positions.distinct()
+      .groupBy("__w").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select("__w")
+    val micro = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    positions
+      .join(multiDoc.withColumn("__dup", lit(1L)), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum("__dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        micro(col("n_dup").cast("double") / col("n_windows").cast("double")))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: bit b of the signature is 1 iff

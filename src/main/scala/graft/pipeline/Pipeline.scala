@@ -69,6 +69,33 @@ object Pipeline {
       .withColumn("weight", micro(target / (col("cnt").cast("double") / total)))
   }
 
+  /** Fixed-size token chunking — the training-sequence preparation step: split
+    * each document into consecutive `chunkTokens`-token chunks (last chunk may
+    * be short). Output: (idCol, chunk_idx, n_tok, chunk_hash) where chunk_hash
+    * is a 64-bit md5 prefix of the chunk text — enough to verify chunk CONTENT
+    * across engines without carrying the text.
+    *
+    * Map-side only (split + sequence-explode + slice are all codegen'd): no
+    * shuffle, scales linearly; at 100 TB the output feeds straight into the
+    * deterministic [[trainValTest]]/[[stratifiedSample]] hash machinery.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int = 32): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    df.filter(length(trim(col(textCol))) > 0) // split("") is [""], not []
+      .withColumn("__toks", toks)
+      .select(col(idCol),
+        posexplode(sequence(lit(0),
+          expr(s"(size(__toks) - 1) div $chunkTokens").cast("int")))
+          .as(Seq("chunk_idx", "__i")),
+        col("__toks"))
+      .withColumn("__chunk", slice(col("__toks"),
+        col("chunk_idx") * chunkTokens + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tok"),
+        substring(md5(array_join(col("__chunk"), " ")), 1, 16).as("chunk_hash"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch: estimate = (k-1) · 2^60 /
     * h_k where h_k is the k-th smallest distinct hex60 hash. Unlike HLL
     * (approx_count_distinct), the estimate is a pure function of the data —

@@ -103,4 +103,41 @@ class OperatorsSpec extends AnyFunSuite {
       toleranceNs = Some(10000L)).collect()
     assert(loose(0).getAs[Double]("right_v") == 1.0)
   }
+
+  test("sessionize: gap starts a new session; boundaries exact; keys independent") {
+    // user 1: events at 0, 10, 500 (gap 100 → session break before 500)
+    // user 2: events at 5, 300 (break), 305
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 10L, 2L), (1L, 500L, 3L),
+      (2L, 5L, 4L), (2L, 300L, 5L), (2L, 305L, 6L)
+    ).toDF("u", "ts", "id")
+    val out = Operators.sessionize(df, Seq("u"), "ts", gap = 100L,
+        tieBreak = Seq(col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out((1L, 0L)) == 1L && out((1L, 10L)) == 1L && out((1L, 500L)) == 2L)
+    assert(out((2L, 5L)) == 1L && out((2L, 300L)) == 2L && out((2L, 305L)) == 2L)
+    // a gap of exactly `gap` does NOT split (strict >)
+    val edge = Operators.sessionize(
+      Seq((1L, 0L), (1L, 100L)).toDF("u", "ts"), Seq("u"), "ts", 100L)
+      .collect().map(_.getLong(2)).toSet
+    assert(edge == Set(1L))
+  }
+
+  test("counterRate: resets add the post-reset value; <2 samples dropped") {
+    // series a: 10 → 15 → 3 (reset) → 9: increase = 5 + 3 + 6 = 14 over 30 units
+    // series b: single sample → dropped
+    val df = Seq(
+      ("a", 0L, 10.0), ("a", 10L, 15.0), ("a", 20L, 3.0), ("a", 30L, 9.0),
+      ("b", 0L, 42.0)
+    ).toDF("k", "ts", "v")
+    val out = Operators.counterRate(df, Seq("k"), "ts", "v", tsUnitPerSecond = 10L)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("k") == "a")
+    assert(r.getAs[Long]("n_samples") == 4L)
+    assert(r.getAs[Double]("increase") == 14.0)
+    assert(r.getAs[Long]("elapsed") == 30L)
+    assert(math.abs(r.getAs[Double]("rate") - 14.0 / 3.0) < 1e-12)
+  }
 }

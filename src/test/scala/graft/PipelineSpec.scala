@@ -58,6 +58,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(w("rare")._2 == 2.0) // (1/2) / 0.25
   }
 
+  test("chunkTokens: exact chunk boundaries, short tail, content hash") {
+    val df = Seq(
+      (1L, (1 to 70).map(i => s"w$i").mkString(" ")), // 70 tokens → 32+32+6
+      (2L, "single"), // 1 token → one 1-token chunk
+      (3L, "   ") // whitespace-only → dropped
+    ).toDF("doc_id", "text")
+    val out = Pipeline.chunkTokens(df, "doc_id", "text", 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 0L) -> 32L, (1L, 1L) -> 32L, (1L, 2L) -> 6L, (2L, 0L) -> 1L))
+    // hash covers content: chunk 0 of identical texts matches, different differs
+    val h = Pipeline.chunkTokens(Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b x"))
+        .toDF("doc_id", "text"), "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(h(1L) == h(2L) && h(1L) != h(3L))
+  }
+
   test("kmvDistinct: exact below k, close estimate above k") {
     val small = (0 until 40).map(_.toLong).toDF("v")
     val exactRow = Pipeline.kmvDistinct(small, col("v"), 64).collect()(0)

@@ -178,6 +178,50 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(small.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
   }
 
+  test("duplicatedPassageRatio: shared windows counted, unique docs zero, short docs out") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ") // 20 tokens shared verbatim
+    val docs = Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")), // 30 tokens
+      (2L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" ")), // 30 tokens
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")), // unique 30 tokens
+      (4L, "too short to have a window") // 6 tokens → excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedPassageRatio(docs, windowTokens = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 30 tokens → 15 windows; windows fully inside the shared 20-token prefix:
+    // positions 1..5 (1-based) → 5 duplicated window positions in docs 1 and 2
+    assert(out(1L) == ((15L, 5L)) && out(2L) == ((15L, 5L)))
+    assert(out(3L) == ((15L, 0L)))
+    assert(!out.contains(4L))
+  }
+
+  test("PII: detection counts, redaction order, clean text untouched") {
+    import spark.implicits._
+    import graft.text.PiiFunctions
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.co.uk and bob@x.io now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255, call +1 415-555-0133"),
+      (3L, "no pii here at all"),
+      (4L, "overlap 555-123-4567 vs 1.2.3.4")
+    ).toDF("id", "text")
+    val r = df.select(col("id"),
+      PiiFunctions.emailCount(col("text")).as("e"),
+      PiiFunctions.ipv4Count(col("text")).as("i"),
+      PiiFunctions.phoneCount(col("text")).as("p"),
+      PiiFunctions.redact(col("text")).as("red"),
+      PiiFunctions.containsPii(col("text")).as("has"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("e") == 2 && r(1L).getAs[Long]("i") == 0)
+    assert(r(1L).getAs[String]("red") == "mail <EMAIL> and <EMAIL> now")
+    assert(r(2L).getAs[Long]("i") == 2 && r(2L).getAs[Long]("p") == 1)
+    assert(r(2L).getAs[String]("red") == "server at <IP> and <IP>, call <PHONE>")
+    assert(r(3L).getAs[Long]("e") + r(3L).getAs[Long]("i") + r(3L).getAs[Long]("p") == 0)
+    assert(r(3L).getAs[String]("red") == "no pii here at all" && !r(3L).getAs[Boolean]("has"))
+    assert(r(4L).getAs[Long]("p") == 1 && r(4L).getAs[Long]("i") == 1)
+    assert(r(4L).getAs[String]("red") == "overlap <PHONE> vs <IP>")
+  }
+
   test("multimodal: resize updates dims/byte budget for images only; frame schedule real") {
     import graft.multimodal._
     val media = Multimodal.documentsAsMedia(
