@@ -32,6 +32,78 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: dedupe a NEW batch
+    * against the already-ingested corpus without re-processing the corpus.
+    * Survivors are batch rows whose normalized-text fingerprint appears nowhere
+    * in the corpus, first-wins (min `idCol`) within the batch itself.
+    *
+    * Scale shape: the corpus side reduces to `DISTINCT fingerprint` and streams
+    * through ONE anti-join keyed on the fingerprint — no corpus window, no
+    * re-dedup of old data. In production the corpus fingerprint set would be
+    * the persisted output of previous runs, making the corpus scan incremental
+    * too; pass it via `corpusFingerprints` to skip recomputation.
+    */
+  def incrementalExactDedup(newBatch: DataFrame, corpus: DataFrame,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            corpusFingerprints: Option[DataFrame] = None): DataFrame = {
+    val fp = graft.text.TextFunctions.fingerprint(col(textCol))
+    val seen = corpusFingerprints // caller-provided: any single-column frame
+      .map(_.toDF("__fp"))
+      .getOrElse(corpus.select(fp.as("__fp")))
+      .distinct()
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    newBatch.withColumn("__fp", fp)
+      .join(seen, Seq("__fp"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** INCREMENTAL near-dup: MinHash-LSH candidates of a new batch against the
+    * corpus (batch×corpus only — batch-internal pairs go through
+    * [[minhashNearDupPairs]] on the batch alone). Returns batch rows having at
+    * least one corpus near-duplicate at `threshold`, as
+    * (idCol, corpus_match_id, jaccard) keeping the best-matching corpus doc.
+    *
+    * Scale shape: the corpus contributes band keys only (in production,
+    * persisted from previous runs — recomputed here); the join is
+    * collision-proportional, and the exact-verify join touches candidates only.
+    */
+  def incrementalNearDup(newBatch: DataFrame, corpus: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame) = df.select(col(idCol), col(textCol))
+      .withColumn("__sh", shingles(col(textCol), k))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .localCheckpoint(true)
+    val b = prep(newBatch)
+    val c = prep(corpus)
+    val bBuckets = lshBuckets(b, idCol, "__sig", bands, rowsPerBand)
+    val cBuckets = lshBuckets(c, idCol, "__sig", bands, rowsPerBand)
+    val oversized = cBuckets.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select("band", "band_hash")
+    val candidates = bBuckets
+      .join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
+      .select(col("band"), col("band_hash"), col(idCol))
+      .join(cBuckets.select(col("band"), col("band_hash"), col(idCol).as("corpus_match_id")),
+        Seq("band", "band_hash"))
+      .select(col(idCol), col("corpus_match_id")).distinct()
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("jaccard").desc, col("corpus_match_id"))
+    candidates
+      .join(b.select(col(idCol), col("__sh").as("__sh_b")), idCol :: Nil)
+      .join(c.select(col(idCol).as("corpus_match_id"), col("__sh").as("__sh_c")),
+        "corpus_match_id" :: Nil)
+      .withColumn("jaccard", round(jaccard(col("__sh_b"), col("__sh_c")), 6))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("corpus_match_id"), col("jaccard"))
+  }
+
   // ---- shingling + MinHash -------------------------------------------------
 
   /** Word k-shingles of normalized text, as an array column. Documents shorter than

@@ -109,6 +109,39 @@ object Operators {
         col("increase") / (col("elapsed").cast("double") / tsUnitPerSecond.toDouble))
   }
 
+  /** Range (interval) join: match each point row to every interval row whose
+    * half-open window `[startCol, endCol)` contains `pointTs`, optionally also
+    * matching on equi-`keyCols`. Spark plans a raw `ts >= s AND ts < e` join as
+    * BroadcastNestedLoopJoin (quadratic work unless one side is tiny) — this is
+    * the bin-bucketed equi-join form that survives 100 TB:
+    *
+    *  - each point hashes to ONE bin (`ts div binSize`);
+    *  - each interval is exploded to the bins it overlaps (`s div bin ..
+    *    (e-1) div bin` — ≤ ⌈len/bin⌉+1 rows; pick `binSize` near the typical
+    *    interval length so the blow-up factor is ~2);
+    *  - a plain shuffled/broadcast equi-join on (keys, bin) + an exact residual
+    *    containment filter. Because a point lives in exactly one bin, a
+    *    (point, interval) pair meets at most once — no post-join dedup.
+    *
+    * Long/hot bins (every interval overlapping a popular bin lands in it) are
+    * plain join skew, which AQE's skew-join splitting already handles —
+    * unlike the nested-loop form, which has no such escape hatch.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointTs: String,
+                startCol: String, endCol: String, binSize: Long,
+                keyCols: Seq[String] = Nil): DataFrame = {
+    require(binSize > 0, s"binSize must be positive: $binSize")
+    val binned = points.withColumn("__bin", expr(s"`$pointTs` div ${binSize}L"))
+    val exploded = intervals
+      .filter(col(endCol) > col(startCol)) // empty interval matches nothing
+      .withColumn("__bin",
+        explode(sequence(expr(s"`$startCol` div ${binSize}L"),
+          expr(s"(`$endCol` - 1) div ${binSize}L"))))
+    binned.join(exploded, keyCols :+ "__bin")
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("__bin")
+  }
+
   /** As-of join (time-series point-in-time lookup): for every left row, the single
     * most recent right row with `rightTs <= leftTs` (within `toleranceNs` when
     * given), matched on `keyCols`. Spark has no built-in; the union+last_value

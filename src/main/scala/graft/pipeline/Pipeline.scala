@@ -58,15 +58,15 @@ object Pipeline {
   def mixtureWeights(df: DataFrame, byCol: String,
                      targetShare: Option[Column] = None): DataFrame = {
     val counts = df.groupBy(byCol).agg(count(lit(1)).as("cnt"))
-    // the unpartitioned windows run over the AGGREGATED side only (|groups|
-    // rows, not |corpus|) — the single-task stage is trivially small
-    val total = sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy())
-    val nGroups = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy())
-    val target = targetShare.getOrElse(lit(1.0) / nGroups)
+    // corpus totals via a broadcast single-row cross join (not an unpartitioned
+    // window — same |groups|-row cost, but no all-to-one WindowExec stage)
+    val totals = counts.agg(sum("cnt").as("__total"), count(lit(1)).as("__n_groups"))
+    val target = targetShare.getOrElse(lit(1.0) / col("__n_groups"))
     val micro = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
-    counts
-      .withColumn("share", micro(col("cnt").cast("double") / total))
-      .withColumn("weight", micro(target / (col("cnt").cast("double") / total)))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share", micro(col("cnt").cast("double") / col("__total")))
+      .withColumn("weight", micro(target / (col("cnt").cast("double") / col("__total"))))
+      .drop("__total", "__n_groups")
   }
 
   /** Fixed-size token chunking — the training-sequence preparation step: split

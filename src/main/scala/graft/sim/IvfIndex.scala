@@ -1,0 +1,128 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** MATERIALIZED IVF (inverted-file) ANN index — the scale path that
+  * [[Similarity.ivfTopK]]'s doc promises: `ivfTopK` pays the cell-assignment
+  * scan on every query (fine for one-shot search); this writes the assignment
+  * ONCE as a cell-partitioned Parquet layout, so the read path touches only the
+  * `nProbe` probed cells via Spark partition pruning — at 100 TB a query reads
+  * `nProbe/nCentroids` of the corpus instead of all of it.
+  *
+  *  - `build`: one corpus scan (imperative nearest-centroid expression inside
+  *    the scan) + one partitioned write. Centroids are chosen by the same
+  *    deterministic hash-stride sample as `ivfTopK` — no RNG, so rebuilding on
+  *    the same corpus yields the same index.
+  *  - `topK`: queries are collected driver-side (the query panel is the tiny
+  *    side — it is broadcast in every other ANN path too), probed cells are
+  *    computed in-driver against the cached centroids, and the corpus read
+  *    carries `cell IN (...)` — a partition filter, pruned at PLANNING time
+  *    (verified in IvfIndexSpec via the scan's numFiles metric).
+  *
+  * Probing all cells makes the search EXACT (every vector is in some cell), so
+  * the oracle-gated `q_emb_ivf_indexed` hash-matches the brute-force SQL.
+  */
+object IvfIndex {
+
+  private def dataPath(root: String) = s"$root/data"
+  private def centroidsPath(root: String) = s"$root/centroids"
+
+  /** Assign every corpus vector to its nearest centroid and materialize the
+    * corpus partitioned by cell. Returns the number of centroids actually used
+    * (≤ `nCentroids` on tiny corpora).
+    */
+  def build(corpus: DataFrame, indexRoot: String, nCentroids: Int = 256,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+    val spark = corpus.sparkSession
+    // deterministic hash-stride centroid sample (distributed TakeOrdered; no
+    // global row_number) with a first-ids fallback for degenerate corpora
+    val total = corpus.count()
+    val stride = math.max(1L, total / nCentroids)
+    val sampled = corpus.select(col(idCol), col(vecCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(nCentroids).collect()
+    val cents =
+      if (sampled.nonEmpty) sampled
+      else corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nCentroids).collect()
+    require(cents.nonEmpty, "cannot build an IVF index over an empty corpus")
+    val cvecs = cents.map(decodeVec)
+
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cvecs.zipWithIndex.map { case (v, i) =>
+          Row(i, v.toSeq)
+        }.toSeq, 1),
+        StructType(Seq(StructField("cell", IntegerType, nullable = false),
+          StructField("centroid", ArrayType(DoubleType, containsNull = false)))))
+      .write.mode("overwrite").parquet(centroidsPath(indexRoot))
+
+    corpus
+      .withColumn("cell",
+        graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs))
+      .write.mode("overwrite").partitionBy("cell").parquet(dataPath(indexRoot))
+    cvecs.length
+  }
+
+  /** The cell-filtered corpus scan for a probed cell set — exposed so specs can
+    * assert partition pruning on its executed plan.
+    */
+  def probedScan(spark: SparkSession, indexRoot: String, cells: Seq[Int]): DataFrame =
+    spark.read.parquet(dataPath(indexRoot)).filter(col("cell").isin(cells: _*))
+
+  /** ANN top-k over a materialized index: probe each query's `nProbe` nearest
+    * cells, re-rank exactly inside them. Output schema matches the other ANN
+    * paths: (query_id, id, cosine, rank).
+    */
+  def topK(spark: SparkSession, indexRoot: String, queries: DataFrame, k: Int,
+           nProbe: Int = 8,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val centroids = spark.read.parquet(centroidsPath(indexRoot)).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect()
+
+    // driver-side probe: |queries| × |centroids| cosines — both tiny
+    val probes: Seq[(Any, Seq[Int])] = qRows.toSeq.map { r =>
+      val qv = decodeVec(r)
+      val ranked = centroids
+        .map { case (cell, cv) => (cell, cosineScala(qv, cv)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }
+        .take(math.min(nProbe, centroids.length)).map(_._1).toSeq
+      (r.get(0), ranked)
+    }
+    val allCells = probes.flatMap(_._2).distinct.sorted
+
+    val qSchema = queries.select(col(queryIdCol), col(queryVecCol)).schema
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        probes.zip(qRows).flatMap { case ((qid, cells), qr) =>
+          cells.map(c => Row(qid, qr.get(1), c))
+        }, 1),
+      StructType(qSchema.fields :+ StructField("cell", IntegerType, nullable = false)))
+
+    val rerank = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+    probedScan(spark, indexRoot, allCells)
+      .join(broadcast(probeDf), "cell")
+      .withColumn("cosine", Similarity.cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  private def decodeVec(r: Row): Array[Double] =
+    r.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => other.toString.toDouble
+    }.toArray
+
+  /** Driver-side cosine, same sequential fold order as the distributed paths. */
+  private def cosineScala(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.{IvfIndex, Similarity}
+
+class IvfIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  /** Deterministic clustered corpus: 3 well-separated direction clusters in R^8. */
+  private def clustered(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val cluster = i % 3
+      val base = Array.tabulate(8)(d => if (d % 3 == cluster) 10.0f else 0.1f)
+      // small deterministic jitter, far smaller than the cluster separation
+      val v = base.zipWithIndex.map { case (x, d) => x + ((i * 31 + d * 17) % 7) * 0.01f }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("probe-all query equals brute force exactly") {
+    val corpus = clustered(120).repartition(6)
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    val nCells = IvfIndex.build(corpus, root, nCentroids = 6)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = IvfIndex.topK(spark, root, queries, k = 5, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = Similarity.bruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
+  test("probe-1 equals brute force restricted to the query's nearest cell") {
+    val corpus = clustered(120)
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx1_").toString
+    IvfIndex.build(corpus, root, nCentroids = 6)
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = IvfIndex.topK(spark, root, queries, k = 5, nProbe = 1)
+      .collect().groupBy(_.getLong(0))
+    val data = spark.read.parquet(s"$root/data")
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getSeq[Float](1).map(_.toDouble).toArray
+      // the probed cell: highest centroid cosine, lowest cell id on ties
+      val best = cents.map { case (c, v) => (c, cos(qv, v)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+      val sub = data.filter(col("cell") === best).select("vec_id", "embedding")
+      val want = Similarity
+        .bruteForceTopK(sub, queries.filter(col("query_id") === qid), 5)
+        .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+      val g = got(qid).map(r => (r.getLong(1), r.getInt(3))).toSet
+      assert(g == want, s"query $qid, cell $best")
+    }
+  }
+
+  test("probed read touches only the probed cell partitions (pruned scan)") {
+    val corpus = clustered(120)
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx2_").toString
+    IvfIndex.build(corpus, root, nCentroids = 6)
+    val all = spark.read.parquet(s"$root/data")
+      .select(input_file_name()).distinct().count()
+    val cells = spark.read.parquet(s"$root/data")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    assert(cells.length > 1) // clusters actually spread over cells
+    val oneCellFiles = IvfIndex.probedScan(spark, root, Seq(cells.head))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(oneCellFiles.nonEmpty && oneCellFiles.length < all)
+    assert(oneCellFiles.forall(_.contains(s"cell=${cells.head}")))
+  }
+}

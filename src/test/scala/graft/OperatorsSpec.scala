@@ -123,6 +123,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(edge == Set(1L))
   }
 
+  test("rangeJoin matches the naive interval join; no duplicate pairs") {
+    val points = (0L until 2000L).map(i => (i * 7 % 1000, i)).toDF("ts", "pid")
+      .repartition(8)
+    // intervals of varied lengths incl. empty, bin-straddling, and whole-range
+    val intervals = Seq(
+      (0L, 10L, "a"), (5L, 5L, "empty"), (95L, 210L, "straddle"),
+      (0L, 1000L, "all"), (999L, 1000L, "edge"), (640L, 704L, "aligned")
+    ).toDF("s", "e", "iid")
+    val got = Operators.rangeJoin(points, intervals, "ts", "s", "e", binSize = 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1)))
+    val naive = points.join(intervals, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq) // same multiset ⇒ no dupes either
+    assert(got.length == got.toSet.size)
+  }
+
+  test("rangeJoin with equi-keys only matches within the key") {
+    val points = Seq((1L, 5L, "p1"), (2L, 5L, "p2")).toDF("k", "ts", "pid")
+    val intervals = Seq((1L, 0L, 10L, "w1")).toDF("k", "s", "e", "iid")
+    val out = Operators.rangeJoin(points, intervals, "ts", "s", "e", 4L, Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("p1", "w1")))
+  }
+
   test("counterRate: resets add the post-reset value; <2 samples dropped") {
     // series a: 10 → 15 → 3 (reset) → 9: increase = 5 + 3 + 6 = 14 over 30 units
     // series b: single sample → dropped

@@ -53,6 +53,36 @@ class TextDedupSimSpec extends AnyFunSuite {
       Seq(2L, 9L))
   }
 
+  test("incrementalExactDedup: unseen + first-wins survive; corpus dupes drop") {
+    val corpus = docs((1L, "alpha beta"), (2L, "gamma delta"))
+    val batch = docs(
+      (10L, "ALPHA   beta"), // corpus dup (normalized) → dropped
+      (11L, "epsilon zeta"), // new → survives
+      (12L, "epsilon  zeta"), // batch-internal dup of 11 → dropped
+      (13L, "eta theta")) // new → survives
+    val out = Dedup.incrementalExactDedup(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(11L, 13L))
+    // precomputed fingerprint set short-circuits the corpus scan
+    val fps = corpus.select(TextFunctions.fingerprint(col("text")).as("f"))
+    val out2 = Dedup.incrementalExactDedup(batch, corpus.limit(0),
+        corpusFingerprints = Some(fps))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out2 == out)
+  }
+
+  test("incrementalNearDup: batch docs matching corpus near-dups, best match kept") {
+    val base = "one two three four five six seven eight nine ten " * 3
+    val corpus = docs((1L, base), (2L, "totally different words entirely here"))
+    val batch = docs(
+      (10L, base + "eleven"), // near-dup of corpus 1
+      (11L, "unrelated fresh content nothing shared with anything"))
+    val out = Dedup.incrementalNearDup(batch, corpus, threshold = 0.5,
+        numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 1L)))
+  }
+
   test("shingles: k-word windows and short-doc fallback") {
     val df = docs((1L, "a b c d"), (2L, "a b"))
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
