@@ -68,6 +68,25 @@ object VecScaleProbe {
       d.count(); d
     }
     recall("LSH", lsh)
+
+    // materialized IVF: the build is the one-time write-path cost; the query
+    // then reads ONLY probed cell partitions — at 100 TB this is the difference
+    // between scanning the corpus per query and reading nProbe/nCentroids of it
+    val idxRoot = java.nio.file.Files.createTempDirectory("vec_ivf_idx_").toString
+    time("IVF index build (256 cells, one-time)") {
+      graft.sim.IvfIndex.build(corpus, idxRoot, nCentroids = 256)
+    }
+    val ivfIdx = time("IVF indexed query (probe 16, pruned read)") {
+      val d = graft.sim.IvfIndex.topK(spark, idxRoot, queries, k, nProbe = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      d.count(); d
+    }
+    recall("IVF-indexed", ivfIdx)
+    val filesRead = graft.sim.IvfIndex
+      .probedScan(spark, idxRoot, Seq(0)).select(input_file_name()).distinct().count()
+    val filesAll = spark.read.parquet(s"$idxRoot/data")
+      .select(input_file_name()).distinct().count()
+    println(s"[vecs] pruned read: cell 0 touches $filesRead of $filesAll index files")
     spark.stop()
   }
 }

@@ -35,7 +35,8 @@ object IvfIndex {
     * (≤ `nCentroids` on tiny corpora).
     */
   def build(corpus: DataFrame, indexRoot: String, nCentroids: Int = 256,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            maxRecordsPerFile: Long = 4000000L): Int = {
     val spark = corpus.sparkSession
     // deterministic hash-stride centroid sample (distributed TakeOrdered; no
     // global row_number) with a first-ids fallback for degenerate corpora
@@ -58,10 +59,18 @@ object IvfIndex {
           StructField("centroid", ArrayType(DoubleType, containsNull = false)))))
       .write.mode("overwrite").parquet(centroidsPath(indexRoot))
 
+    // repartition on cell BEFORE the partitioned write: without it every write
+    // task emits a file into every cell dir (tasks × cells tiny files — measured
+    // 15 744 files for 1 M rows × 256 cells, and the probed read paid the
+    // per-file open cost). Hash-clustering on cell yields one file per cell;
+    // maxRecordsPerFile re-splits pathological hot cells.
     corpus
       .withColumn("cell",
         graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs))
-      .write.mode("overwrite").partitionBy("cell").parquet(dataPath(indexRoot))
+      .repartition(cvecs.length, col("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cell").parquet(dataPath(indexRoot))
     cvecs.length
   }
 
