@@ -727,6 +727,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // LLM ops — GPT-2-style pre-tokenization pieces (the regex stage before BPE
+    // merging, lookahead-free for RE2 portability): count + content hash, so
+    // the oracle verifies the exact piece sequence, not just its length.
+    "q_doc_bpe_tokens" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.bpePieceCount(col("text")).cast("long").as("n_pieces"),
+        substring(md5(array_join(TextFunctions.bpePieces(col("text")), "\u0001")), 1, 16)
+          .as("pieces_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — int8 symmetric embedding quantization: per-vector scale,
+    // integer code stats (exact cross-engine: floor-rounding, integer sums).
+    "q_emb_quantize" -> ((s, dir) => {
+      import graft.sim.Quantize
+      val codes = Quantize.int8Codes(col("embedding"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        (floor(Quantize.int8Scale(col("embedding")) * 1e6 + 0.5) / 1e6).as("scale_micro"),
+        aggregate(codes, lit(0L), (a, q) => a + abs(q).cast("long")).as("sum_abs_q"),
+        size(filter(codes, q => abs(q) === 127)).cast("long").as("n_sat"))
+        .orderBy("vec_id")
+    }),
+
     // LLM ops — MATERIALIZED IVF ANN: corpus written cell-partitioned once,
     // queries read only probed cells (partition pruning). Probing ALL cells is
     // exact, so unlike the rows-only q_emb_ivf_ann this one is hash-gated
@@ -1323,6 +1349,31 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
         | FROM scored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_doc_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+        |   AS BIGINT) AS n_pieces,
+        | substring(md5(array_to_string(
+        |   regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'),
+        |   chr(1))), 1, 16) AS pieces_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        | FROM embeddings)
+        |SELECT vec_id,
+        | floor(scale * 1000000 + 0.5) / 1000000 AS scale_micro,
+        | CAST(coalesce(list_sum(list_transform(embedding, x ->
+        |   abs(least(127, greatest(-127,
+        |     CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))))), 0) AS BIGINT)
+        |   AS sum_abs_q,
+        | CAST(len(list_filter(embedding, x ->
+        |   abs(least(127, greatest(-127,
+        |     CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))) = 127)) AS BIGINT)
+        |   AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // probe-all IVF is exact ⇒ same oracle as the brute-force top-k
     "q_emb_ivf_indexed" ->

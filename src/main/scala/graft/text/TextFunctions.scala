@@ -28,6 +28,24 @@ object TextFunctions {
         size(split(text, "[0-9]")) - lit(1) +
         size(split(text, "[^A-Za-z0-9\\s]")) - lit(1))
 
+  /** GPT-2-style pre-tokenization pieces: the regex split BPE tokenizers apply
+    * BEFORE byte-pair merging — space-prefixed letter runs, digit runs, and
+    * punctuation runs (` ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+`). The real
+    * GPT-2 pattern's contraction cases and `\s+(?!\S)` lookahead are dropped:
+    * RE2-based engines (DuckDB, Go) reject lookahead, and cross-engine
+    * portability is what makes the tokenization oracle-checkable. Runs of
+    * whitespace are not pieces (they'd be merge barriers, not tokens).
+    *
+    * One codegen'd regexp_extract_all per row — map-side, zero shuffle.
+    */
+  val BpePiecePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(s"($BpePiecePattern)"), lit(0))
+
+  /** Piece count under [[bpePieces]] — the "BPE-ish" token budget estimator. */
+  def bpePieceCount(text: Column): Column = size(bpePieces(text))
+
   /** Character-class ratios used for quality scoring. */
   def alphaRatio(text: Column): Column = classRatio(text, "[A-Za-z]")
   def digitRatio(text: Column): Column = classRatio(text, "[0-9]")

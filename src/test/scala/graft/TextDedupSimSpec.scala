@@ -53,6 +53,37 @@ class TextDedupSimSpec extends AnyFunSuite {
       Seq(2L, 9L))
   }
 
+  test("bpePieces: space-prefixed letter/digit/punct runs; whitespace dropped") {
+    val df = docs((1L, "Hello world, 42 times!"), (2L, ""), (3L, "  a\n\nb "))
+      .select(col("doc_id"), TextFunctions.bpePieces(col("text")).as("p"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getSeq[String](1) ==
+      Seq("Hello", " world", ",", " 42", " times", "!"))
+    assert(df(1).getSeq[String](1).isEmpty)
+    // newline runs are not pieces; the single leading space attaches
+    assert(df(2).getSeq[String](1) == Seq(" a", "b"))
+  }
+
+  test("int8 quantization: codes, saturation, zero vector, reconstruction") {
+    import graft.sim.Quantize
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)), // scale = 2/127
+      (2L, Seq(0.0f, 0.0f)) // zero vector
+    ).toDF("id", "v")
+    val r = df.select(col("id"),
+        Quantize.int8Codes(col("v")).as("q"),
+        Quantize.int8Scale(col("v")).as("s"),
+        Quantize.int8Mse(col("v")).as("mse"))
+      .orderBy("id").collect()
+    // q = floor(x * 127 / 2 + 0.5): 1.0→64, -2.0→-127, 0.5→32
+    assert(r(0).getSeq[Int](1) == Seq(64, -127, 32))
+    assert(math.abs(r(0).getDouble(2) - 2.0 / 127) < 1e-12)
+    assert(r(0).getDouble(3) > 0 && r(0).getDouble(3) < 1e-4) // small error
+    assert(r(1).getSeq[Int](1) == Seq(0, 0) && r(1).getDouble(3) == 0.0)
+    // max-magnitude component always saturates exactly to ±127
+    assert(r(0).getSeq[Int](1).map(math.abs).max == 127)
+  }
+
   test("incrementalExactDedup: unseen + first-wins survive; corpus dupes drop") {
     val corpus = docs((1L, "alpha beta"), (2L, "gamma delta"))
     val batch = docs(
