@@ -639,6 +639,14 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
 
+    // LLM ops — per-source cap: at most 25 docs per source, hash-chosen (not
+    // arrival order) so the kept set is stable across engines and re-runs.
+    "q_doc_cap_source" -> ((s, dir) =>
+      graft.pipeline.Pipeline.capPerGroup(
+          t(s, dir, "documents"), Seq("source"), "doc_id", 25)
+        .select("source", "doc_id", "rank")
+        .orderBy("source", "rank")),
+
     // §2.5 extension — KMV distinct-count sketch: deterministic (unlike HLL),
     // so the ESTIMATE itself is oracle-verified bit-for-bit.
     "q_distinct_kmv" -> ((s, dir) =>
@@ -1185,6 +1193,14 @@ object SparkEntry {
     "q_doc_length_hist" ->
       s"""SELECT CAST($duckTokens AS BIGINT) // 16 AS bucket, count(*) AS cnt
          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_doc_cap_source" ->
+      """SELECT source, doc_id, rank FROM (
+        | SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |   ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |            doc_id) AS rank
+        | FROM documents) WHERE rank <= 25
+        |ORDER BY source, rank""".stripMargin,
 
     "q_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT

@@ -96,6 +96,24 @@ object Pipeline {
         substring(md5(array_join(col("__chunk"), " ")), 1, 16).as("chunk_hash"))
   }
 
+  /** Deterministic per-group cap: keep at most `n` rows per group, chosen by
+    * the portable id hash (NOT "first n seen" — arrival order isn't stable
+    * across engines or re-runs). The standard per-domain/source cap of corpus
+    * balancing; rows keep a stable `rank` (1..n) within their group.
+    *
+    * Scale shape: one shuffle on the group key; with a heavy-hitter group the
+    * window still streams (row_number needs no buffering) — for extreme skew
+    * compose with [[stratifiedSample]] to pre-thin instead.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  n: Int, rankCol: String = "rank"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(hex60(col(idCol)), col(idCol))
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= n)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch: estimate = (k-1) · 2^60 /
     * h_k where h_k is the k-th smallest distinct hex60 hash. Unlike HLL
     * (approx_count_distinct), the estimate is a pure function of the data —

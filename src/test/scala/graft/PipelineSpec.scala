@@ -74,6 +74,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(h(1L) == h(2L) && h(1L) != h(3L))
   }
 
+  test("capPerGroup: at most n per group, hash-stable choice, groups under n intact") {
+    val df = (1L to 300L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+      .union(Seq(("tiny", 1000L), ("tiny", 1001L)).toDF("g", "id"))
+    val out = Pipeline.capPerGroup(df, Seq("g"), "id", 10)
+    val byGroup = out.collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGroup("g0").size == 10 && byGroup("g1").size == 10 && byGroup("g2").size == 10)
+    assert(byGroup("tiny") == Set(1000L, 1001L)) // under the cap: kept whole
+    // choice is a pure function of ids: same input reshuffled → same kept set
+    val again = Pipeline.capPerGroup(df.repartition(13), Seq("g"), "id", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(again == byGroup)
+    // ranks are 1..n within each group
+    val ranks = out.filter(col("g") === "g0").collect().map(_.getLong(2)).sorted.toSeq
+    assert(ranks == (1L to 10L))
+  }
+
   test("kmvDistinct: exact below k, close estimate above k") {
     val small = (0 until 40).map(_.toLong).toDF("v")
     val exactRow = Pipeline.kmvDistinct(small, col("v"), 64).collect()(0)

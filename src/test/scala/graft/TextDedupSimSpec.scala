@@ -84,6 +84,27 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(r(0).getSeq[Int](1).map(math.abs).max == 127)
   }
 
+  test("int8 quantization property: reconstruction within scale/2, codes in range") {
+    import graft.sim.Quantize
+    // 50 deterministic pseudo-random vectors of varying magnitude
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(d =>
+        (((i * 31 + d * 17) % 101) - 50) * math.pow(10.0, i % 5 - 2).toFloat).toSeq)
+    }.toDF("id", "v")
+    val rows = vecs.select(col("id"), col("v"),
+        Quantize.int8Codes(col("v")).as("q"), Quantize.int8Scale(col("v")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1); val q = r.getSeq[Int](2); val s = r.getDouble(3)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      v.zip(q).foreach { case (x, c) =>
+        // non-saturated codes reconstruct within half a quantization step
+        if (math.abs(c) < 127)
+          assert(math.abs(x - c * s) <= s / 2 + 1e-12, s"id ${r.getLong(0)}: $x vs $c*$s")
+      }
+    }
+  }
+
   test("incrementalExactDedup: unseen + first-wins survive; corpus dupes drop") {
     val corpus = docs((1L, "alpha beta"), (2L, "gamma delta"))
     val batch = docs(
