@@ -73,6 +73,21 @@ object DocScaleProbe {
     val simPairs = time("simhash near-dup")(
       graft.dedup.Dedup.simhashNearDupPairs(docs, maxHamming = 3).count())
     println(s"[docs] simhash pairs at hamming<=3: $simPairs")
+
+    // incremental (daily-ingest) shape: a 2.5% "new batch" deduped against the
+    // rest WITHOUT re-deduping the corpus; the corpus side contributes only a
+    // distinct-fingerprint set. A batch doc survives iff its text is unseen —
+    // exact copies of corpus docs (id%40==1 with the base outside the batch)
+    // must drop. Here every id%40==1 in the batch has its base in the corpus,
+    // so expected survivors = batch − plantedCopiesInBatch − batchInternalDups.
+    val batchFilter = col("doc_id") % 40 === 1 // all planted exact copies
+    val newBatch = docs.filter(batchFilter)
+    val corpus = docs.filter(!batchFilter)
+    val survivors = time("incremental exact dedup (2.5% batch vs corpus)")(
+      graft.dedup.Dedup.incrementalExactDedup(newBatch, corpus).count())
+    println(s"[docs] incremental dedup: ${newBatch.count()} batch docs, " +
+      s"$survivors survived (expected 0 — every batch doc is a planted copy) " +
+      (if (survivors == 0) "OK" else "MISMATCH"))
     spark.stop()
   }
 }
