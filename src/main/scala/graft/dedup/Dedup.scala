@@ -59,27 +59,51 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** INCREMENTAL near-dup: MinHash-LSH candidates of a new batch against the
-    * corpus (batch×corpus only — batch-internal pairs go through
-    * [[minhashNearDupPairs]] on the batch alone). Returns batch rows having at
-    * least one corpus near-duplicate at `threshold`, as
-    * (idCol, corpus_match_id, jaccard) keeping the best-matching corpus doc.
-    *
-    * Scale shape: the corpus contributes band keys only (in production,
-    * persisted from previous runs — recomputed here); the join is
-    * collision-proportional, and the exact-verify join touches candidates only.
+  /** Persist the corpus-side MinHash artifacts (id, shingles, signature) that
+    * [[incrementalNearDup]] otherwise recomputes per call — the "dedup index"
+    * a daily pipeline maintains next to the corpus. Append new survivors after
+    * each ingest (`mode=append`); band keys are cheap to derive from the
+    * signature, so only (id, sh, sig) is stored.
     */
-  def incrementalNearDup(newBatch: DataFrame, corpus: DataFrame,
-                         textCol: String = "text", idCol: String = "doc_id",
-                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                         threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    def prep(df: DataFrame) = df.select(col(idCol), col(textCol))
+  def writeNearDupIndex(corpus: DataFrame, indexPath: String,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        k: Int = 3, numHashes: Int = 64,
+                        mode: String = "overwrite"): Unit =
+    corpus.select(col(idCol), col(textCol))
+      .withColumn("__sh", shingles(col(textCol), k))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col(idCol), col("__sh"), col("__sig"))
+      .write.mode(mode).parquet(indexPath)
+
+  /** [[incrementalNearDup]] against a persisted index written by
+    * [[writeNearDupIndex]] — the corpus text is never touched.
+    */
+  def incrementalNearDupAgainstIndex(newBatch: DataFrame, indexPath: String,
+                                     textCol: String = "text", idCol: String = "doc_id",
+                                     k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                                     threshold: Double = 0.7,
+                                     maxBucket: Int = 1000): DataFrame = {
+    val spark = newBatch.sparkSession
+    val c = spark.read.parquet(indexPath)
+    incrementalNearDupPrepped(
+      prepMinHash(newBatch, textCol, idCol, k, numHashes), c,
+      idCol, numHashes, bands, threshold, maxBucket)
+  }
+
+  private def prepMinHash(df: DataFrame, textCol: String, idCol: String,
+                          k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol), col(textCol))
       .withColumn("__sh", shingles(col(textCol), k))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
       .localCheckpoint(true)
-    val b = prep(newBatch)
-    val c = prep(corpus)
+
+  /** Shared core of the incremental near-dup paths: both sides already carry
+    * (idCol, __sh, __sig).
+    */
+  private def incrementalNearDupPrepped(b: DataFrame, c: DataFrame, idCol: String,
+                                        numHashes: Int, bands: Int,
+                                        threshold: Double, maxBucket: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val bBuckets = lshBuckets(b, idCol, "__sig", bands, rowsPerBand)
     val cBuckets = lshBuckets(c, idCol, "__sig", bands, rowsPerBand)
     val oversized = cBuckets.groupBy("band", "band_hash")
@@ -103,6 +127,25 @@ object Dedup {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("corpus_match_id"), col("jaccard"))
   }
+
+  /** INCREMENTAL near-dup: MinHash-LSH candidates of a new batch against the
+    * corpus (batch×corpus only — batch-internal pairs go through
+    * [[minhashNearDupPairs]] on the batch alone). Returns batch rows having at
+    * least one corpus near-duplicate at `threshold`, as
+    * (idCol, corpus_match_id, jaccard) keeping the best-matching corpus doc.
+    *
+    * Scale shape: the corpus contributes band keys only (in production,
+    * persisted from previous runs — recomputed here); the join is
+    * collision-proportional, and the exact-verify join touches candidates only.
+    */
+  def incrementalNearDup(newBatch: DataFrame, corpus: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame =
+    incrementalNearDupPrepped(
+      prepMinHash(newBatch, textCol, idCol, k, numHashes),
+      prepMinHash(corpus, textCol, idCol, k, numHashes),
+      idCol, numHashes, bands, threshold, maxBucket)
 
   // ---- shingling + MinHash -------------------------------------------------
 

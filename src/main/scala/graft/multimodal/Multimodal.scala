@@ -61,6 +61,9 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("modality"),
       col("text").cast("binary").as("payload"),
+      // byte length is METADATA, computed once at wrap/ingest time: stats-only
+      // queries must never have to scan the payload bytes to learn their size
+      octet_length(col("text").cast("binary")).cast("long").as("payload_bytes"),
       when(col("doc_id") % 3 === 0, "image/png")
         .when(col("doc_id") % 3 === 1, "audio/wav")
         .otherwise("video/mp4").as("mime_type"),
@@ -133,11 +136,19 @@ object Multimodal {
     * that should NEVER touch payload bytes at scale (column pruning keeps the scan to
     * the metadata columns; verify with .explain ReadSchema).
     */
-  def mediaStats(media: DataFrame): DataFrame =
+  def mediaStats(media: DataFrame): DataFrame = {
+    // prefer the payload_bytes metadata column: the aggregation then never
+    // references the binary payload, so column pruning keeps it OUT of the
+    // scan entirely (asserted by the ReadSchema spec) — at 100 TB this is a
+    // stats query over longs, not a full read of every stored object
+    val bytes =
+      if (media.columns.contains("payload_bytes")) col("payload_bytes")
+      else octet_length(col("payload")).cast("long")
     media.groupBy("modality", "mime_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(octet_length(col("payload"))).as("total_bytes"),
-        round(avg(octet_length(col("payload"))), 4).as("avg_bytes"),
+        sum(bytes).as("total_bytes"),
+        round(avg(bytes), 4).as("avg_bytes"),
         max(col("duration_ms")).as("max_duration_ms"))
+  }
 }

@@ -133,6 +133,13 @@ class TextDedupSimSpec extends AnyFunSuite {
         numHashes = 32, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((10L, 1L)))
+    // persisted-index path: same result without touching corpus text again
+    val idx = java.nio.file.Files.createTempDirectory("neardup_idx_").toString
+    Dedup.writeNearDupIndex(corpus, idx, numHashes = 32)
+    val viaIdx = Dedup.incrementalNearDupAgainstIndex(batch, idx,
+        threshold = 0.5, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaIdx.toSeq == out.toSeq)
   }
 
   test("shingles: k-word windows and short-doc fallback") {
@@ -276,6 +283,27 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(out(1L) == ((15L, 5L)) && out(2L) == ((15L, 5L)))
     assert(out(3L) == ((15L, 0L)))
     assert(!out.contains(4L))
+  }
+
+  test("mediaStats over a stored table prunes the binary payload from the scan") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.documentsAsMedia(
+      docs((1L, "short"), (2L, "a much longer payload body"), (3L, "x"))
+        .withColumn("n_chars", length(col("text"))))
+    val dir = java.nio.file.Files.createTempDirectory("media_prune_").toString + "/t"
+    media.write.parquet(dir)
+    val stats = Multimodal.mediaStats(spark.read.parquet(dir))
+    val rows = stats.collect()
+    // correctness: byte totals match recomputing from the payloads
+    val want = media.groupBy("modality")
+      .agg(sum(octet_length(col("payload"))).as("tb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(3) == want(r.getString(0))))
+    // plan: the parquet scan must not read the payload column at all
+    val scan = stats.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(scan).getOrElse("")
+    assert(!readSchema.contains("payload:"), readSchema)
+    assert(readSchema.contains("payload_bytes"), readSchema)
   }
 
   test("PII: detection counts, redaction order, clean text untouched") {
