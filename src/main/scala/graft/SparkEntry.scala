@@ -434,6 +434,16 @@ object SparkEntry {
         .orderBy(col("value").asc)
     }),
 
+    // §2.6 EXTENSION: two-arg quantile(q, expr) — exact interpolated
+    // PERCENTILE per series group.
+    "q_promql_quantile" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileInstant("quantile(0.9, click) by (host)"))
+        .withColumn("timestamp_ns", expr("(timestamp_ns div 1000) * 1000"))
+        .withColumn("value", round(col("value"), 4))
+        .orderBy("host")
+    }),
+
     // §3.1 the full engine pipeline: ingest events→hour chunks (catalog + zone
     // maps), then QueryEngine.sql with time-range extraction + chunk pruning.
     "q_engine_prune_sql" -> ((s, dir) => {
@@ -1048,6 +1058,13 @@ object SparkEntry {
         | round(min(value), 2) AS value, max(epoch_ns(ts)) AS timestamp_ns
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1, 2 ORDER BY value ASC LIMIT 3""".stripMargin,
+
+    "q_promql_quantile" ->
+      """SELECT event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4) AS value,
+        | max(epoch_ns(ts)) AS timestamp_ns
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY host""".stripMargin,
 
     "q_engine_prune_sql" ->
       """SELECT event_type AS metric_name, count(*) AS cnt, round(max(value), 6) AS max_v

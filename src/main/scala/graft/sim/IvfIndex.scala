@@ -120,6 +120,24 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Per-cell row counts — the monitoring input for rebuild decisions. */
+  def cellStats(spark: SparkSession, indexRoot: String): DataFrame =
+    spark.read.parquet(dataPath(indexRoot))
+      .groupBy("cell").agg(count(lit(1)).as("n_rows"))
+
+  /** True when the hottest cell exceeds `maxImbalance` × the mean cell size —
+    * the corpus has drifted from the centroids (ingest after build skews
+    * assignments) and probe cost is no longer ~nProbe/nCentroids. The remedy is
+    * a rebuild (centroids re-sampled from the CURRENT corpus); `build` is a
+    * 2-job scan+write, so rebuilding on a threshold breach is the cheap,
+    * deterministic answer — no incremental centroid migration to reason about.
+    */
+  def needsRebuild(spark: SparkSession, indexRoot: String,
+                   maxImbalance: Double = 8.0): Boolean = {
+    val counts = cellStats(spark, indexRoot).collect().map(_.getLong(1))
+    counts.nonEmpty && counts.max.toDouble > maxImbalance * (counts.sum.toDouble / counts.length)
+  }
+
   private def decodeVec(r: Row): Array[Double] =
     r.getSeq[Any](1).map {
       case f: Float => f.toDouble

@@ -63,6 +63,23 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("needsRebuild: balanced index no, drifted (appended-skew) index yes") {
+    import spark.implicits._
+    val corpus = clustered(120)
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx3_").toString
+    IvfIndex.build(corpus, root, nCentroids = 6)
+    assert(!IvfIndex.needsRebuild(spark, root, maxImbalance = 4.0))
+    // simulate post-build ingest drift: a flood of rows landing in one cell
+    val hotCell = spark.read.parquet(s"$root/data")
+      .select("cell").limit(1).collect()(0).getInt(0)
+    (1000L until 3000L).map(i => (i, Seq.fill(8)(1.0f), hotCell))
+      .toDF("vec_id", "embedding", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/data")
+    // max/mean is bounded by the non-empty cell count (6 here), so the
+    // spec threshold sits below it
+    assert(IvfIndex.needsRebuild(spark, root, maxImbalance = 4.0))
+  }
+
   test("probed read touches only the probed cell partitions (pruned scan)") {
     val corpus = clustered(120)
     val root = java.nio.file.Files.createTempDirectory("ivf_idx2_").toString
