@@ -695,6 +695,23 @@ object SparkEntry {
       graft.pipeline.Pipeline.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32)
         .orderBy("doc_id", "chunk_idx")),
 
+    // LLM ops — dedup CLUSTERING: connected components over the shared-shingle
+    // pair graph (same 40-doc sample as q_doc_ngram_jaccard; edge = ≥2 shared
+    // 3-shingles, an INTEGER threshold so the edge set has no float knife
+    // edge) — pairs become groups keyed by their minimum doc id. Oracle:
+    // DuckDB recursive-CTE transitive closure.
+    "q_doc_dedup_groups" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) >= 2)
+        .select("id_a", "id_b")
+      graft.dedup.Dedup.connectedComponents(pairs)
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — MinHash+LSH near-dup candidates with exact Jaccard verify.
     // No SQL oracle (LSH recall is probabilistic) → driver rows-only check;
     // exactness is covered by DedupSpec unit tests.
@@ -1318,6 +1335,28 @@ object SparkEntry {
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
         | AND len(list_intersect(a.shingles, b.shingles)) > 0
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_doc_dedup_groups" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+        |  END AS shingles
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |       FROM documents WHERE doc_id < 40)),
+        |edges AS (
+        | SELECT a.doc_id AS s, b.doc_id AS d FROM sh a, sh b
+        | WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.shingles, b.shingles)) >= 2),
+        |undirected AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+        |reach AS (
+        | WITH RECURSIVE r(v, w) AS (
+        |  SELECT s, d FROM undirected
+        |  UNION
+        |  SELECT r.v, u.d FROM r JOIN undirected u ON r.w = u.s)
+        | SELECT v, w FROM r)
+        |SELECT v AS doc_id, least(v, min(w)) AS component
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "q_doc_token_stats" ->
       s"""SELECT doc_id,

@@ -300,6 +300,54 @@ object Dedup {
         micro(col("n_dup").cast("double") / col("n_windows").cast("double")))
   }
 
+  // ---- dedup clustering ----------------------------------------------------
+
+  /** Connected components over near-duplicate PAIRS — the step that turns
+    * pairwise matches into dedup groups (keep one representative per group,
+    * drop the rest). Min-label propagation: every vertex starts as its own
+    * label; each round joins labels across edges and keeps the minimum;
+    * converges in O(component diameter) rounds — near-dup clusters are
+    * shallow (dup rings around a source doc), so this is 2-4 rounds in
+    * practice. Each round is one shuffle join + one aggregation;
+    * `localCheckpoint` truncates the growing lineage. For adversarial
+    * long-chain graphs swap in large-star/small-star (Kiveris et al.) — same
+    * API, fewer rounds; the propagation loop is deliberately the simple,
+    * auditable variant.
+    *
+    * Input: two id columns (undirected edges). Output: (idCol, component) for
+    * every vertex that appears in at least one edge, where component = the
+    * minimum id reachable from the vertex (the group representative).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIters: Int = 50,
+                          outCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // candidate labels: own + every neighbor's current label
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("v", "dst"), "dst")
+        .select(col("src").as("v"), col("label"))
+      val next = labels.select(col("v"), col("label")).union(viaEdges)
+        .groupBy("v").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("v").as(outCol), col("label").as("component"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: bit b of the signature is 1 iff

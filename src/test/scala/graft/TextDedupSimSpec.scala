@@ -285,6 +285,21 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("connectedComponents: chains, rings, isolated pairs, min-id labels") {
+    // components: {1,2,3,4,5} (chain), {10,11,12} (ring), {20,21} (pair)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), // chain, mixed edge direction
+      (10L, 11L), (11L, 12L), (12L, 10L), // ring
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty edge set → empty result (no crash)
+    assert(Dedup.connectedComponents(pairs.limit(0)).count() == 0L)
+  }
+
   test("mediaStats over a stored table prunes the binary payload from the scan") {
     import graft.multimodal.Multimodal
     val media = Multimodal.documentsAsMedia(
