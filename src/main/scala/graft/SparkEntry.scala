@@ -641,6 +641,21 @@ object SparkEntry {
       graft.pipeline.Pipeline.mixtureWeights(t(s, dir, "documents"), "source")
         .orderBy("source")),
 
+    // LLM ops — APPLY the mixture: deterministic repetition by weight
+    // (floor(w) copies + one more iff the id-hash fraction < frac(w)), so the
+    // rebalanced corpus is reproducible row-for-row.
+    "q_doc_repeat_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.pipeline.Pipeline.mixtureWeights(docs, "source")
+        .select(col("source"), col("weight"))
+      graft.pipeline.Pipeline
+        .repeatByWeight(docs.join(broadcast(w), "source"), "doc_id", col("weight"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_out"), countDistinct("doc_id").as("n_docs"),
+          max(col("copy_idx")).cast("long").as("max_copy"))
+        .orderBy("source")
+    }),
+
     // LLM ops — corpus length histogram (16-token buckets), integral div.
     "q_doc_length_hist" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1227,6 +1242,28 @@ object SparkEntry {
     "q_doc_length_hist" ->
       s"""SELECT CAST($duckTokens AS BIGINT) // 16 AS bucket, count(*) AS cnt
          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_doc_repeat_weighted" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+        |             CAST(count(*) AS BIGINT) AS n FROM c),
+        |w AS (SELECT c.source,
+        |  floor((1.0 / t.n) / (CAST(c.cnt AS DOUBLE) / t.total) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS weight
+        | FROM c, t),
+        |d AS (SELECT doc_id, d0.source, weight,
+        |  CAST(floor(weight) AS BIGINT)
+        |  + CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |             % 1000000
+        |           < CAST(floor((weight - floor(weight)) * 1000000.0) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS n
+        | FROM documents d0 JOIN w USING (source)),
+        |r AS (SELECT doc_id, source, u.i AS copy_idx
+        |      FROM d, UNNEST(generate_series(0, CAST(n AS INT) - 1)) u(i)
+        |      WHERE n > 0)
+        |SELECT source, count(*) AS n_out, count(DISTINCT doc_id) AS n_docs,
+        |       CAST(max(copy_idx) AS BIGINT) AS max_copy
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q_doc_cap_source" ->
       """SELECT source, doc_id, rank FROM (

@@ -96,6 +96,31 @@ object Pipeline {
         substring(md5(array_join(col("__chunk"), " ")), 1, 16).as("chunk_hash"))
   }
 
+  /** APPLY a sampling weight (e.g. from [[mixtureWeights]]) by deterministic
+    * repetition: a row with weight w is emitted floor(w) times, plus one more
+    * iff its id-hash fraction falls under frac(w) — so expected multiplicity
+    * is exactly w, per-row multiplicity is a pure function of (id, w), and
+    * the output is reproducible across engines and re-runs (the property
+    * rand()-based upsampling loses). Downsampling (w < 1) degenerates to
+    * keep-iff-hash<w; upsampled copies get a `copy_idx` (0-based) so
+    * downstream shuffles can still distinguish them.
+    *
+    * Map-side only (explode of a per-row sequence): no shuffle at any scale.
+    */
+  def repeatByWeight(df: DataFrame, idCol: String, weight: Column,
+                     copyCol: String = "copy_idx"): DataFrame = {
+    // hash fraction in [0,1): compare against frac(w) at µ-precision to keep
+    // the boundary integral (hex60 is an integer in [0, 2^60))
+    val frac = weight - floor(weight)
+    val extra = (hex60(col(idCol)) % lit(1000000L)) <
+      floor(frac * 1000000.0).cast("long")
+    val copies = (floor(weight) + when(extra, 1).otherwise(0)).cast("int")
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .select(col("*"), explode(sequence(lit(0), col("__n") - 1)).as(copyCol))
+      .drop("__n")
+  }
+
   /** Deterministic per-group cap: keep at most `n` rows per group, chosen by
     * the portable id hash (NOT "first n seen" — arrival order isn't stable
     * across engines or re-runs). The standard per-domain/source cap of corpus

@@ -74,6 +74,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(h(1L) == h(2L) && h(1L) != h(3L))
   }
 
+  test("repeatByWeight: exact integer copies, fractional tail by hash, w=0 drops") {
+    val df = (1L to 1000L).map(i => (i, s"d$i")).toDF("id", "tag")
+    // integral weight: exactly 2 copies each, copy_idx 0..1
+    val twice = Pipeline.repeatByWeight(df, "id", lit(2.0))
+    assert(twice.count() == 2000L)
+    assert(twice.groupBy("id").count().filter(col("count") =!= 2).count() == 0L)
+    assert(twice.select("copy_idx").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(0, 1))
+    // zero weight drops everything
+    assert(Pipeline.repeatByWeight(df, "id", lit(0.0)).count() == 0L)
+    // fractional: w = 1.25 → mean multiplicity ≈ 1.25, each row 1 or 2 copies
+    val frac = Pipeline.repeatByWeight(df, "id", lit(1.25))
+    val n = frac.count()
+    assert(n > 1150 && n < 1350, s"got $n, expected ≈1250")
+    val perRow = frac.groupBy("id").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(perRow == Set(1L, 2L))
+    // deterministic under repartitioning
+    val again = Pipeline.repeatByWeight(df.repartition(7), "id", lit(1.25)).count()
+    assert(again == n)
+  }
+
   test("capPerGroup: at most n per group, hash-stable choice, groups under n intact") {
     val df = (1L to 300L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
       .union(Seq(("tiny", 1000L), ("tiny", 1001L)).toDF("g", "id"))
