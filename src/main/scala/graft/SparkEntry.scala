@@ -829,6 +829,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — quantized ANN (rows-only check: the shortlist is approximate
+    // at realistic rerank factors; exactness at full rerank is spec-gated).
+    "q_emb_int8_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Quantize.int8TopK(emb, queries, k = 5, rerankFactor = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // LLM ops — multimodal: metadata-only stats over binary payload columns (the
     // scan must never decode payloads; column pruning keeps it to metadata cols).
     "q_multimodal_stats" -> ((s, dir) =>

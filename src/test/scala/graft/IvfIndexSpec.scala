@@ -80,6 +80,25 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.needsRebuild(spark, root, maxImbalance = 4.0))
   }
 
+  test("int8TopK: quantized scoring + exact re-rank recovers the true top-k") {
+    import graft.sim.Quantize
+    val corpus = clustered(120)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = Quantize.int8TopK(corpus, queries, k = 5, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = Similarity.bruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+    // quantized cosine is a close proxy: reported (exact re-ranked) cosines
+    // must match brute force bit-for-bit since re-rank uses the float vectors
+    val cosines = Quantize.int8TopK(corpus, queries, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val trueCos = Similarity.bruteForceTopK(corpus, queries, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    trueCos.foreach { case (key, v) => assert(cosines(key) == v) }
+  }
+
   test("probed read touches only the probed cell partitions (pruned scan)") {
     val corpus = clustered(120)
     val root = java.nio.file.Files.createTempDirectory("ivf_idx2_").toString

@@ -8,6 +8,29 @@ import graft.promql.{LabelMatcher, PromQL}
   */
 class PromQLSpec extends AnyFunSuite {
 
+  test("scalacheck: parser/transpiler totality — arbitrary input never throws") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a mix of: pure noise, promql-ish fragments, and mutated valid queries
+    val promChars = Gen.oneOf(Gen.alphaNumChar, Gen.oneOf("{}()[]=!~\",| .:*+-/\\'`$".toSeq))
+    val noise = Gen.listOf(promChars).map(_.mkString)
+    val promish = for {
+      agg <- Gen.oneOf("sum", "topk(3,", "quantile(0.5,", "rate(", "bogus(")
+      sel <- Gen.oneOf("cpu", "cpu{host=\"a\"}", "cpu{host=~\"h[0-", "{", "}", "")
+      tail <- Gen.oneOf(")", "", "[5m])", ") by (host", ") by (host)")
+    } yield s"$agg$sel$tail"
+    val gen = Gen.oneOf(noise, promish)
+    val prop = Prop.forAll(gen) { q =>
+      // every entry point must TOTALLY handle garbage: fall back per the
+      // reference (whole string = metric name), never throw
+      graft.promql.PromQL.parse(q)
+      graft.promql.PromQL.transpileInstant(q)
+      graft.promql.PromQL.transpileRange(q, 0L, 1000000000L, 60L)
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bare selector") {
     val p = PromQL.parse("cpu_usage")
     assert(p.metricName == "cpu_usage")
