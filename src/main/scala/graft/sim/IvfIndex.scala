@@ -120,6 +120,27 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Incremental ingest: assign NEW vectors to the EXISTING centroids and
+    * append them to the index — the steady-state write path between rebuilds
+    * (centroids stay fixed; [[needsRebuild]] says when drift warrants
+    * re-sampling them). Same clustered layout as `build`: one appended file
+    * per touched cell.
+    */
+  def append(newVectors: DataFrame, indexRoot: String,
+             vecCol: String = "embedding",
+             maxRecordsPerFile: Long = 4000000L): Unit = {
+    val spark = newVectors.sparkSession
+    val cvecs = spark.read.parquet(centroidsPath(indexRoot)).collect()
+      .sortBy(_.getInt(0)).map(r => r.getSeq[Double](1).toArray)
+    newVectors
+      .withColumn("cell",
+        graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs))
+      .repartition(cvecs.length, col("cell"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cell").parquet(dataPath(indexRoot))
+  }
+
   /** Per-cell row counts — the monitoring input for rebuild decisions. */
   def cellStats(spark: SparkSession, indexRoot: String): DataFrame =
     spark.read.parquet(dataPath(indexRoot))

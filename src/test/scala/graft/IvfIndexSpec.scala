@@ -63,6 +63,25 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append assigns to existing centroids; probe-all over the union stays exact") {
+    import spark.implicits._
+    val corpus = clustered(120)
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx4_").toString
+    val nCells = IvfIndex.build(corpus.filter(col("vec_id") < 90), root, nCentroids = 6)
+    IvfIndex.append(corpus.filter(col("vec_id") >= 90), root)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = IvfIndex.topK(spark, root, queries, k = 5, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = Similarity.bruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+    // appended rows landed in existing cells only
+    val cellsOnDisk = spark.read.parquet(s"$root/data")
+      .select("cell").distinct().count()
+    assert(cellsOnDisk <= nCells)
+  }
+
   test("needsRebuild: balanced index no, drifted (appended-skew) index yes") {
     import spark.implicits._
     val corpus = clustered(120)

@@ -139,6 +139,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == got.toSet.size)
   }
 
+  test("scalacheck: rangeJoin equals the naive interval join on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      nP <- Gen.choose(0, 60)
+      pts <- Gen.listOfN(nP, Gen.choose(0L, 500L))
+      nI <- Gen.choose(0, 12)
+      ivs <- Gen.listOfN(nI, for {
+        s <- Gen.choose(-50L, 520L)
+        len <- Gen.choose(-10L, 200L) // includes empty/negative intervals
+      } yield (s, s + len))
+      bin <- Gen.oneOf(1L, 7L, 64L, 1000L)
+    } yield (pts, ivs, bin)
+    val prop = Prop.forAll(genCase) { case (pts, ivs, bin) =>
+      val points = pts.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("ts", "pid")
+      val intervals = ivs.zipWithIndex.map { case ((s, e), i) => (s, e, i.toLong) }
+        .toDF("s", "e", "iid")
+      val got = Operators.rangeJoin(points, intervals, "ts", "s", "e", bin)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val naive = points.join(intervals, col("ts") >= col("s") && col("ts") < col("e"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      got.toSeq == naive.toSeq
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rangeJoin with equi-keys only matches within the key") {
     val points = Seq((1L, 5L, "p1"), (2L, 5L, "p2")).toDF("k", "ts", "pid")
     val intervals = Seq((1L, 0L, 10L, "w1")).toDF("k", "s", "e", "iid")

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ingest.{Converters, PromWire}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import java.io.ByteArrayOutputStream
 
 /** Prometheus remote-write wire parsing (F4) + IVF ANN + concurrency/atomicity. */
@@ -49,6 +50,20 @@ class WireAndIvfSpec extends AnyFunSuite {
     assert(pts.head.timestampNs == 1500000000L)
     assert(pts.head.metricName == "reqs")
     assert(pts.head.valueU64.contains(5L))
+  }
+
+  test("scalacheck: arbitrary bytes never hang or escape IllegalArgumentException") {
+    // the wire parser faces the network: any byte soup must terminate promptly
+    // with either a parse or an IllegalArgumentException — no other throwable,
+    // no infinite skip loop (each case is bounded by the test's own run time)
+    val gen = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    val prop = Prop.forAll(gen) { bytes =>
+      try { PromWire.parseWriteRequest(bytes); true }
+      catch { case _: IllegalArgumentException => true }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("parser skips unknown fields; rejects truncated input") {
