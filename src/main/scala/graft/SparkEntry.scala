@@ -434,6 +434,18 @@ object SparkEntry {
         .orderBy(col("value").asc)
     }),
 
+    // §2.6 EXTENSION: sum(rate(m[w])) with TRUE two-level semantics — per-host
+    // rate per bucket, then summed across hosts (the faithful transpileRange
+    // drops the outer agg like the reference does; this is the opt-in fix for
+    // the dominant Grafana idiom).
+    "q_promql_sum_rate" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRangeSeriesAgg(
+          "sum(rate(view[1h]))", Jan1Ns, Feb1Ns, 21600L, seriesLabels = Seq("host")))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("time_bucket")
+    }),
+
     // §2.6 EXTENSION: two-arg quantile(q, expr) — exact interpolated
     // PERCENTILE per series group.
     "q_promql_quantile" -> ((s, dir) => {
@@ -1102,6 +1114,17 @@ object SparkEntry {
         | round(min(value), 2) AS value, max(epoch_ns(ts)) AS timestamp_ns
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1, 2 ORDER BY value ASC LIMIT 3""".stripMargin,
+
+    "q_promql_sum_rate" ->
+      """SELECT time_bucket, metric_name, round(sum(value), 6) AS value FROM (
+        | SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        |  event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        |  (max(value) - min(value)) / 3600.0 AS value
+        | FROM events
+        | WHERE event_type = 'view'
+        |  AND epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
+        | GROUP BY 1, 2, 3)
+        |GROUP BY 1, 2 ORDER BY time_bucket""".stripMargin,
 
     "q_promql_quantile" ->
       """SELECT event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,

@@ -249,6 +249,46 @@ object PromQL {
        |ORDER BY time_bucket""".stripMargin.replace("\n", " ")
   }
 
+  /** EXTENSION — true Prometheus two-level semantics for `agg(rangefn(m[w]))`
+    * (the dominant Grafana idiom, e.g. `sum(rate(x[5m]))`): the reference's
+    * transpiler — and our faithful [[transpileRange]] — silently drops the
+    * outer aggregation when a range function is present. Here the inner query
+    * computes the range function PER SERIES per bucket (series = matcher
+    * labels ∪ by-labels ∪ `seriesLabels`, the engine-known label columns), and
+    * the outer aggregates across series by (bucket, by-labels) — real
+    * sum-of-rates, not rate-of-mixed-series.
+    */
+  def transpileRangeSeriesAgg(q: String, startNs: Long, endNs: Long,
+                              stepSeconds: Long,
+                              seriesLabels: Seq[String]): String = {
+    val p = parse(q)
+    require(p.aggregation.isDefined && p.function.isDefined,
+      s"expected agg(rangefn(selector[w])), got: $q")
+    val stepNs = stepSeconds * 1000000000L
+    val bucket = s"(timestamp_ns DIV $stepNs) * $stepNs"
+    val timeConds = Seq(s"timestamp_ns >= $startNs", s"timestamp_ns <= $endNs")
+    val q1 = (s: String) => s"`${s.replace("`", "``")}`"
+    val seriesCols = (discoverLabelColumns(p) ++ seriesLabels).distinct
+    val innerGroup = ("metric_name" +: seriesCols.map(q1)).mkString(", ")
+    val outerGroup = ("metric_name" +: p.groupBy.map(q1)).mkString(", ")
+    val fnExpr = rangeFnSql(p.function.get, p.rangeSeconds.getOrElse(stepSeconds))
+    val outerAgg = p.aggregation.get match {
+      case "sum" => "SUM(value)"
+      case "avg" => "AVG(value)"
+      case "count" => "COUNT(*)"
+      case "min" => "MIN(value)"
+      case "max" => "MAX(value)"
+      case "stddev" => "STDDEV(value)"
+      case _ => "AVG(value)"
+    }
+    s"""SELECT time_bucket, $outerGroup, $outerAgg AS value FROM (
+       |SELECT $bucket AS time_bucket, $innerGroup, $fnExpr AS value
+       |FROM metrics WHERE ${whereClause(p, timeConds)}
+       |GROUP BY time_bucket, $innerGroup)
+       |GROUP BY time_bucket, $outerGroup
+       |ORDER BY time_bucket""".stripMargin.replace("\n", " ")
+  }
+
   /** `/api/v1/label/{name}/values` → SQL (reference prometheus_api.rs:380-500):
     * SELECT DISTINCT with matcher/time WHERE; `__name__` maps to metric_name.
     * Identifier validation mirrors the reference's anti-injection check

@@ -8,6 +8,22 @@ import graft.promql.{LabelMatcher, PromQL}
   */
 class PromQLSpec extends AnyFunSuite {
 
+  test("transpileRangeSeriesAgg: per-series rate inner, cross-series agg outer") {
+    val sql = graft.promql.PromQL.transpileRangeSeriesAgg(
+      """sum by (env) (rate(http{job="api"}[5m]))""", 0L, 1000000000L, 60L,
+      seriesLabels = Seq("host"))
+    // inner: per (metric, job-matcher label, env, host) rate per bucket
+    assert(sql.contains("(MAX(COALESCE(value_f64"))
+    assert(sql.contains("GROUP BY time_bucket, metric_name, `job`, `env`, `host`"))
+    // outer: SUM over series, grouped by bucket + by-labels only
+    assert(sql.contains("SUM(value) AS value"))
+    assert(sql.contains("GROUP BY time_bucket, metric_name, `env` ORDER BY time_bucket"))
+    // non-nested input is rejected, not silently degraded
+    intercept[IllegalArgumentException] {
+      graft.promql.PromQL.transpileRangeSeriesAgg("rate(x[5m])", 0L, 1L, 60L, Nil)
+    }
+  }
+
   test("scalacheck: parser/transpiler totality — arbitrary input never throws") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // a mix of: pure noise, promql-ish fragments, and mutated valid queries
