@@ -446,6 +446,15 @@ object SparkEntry {
         .orderBy("time_bucket")
     }),
 
+    // §2.6 EXTENSION: max_over_time (query-pack idiom) — per-bucket MAX.
+    "q_promql_max_over_time" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange(
+          "max_over_time(error[1h])", Jan1Ns, Feb1Ns, 21600L))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("time_bucket")
+    }),
+
     // §2.6 EXTENSION: two-arg quantile(q, expr) — exact interpolated
     // PERCENTILE per series group.
     "q_promql_quantile" -> ((s, dir) => {
@@ -1114,6 +1123,14 @@ object SparkEntry {
         | round(min(value), 2) AS value, max(epoch_ns(ts)) AS timestamp_ns
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1, 2 ORDER BY value ASC LIMIT 3""".stripMargin,
+
+    "q_promql_max_over_time" ->
+      """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        | event_type AS metric_name, round(max(value), 6) AS value
+        |FROM events
+        |WHERE event_type = 'error'
+        | AND epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
+        |GROUP BY 1, 2 ORDER BY time_bucket""".stripMargin,
 
     "q_promql_sum_rate" ->
       """SELECT time_bucket, metric_name, round(sum(value), 6) AS value FROM (

@@ -51,8 +51,14 @@ object PromQL {
     """^\s*(topk|bottomk|quantile)\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*,\s*(.+)\)\s*by\s*\(([^)]*)\)\s*$""".r
   private val aggByAfterRe: Regex =
     """^\s*(sum|avg|count|min|max|stddev|stdvar|topk|bottomk)\s*\((.+)\)\s*by\s*\(([^)]*)\)\s*$""".r
+  // *_over_time is an EXTENSION: the reference's regex lists only the 6
+  // rate-family functions (prometheus_api.rs:782-805); the query pack it ships
+  // for external monitoring uses max_over_time, so the engine accepts the
+  // whole family (per-bucket MIN/MAX/AVG/SUM/COUNT).
   private val rangeFnRe: Regex =
-    """^\s*(rate|increase|irate|delta|idelta|deriv)\s*\(\s*(.+?)\s*\[\s*(\d+)(ms|s|m|h|d|w)\s*\]\s*\)\s*$""".r
+    ("""^\s*(rate|increase|irate|delta|idelta|deriv""" +
+      """|min_over_time|max_over_time|avg_over_time|sum_over_time|count_over_time)""" +
+      """\s*\(\s*(.+?)\s*\[\s*(\d+)(ms|s|m|h|d|w)\s*\]\s*\)\s*$""").r
   private val selectorRe: Regex =
     """^\s*([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?\s*$""".r
   private val matcherRe: Regex =
@@ -175,7 +181,12 @@ object PromQL {
       s"(MAX($ValueExpr) - MIN($ValueExpr)) / ($rangeSecs)"
     case "increase" | "delta" =>
       s"MAX($ValueExpr) - MIN($ValueExpr)"
-    case _ => s"AVG($ValueExpr)"
+    // EXTENSION family — per-bucket aggregates over the window's samples
+    case "min_over_time" => s"MIN($ValueExpr)"
+    case "max_over_time" => s"MAX($ValueExpr)"
+    case "sum_over_time" => s"SUM($ValueExpr)"
+    case "count_over_time" => "COUNT(*)"
+    case _ => s"AVG($ValueExpr)" // avg_over_time + reference's `_` arm
   }
 
   private def whereClause(p: ParsedPromQL, extra: Seq[String]): String = {

@@ -8,6 +8,17 @@ import graft.promql.{LabelMatcher, PromQL}
   */
 class PromQLSpec extends AnyFunSuite {
 
+  test("*_over_time extension family parses and maps to per-bucket aggregates") {
+    val p = graft.promql.PromQL.parse("max_over_time(cpu[24h])")
+    assert(p.function.contains("max_over_time") && p.rangeSeconds.contains(86400L))
+    val sql = graft.promql.PromQL.transpileRange("max_over_time(cpu[24h])", 0L, 1L, 60L)
+    assert(sql.contains("MAX(COALESCE(value_f64"))
+    assert(graft.promql.PromQL.transpileRange("count_over_time(cpu[5m])", 0L, 1L, 60L)
+      .contains("COUNT(*)"))
+    assert(graft.promql.PromQL.transpileRange("sum_over_time(cpu[5m])", 0L, 1L, 60L)
+      .contains("SUM(COALESCE(value_f64"))
+  }
+
   test("transpileRangeSeriesAgg: per-series rate inner, cross-series agg outer") {
     val sql = graft.promql.PromQL.transpileRangeSeriesAgg(
       """sum by (env) (rate(http{job="api"}[5m]))""", 0L, 1000000000L, 60L,
