@@ -328,18 +328,31 @@ object Dedup {
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true)
+    val labelType = labels.schema("label").dataType
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // candidate labels: own + every neighbor's current label
+      // candidate labels: own + every neighbor's current label. Self rows also
+      // carry the previous label as __old (exactly one self row per vertex), so
+      // min(label) vs max(__old) yields new-vs-old per vertex WITHOUT the extra
+      // convergence join+count job: the changed-count is observed as a metric of
+      // the SAME job that materializes the round's labels — one job per round,
+      // not two.
       val viaEdges = edges
         .join(labels.withColumnRenamed("v", "dst"), "dst")
-        .select(col("src").as("v"), col("label"))
-      val next = labels.select(col("v"), col("label")).union(viaEdges)
-        .groupBy("v").agg(min("label").as("label"))
+        .select(col("src").as("v"), col("label"),
+          lit(null).cast(labelType).as("__old"))
+      val obs = new org.apache.spark.sql.Observation()
+      val next = labels.select(col("v"), col("label"), col("label").as("__old"))
+        .union(viaEdges)
+        .groupBy("v").agg(min("label").as("label"), max("__old").as("__old"))
+        .observe(obs,
+          sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
+        .select("v", "label")
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      // empty vertex set aggregates to no rows → SUM is null → converged
+      val changed = Option(obs.get.getOrElse("changed", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
       converged = changed == 0
       iter += 1

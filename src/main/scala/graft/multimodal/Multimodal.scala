@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media row: opaque bytes + typed metadata. The Spark-side plumbing (schema,
-  * partitioning, batch shape) is real; the actual codec calls are STUBBED behind
-  * deterministic fakes because image/audio libraries are not in this container —
-  * each stub is clearly marked and isolated so a real decoder drops in per-function.
+  * partitioning, batch shape) is real. Image (PNG/JPEG) and audio (WAV) decode are
+  * REAL too — `javax.imageio` and `javax.sound.sampled` ship in the JDK, so no
+  * external codec libraries are needed. Only video decode remains a clearly-marked
+  * deterministic stub (no MP4 codec in the JDK). Payloads that fail to decode
+  * (corrupt objects are a fact of life in a 100 TB lake) fall back to a
+  * deterministic content-hash feature with feature[0] = 0 marking the failure —
+  * the pipeline never throws, mirroring production quarantine-not-crash handling.
   */
 final case class MediaRecord(
     media_id: Long,
@@ -32,24 +36,89 @@ final case class MediaFeature(
   */
 object Multimodal {
 
-  /** ---- STUB ---- Real impl would decode the image bytes (JPEG/PNG) and return
-    * pixel data. Deterministic fake: derives a pseudo-pixel buffer from a rolling
-    * hash of the payload. Signature and batch shape are what a real decoder needs.
+  /** Deterministic content-hash feature — the fallback for undecodable payloads
+    * (feature[0] = 0 marks it) and the frame stand-in for the video stub.
     */
-  private def stubDecodeImage(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
+  private def hashFeature(payload: Array[Byte]): Array[Float] = {
     var acc = 1125899906842597L
     var i = 0
     while (i < payload.length) { acc = acc * 31 + payload(i); i += 1 }
-    Array.tabulate(8)(j => ((acc >>> (j * 8)) & 0xFF).toFloat / 255f)
+    val f = Array.tabulate(8)(j => ((acc >>> (j * 8)) & 0xFF).toFloat / 255f)
+    f(0) = 0f // decoded flag: 0 = fallback
+    f
   }
 
-  /** ---- STUB ---- Real impl: resample audio + extract e.g. mel features. */
-  private def stubAudioFeatures(payload: Array[Byte], sampleRate: Int): Array[Float] =
-    stubDecodeImage(payload, 0, 0)
+  /** REAL image decode via the JDK's built-in PNG/JPEG/GIF/BMP readers.
+    * 8-float feature: [1, width, height, meanR, meanG, meanB, meanLuma, aspect] —
+    * the per-image summary a dedup/quality pass keys on. None if the bytes
+    * aren't a decodable image.
+    */
+  private[multimodal] def decodeImageFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        val (mr, mg, mb) = (r / n / 255.0, g / n / 255.0, b / n / 255.0)
+        val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        Some(Array(1f, w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat,
+          luma.toFloat, (w.toDouble / h).toFloat))
+      }
+    } catch { case _: Throwable => None }
 
-  /** ---- STUB ---- Real impl: sample `n` frames at uniform timestamps. */
+  /** REAL WAV decode via the JDK's javax.sound.sampled. 8-float feature:
+    * [1, channels, sampleRate, nFrames, meanAmp, rms, peak, zeroCrossingRate]
+    * over 16-bit PCM samples normalized to [-1, 1]. None if not decodable WAV.
+    */
+  private[multimodal] def decodeAudioFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None // 16-bit PCM only
+        val bytes = in.readAllBytes()
+        val big = fmt.isBigEndian
+        val n = bytes.length / 2
+        if (n == 0) return None
+        var sum = 0.0; var sq = 0.0; var peak = 0.0; var crossings = 0
+        var prevSign = 0
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xFF
+          val hi = bytes(2 * i + (if (big) 0 else 1)).toInt
+          val s = ((hi << 8) | lo) / 32768.0
+          sum += s; sq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+          i += 1
+        }
+        Some(Array(1f, fmt.getChannels.toFloat, fmt.getSampleRate,
+          (n / fmt.getChannels).toFloat, (sum / n).toFloat,
+          math.sqrt(sq / n).toFloat, peak.toFloat, (crossings.toDouble / n).toFloat))
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** ---- STUB ---- video frame sampling: no MP4 codec ships with the JDK; a real
+    * impl seeks to [[frameTimestampsMs]] and decodes each frame. The stub derives
+    * one deterministic pseudo-frame feature per timestamp.
+    */
   private def stubFrameSample(payload: Array[Byte], durationMs: Long, n: Int): Seq[Array[Float]] =
-    (0 until n).map(i => stubDecodeImage(payload :+ i.toByte, 0, 0))
+    (0 until n).map(i => hashFeature(payload :+ i.toByte))
 
   /** Wrap a documents-like table into media records (payload = utf8 bytes) — the
     * deterministic stand-in corpus used by tests and the verify gate.
@@ -82,11 +151,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // ---- a real decoder processes `batch` as ONE vectorized call ----
+        // ---- the decoder processes `batch` as ONE vectorized group ----
         batch.map { m =>
           val feat = m.modality match {
-            case "image" => stubDecodeImage(m.payload, m.width, m.height)
-            case "audio" => stubAudioFeatures(m.payload, m.sample_rate)
+            case "image" => decodeImageFeatures(m.payload).getOrElse(hashFeature(m.payload))
+            case "audio" => decodeAudioFeatures(m.payload).getOrElse(hashFeature(m.payload))
             case _ => stubFrameSample(m.payload, m.duration_ms, 4).flatten.toArray
           }
           var crc = 0L
@@ -98,10 +167,11 @@ object Multimodal {
     }
   }
 
-  /** ---- STUB decode, REAL plumbing ---- Resize pass: payload → payload with
-    * updated dimension metadata, batched like extractFeatures. A real impl
-    * re-encodes pixels; the stub truncates/pads the byte budget
-    * deterministically (w·h/8 bytes) so sizes behave like a real downscale.
+  /** Resize pass: payload → payload with updated dimension metadata, batched like
+    * extractFeatures. Decodable images are REALLY resized (bilinear scale via
+    * Graphics2D, re-encoded as PNG — all JDK built-ins); undecodable payloads keep
+    * the deterministic truncate/pad fallback (w·h/8 bytes) so the fake corpus
+    * still behaves like a downscale without throwing.
     */
   def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int,
                    batchSize: Int = 64): Dataset[MediaRecord] = {
@@ -110,17 +180,39 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           if (m.modality != "image") m
-          else {
-            val budget = math.max(1, w * h / 8)
-            val resized =
-              if (m.payload.length >= budget) m.payload.take(budget)
-              else m.payload ++ Array.fill[Byte](budget - m.payload.length)(0)
-            m.copy(payload = resized, width = w, height = h)
+          else realResize(m.payload, w, h) match {
+            case Some(png) => m.copy(payload = png, width = w, height = h)
+            case None =>
+              val budget = math.max(1, w * h / 8)
+              val resized =
+                if (m.payload.length >= budget) m.payload.take(budget)
+                else m.payload ++ Array.fill[Byte](budget - m.payload.length)(0)
+              m.copy(payload = resized, width = w, height = h)
           }
         }
       }
     }
   }
+
+  /** REAL resize: decode → bilinear scale → PNG re-encode, JDK-only. */
+  private def realResize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        Some(buf.toByteArray)
+      }
+    } catch { case _: Throwable => None }
 
   /** REAL logic (no codec needed): uniform frame-sample timestamps for a video
     * of `durationMs` — the schedule a real frame extractor seeks to. n points

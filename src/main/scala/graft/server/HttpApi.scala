@@ -1,0 +1,184 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.DataFrame
+import graft.engine.{QueryEngine, ResultFormat}
+import graft.promql.PromQL
+
+/** Thin HTTP front door over the engine — the entry point every reference user
+  * hits first (reference `src/api/mod.rs:53-76` route table,
+  * `src/api/query/sql_http.rs:24-132` SQL handler,
+  * `src/api/query/prometheus_api.rs` PromQL handlers). JDK-built-in
+  * `com.sun.net.httpserver` only: zero new dependencies, and deliberately thin —
+  * ALL query semantics live in QueryEngine/PromQL/ResultFormat; this class just
+  * parses requests and picks a formatter. Serving-scale concerns (CORS, WS/SSE
+  * streaming, remote-write ingest) stay out of scope per SURVEY §7.5.
+  *
+  * Routes:
+  *   GET  /health, /ready                         → "OK"
+  *   POST /api/v1/sql       {"query":…,"format":…} → {columns,data,stats} JSON,
+  *   GET  /api/v1/sql?query=…[&format=json|arrow|csv]   Arrow IPC stream, or CSV
+  *   GET  /api/v1/query?query=<promql>            → Prometheus vector payload
+  *   GET  /api/v1/query_range?query=…&start=…&end=…&step=… → matrix payload
+  *   GET  /api/v1/labels                          → {"status","data":[labels]}
+  *   GET  /api/v1/label/<name>/values             → {"status","data":[values]}
+  *   GET  /api/v1/series?match[]=<selector>       → {"status","data":[series]}
+  */
+final class HttpApi(engine: QueryEngine, port: Int = 0) {
+
+  private val server = HttpServer.create(new java.net.InetSocketAddress(port), 16)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  /** Bound port (useful with port=0: pick any free port). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpApi = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // ---- plumbing -------------------------------------------------------------
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
+                      contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, body.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(body) finally os.close()
+  }
+
+  private def respondJson(ex: HttpExchange, code: Int, json: String): Unit =
+    respond(ex, code, json.getBytes("UTF-8"), "application/json")
+
+  private def error(ex: HttpExchange, code: Int, msg: String): Unit =
+    respondJson(ex, code, s"""{"error":${org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JString(msg)))}}""")
+
+  /** URL-decoded query params; repeated keys (match[]) keep every value. */
+  private def params(ex: HttpExchange): Map[String, Seq[String]] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.nonEmpty).toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
+
+  private def handler(f: HttpExchange => Unit): HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try f(ex)
+      catch {
+        case e: Throwable =>
+          try error(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+          catch { case _: Throwable => () } // response already started
+      }
+  }
+
+  /** Prometheus `start`/`end` accept unix seconds (possibly fractional). */
+  private def secToNs(s: String): Long = (s.toDouble * 1e9).toLong
+
+  private def promListPayload(values: Seq[String]): String = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      JObject("status" -> JString("success"),
+        "data" -> JArray(values.toList.map(JString(_))))))
+  }
+
+  /** In-memory CSV for API-sized results (the distributed writeCsv is for sinks). */
+  private def toCsvString(df: DataFrame): String = {
+    def cell(v: Any): String = v match {
+      case null => ""
+      case s: String if s.exists(",\"\n\r".contains(_)) =>
+        "\"" + s.replace("\"", "\"\"") + "\""
+      case other => String.valueOf(other)
+    }
+    val header = df.schema.fieldNames.mkString(",")
+    val rows = df.collect().map(_.toSeq.map(cell).mkString(","))
+    (header +: rows).mkString("", "\n", "\n")
+  }
+
+  // ---- routes ----------------------------------------------------------------
+
+  server.createContext("/health", handler(ex => respond(ex, 200, "OK".getBytes, "text/plain")))
+  server.createContext("/ready", handler(ex => respond(ex, 200, "OK".getBytes, "text/plain")))
+
+  server.createContext("/api/v1/sql", handler { ex =>
+    val (query, format) =
+      if (ex.getRequestMethod == "POST") {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val j = org.json4s.jackson.JsonMethods.parse(body)
+        ((j \ "query"), (j \ "format")) match {
+          case (org.json4s.JString(q), org.json4s.JString(f)) => (q, f)
+          case (org.json4s.JString(q), _) => (q, "json")
+          case _ => throw new IllegalArgumentException("body must be {\"query\": \"...\"}")
+        }
+      } else {
+        val p = params(ex)
+        (p.get("query").flatMap(_.headOption)
+          .getOrElse(throw new IllegalArgumentException("missing query param")),
+          p.get("format").flatMap(_.headOption).getOrElse("json"))
+      }
+    val t0 = System.nanoTime()
+    engine.execute(query) { df =>
+      format match {
+        case "json" =>
+          respondJson(ex, 200, ResultFormat.toJson(df, (System.nanoTime() - t0) / 1000000L))
+        case "arrow" =>
+          respond(ex, 200, ResultFormat.toArrow(df), "application/vnd.apache.arrow.stream")
+        case "csv" => respond(ex, 200, toCsvString(df).getBytes("UTF-8"), "text/csv")
+        case other => error(ex, 400, s"Invalid format '$other'. Use: json, arrow, or csv")
+      }
+    }
+  })
+
+  server.createContext("/api/v1/query_range", handler { ex =>
+    val p = params(ex)
+    def req(k: String) = p.get(k).flatMap(_.headOption)
+      .getOrElse(throw new IllegalArgumentException(s"missing $k param"))
+    val sql = PromQL.transpileRange(req("query"),
+      secToNs(req("start")), secToNs(req("end")), req("step").toLong)
+    engine.execute(sql)(df => respondJson(ex, 200, ResultFormat.toPromMatrix(df)))
+  })
+
+  server.createContext("/api/v1/query", handler { ex =>
+    val p = params(ex)
+    val q = p.get("query").flatMap(_.headOption)
+      .getOrElse(throw new IllegalArgumentException("missing query param"))
+    val timeNs = p.get("time").flatMap(_.headOption).map(secToNs)
+    engine.execute(PromQL.transpileInstant(q, timeNs))(
+      df => respondJson(ex, 200, ResultFormat.toPromVector(df)))
+  })
+
+  server.createContext("/api/v1/labels", handler { ex =>
+    respondJson(ex, 200, promListPayload(engine.labels()))
+  })
+
+  // /api/v1/label/<name>/values
+  server.createContext("/api/v1/label", handler { ex =>
+    val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+    // ("api","v1","label","<name>","values")
+    if (path.length == 5 && path(4) == "values") {
+      val values = engine.labelValues(path(3)).collect()
+        .map(r => String.valueOf(r.get(0))).toSeq.sorted
+      respondJson(ex, 200, promListPayload(values))
+    } else error(ex, 404, "not found")
+  })
+
+  server.createContext("/api/v1/series", handler { ex =>
+    val matchers = params(ex).getOrElse("match[]", Nil).flatMap(PromQL.parseMatchers)
+    val rows = engine.series(matchers).collect()
+    val schema = engine.series(matchers).schema
+    import org.json4s._
+    val series = rows.toList.map { r =>
+      JObject(schema.fieldNames.toList.zipWithIndex.flatMap { case (n, i) =>
+        Option(r.get(i)).map { v =>
+          (if (n == "metric_name") "__name__" else n) -> (JString(String.valueOf(v)): JValue)
+        }
+      })
+    }
+    respondJson(ex, 200, org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(
+        "status" -> JString("success"), "data" -> JArray(series)))))
+  })
+}

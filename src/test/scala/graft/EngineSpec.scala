@@ -193,6 +193,37 @@ class EngineSpec extends AnyFunSuite {
     assert(filtered.count() == 2)
   }
 
+  test("result cache is byte-bounded: huge results are NOT persisted, small ones are") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_rc_"), cacheTtlMs = 0L)
+    val points = for {
+      h <- 0 until 3; m <- Seq("cpu_usage", "mem_usage")
+      host <- Seq("server1", "server2"); i <- 0 until 6
+    } yield MetricPoint(t0 + h * hourNs + i * 600L * 1000000000L,
+      m, (i % 100) / 100.0 + h, Map("host" -> host))
+    new ChunkWriter(cat).write(Converters.pointsToDf(spark, points))
+    val chunkBytes = cat.allChunks.map(_.sizeBytes).sum
+    assert(chunkBytes > 4096, "test premise: warehouse bigger than the cache cap")
+    // cap below the scan size: a full `SELECT *` (estimate ≈ file bytes) must
+    // stream, not pin the whole scan; a global aggregate (estimate = 1 row) fits
+    val eng = new QueryEngine(spark, cat,
+      QueryEngine.QueryLimits(maxCachedResultBytes = 4096))
+    val huge = s"SELECT * FROM metrics WHERE timestamp_ns >= $t0"
+    val tiny = s"SELECT COUNT(*) AS c FROM metrics WHERE timestamp_ns >= $t0"
+    eng.sql(huge).count()
+    eng.sql(tiny).count()
+    assert(!eng.isResultCached(huge), "SELECT * over the full window must not be persisted")
+    assert(eng.isResultCached(tiny), "dashboard-sized result must be persisted")
+    // retained-bytes budget evicts LRU persisted entries (budget 1 byte → only
+    // the most recent persisted result survives)
+    val eng2 = new QueryEngine(spark, cat,
+      QueryEngine.QueryLimits(maxCachedResultBytes = 4096, maxRetainedCacheBytes = 1L))
+    val tiny2 = s"SELECT COUNT(*) AS c2 FROM metrics WHERE timestamp_ns >= $t0"
+    eng2.sql(tiny).count()
+    eng2.sql(tiny2).count()
+    assert(!eng2.isResultCached(tiny), "older persisted entry must be evicted by the byte budget")
+    assert(eng2.isResultCached(tiny2), "most recent entry survives the sweep")
+  }
+
   test("concurrent queries with different pruned chunk sets never cross-contaminate") {
     // Regression: prune→register→spark.sql used to be non-atomic, so two
     // concurrent sql() calls could resolve the shared `metrics` view against

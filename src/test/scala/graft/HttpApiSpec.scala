@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.ChunkCatalog
+import graft.engine.QueryEngine
+import graft.ingest.{ChunkWriter, Converters, MetricPoint}
+import graft.server.HttpApi
+import java.nio.file.Files
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+
+/** HTTP front door roundtrips (reference src/api/mod.rs:53-76 route table):
+  * real sockets, real engine, real warehouse — one SQL and one PromQL query
+  * end-to-end plus metadata endpoints.
+  */
+class HttpApiSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val hourNs = 3600L * 1000000000L
+  private val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+
+  private lazy val (api, port) = {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_http_"), cacheTtlMs = 0L)
+    val points = for {
+      h <- 0 until 2
+      m <- Seq("cpu_usage", "mem_usage")
+      host <- Seq("server1", "server2")
+      i <- 0 until 6
+    } yield MetricPoint(t0 + h * hourNs + i * 600L * 1000000000L,
+      m, (i % 100) / 100.0 + h, Map("host" -> host))
+    new ChunkWriter(cat).write(Converters.pointsToDf(spark, points))
+    val a = new HttpApi(new QueryEngine(spark, cat), port = 0).start()
+    (a, a.boundPort)
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("health + ready") {
+    assert(get("/health").body() == "OK")
+    assert(get("/ready").body() == "OK")
+  }
+
+  test("POST /api/v1/sql: JSON {columns,data,stats} roundtrip") {
+    val q = s"SELECT metric_name, COUNT(*) AS cnt FROM metrics " +
+      s"WHERE timestamp_ns >= $t0 GROUP BY metric_name ORDER BY metric_name"
+    val resp = post("/api/v1/sql", s"""{"query":"${q.replace("\"", "\\\"")}"}""")
+    assert(resp.statusCode() == 200)
+    val j = org.json4s.jackson.JsonMethods.parse(resp.body())
+    import org.json4s._
+    assert((j \ "columns") == JArray(List(JString("metric_name"), JString("cnt"))))
+    val data = (j \ "data").asInstanceOf[JArray].arr
+    assert(data == List(
+      JArray(List(JString("cpu_usage"), JInt(24))),
+      JArray(List(JString("mem_usage"), JInt(24)))))
+    assert((j \ "stats" \ "rows_read") == JInt(2))
+  }
+
+  test("GET /api/v1/sql: csv format, bad format is a 400") {
+    val q = java.net.URLEncoder.encode(
+      s"SELECT metric_name, COUNT(*) AS cnt FROM metrics WHERE timestamp_ns >= $t0 " +
+        "GROUP BY metric_name ORDER BY metric_name", "UTF-8")
+    val csv = get(s"/api/v1/sql?query=$q&format=csv")
+    assert(csv.statusCode() == 200)
+    assert(csv.body() == "metric_name,cnt\ncpu_usage,24\nmem_usage,24\n")
+    assert(get(s"/api/v1/sql?query=$q&format=nope").statusCode() == 400)
+    // malformed SQL → 400 with an error payload, not a hung socket
+    val bad = post("/api/v1/sql", """{"query":"SELEKT * FROM nope"}""")
+    assert(bad.statusCode() == 400 && bad.body().contains("error"))
+  }
+
+  test("GET /api/v1/query_range: PromQL → Prometheus matrix payload") {
+    val startS = t0 / 1000000000L
+    val endS = startS + 7200L
+    val q = java.net.URLEncoder.encode("sum by (host) (cpu_usage)", "UTF-8")
+    val resp = get(s"/api/v1/query_range?query=$q&start=$startS&end=$endS&step=3600")
+    assert(resp.statusCode() == 200)
+    val j = org.json4s.jackson.JsonMethods.parse(resp.body())
+    import org.json4s._
+    assert((j \ "status") == JString("success"))
+    assert((j \ "data" \ "resultType") == JString("matrix"))
+    val series = (j \ "data" \ "result").asInstanceOf[JArray].arr
+    assert(series.size == 2) // one per host
+    val hosts = series.map(s => s \ "metric" \ "host").collect { case JString(h) => h }
+    assert(hosts.sorted == List("server1", "server2"))
+    // each series has one sample per hour bucket
+    series.foreach(s => assert((s \ "values").asInstanceOf[JArray].arr.size == 2))
+  }
+
+  test("labels, label values, series endpoints") {
+    import org.json4s._
+    val labels = org.json4s.jackson.JsonMethods.parse(get("/api/v1/labels").body())
+    val names = (labels \ "data").asInstanceOf[JArray].arr.collect { case JString(s) => s }
+    assert(names.contains("__name__") && names.contains("host"))
+    val vals = org.json4s.jackson.JsonMethods.parse(
+      get("/api/v1/label/host/values").body())
+    assert((vals \ "data") == JArray(List(JString("server1"), JString("server2"))))
+    val series = org.json4s.jackson.JsonMethods.parse(
+      get("/api/v1/series?match%5B%5D=" + // URL-encoded `match[]`
+        java.net.URLEncoder.encode("""{host="server1"}""", "UTF-8")).body())
+    val result = (series \ "data").asInstanceOf[JArray].arr
+    assert(result.size == 2) // 2 metrics × host=server1
+    result.foreach(s => assert((s \ "host") == JString("server1")))
+  }
+
+  test("shutdown") { api.stop() }
+}

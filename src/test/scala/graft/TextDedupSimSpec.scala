@@ -267,6 +267,61 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(small.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
   }
 
+  test("multimodal: REAL PNG and WAV payloads decode end-to-end through extractFeatures") {
+    import graft.multimodal._
+    // --- PNG fixture: 4×2, left half pure red, right half pure blue ---
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    val pngBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngBuf)
+    val png = pngBuf.toByteArray
+    // --- WAV fixture: 16-bit PCM mono 8 kHz, 400 samples of a full-scale square
+    // wave (period 8) → rms 1.0, peak 1.0, zero-crossing rate 1/4 ---
+    val nSamp = 400
+    val pcm = new Array[Byte](nSamp * 2)
+    for (i <- 0 until nSamp) {
+      val v = if ((i / 4) % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamp.toLong)
+    val wavBuf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBuf)
+    val wav = wavBuf.toByteArray
+
+    val media = Seq(
+      MediaRecord(0L, "image", png, "image/png", 4, 2, 0L, 0),
+      MediaRecord(1L, "audio", wav, "audio/wav", 0, 0, 50L, 8000),
+      MediaRecord(2L, "image", "not an image".getBytes, "image/png", 4, 2, 0L, 0))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+      .map(f => f.media_id -> f.feature).toMap
+    // image: decoded flag, true dims, mean color = half red half blue
+    val fi = feats(0L)
+    assert(fi(0) == 1f, "PNG must really decode")
+    assert(fi(1) == 4f && fi(2) == 2f)
+    assert(math.abs(fi(3) - 0.5f) < 1e-3 && math.abs(fi(4)) < 1e-3 &&
+      math.abs(fi(5) - 0.5f) < 1e-3, fi.toSeq.toString)
+    // audio: decoded flag, format metadata, square-wave stats
+    val fa = feats(1L)
+    assert(fa(0) == 1f, "WAV must really decode")
+    assert(fa(1) == 1f && fa(2) == 8000f && fa(3) == nSamp.toFloat)
+    assert(math.abs(fa(5) - 1.0f) < 1e-3 && math.abs(fa(6) - 1.0f) < 1e-3)
+    assert(math.abs(fa(7) - 0.25f) < 0.01, s"zero-crossing rate ${fa(7)}")
+    // corrupt payload: falls back deterministically, never throws
+    assert(feats(2L)(0) == 0f)
+
+    // REAL resize: 4×2 → 2×2 red/blue PNG stays a decodable PNG with true dims
+    val resized = Multimodal.resizeImages(media.filter(_.media_id == 0L), 2, 2)
+      .collect().head
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.payload))
+    assert(back != null && back.getWidth == 2 && back.getHeight == 2)
+    assert(resized.width == 2 && resized.height == 2)
+  }
+
   test("duplicatedPassageRatio: shared windows counted, unique docs zero, short docs out") {
     import spark.implicits._
     val shared = (1 to 20).map(i => s"s$i").mkString(" ") // 20 tokens shared verbatim
