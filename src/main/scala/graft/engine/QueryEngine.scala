@@ -143,16 +143,40 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   private val analyzeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Option[(TimeRange, Seq[ColumnPredicate])]]()
 
-  /** Full two-phase extraction (parse-only, then optimizer-fold fallback). */
-  private def analyzeFull(query: String, nowNs: Long): (TimeRange, Seq[ColumnPredicate]) =
-    analyze(query, nowNs) match {
-      // Parse-only extraction found no explicit bounds: the WHERE may still carry
-      // foldable time expressions (now() - interval, literal arithmetic). Mirror
-      // the reference's two-phase trick (bootstrap-register then analyze the
-      // RESOLVED plan, mod.rs:163-184): register everything, let the optimizer
-      // constant-fold, and re-extract from the optimized plan.
-      // Also re-analyze on the full-range fallback (an unconvertible time
-      // reference, e.g. arithmetic the optimizer can constant-fold).
+  /** Parsed-plan cache: one ANTLR parse per query TEXT, shared by predicate
+    * extraction and execution (analysis resolves a fresh copy per call, so
+    * reusing the unresolved tree across registered view states is safe).
+    */
+  private val parsedPlans =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+        : Boolean = size() > 256
+    }
+
+  private def parsedPlan(query: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    parsedPlans.synchronized {
+      val hit = parsedPlans.get(query)
+      if (hit != null) hit
+      else {
+        val p = spark.sessionState.sqlParser.parsePlan(query)
+        parsedPlans.put(query, p)
+        p
+      }
+    }
+
+  /** Fallback leg of the two-phase extraction: when the parse-only result is
+    * the default window or the full range, the WHERE may still carry foldable
+    * time expressions (now() - interval, literal arithmetic). Mirror the
+    * reference's two-phase trick (bootstrap-register then analyze the RESOLVED
+    * plan, mod.rs:163-184): register everything, let the optimizer
+    * constant-fold, and re-extract from the optimized plan.
+    */
+  private def withOptimizedFallback(parsed: (TimeRange, Seq[ColumnPredicate]),
+                                    query: String,
+                                    nowNs: Long): (TimeRange, Seq[ColumnPredicate]) =
+    parsed match {
       case (range, preds) if range == TimeRange(nowNs - PredicateExtraction.DefaultWindowNs, nowNs) ||
           range == TimeRange(Long.MinValue, Long.MaxValue) =>
         analyzeOptimized(query, nowNs).getOrElse((range, preds))
@@ -162,17 +186,19 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   def sql(query: String, nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
     val (range, preds) = analyzeMemo.get(query) match {
       case Some(memo) => memo
-      case None => analyzeFull(query, nowNs) // marked nowNs-dependent: recompute
+      case None => // marked nowNs-dependent: recompute (parse once per call)
+        withOptimizedFallback(analyze(query, nowNs), query, nowNs)
       case null =>
-        // First sighting: probe the CHEAP parse-only extraction at two distant
-        // nowNs values. Identical non-fallback results ⇒ the range comes from
-        // literals only ⇒ safe to memoize the full extraction.
+        // First sighting: parse ONCE, then run the (pure tree-walk, ~free)
+        // extraction at two distant nowNs values. Identical non-fallback
+        // results ⇒ the range comes from literals only ⇒ safe to memoize.
+        val plan = parsedPlan(query)
         val probeNs = nowNs + 7200L * 1000000000L
-        val a = analyze(query, nowNs)
-        val independent = a == analyze(query, probeNs) &&
+        val a = extractFromParsed(plan, nowNs)
+        val independent = a == extractFromParsed(plan, probeNs) &&
           a._1 != TimeRange(nowNs - PredicateExtraction.DefaultWindowNs, nowNs) &&
           a._1 != TimeRange(Long.MinValue, Long.MaxValue)
-        val full = analyzeFull(query, nowNs)
+        val full = withOptimizedFallback(a, query, nowNs)
         if (analyzeMemo.size > 1000) analyzeMemo.clear() // bound driver memory
         analyzeMemo.put(query, if (independent) Some(full) else None)
         full
@@ -193,7 +219,9 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     if (toLocalize != null) return localizeHit(key, toLocalize)
     val raw = planLock.synchronized {
       register(paths)
-      val df = spark.sql(query)
+      // Reuse the cached PARSED tree — analysis resolves a fresh copy against
+      // the just-registered view, but the ANTLR parse is paid once per text.
+      val df = org.apache.spark.sql.GraftBridge.ofRows(spark, parsedPlan(query))
       // Force resolution while we still hold the lock: the view lookup (and the
       // scan's file listing) must bind to THIS query's registered path set.
       df.queryExecution.assertAnalyzed()
@@ -276,7 +304,8 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   private def analyzeOptimized(query: String, nowNs: Long): Option[(TimeRange, Seq[ColumnPredicate])] =
     try planLock.synchronized {
       register(catalog.allChunks.map(_.path))
-      val optimized = spark.sql(query).queryExecution.optimizedPlan
+      val optimized = org.apache.spark.sql.GraftBridge.ofRows(spark, parsedPlan(query))
+        .queryExecution.optimizedPlan
       val extracted = PredicateExtraction.extract(optimized, nowNs)
       Some(extracted)
     } catch { case _: Throwable => None }
@@ -285,9 +314,15 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * We parse the full statement and walk its Filter conditions (unresolved is fine —
     * we only need column names and literals).
     */
-  def analyze(query: String, nowNs: Long): (TimeRange, Seq[ColumnPredicate]) = {
+  def analyze(query: String, nowNs: Long): (TimeRange, Seq[ColumnPredicate]) =
+    extractFromParsed(spark.sessionState.sqlParser.parsePlan(query), nowNs)
+
+  /** Extraction over an already-parsed plan — a pure tree-walk, so callers can
+    * amortize the (relatively expensive) SQL parse across extractions.
+    */
+  private def extractFromParsed(parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                nowNs: Long): (TimeRange, Seq[ColumnPredicate]) = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    val parsed = spark.sessionState.sqlParser.parsePlan(query)
     val conds = parsed.collect { case LFilter(c, _) => c }
     if (conds.isEmpty) (TimeRange(nowNs - PredicateExtraction.DefaultWindowNs, nowNs), Nil)
     else {
@@ -382,6 +417,25 @@ object QueryEngine {
 
   final class QueryTimeoutException(timeoutMs: Long, cause: Throwable)
     extends RuntimeException(s"query exceeded ${timeoutMs} ms timeout and was cancelled", cause)
+
+  /** Interactive serving profile: the engine on its OWN child session (shared
+    * SparkContext + cached blocks, isolated SQL conf and temp-view catalog)
+    * with whole-stage codegen disabled. For the pruned-window dashboard shape
+    * — a few hundred rows out of a metadata-pruned chunk set — the janino
+    * compile of a fresh plan (~150-300 ms, literals are inlined so every new
+    * time window recompiles) costs more than interpreting the whole query;
+    * the reference's DataFusion executes vectorized kernels with no per-query
+    * compile at all, and this profile is the Spark analog. Vectorized parquet
+    * reading is unaffected. Batch/throughput work should keep the default
+    * codegen profile (a plain `new QueryEngine(spark, catalog)`).
+    */
+  def interactive(spark: org.apache.spark.sql.SparkSession,
+                  catalog: graft.catalog.ChunkCatalog,
+                  limits: QueryLimits = QueryLimits()): QueryEngine = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    new QueryEngine(s, catalog, limits)
+  }
 
   /** Shared daemon scheduler firing query-timeout cancellations. */
   private val watchdog: java.util.concurrent.ScheduledExecutorService =

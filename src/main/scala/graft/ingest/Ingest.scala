@@ -148,14 +148,15 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
       .withColumn("day", dayofmonth(col("timestamp")))
       .withColumn("hour", hour(col("timestamp")))
 
-    // Pass 1: ONE grouped agg over the batch → per-hour zone maps AND the batch's
-    // time span. Doing stats first lets pass 2 partition on deterministic time
-    // slices computed from the known span — repartitionByRange would add a THIRD
-    // pass (its RangePartitioner sampling scan) to learn the same thing.
-    val metas = ChunkStats.computePartitionedFromDf(stamped, batchDir.toString, partCols)
-    if (metas.isEmpty) return Nil
-    val minTs = metas.map(_.minTimestampNs).min
-    val maxTs = metas.map(_.maxTimestampNs).max
+    // Slice pre-pass: min/max timestamp only (single map-side-combined agg over
+    // the TS column — NOT the old full per-hour stats pass: zone maps now come
+    // free from the parquet footers the write itself produces, see
+    // ChunkStats.fromFooters). repartitionByRange would add a sampling scan to
+    // learn the same span.
+    val span = stamped.agg(
+      min(col(MetricSchema.TimestampNsCol)), max(col(MetricSchema.TimestampNsCol))).collect()(0)
+    if (span.isNullAt(0)) return Nil // empty batch
+    val (minTs, maxTs) = (span.getLong(0), span.getLong(1))
     val par = math.max(1, spark.sessionState.conf.numShufflePartitions)
     // 16·par slices: hash-partitioning needs MANY more keys than reducers to
     // balance (≈2·par keys left stragglers with 2× the average load — measured
@@ -163,11 +164,12 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
     // writer emits one file per (task, hour-dir) regardless of slice count.
     val sliceNs = math.max(1L, (maxTs - minTs) / (par * 16L) + 1L)
 
-    // Pass 2: hash-partition on (hour cols, time slice) — a batch confined to one
-    // hour still fans out across all reducers as disjoint time slices (several
-    // time-sorted files per hour chunk) instead of serializing one hour = one
-    // task. Each file is sorted within itself; Parquet row-group stats stay
-    // tight either way.
+    // THE one data pass: hash-partition on (hour cols, time slice) — a batch
+    // confined to one hour still fans out across all reducers as disjoint time
+    // slices (several time-sorted files per hour chunk) instead of serializing
+    // one hour = one task. Each file is sorted within itself, so Parquet
+    // row-group stats stay tight — and those footer stats double as the chunk
+    // zone maps (no separate stats job).
     stamped
       .withColumn("__slice", expr(s"${MetricSchema.TimestampNsCol} div $sliceNs"))
       .repartition((partCols :+ "__slice").map(col): _*)
@@ -178,12 +180,15 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
       .option("compression", "zstd")
       .parquet(batchDir.toString)
 
-    // File sizes exist only after the write — patch them into the metas, along
-    // with the file schema (partition columns live in dir names, not files) so
-    // later reads can skip parquet-footer schema inference.
+    // Zone maps, row counts and null flags come from the footers the encoder
+    // just wrote (driver-side metadata reads, no data scan); patch in file
+    // sizes and the file schema (partition columns live in dir names, not
+    // files) so later reads skip parquet-footer schema inference.
     val fileSchema = org.apache.spark.sql.types.StructType(
       stamped.schema.fields.filterNot(f => partCols.contains(f.name)))
     val ddl = fileSchema.toDDL
+    val fields = ChunkStats.statFields(fileSchema, Set.empty)
+    val metas = ChunkStats.fromFooters(batchDir, fields)
     val sized = metas.map(m => m.copy(
       sizeBytes = ChunkStats.dirSize(Paths.get(m.path)), schemaDdl = Some(ddl)))
     catalog.registerAll(sized)
@@ -291,6 +296,91 @@ object ChunkStats {
       val path = batchDir + "/" + partCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
       val (rows, stats) = rowToStats(r, fields)
       toMeta(path, rows, stats, level = 0)
+    }
+  }
+
+  /** Per-hour-dir chunk stats read from the PARQUET FOOTERS the write itself
+    * produced — ZERO extra data passes: the encoder already computed row-group
+    * min/max/null-count while writing (exactly how the reference's
+    * parquet_writer.rs records stats during encode, src/ingester/parquet_writer
+    * .rs:24-52, rather than re-reading the chunk). Soundness notes:
+    *
+    *  - parquet-mr may TRUNCATE long binary (string) stats, but truncation
+    *    preserves bounds (min rounded down, max rounded up), so zone-map
+    *    pruning stays conservative;
+    *  - a column with no usable footer stats is omitted — `keepChunk` keeps
+    *    chunks with missing stats, again conservative;
+    *  - merging across row groups / files is min-of-mins / max-of-maxes.
+    */
+  def fromFooters(batchDir: Path, fields: Array[StructField]): Seq[ChunkMeta] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(batchDir)) return Nil
+    val byType = fields.map(f => f.name -> f.dataType).toMap
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val all = {
+      val s = Files.walk(batchDir)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .toVector
+      finally s.close()
+    }
+    all.groupBy(_.getParent).toSeq.sortBy(_._1.toString).map { case (dir, files) =>
+      var rows = 0L
+      val minS = scala.collection.mutable.HashMap.empty[String, String]
+      val maxS = scala.collection.mutable.HashMap.empty[String, String]
+      val minL = scala.collection.mutable.HashMap.empty[String, Long]
+      val maxL = scala.collection.mutable.HashMap.empty[String, Long]
+      val minD = scala.collection.mutable.HashMap.empty[String, Double]
+      val maxD = scala.collection.mutable.HashMap.empty[String, Double]
+      val nulls = scala.collection.mutable.HashMap.empty[String, Boolean]
+      val unusable = scala.collection.mutable.HashSet.empty[String]
+      files.foreach { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+        try reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            if (byType.contains(name) && !unusable(name)) {
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty) unusable += name // no stats → omit, sound
+              else {
+                if (st.getNumNulls > 0) nulls(name) = true
+                if (st.hasNonNullValue) ((byType(name), st) match {
+                  case (StringType, s: org.apache.parquet.column.statistics.BinaryStatistics) =>
+                    val mn = s.genericGetMin.toStringUsingUTF8
+                    val mx = s.genericGetMax.toStringUsingUTF8
+                    minS(name) = minS.get(name).filter(_ <= mn).getOrElse(mn)
+                    maxS(name) = maxS.get(name).filter(_ >= mx).getOrElse(mx)
+                  case (LongType, s: org.apache.parquet.column.statistics.LongStatistics) =>
+                    minL(name) = math.min(minL.getOrElse(name, Long.MaxValue), s.getMin)
+                    maxL(name) = math.max(maxL.getOrElse(name, Long.MinValue), s.getMax)
+                  case (DoubleType, s: org.apache.parquet.column.statistics.DoubleStatistics) =>
+                    minD(name) = math.min(minD.getOrElse(name, Double.MaxValue), s.getMin)
+                    maxD(name) = math.max(maxD.getOrElse(name, Double.MinValue), s.getMax)
+                  case _ => unusable += name // unexpected physical type → omit
+                })
+              }
+            }
+          }
+        } finally reader.close()
+      }
+      val stats = fields.flatMap { f =>
+        val n = f.name
+        if (unusable(n)) None
+        else f.dataType match {
+          case StringType => minS.get(n).map(mn =>
+            n -> ColumnStats.ofString(mn, maxS(n), nulls.getOrElse(n, false)))
+          case LongType => minL.get(n).map(mn =>
+            n -> ColumnStats.ofLong(mn, maxL(n), nulls.getOrElse(n, false)))
+          case DoubleType => minD.get(n).map(mn =>
+            n -> ColumnStats.ofDouble(mn, maxD(n), nulls.getOrElse(n, false)))
+          case _ => None
+        }
+      }.toMap
+      toMeta(dir.toString, rows, stats, level = 0)
     }
   }
 

@@ -11,6 +11,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Analyze an already-PARSED logical plan into a DataFrame (Dataset.ofRows is
+    * private[sql] in Spark 4) — lets the query engine parse a statement once
+    * and reuse the tree for both predicate extraction and execution instead of
+    * paying the ANTLR parse twice per query.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Build a DataFrame over a custom FileIndex (HadoopFsRelation +
     * LogicalRelation + Dataset.ofRows are private[sql] in Spark 4) — the
     * injection point for graft.plans.ZoneMapFileIndex.

@@ -193,6 +193,21 @@ class EngineSpec extends AnyFunSuite {
     assert(filtered.count() == 2)
   }
 
+  test("interactive profile: identical results on an isolated child session") {
+    val (defaultEng, cat) = freshEngine()
+    val interactive = QueryEngine.interactive(spark, cat)
+    val q = s"SELECT metric_name, COUNT(*) AS cnt FROM metrics " +
+      s"WHERE timestamp_ns >= $t0 GROUP BY metric_name ORDER BY metric_name"
+    val a = defaultEng.sql(q).collect().map(_.toSeq).toSeq
+    val b = interactive.sql(q).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    // conf isolation: the serving profile must not leak into the parent session
+    assert(interactive.spark.conf.get("spark.sql.codegen.wholeStage") == "false")
+    assert(spark.conf.get("spark.sql.codegen.wholeStage", "true") == "true")
+    // view isolation: each engine registers `metrics` in its own catalog
+    assert(interactive.spark ne spark)
+  }
+
   test("result cache is byte-bounded: huge results are NOT persisted, small ones are") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_rc_"), cacheTtlMs = 0L)
     val points = for {
