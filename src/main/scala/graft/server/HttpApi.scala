@@ -23,6 +23,9 @@ import graft.promql.PromQL
   *   GET  /api/v1/labels                          → {"status","data":[labels]}
   *   GET  /api/v1/label/<name>/values             → {"status","data":[values]}
   *   GET  /api/v1/series?match[]=<selector>       → {"status","data":[series]}
+  *   POST /api/v1/write     snappy(WriteRequest)  → 204 (remote-write ingest
+  *        through the production chunk path: wire parse → value routing →
+  *        sorted hour chunks + catalog registration)
   */
 final class HttpApi(engine: QueryEngine, port: Int = 0) {
 
@@ -40,9 +43,10 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
                       contentType: String): Unit = {
     ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(code, body.length.toLong)
+    // -1 = no body (REQUIRED for 204); 0 would mean chunked-unknown
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1L else body.length.toLong)
     val os = ex.getResponseBody
-    try os.write(body) finally os.close()
+    try { if (body.nonEmpty) os.write(body) } finally os.close()
   }
 
   private def respondJson(ex: HttpExchange, code: Int, json: String): Unit =
@@ -163,6 +167,31 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
         .map(r => String.valueOf(r.get(0))).toSeq.sorted
       respondJson(ex, 200, promListPayload(values))
     } else error(ex, 404, "not found")
+  })
+
+  /** Remote-write ingest (reference src/api/ingest/prometheus.rs:82-354 +
+    * mod.rs:76): snappy-framed protobuf WriteRequest → hand-rolled wire parse →
+    * value-type routing → the SAME ChunkWriter path batch ingest uses (sorted
+    * ZSTD hour chunks, zone maps from footers, catalog registration). Returns
+    * 204 like a Prometheus-compatible receiver. Uncompressed bodies are
+    * accepted too (the snappy sniff falls through) for curl-ability.
+    */
+  private lazy val ingestWriter = new graft.ingest.ChunkWriter(engine.catalog)
+
+  server.createContext("/api/v1/write", handler { ex =>
+    if (ex.getRequestMethod != "POST") error(ex, 405, "POST only")
+    else {
+      val raw = ex.getRequestBody.readAllBytes()
+      val proto =
+        try org.xerial.snappy.Snappy.uncompress(raw)
+        catch { case _: Throwable => raw } // not snappy-framed: treat as raw proto
+      val points = graft.ingest.PromWire.toRoutedPoints(proto)
+      if (points.nonEmpty) {
+        ingestWriter.write(graft.ingest.Converters.routedToDf(engine.spark, points))
+        engine.catalog.invalidateCache()
+      }
+      respond(ex, 204, Array.emptyByteArray, "text/plain")
+    }
   })
 
   server.createContext("/api/v1/series", handler { ex =>

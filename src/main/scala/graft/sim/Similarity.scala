@@ -109,21 +109,14 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     // deterministic centroid sample WITHOUT a global window (a partition-less
-    // row_number() would serialize the whole corpus through one task): hash
-    // every ~stride-th id, cap at nCentroids with a distributed TakeOrdered.
-    val total = corpus.count()
-    val stride = math.max(1L, total / nCentroids)
-    val sampled = corpus.select(col(idCol), col(vecCol))
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .orderBy(col(idCol)).limit(nCentroids)
-    // The hash sample can come back empty on tiny/adversarial corpora — fall
-    // back to the first nCentroids ids so the decode below never sees an empty
-    // centroid set (element_at over an empty array throws under ANSI mode).
-    val cents = {
-      val s = sampled.collect()
-      if (s.nonEmpty) s
-      else corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nCentroids).collect()
-    }
+    // row_number() would serialize the whole corpus through one task) and
+    // WITHOUT a corpus.count() pre-action (an extra full scan per query): the
+    // nCentroids smallest id-hashes — a uniform deterministic sample via one
+    // distributed TakeOrdered, whatever the corpus size.
+    val cents = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .collect()
     if (cents.isEmpty) // empty corpus: brute force is equally empty, right schema
       return bruteForceTopK(corpus, queries, k, idCol, vecCol, queryIdCol, queryVecCol)
     val centroids = queries.sparkSession.createDataFrame(
