@@ -859,6 +859,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // LLM ops — CCNet-style statistical LM quality scoring (Wenzek et al.
+    // 2020): mean log10 unigram probability per doc under the corpus's own
+    // add-one-smoothed LM — the perplexity-filter signal.
+    "q_doc_lm_logprob" -> ((s, dir) =>
+      graft.text.TextFunctions.unigramLogProb(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // LLM ops — multimodal: metadata-only stats over binary payload columns (the
     // scan must never decode payloads; column pruning keeps it to metadata cols).
     "q_multimodal_stats" -> ((s, dir) =>
@@ -1603,6 +1610,18 @@ object SparkEntry {
         | FROM nb LEFT JOIN seen ON nb.fp = seen.fp
         | WHERE seen.fp IS NULL) WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_lm_logprob" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |            FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS BIGINT) AS v FROM cnt),
+        |dt AS (SELECT doc_id, tok, count(*) AS c_dt FROM tk GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+        | floor(sum(c_dt * log10((c + 1) / (n + v))) / sum(c_dt) * 1000000 + 0.5)
+        |   / 1000000 AS mean_logprob
+        |FROM dt JOIN cnt USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

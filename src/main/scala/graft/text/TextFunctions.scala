@@ -153,6 +153,45 @@ object TextFunctions {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** CCNet-style statistical LM quality scoring (Wenzek et al. 2020): each
+    * document's mean log10 probability under an add-one-smoothed UNIGRAM model
+    * estimated from `lmCorpus` (defaults to the scored corpus itself — the
+    * self-perplexity shape; pass a clean reference corpus for true CCNet
+    * filtering). Low scores ⇒ rare/garbled vocabulary ⇒ filter candidates.
+    *
+    * p(t) = (C_t + 1) / (N + V);  score(d) = Σ_t c_dt · log10 p(t) / |d|
+    *
+    * Scale shape: explode → two hash aggregations + one shuffle join on the
+    * token key, all collision-proportional; the (token → count) model is the
+    * thing a production pipeline persists once and reuses per batch. No cross
+    * joins, no windows, no driver-side loops.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     lmCorpus: Option[DataFrame] = None): DataFrame = {
+    val tok = (df: DataFrame, cols: Seq[Column]) =>
+      df.filter(length(trim(col(textCol))) > 0)
+        .select(cols :+ explode(tokens(col(textCol))).as("__tok"): _*)
+    val model = tok(lmCorpus.getOrElse(docs), Nil)
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val totals = model.agg(
+      sum("__c").cast("double").as("__n"), count(lit(1)).cast("long").as("__v"))
+    val perDoc = tok(docs, Seq(col(idCol)))
+      .groupBy(idCol, "__tok").agg(count(lit(1)).as("__cdt"))
+    perDoc
+      // left join: tokens unseen by an external lmCorpus get count 0 and the
+      // add-one smoothing assigns them the floor probability 1/(N+V)
+      .join(model, Seq("__tok"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .crossJoin(broadcast(totals)) // 1-row totals
+      .groupBy(idCol)
+      .agg(
+        sum("__cdt").cast("long").as("n_tokens"),
+        (floor(
+          sum(col("__cdt") * log10((col("__c") + 1) / (col("__n") + col("__v"))))
+            / sum("__cdt") * 1e6 + 0.5) / 1e6).as("mean_logprob"))
+  }
+
   /** Full per-document feature extraction. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

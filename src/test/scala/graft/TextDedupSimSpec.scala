@@ -241,6 +241,24 @@ class TextDedupSimSpec extends AnyFunSuite {
       rows(1).getDouble(3) == 0.0)
   }
 
+  test("unigramLogProb: hand-computed smoothed scores; external LM handles unseen tokens") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // corpus: counts a:2 b:2 c:1 → N=5, V=3; p(a)=p(b)=3/8, p(c)=2/8
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val got = graft.text.TextFunctions.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L)._1 == 3L && got(1L)._1 == 2L)
+    assert(math.abs(got(0L)._2 - math.log10(3.0 / 8)) < 1e-6)
+    assert(math.abs(got(1L)._2 - (math.log10(3.0 / 8) + math.log10(2.0 / 8)) / 2) < 1e-6)
+    // external reference LM: token "z" is unseen → smoothed floor prob 1/(N+V)
+    val scored = graft.text.TextFunctions.unigramLogProb(
+      Seq((9L, "a z")).toDF("doc_id", "text"), lmCorpus = Some(docs)).collect()
+    assert(scored.length == 1)
+    val want = (math.log10(3.0 / 8) + math.log10(1.0 / 8)) / 2
+    assert(math.abs(scored(0).getDouble(2) - want) < 1e-6)
+  }
+
   test("vocab top-k: frequency order with alphabetical tiebreak") {
     val spark = SparkTestBase.spark
     import spark.implicits._
