@@ -11,6 +11,10 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // shuffle on tmpfs (the host block device intermittently throttles
+      // ~100×); the DURABLE parquet write below still goes to real disk —
+      // that's the axis this probe measures
+      .config("spark.local.dir", "/dev/shm/graft_scale_shuffle")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
