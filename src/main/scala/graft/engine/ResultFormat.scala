@@ -17,30 +17,37 @@ import org.json4s.jackson.JsonMethods
   */
 object ResultFormat {
 
+  /** One cell → JSON with the reference's per-type conversions (timestamps as
+    * unix NANOSECONDS, sql_http.rs:269-287). Shared by the buffered JSON
+    * response and the SSE streaming frames.
+    */
+  def jsonValue(row: org.apache.spark.sql.Row, i: Int, dt: DataType): JValue =
+    if (row.isNullAt(i)) JNull
+    else dt match {
+      case TimestampType =>
+        // µs-precision timestamp → unix ns (reference serializes ns)
+        val inst = row.getAs[java.sql.Timestamp](i).toInstant
+        JLong(inst.getEpochSecond * 1000000000L + inst.getNano)
+      case LongType => JLong(row.getLong(i))
+      case IntegerType => JLong(row.getInt(i).toLong)
+      case ShortType => JLong(row.getShort(i).toLong)
+      case DoubleType =>
+        val d = row.getDouble(i)
+        if (d.isNaN || d.isInfinite) JString(d.toString) else JDouble(d)
+      case FloatType => JDouble(row.getFloat(i).toDouble)
+      case BooleanType => JBool(row.getBoolean(i))
+      case StringType => JString(row.getString(i))
+      case BinaryType =>
+        JString(java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i)))
+      case _ => JString(String.valueOf(row.get(i)))
+    }
+
   def toJson(df: DataFrame, executionTimeMs: Long = 0L): String = {
     val schema = df.schema
     val rows = df.collect()
     val data = JArray(rows.toList.map { row =>
       JArray(schema.fields.toList.zipWithIndex.map { case (f, i) =>
-        if (row.isNullAt(i)) JNull
-        else f.dataType match {
-          case TimestampType =>
-            // µs-precision timestamp → unix ns (reference serializes ns)
-            val inst = row.getAs[java.sql.Timestamp](i).toInstant
-            JLong(inst.getEpochSecond * 1000000000L + inst.getNano)
-          case LongType => JLong(row.getLong(i))
-          case IntegerType => JLong(row.getInt(i).toLong)
-          case ShortType => JLong(row.getShort(i).toLong)
-          case DoubleType =>
-            val d = row.getDouble(i)
-            if (d.isNaN || d.isInfinite) JString(d.toString) else JDouble(d)
-          case FloatType => JDouble(row.getFloat(i).toDouble)
-          case BooleanType => JBool(row.getBoolean(i))
-          case StringType => JString(row.getString(i))
-          case BinaryType =>
-            JString(java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i)))
-          case _ => JString(String.valueOf(row.get(i)))
-        }
+        jsonValue(row, i, f.dataType)
       })
     })
     val doc = JObject(

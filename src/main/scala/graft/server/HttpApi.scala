@@ -26,6 +26,14 @@ import graft.promql.PromQL
   *   POST /api/v1/write     snappy(WriteRequest)  → 204 (remote-write ingest
   *        through the production chunk path: wire parse → value routing →
   *        sorted hour chunks + catalog registration)
+  *   GET  /api/v1/stream?query=…[&batch=n]        → SSE stream of
+  *        {type:"data",rows:[…]} frames then {type:"end",rows_read:n}
+  *        (the reference's streaming frame protocol, src/api/query/streaming
+  *        .rs:27-136, over SSE instead of WebSocket; rows are delivered
+  *        incrementally via toLocalIterator — partition-at-a-time, never a
+  *        whole-result collect, so arbitrarily large results stream in
+  *        bounded driver memory. Live tailing stays out of scope per SURVEY
+  *        §7.5 — the engine-side merge exists in streaming.LiveMerge.)
   */
 final class HttpApi(engine: QueryEngine, port: Int = 0) {
 
@@ -191,6 +199,47 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
         engine.catalog.invalidateCache()
       }
       respond(ex, 204, Array.emptyByteArray, "text/plain")
+    }
+  })
+
+  server.createContext("/api/v1/stream", handler { ex =>
+    val p = params(ex)
+    val query = p.get("query").flatMap(_.headOption)
+      .getOrElse(throw new IllegalArgumentException("missing query param"))
+    val batchRows = p.get("batch").flatMap(_.headOption).map(_.toInt).getOrElse(256)
+    engine.execute(query) { df =>
+      import org.json4s._
+      val schema = df.schema
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.getResponseHeaders.set("Cache-Control", "no-cache")
+      ex.sendResponseHeaders(200, 0L) // chunked
+      val os = ex.getResponseBody
+      def frame(j: JObject): Unit = {
+        os.write(("data: " + org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(j)) + "\n\n").getBytes("UTF-8"))
+        os.flush()
+      }
+      var n = 0L
+      try {
+        // partition-at-a-time delivery: toLocalIterator never materializes the
+        // whole result on the driver (the reference streams RecordBatches the
+        // same way)
+        import scala.jdk.CollectionConverters._
+        df.toLocalIterator().asScala.grouped(batchRows).foreach { rows =>
+            n += rows.size
+            frame(JObject(
+              "type" -> JString("data"),
+              "rows" -> JArray(rows.toList.map(r =>
+                JArray(schema.fields.toList.zipWithIndex.map { case (f, i) =>
+                  ResultFormat.jsonValue(r, i, f.dataType)
+                })))))
+          }
+        frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
+      } catch {
+        case e: Throwable =>
+          frame(JObject("type" -> JString("error"),
+            "message" -> JString(Option(e.getMessage).getOrElse(e.toString))))
+      } finally os.close()
     }
   })
 

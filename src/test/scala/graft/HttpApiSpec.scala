@@ -173,5 +173,32 @@ class HttpApiSpec extends AnyFunSuite {
       JArray(List(JString("web2"), JInt(1), JDouble(4.25)))))
   }
 
+  test("GET /api/v1/stream: SSE data/end frames, incremental batches, error frame") {
+    // scoped to the seeded metrics: the remote-write test (runs earlier) adds
+    // its own http_requests rows to this warehouse
+    val q = java.net.URLEncoder.encode(
+      s"SELECT timestamp_ns, metric_name FROM metrics WHERE timestamp_ns >= $t0 " +
+        "AND metric_name IN ('cpu_usage', 'mem_usage') " +
+        "ORDER BY timestamp_ns, metric_name", "UTF-8")
+    val resp = get(s"/api/v1/stream?query=$q&batch=7")
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("") == "text/event-stream")
+    import org.json4s._
+    val frames = resp.body().split("\n\n").filter(_.startsWith("data: "))
+      .map(f => org.json4s.jackson.JsonMethods.parse(f.stripPrefix("data: "))).toList
+    val (dataFrames, endFrames) = frames.partition(f => (f \ "type") == JString("data"))
+    assert(endFrames.size == 1 && (endFrames.head \ "rows_read") == JInt(48))
+    // 48 rows in batches of 7 → 7 frames, last one short
+    assert(dataFrames.size == 7)
+    val rows = dataFrames.flatMap(f => (f \ "rows").asInstanceOf[JArray].arr)
+    assert(rows.size == 48)
+    assert(rows.head.asInstanceOf[JArray].arr(1).isInstanceOf[JString])
+    // an invalid query yields an error frame, not a broken socket
+    val bad = get("/api/v1/stream?query=" + java.net.URLEncoder.encode(
+      "SELECT nope_col FROM metrics", "UTF-8"))
+    val badFrames = bad.body().split("\n\n").filter(_.startsWith("data: "))
+    assert(badFrames.exists(_.contains("\"error\"")) || bad.statusCode() == 400)
+  }
+
   test("shutdown") { api.stop() }
 }
