@@ -764,6 +764,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // LLM ops — SemDeDup (Abbas et al. 2023) at nClusters=1 (single cluster ⇒
+    // exact all-pairs ⇒ hash-gated; the clustered O(Σ cluster²) scale path is
+    // spec-gated with planted-duplicate recall).
+    "q_emb_semdedup" -> ((s, dir) =>
+      graft.sim.Similarity.semanticDedup(
+          t(s, dir, "embeddings"), threshold = 0.4, nClusters = 1)
+        .orderBy("vec_id")),
+
+    // LLM ops — per-label embedding centroids (k-means update step / per-class
+    // mean embedding), long form (label, pos, centroid_v, n).
+    "q_emb_label_centroid" -> ((s, dir) =>
+      graft.sim.Similarity.labelCentroids(t(s, dir, "embeddings"), "label")
+        .orderBy("label", "pos")),
+
+    // LLM ops — concat-then-chunk sequence packing: docs laid on one token tape
+    // in portable-hash order, cut into 512-token training sequences; per-doc
+    // tape offset and spanned sequence range. Two-phase distributed prefix sum
+    // (no single-partition window).
+    "q_doc_pack_sequences" -> ((s, dir) =>
+      graft.pipeline.Pipeline.packSequences(
+          t(s, dir, "documents"), "doc_id", "text", seqTokens = 512)
+        .orderBy("doc_id")),
+
+    // LLM ops — Gopher quality-rule flags (Rae et al. 2021 Table A1, the
+    // deterministic SQL-expressible subset) + overall keep verdict.
+    "q_doc_gopher_filter" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: graft.text.TextFunctions.gopherFlags(col("text")): _*)
+        .orderBy("doc_id")),
+
     // LLM ops — LSH ANN machinery at bucket-all (numPlanes=0 ⇒ one bucket ⇒
     // candidates = whole corpus ⇒ EXACT, so the signature-join path itself is
     // hash-gated against the brute-force oracle, same trick as q_emb_ivf_indexed's
@@ -1343,6 +1373,45 @@ object SparkEntry {
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
+    // global token-tape prefix sum in (hex60, id) order; SUM(BIGINT) is HUGEINT
+    // in DuckDB, so every derived column is cast back to BIGINT
+    "q_doc_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST($duckTokens AS BIGINT) AS n_tok,
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         | FROM documents WHERE $duckTokens > 0),
+         |c AS (SELECT doc_id, n_tok,
+         |  CAST(SUM(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+         |       - n_tok AS BIGINT) AS start_tok
+         | FROM t)
+         |SELECT doc_id, n_tok, start_tok,
+         | CAST(start_tok // 512 AS BIGINT) AS seq_first,
+         | CAST((start_tok + n_tok - 1) // 512 AS BIGINT) AS seq_last,
+         | CAST((start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS BIGINT)
+         |   AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_doc_gopher_filter" ->
+      s"""WITH g AS (SELECT doc_id,
+         |  CAST($duckTokens AS BIGINT) AS n_tok,
+         |  CASE WHEN $duckTokens = 0 THEN 0.0
+         |   ELSE floor(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |        / CAST($duckTokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END
+         |    AS mean_tok_len,
+         |  ${duckRatio("[^A-Za-z0-9\\s]")} AS punct_r,
+         |  ${duckRatio("[A-Za-z]")} AS alpha_r,
+         |  ${duckHitsSum(graft.text.TextFunctions.EnglishStopwords)} AS stop_hits
+         | FROM documents)
+         |SELECT doc_id, n_tok, mean_tok_len,
+         | (n_tok >= 50 AND n_tok <= 100000) AS ok_n_tok,
+         | (mean_tok_len >= 3.0 AND mean_tok_len <= 10.0) AS ok_tok_len,
+         | (punct_r <= 0.1) AS ok_symbol,
+         | (alpha_r >= 0.6) AS ok_alpha,
+         | (stop_hits >= 2) AS ok_stopwords,
+         | (n_tok >= 50 AND n_tok <= 100000 AND mean_tok_len >= 3.0
+         |  AND mean_tok_len <= 10.0 AND punct_r <= 0.1 AND alpha_r >= 0.6
+         |  AND stop_hits >= 2) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_doc_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
@@ -1598,6 +1667,32 @@ object SparkEntry {
 
     // probe-all IVF over the MATERIALIZED index is exact too
     "q_emb_ivf_indexed" -> bruteForceAnnOracle,
+
+    // SemDeDup at nClusters=1 is exact all-pairs: dropped = any vector with a
+    // smaller-id neighbor at rounded cosine >= threshold
+    "q_emb_semdedup" ->
+      """WITH scored AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
+        |  / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(a.embedding) AS x) z2))
+        |   * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(b.embedding) AS y) z3))), 4) AS cosine
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+        |dropped AS (SELECT DISTINCT id_b FROM scored WHERE cosine >= 0.4)
+        |SELECT e.vec_id, (d.id_b IS NULL) AS kept
+        |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q_emb_label_centroid" ->
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+        | floor(avg(CAST(v AS DOUBLE)) * 100000.0 + 0.5) / 100000.0 AS centroid_v,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) - 1 AS pos
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id,

@@ -139,6 +139,50 @@ object Pipeline {
       .filter(col(rankCol) <= n)
   }
 
+  /** Concat-then-chunk sequence packing — the GPT-style training-batch layout:
+    * documents are laid out end-to-end on one token tape in deterministic
+    * portable-hash order (hex60(id), id — the order is a pure function of ids,
+    * so the packing is reproducible across engines, re-runs, and cluster
+    * layouts) and the tape is cut into fixed `seqTokens`-token training
+    * sequences. Per document: its tape offset, the first/last sequence it lands
+    * in, and how many sequences it spans (a doc can straddle a cut).
+    *
+    * Scale shape: the global prefix sum is NOT a single-partition window (the
+    * naive `SUM OVER (ORDER BY …)` with no PARTITION BY serializes the corpus
+    * through one task). It is two-phase: (1) cumsum WITHIN hash-range buckets —
+    * `buckets` parallel windows; (2) per-bucket totals (|buckets| rows) get a
+    * driver-scale prefix window and broadcast-join back as offsets. Same
+    * pattern a 1000-executor cluster needs for any global scan ordering.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqTokens: Int, buckets: Int = 256): DataFrame = {
+    require(seqTokens > 0, s"seqTokens must be positive: $seqTokens")
+    // bucket = high bits of the hash: bucket order == hash order, so
+    // (bucket, in-bucket rank) is the global tape order
+    val bucketWidth = 1152921504606846976L /* 2^60 */ / buckets
+    val base = df
+      .select(col(idCol),
+        graft.text.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        hex60(col(idCol)).as("__h"))
+      .filter(col("n_tok") > 0) // empty docs occupy no tape
+      .withColumn("__b", (col("__h") / bucketWidth).cast("long"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("__h"), col(idCol))
+    val inBucket = base.withColumn("__cum", sum("n_tok").over(wIn))
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .orderBy("__b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__b").agg(sum("n_tok").as("__btot"))
+      .withColumn("__off", coalesce(sum("__btot").over(wPrefix), lit(0L)))
+      .select("__b", "__off")
+    inBucket.join(broadcast(offsets), "__b")
+      .withColumn("start_tok", col("__off") + col("__cum") - col("n_tok"))
+      .withColumn("seq_first", expr(s"start_tok div $seqTokens"))
+      .withColumn("seq_last", expr(s"(start_tok + n_tok - 1) div $seqTokens"))
+      .select(col(idCol), col("n_tok"), col("start_tok"), col("seq_first"),
+        col("seq_last"), (col("seq_last") - col("seq_first") + 1L).as("n_seqs"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch: estimate = (k-1) · 2^60 /
     * h_k where h_k is the k-th smallest distinct hex60 hash. Unlike HLL
     * (approx_count_distinct), the estimate is a pure function of the data —

@@ -158,6 +158,74 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): semantic deduplication by clustering the
+    * embedding space and dropping, within each cluster, every vector that has a
+    * smaller-id neighbor with cosine ≥ `threshold` (deterministic min-id keep —
+    * the same first-wins policy as the exact-dedup operators, so results are
+    * reproducible across runs and engines).
+    *
+    * `nClusters = 1` degenerates to exact all-pairs over the whole corpus — the
+    * oracle mode. At scale the pair join is confined to Voronoi cells around
+    * deterministically-sampled centroids (same machinery as [[ivfTopK]]):
+    * comparisons cost O(Σ cluster²), never O(n²) — which is the entire point of
+    * SemDeDup. Cross-cluster near-dups are missed by construction (recall < 1),
+    * traded for the cluster-local cost bound.
+    *
+    * Returns every input id with a `kept` flag (kept = no smaller-id neighbor
+    * within threshold in its cluster).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double, nClusters: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val slim = embeddings.select(col(idCol), col(vecCol))
+    val withCell =
+      if (nClusters <= 1) slim.withColumn("__cell", lit(0))
+      else {
+        // deterministic centroid sample — smallest nClusters id-hashes (one
+        // distributed TakeOrdered; no RNG, no count() pre-action)
+        val cents = slim.orderBy(xxhash64(col(idCol)), col(idCol))
+          .limit(nClusters).collect()
+        val cvecs: Array[Array[Double]] = cents.map(_.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => other.toString.toDouble
+        }.toArray)
+        slim.withColumn("__cell",
+          graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs))
+      }
+    val a = withCell.select(col("__cell"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = withCell.select(col("__cell"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // pair join keyed on the cell: shuffle partitions by cluster, pairs only
+    // within a cluster; round-4 cosine so the threshold compare is
+    // oracle-portable (float sum order can differ across engines at ulp scale)
+    val dropped = a.join(b, "__cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    slim.select(col(idCol))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("__dropped").isNull.as("kept"))
+  }
+
+  /** Per-group centroid of an embedding column, long form `(group, pos, centroid_v,
+    * n)` — the k-means update step / SemDeDup centroid refinement / per-class mean
+    * embedding. posexplode + hash aggregation: partial (map-side) sums per
+    * (group, dimension), one shuffle of |groups|·dim rows regardless of corpus
+    * size. Values are µ-rounded so the result is comparable across engines
+    * despite float summation order.
+    */
+  def labelCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col(groupCol), col("pos").cast("long").as("pos"))
+      // floor(x*1e5+0.5)/1e5, not round(x,5): round is HALF_UP away from zero
+      // for negatives, which disagrees with the oracle's floor form
+      .agg((floor(avg(col("__v").cast("double")) * lit(100000.0) + lit(0.5))
+          / lit(100000.0)).as("centroid_v"),
+        count(lit(1)).as("n"))
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join then exact cosine filter.
     * Same shuffle shape as MinHash-LSH dedup — proportional to collisions, not n².
     */

@@ -90,6 +90,42 @@ object TextFunctions {
     floor(raw * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
   }
 
+  /** Gopher quality-rule flags (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Table A1 subset —
+    * restricted to the rules that are deterministic and SQL-expressible, so the
+    * whole filter is oracle-checkable):
+    *   - `ok_n_tok`       : 50 ≤ whitespace tokens ≤ 100 000
+    *   - `ok_tok_len`     : 3 ≤ mean token length ≤ 10
+    *   - `ok_symbol`      : symbol(punct)-to-char ratio ≤ 0.1
+    *   - `ok_alpha`       : ≥ 60 % of characters alphabetic
+    *   - `ok_stopwords`   : ≥ 2 stopword hits (the "contains common words" rule)
+    *   - `keep`           : AND of all flags
+    * Per-row map-side transform (regex + arithmetic), zero shuffle at any scale.
+    * mean_tok_len is µ-floored the same way as [[qualityScore]] for
+    * cross-engine float determinism.
+    */
+  def gopherFlags(text: Column): Seq[Column] = {
+    val nTok = tokenCount(text).cast("long")
+    val nonWs = length(regexp_replace(trim(text), "\\s+", "")).cast("double")
+    val meanTokLen = when(nTok === 0, lit(0.0))
+      .otherwise(floor(nonWs / nTok.cast("double") * lit(1000000.0) + lit(0.5))
+        / lit(1000000.0))
+    val okNTok = nTok.geq(50) && nTok.leq(100000)
+    val okTokLen = meanTokLen.geq(3.0) && meanTokLen.leq(10.0)
+    val okSymbol = punctRatio(text).leq(0.1)
+    val okAlpha = alphaRatio(text).geq(0.6)
+    val okStop = stopwordHits(text, EnglishStopwords).geq(2)
+    Seq(
+      nTok.as("n_tok"),
+      meanTokLen.as("mean_tok_len"),
+      okNTok.as("ok_n_tok"),
+      okTokLen.as("ok_tok_len"),
+      okSymbol.as("ok_symbol"),
+      okAlpha.as("ok_alpha"),
+      okStop.as("ok_stopwords"),
+      (okNTok && okTokLen && okSymbol && okAlpha && okStop).as("keep"))
+  }
+
   /** N-gram-free language ID heuristic: argmax of per-language stopword hit counts.
     * Deterministic tie-break by fixed language order (en > fr > de > es), 'und' when
     * nothing hits.

@@ -127,4 +127,45 @@ class PipelineSpec extends AnyFunSuite {
     val estDup = Pipeline.kmvDistinct(dup, col("v"), 64).collect()(0).getAs[Long]("est_distinct")
     assert(estDup == 50L) // 50 distinct < k → exact
   }
+
+  test("packSequences: two-phase prefix sum equals the sequential tape layout") {
+    // 200 docs with varied token counts; buckets=4 forces the multi-bucket path
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 to i % 7).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Pipeline.packSequences(docs, "doc_id", "text", seqTokens = 16, buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // naive sequential reference: sort by (hex60(id), id), walk the tape
+    val hashed = docs
+      .select(col("doc_id"), Pipeline.hex60(col("doc_id")).as("h"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    var cum = 0L
+    hashed.foreach { case (id, _, n) =>
+      val (nTok, start, first, last, nSeqs) = out(id)
+      assert(nTok == n && start == cum, s"doc $id: start $start != $cum")
+      assert(first == start / 16 && last == (start + n - 1) / 16)
+      assert(nSeqs == last - first + 1)
+      cum += n
+    }
+    assert(out.size == 200) // every non-empty doc present (i%7+1 >= 1 tokens)
+  }
+
+  test("packSequences: empty docs occupy no tape; docs longer than seqTokens span") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens > 16 → spans >= 2 seqs
+      (2L, ""), (3L, "   "),
+      (4L, "one two")).toDF("doc_id", "text")
+    val out = Pipeline.packSequences(docs, "doc_id", "text", seqTokens = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(!out.contains(2L) && !out.contains(3L))
+    assert(out(1L) >= 3) // 40 tokens cross at least 2 cuts wherever they start
+    assert(out(4L) >= 1)
+    // total tape length = total tokens: last doc's start+n == 42
+    val rows = Pipeline.packSequences(docs, "doc_id", "text", seqTokens = 16)
+      .agg(max(col("start_tok") + col("n_tok"))).collect()(0).getLong(0)
+    assert(rows == 42L)
+  }
 }

@@ -420,6 +420,56 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(r(4L).getAs[String]("red") == "overlap <PHONE> vs <IP>")
   }
 
+  test("gopherFlags: each rule fires on its designed violation; clean doc keeps") {
+    val goodSentence = "the quick brown foxes and jumps over lazy dogs today "
+    val df = docs(
+      (1L, goodSentence * 6), // 60 tokens, mean len ~4, stopwords present → keep
+      (2L, "hello world"), // too few tokens
+      (3L, ("x " * 60).trim), // mean token length 1 < 3
+      (4L, ("@#$%^& the and " * 20).trim), // symbol-heavy, alpha-poor
+      (5L, ("wonderful excellent marvelous paragraph sentence " * 12).trim)) // no stopwords
+      .select(col("doc_id") +: graft.text.TextFunctions.gopherFlags(col("text")): _*)
+    val r = df.collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"), "clean doc must pass all rules")
+    assert(!r(2L).getAs[Boolean]("ok_n_tok") && !r(2L).getAs[Boolean]("keep"))
+    assert(!r(3L).getAs[Boolean]("ok_tok_len") && r(3L).getAs[Double]("mean_tok_len") == 1.0)
+    assert(!r(4L).getAs[Boolean]("ok_symbol") && !r(4L).getAs[Boolean]("ok_alpha"))
+    assert(!r(5L).getAs[Boolean]("ok_stopwords") && r(5L).getAs[Boolean]("ok_tok_len"))
+    assert(r(1L).getAs[Long]("n_tok") == 60L)
+  }
+
+  test("labelCentroids: element-wise group means in long form") {
+    val df = Seq(
+      (0, Seq(1f, 3f)), (0, Seq(3f, 5f)), // centroid (2, 4)
+      (1, Seq(-1f, 0.5f))) // centroid (-1, 0.5)
+      .toDF("label", "embedding")
+    val r = Similarity.labelCentroids(df, "label").collect()
+      .map(x => (x.getInt(0), x.getLong(1)) -> (x.getDouble(2), x.getLong(3))).toMap
+    assert(r((0, 0L)) == (2.0, 2L) && r((0, 1L)) == (4.0, 2L))
+    assert(r((1, 0L)) == (-1.0, 1L) && r((1, 1L)) == (0.5, 1L))
+  }
+
+  test("semanticDedup: planted near-dups dropped; clustered mode matches exact") {
+    // 30 deterministic pseudo-random 16-dim base vectors + 10 planted dups of
+    // the first 10 (tiny perturbation → cosine ≈ 1)
+    def base(i: Int): Seq[Float] = (0 until 16).map(d =>
+      ((((i * 37 + d * 13) % 19) - 9) / 3.0f) + (if (d == i % 16) 2f else 0f))
+    val rows = (0 until 30).map(i => (i.toLong, base(i))) ++
+      (0 until 10).map(i => (100L + i, base(i).updated(0, base(i)(0) + 0.001f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.semanticDedup(df, threshold = 0.98, nClusters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every planted dup has a smaller-id near-identical twin → dropped
+    (0 until 10).foreach(i => assert(!exact(100L + i), s"dup ${100 + i} kept"))
+    // originals keep (no smaller-id neighbor at 0.98)
+    (0 until 30).foreach(i => assert(exact(i.toLong), s"original $i dropped"))
+    // clustered mode: near-identical pairs land in the same Voronoi cell, so
+    // the planted dups are still caught; kept set matches exact mode here
+    val clustered = Similarity.semanticDedup(df, threshold = 0.98, nClusters = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(clustered == exact)
+  }
+
   test("multimodal: resize updates dims/byte budget for images only; frame schedule real") {
     import graft.multimodal._
     val media = Multimodal.documentsAsMedia(
