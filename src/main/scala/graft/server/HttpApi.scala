@@ -11,8 +11,10 @@ import graft.promql.PromQL
   * `src/api/query/prometheus_api.rs` PromQL handlers). JDK-built-in
   * `com.sun.net.httpserver` only: zero new dependencies, and deliberately thin —
   * ALL query semantics live in QueryEngine/PromQL/ResultFormat; this class just
-  * parses requests and picks a formatter. Serving-scale concerns (CORS, WS/SSE
-  * streaming, remote-write ingest) stay out of scope per SURVEY §7.5.
+  * parses requests and picks a formatter. Streaming delivery lives next door:
+  * SSE on /api/v1/stream below, WebSocket in [[WsApi]]. Remaining
+  * serving-scale concerns (CORS, auth, connection fan-out) stay out of scope
+  * per SURVEY §7.5.
   *
   * Routes:
   *   GET  /health, /ready                         → "OK"

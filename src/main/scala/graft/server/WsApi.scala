@@ -1,0 +1,209 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.engine.{QueryEngine, ResultFormat}
+
+/** WebSocket streaming result delivery — the reference's streaming frame
+  * protocol (`src/api/query/streaming.rs:27-136`: client sends a query message,
+  * server answers with a stream of data frames then an end frame) over a
+  * minimal RFC 6455 server. JDK-only: the handshake is SHA-1 + Base64
+  * (`java.security`/`java.util`), frames are hand-coded — no dependency beyond
+  * what ships with the JVM, same zero-deps stance as [[HttpApi]].
+  *
+  * Protocol (mirrors the SSE route so either transport serves the same shapes):
+  *   client → text frame  {"query": "...", "batch": n?}
+  *   server → text frames {"type":"data","rows":[[...],...]} (≤ batch rows each)
+  *            then        {"type":"end","rows_read":n}
+  *            or          {"type":"error","message":"..."}   then close.
+  *
+  * Scale shape: rows are delivered via `toLocalIterator` — partition-at-a-time,
+  * bounded driver memory, arbitrarily large results stream (identical delivery
+  * path to the SSE route). One handler thread per connection from a fixed pool;
+  * this is a protocol demo of the serving surface, not a C10K server —
+  * cluster-grade connection fan-out stays out of scope per SURVEY §7.5.
+  */
+final class WsApi(engine: QueryEngine, port: Int = 0) {
+
+  private val server = new ServerSocket(port)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  @volatile private var running = true
+
+  def boundPort: Int = server.getLocalPort
+
+  def start(): WsApi = {
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          pool.execute(() => try handle(sock) finally sock.close())
+        } catch { case _: Throwable if !running => () case _: Throwable => () }
+      }
+    }, "ws-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    this
+  }
+
+  def stop(): Unit = { running = false; server.close(); pool.shutdownNow() }
+
+  // ---- RFC 6455 handshake ----------------------------------------------------
+
+  private def handshake(in: InputStream, out: OutputStream): Boolean = {
+    // read header lines until the blank line (requests are tiny; no body on GET)
+    val sb = new StringBuilder
+    var prev = 0
+    var b = in.read()
+    while (b != -1 && !(prev == '\n' && (b == '\r' || b == '\n'))) {
+      sb.append(b.toChar); prev = b; b = in.read()
+    }
+    if (b == '\r') in.read() // consume the LF of the final CRLF
+    val lines = sb.toString.split("\r?\n")
+    val key = lines.collectFirst {
+      case l if l.toLowerCase.startsWith("sec-websocket-key:") =>
+        l.substring(l.indexOf(':') + 1).trim
+    }
+    key match {
+      case Some(k) =>
+        val accept = java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("SHA-1")
+            .digest((k + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(UTF_8)))
+        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
+        out.flush()
+        true
+      case None =>
+        out.write("HTTP/1.1 400 Bad Request\r\n\r\n".getBytes(UTF_8))
+        out.flush()
+        false
+    }
+  }
+
+  // ---- RFC 6455 frames -------------------------------------------------------
+
+  private def readExact(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new java.io.EOFException("ws peer closed mid-frame")
+      off += r
+    }
+    buf
+  }
+
+  /** One complete MESSAGE (fragments reassembled). Returns (opcode, payload);
+    * opcode 8 = close. Client→server frames must be masked (RFC 6455 §5.1).
+    */
+  private def readMessage(in: InputStream): (Int, Array[Byte]) = {
+    val acc = new java.io.ByteArrayOutputStream()
+    var firstOp = -1
+    var fin = false
+    while (!fin) {
+      val h0 = in.read(); val h1 = in.read()
+      if (h0 < 0 || h1 < 0) throw new java.io.EOFException("ws peer closed")
+      fin = (h0 & 0x80) != 0
+      val op = h0 & 0x0f
+      if (firstOp == -1 || op != 0) firstOp = if (op == 0) firstOp else op
+      val masked = (h1 & 0x80) != 0
+      var len: Long = h1 & 0x7f
+      if (len == 126) {
+        val ext = readExact(in, 2)
+        len = ((ext(0) & 0xffL) << 8) | (ext(1) & 0xffL)
+      } else if (len == 127) {
+        val ext = readExact(in, 8)
+        len = ext.foldLeft(0L)((a, x) => (a << 8) | (x & 0xffL))
+      }
+      require(len <= (16L << 20), s"ws frame too large: $len")
+      val mask = if (masked) readExact(in, 4) else Array.emptyByteArray
+      val payload = readExact(in, len.toInt)
+      if (masked) payload.indices.foreach(i =>
+        payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+      if (firstOp == 8) return (8, payload) // close: no continuation
+      if (firstOp == 9) { // ping mid-message: answer pong, keep reading
+        // (unsolicited pings between fragments are legal; rare in practice)
+        return (9, payload)
+      }
+      acc.write(payload)
+    }
+    (firstOp, acc.toByteArray)
+  }
+
+  /** Server→client frames are unmasked (RFC 6455 §5.1). */
+  private def writeFrame(out: OutputStream, opcode: Int, payload: Array[Byte]): Unit = {
+    out.write(0x80 | opcode)
+    val n = payload.length
+    if (n < 126) out.write(n)
+    else if (n < 65536) { out.write(126); out.write(n >> 8); out.write(n & 0xff) }
+    else {
+      out.write(127)
+      (7 to 0 by -1).foreach(i => out.write(((n.toLong >> (8 * i)) & 0xff).toInt))
+    }
+    out.write(payload)
+    out.flush()
+  }
+
+  private def writeText(out: OutputStream, s: String): Unit =
+    writeFrame(out, 1, s.getBytes(UTF_8))
+
+  // ---- session ---------------------------------------------------------------
+
+  private def handle(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    if (!handshake(in, out)) return
+    import org.json4s._
+    def frame(j: JObject): Unit =
+      writeText(out, org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(j)))
+    try {
+      var open = true
+      while (open) {
+        val (op, payload) = readMessage(in)
+        op match {
+          case 8 => // close: echo and finish
+            writeFrame(out, 8, payload.take(2)); open = false
+          case 9 => writeFrame(out, 10, payload) // ping → pong
+          case 10 => () // pong: ignore
+          case _ =>
+            val j = org.json4s.jackson.JsonMethods.parse(new String(payload, UTF_8))
+            val query = (j \ "query") match {
+              case JString(q) => q
+              case _ => throw new IllegalArgumentException(
+                "message must be {\"query\": \"...\"}")
+            }
+            val batchRows = (j \ "batch") match {
+              case JInt(n) => n.toInt
+              case _ => 256
+            }
+            var n = 0L
+            try engine.execute(query) { df =>
+              val schema = df.schema
+              import scala.jdk.CollectionConverters._
+              df.toLocalIterator().asScala.grouped(batchRows).foreach { rows =>
+                n += rows.size
+                frame(JObject(
+                  "type" -> JString("data"),
+                  "rows" -> JArray(rows.toList.map(r =>
+                    JArray(schema.fields.toList.zipWithIndex.map { case (f, i) =>
+                      ResultFormat.jsonValue(r, i, f.dataType)
+                    })))))
+              }
+              frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
+            } catch {
+              case e: Throwable =>
+                frame(JObject("type" -> JString("error"),
+                  "message" -> JString(Option(e.getMessage).getOrElse(e.toString))))
+            }
+        }
+      }
+    } catch {
+      case _: java.io.EOFException => () // peer went away: normal teardown
+    } finally {
+      try out.flush() catch { case _: Throwable => () }
+    }
+  }
+}

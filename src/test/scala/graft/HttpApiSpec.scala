@@ -20,7 +20,7 @@ class HttpApiSpec extends AnyFunSuite {
   private val hourNs = 3600L * 1000000000L
   private val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
 
-  private lazy val (api, port) = {
+  private lazy val engine = {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_http_"), cacheTtlMs = 0L)
     val points = for {
       h <- 0 until 2
@@ -30,7 +30,11 @@ class HttpApiSpec extends AnyFunSuite {
     } yield MetricPoint(t0 + h * hourNs + i * 600L * 1000000000L,
       m, (i % 100) / 100.0 + h, Map("host" -> host))
     new ChunkWriter(cat).write(Converters.pointsToDf(spark, points))
-    val a = new HttpApi(new QueryEngine(spark, cat), port = 0).start()
+    new QueryEngine(spark, cat)
+  }
+
+  private lazy val (api, port) = {
+    val a = new HttpApi(engine, port = 0).start()
     (a, a.boundPort)
   }
 
@@ -198,6 +202,50 @@ class HttpApiSpec extends AnyFunSuite {
       "SELECT nope_col FROM metrics", "UTF-8"))
     val badFrames = bad.body().split("\n\n").filter(_.startsWith("data: "))
     assert(badFrames.exists(_.contains("\"error\"")) || bad.statusCode() == 400)
+  }
+
+  test("WebSocket stream: RFC6455 roundtrip with the JDK client, data/end/error frames") {
+    import org.json4s._
+    val ws = new graft.server.WsApi(engine, port = 0).start()
+    try {
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val listener = new java.net.http.WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(w: java.net.http.WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { received.add(sb.toString); sb.setLength(0) }
+          w.request(1)
+          null
+        }
+      }
+      val sock = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:${ws.boundPort}/"), listener).join()
+      def next(): JValue = {
+        val s = received.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+        assert(s != null, "timed out waiting for ws frame")
+        org.json4s.jackson.JsonMethods.parse(s)
+      }
+      val q = s"SELECT metric_name, COUNT(*) AS cnt FROM metrics " +
+        s"WHERE timestamp_ns >= $t0 AND metric_name IN ('cpu_usage', 'mem_usage') " +
+        "GROUP BY metric_name ORDER BY metric_name"
+      sock.sendText(s"""{"query":"${q.replace("\"", "\\\"")}","batch":1}""", true).join()
+      // batch=1 → one data frame per row, then the end frame
+      val f1 = next(); val f2 = next(); val f3 = next()
+      assert((f1 \ "type") == JString("data") &&
+        (f1 \ "rows") == JArray(List(JArray(List(JString("cpu_usage"), JInt(24))))))
+      assert((f2 \ "rows") == JArray(List(JArray(List(JString("mem_usage"), JInt(24))))))
+      assert((f3 \ "type") == JString("end") && (f3 \ "rows_read") == JInt(2))
+      // a second query on the SAME connection (session is not one-shot)
+      sock.sendText(s"""{"query":"SELECT 1 AS one"}""", true).join()
+      val g1 = next(); val g2 = next()
+      assert((g1 \ "rows") == JArray(List(JArray(List(JInt(1))))))
+      assert((g2 \ "type") == JString("end"))
+      // malformed SQL → error frame, socket stays usable
+      sock.sendText("""{"query":"SELEKT nope"}""", true).join()
+      assert((next() \ "type") == JString("error"))
+      sock.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+    } finally ws.stop()
   }
 
   test("shutdown") { api.stop() }
