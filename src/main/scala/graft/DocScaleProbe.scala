@@ -88,6 +88,20 @@ object DocScaleProbe {
     println(s"[docs] incremental dedup: ${newBatch.count()} batch docs, " +
       s"$survivors survived (expected 0 — every batch doc is a planted copy) " +
       (if (survivors == 0) "OK" else "MISMATCH"))
+
+    // sequence packing: two-phase distributed prefix sum — verify the tape is
+    // gap-free (last offset + tokens == total tokens) and time the layout
+    val tape = time("sequence packing (512-tok seqs)") {
+      graft.pipeline.Pipeline.packSequences(docs, "doc_id", "text", seqTokens = 512)
+        .agg(max(col("start_tok") + col("n_tok")).as("tape_end"),
+          sum("n_tok").as("total_tok"), count(lit(1)).as("docs_packed"))
+        .collect()(0)
+    }
+    println(s"[docs] packing: ${tape.getAs[Long]("docs_packed")} docs, " +
+      s"${tape.getAs[Long]("total_tok")} tokens → " +
+      s"${(tape.getAs[Long]("tape_end") + 511) / 512} sequences; tape " +
+      (if (tape.getAs[Long]("tape_end") == tape.getAs[Long]("total_tok")) "gap-free OK"
+       else "HAS GAPS"))
     spark.stop()
   }
 }

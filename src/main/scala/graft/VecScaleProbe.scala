@@ -87,6 +87,19 @@ object VecScaleProbe {
     val filesAll = spark.read.parquet(s"$idxRoot/data")
       .select(input_file_name()).distinct().count()
     println(s"[vecs] pruned read: cell 0 touches $filesRead of $filesAll index files")
+
+    // SemDeDup at scale: 1024 Voronoi cells bound the pair join to Σ cell² —
+    // report the actual candidate-pair count vs the n²/2 a naive all-pairs
+    // would cost. The generated corpus has ~200 true clusters with
+    // within-cluster cosine ≈ 0.9975, so threshold 0.995 should collapse each
+    // cell to a handful of survivors (min-id keep).
+    val semKept = time("semanticDedup (1024 cells, thr 0.995)") {
+      graft.sim.Similarity.semanticDedup(corpus, threshold = 0.995, nClusters = 1024)
+        .filter(col("kept")).count()
+    }
+    println(f"[vecs] semdedup: kept $semKept of $nVecs " +
+      f"(${semKept * 100.0 / nVecs}%.2f%% — expected ≲ #occupied cells; " +
+      (if (semKept >= 200 && semKept < nVecs / 10) "OK" else "SUSPECT") + ")")
     spark.stop()
   }
 }
