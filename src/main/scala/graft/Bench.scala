@@ -53,8 +53,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Queries run through engines constructed inside SparkEntry — reach them
-    // via the process-wide default. Segment 2 overrides per-instance.
-    graft.engine.QueryEngine.defaultResultCacheEnabled = false
+    // via the SESSION conf (engines read it at construction; segment 2
+    // overrides per-instance). Session-scoped: doesn't leak to other sessions.
+    spark.conf.set("spark.graft.resultCache.enabled", "false")
 
     // JIT/session warmup so the first measured query isn't charged for startup:
     // exercise scan, codegen'd agg, shuffle, broadcast join and sort machinery once

@@ -752,9 +752,11 @@ object SparkEntry {
 
     // LLM ops — exact embedding-cosine near-dup pairs (brute-force baseline;
     // the LSH-bucketed scale path in Dedup.embeddingNearDupPairs is
-    // probabilistic and spec-gated instead).
+    // probabilistic and spec-gated instead). Input bounded to a fixed 500-vec
+    // sample so the deliberate all-pairs baseline stays O(1) in SF — the same
+    // bounded-sample pattern as q_doc_ngram_jaccard / q_doc_dedup_groups.
     "q_emb_neardup_exact" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -766,10 +768,13 @@ object SparkEntry {
 
     // LLM ops — SemDeDup (Abbas et al. 2023) at nClusters=1 (single cluster ⇒
     // exact all-pairs ⇒ hash-gated; the clustered O(Σ cluster²) scale path is
-    // spec-gated with planted-duplicate recall).
+    // spec-gated with planted-duplicate recall). Input bounded to a fixed
+    // 500-vec sample — nClusters=1 is deliberately all-pairs, so the oracle
+    // input must not grow with SF.
     "q_emb_semdedup" -> ((s, dir) =>
       graft.sim.Similarity.semanticDedup(
-          t(s, dir, "embeddings"), threshold = 0.4, nClusters = 1)
+          t(s, dir, "embeddings").filter(col("vec_id") < 500),
+          threshold = 0.4, nClusters = 1)
         .orderBy("vec_id")),
 
     // LLM ops — per-label embedding centroids (k-means update step / per-class
@@ -1627,7 +1632,8 @@ object SparkEntry {
         |     FROM (SELECT unnest(a.embedding) AS x) z2))
         |   * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
         |     FROM (SELECT unnest(b.embedding) AS y) z3))), 4) AS cosine
-        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500)
         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
@@ -1679,10 +1685,12 @@ object SparkEntry {
         |     FROM (SELECT unnest(a.embedding) AS x) z2))
         |   * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
         |     FROM (SELECT unnest(b.embedding) AS y) z3))), 4) AS cosine
-        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500),
         |dropped AS (SELECT DISTINCT id_b FROM scored WHERE cosine >= 0.4)
         |SELECT e.vec_id, (d.id_b IS NULL) AS kept
         |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
+        |WHERE e.vec_id < 500
         |ORDER BY e.vec_id""".stripMargin,
 
     "q_emb_label_centroid" ->

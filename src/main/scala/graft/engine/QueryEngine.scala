@@ -126,7 +126,8 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * `limits.maxRetainedCacheBytes`. Oversized results still get PLAN caching
     * (analysis skipped on re-run) — just not storage.
     */
-  @volatile var resultCacheEnabled: Boolean = QueryEngine.defaultResultCacheEnabled
+  @volatile var resultCacheEnabled: Boolean = limits.resultCacheEnabled.getOrElse(
+    spark.conf.get("spark.graft.resultCache.enabled", "true").toBoolean)
 
   /** Query-pattern stats feeding index recommendations — populated per query like
     * the reference's adaptive-index hooks (engine.rs:259-300).
@@ -274,7 +275,8 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * result-cache tier (observability for tests/telemetry).
     */
   def isResultCached(query: String): Boolean = planCache.synchronized {
-    cachedBytes.keysIterator.exists(_._1 == query)
+    cachedBytes.keysIterator.exists(_._1 == query) ||
+      localizedKeys.exists(_._1 == query)
   }
 
   /** A repeated warm hit gets served the way the reference's L1 serves cached
@@ -295,6 +297,9 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       else {
         val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
         try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        // the executor-storage copy is gone — stop charging it to the
+        // retained-bytes budget (localizedKeys keeps isResultCached true)
+        cachedBytes.remove(key)
         planCache.put(key, local)
         local
       }
@@ -404,16 +409,16 @@ object QueryEngine {
     * per-result estimate cap plus a total retained budget instead, because Spark
     * persists whole result sets, not chunks.
     */
+  /** `resultCacheEnabled = None` defers to the session conf
+    * `spark.graft.resultCache.enabled` (default true) — session-scoped, not a
+    * process-wide static, so one harness (e.g. the bench, which turns caching
+    * off while timing 70+ queries) can't silently change engines built later
+    * on OTHER sessions in the same JVM.
+    */
   final case class QueryLimits(maxConcurrent: Int = 100, timeoutMs: Long = 300000L,
                                maxCachedResultBytes: Long = 64L << 20,
-                               maxRetainedCacheBytes: Long = 1L << 30)
-
-  /** Process-wide default for new engines' `resultCacheEnabled` — the bench
-    * harness turns this off so 70+ timed queries don't each pin a persisted
-    * result (the round-3 heap-pressure suspect), then opts back in for the
-    * warm-latency segment it actually measures.
-    */
-  @volatile var defaultResultCacheEnabled: Boolean = true
+                               maxRetainedCacheBytes: Long = 1L << 30,
+                               resultCacheEnabled: Option[Boolean] = None)
 
   final class QueryTimeoutException(timeoutMs: Long, cause: Throwable)
     extends RuntimeException(s"query exceeded ${timeoutMs} ms timeout and was cancelled", cause)

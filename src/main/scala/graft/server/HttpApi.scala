@@ -83,14 +83,42 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
     override def handle(ex: HttpExchange): Unit =
       try f(ex)
       catch {
+        case HttpApi.HttpError(code, msg) =>
+          try error(ex, code, msg) catch { case _: Throwable => () }
         case e: Throwable =>
           try error(ex, 400, Option(e.getMessage).getOrElse(e.toString))
           catch { case _: Throwable => () } // response already started
       }
   }
 
-  /** Prometheus `start`/`end` accept unix seconds (possibly fractional). */
-  private def secToNs(s: String): Long = (s.toDouble * 1e9).toLong
+  /** Read a request body with a hard size cap (same 16 MB bound as WsApi's
+    * frame limit) — a Content-Length over the cap is rejected with 413 before
+    * reading a byte, and a chunked/unlabeled body is cut off at the cap, so an
+    * oversized POST can't exhaust the driver heap.
+    */
+  private def readBody(ex: HttpExchange): Array[Byte] = {
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    declared.filter(_ > HttpApi.MaxBodyBytes).foreach(n =>
+      throw HttpApi.HttpError(413, s"request body $n bytes exceeds ${HttpApi.MaxBodyBytes}"))
+    val body = ex.getRequestBody.readNBytes(HttpApi.MaxBodyBytes + 1)
+    if (body.length > HttpApi.MaxBodyBytes)
+      throw HttpApi.HttpError(413, s"request body exceeds ${HttpApi.MaxBodyBytes} bytes")
+    body
+  }
+
+  /** Prometheus `start`/`end` accept unix seconds (possibly fractional).
+    * Integer seconds multiply exactly in Long — present-day epochs are ~1.7e18
+    * ns, past double's 2^53 integer-exact range, so the double path (kept only
+    * for fractional inputs) could flip boundary-inclusive ns comparisons.
+    */
+  private def secToNs(s: String): Long = {
+    val trimmed = s.trim
+    scala.util.Try(trimmed.toLong) match {
+      case scala.util.Success(sec) => sec * 1000000000L
+      case _ => (trimmed.toDouble * 1e9).toLong
+    }
+  }
 
   private def promListPayload(values: Seq[String]): String = {
     import org.json4s._
@@ -120,7 +148,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
   server.createContext("/api/v1/sql", handler { ex =>
     val (query, format) =
       if (ex.getRequestMethod == "POST") {
-        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val body = new String(readBody(ex), "UTF-8")
         val j = org.json4s.jackson.JsonMethods.parse(body)
         ((j \ "query"), (j \ "format")) match {
           case (org.json4s.JString(q), org.json4s.JString(f)) => (q, f)
@@ -191,10 +219,19 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
   server.createContext("/api/v1/write", handler { ex =>
     if (ex.getRequestMethod != "POST") error(ex, 405, "POST only")
     else {
-      val raw = ex.getRequestBody.readAllBytes()
+      val raw = readBody(ex)
+      // bound the DECOMPRESSED size too before allocating — snappy's header
+      // declares it, so a decompression bomb is rejected without inflating
       val proto =
-        try org.xerial.snappy.Snappy.uncompress(raw)
-        catch { case _: Throwable => raw } // not snappy-framed: treat as raw proto
+        try {
+          if (org.xerial.snappy.Snappy.uncompressedLength(raw) > HttpApi.MaxBodyBytes)
+            throw HttpApi.HttpError(413,
+              s"decompressed body exceeds ${HttpApi.MaxBodyBytes} bytes")
+          org.xerial.snappy.Snappy.uncompress(raw)
+        } catch {
+          case e: HttpApi.HttpError => throw e
+          case _: Throwable => raw // not snappy-framed: treat as raw proto
+        }
       val points = graft.ingest.PromWire.toRoutedPoints(proto)
       if (points.nonEmpty) {
         ingestWriter.write(graft.ingest.Converters.routedToDf(engine.spark, points))
@@ -261,4 +298,15 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
       org.json4s.jackson.JsonMethods.render(JObject(
         "status" -> JString("success"), "data" -> JArray(series)))))
   })
+}
+
+object HttpApi {
+  /** Hard cap on request bodies (and their decompressed size) — matches the
+    * WsApi 16 MB frame limit; the reference's ingester buffers whole bodies
+    * too but axum enforces a default body limit, so this is the parity bound.
+    */
+  val MaxBodyBytes: Int = 16 << 20
+
+  /** Thrown by routes to produce a specific HTTP status (e.g. 413). */
+  final case class HttpError(code: Int, msg: String) extends RuntimeException(msg)
 }

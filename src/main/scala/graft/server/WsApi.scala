@@ -94,19 +94,22 @@ final class WsApi(engine: QueryEngine, port: Int = 0) {
     buf
   }
 
-  /** One complete MESSAGE (fragments reassembled). Returns (opcode, payload);
-    * opcode 8 = close. Client→server frames must be masked (RFC 6455 §5.1).
+  /** One complete data MESSAGE (fragments reassembled). Returns (opcode,
+    * payload); opcode 8 = close. Client→server frames must be masked
+    * (RFC 6455 §5.1). Control frames (close/ping/pong) interleaved between
+    * fragments are handled inline per RFC 6455 §5.4/§5.5 — a ping mid-message
+    * is answered with a pong right here and reassembly continues undisturbed;
+    * only close aborts the message.
     */
-  private def readMessage(in: InputStream): (Int, Array[Byte]) = {
+  private def readMessage(in: InputStream, out: OutputStream): (Int, Array[Byte]) = {
     val acc = new java.io.ByteArrayOutputStream()
     var firstOp = -1
-    var fin = false
-    while (!fin) {
+    var done = false
+    while (!done) {
       val h0 = in.read(); val h1 = in.read()
       if (h0 < 0 || h1 < 0) throw new java.io.EOFException("ws peer closed")
-      fin = (h0 & 0x80) != 0
+      val fin = (h0 & 0x80) != 0
       val op = h0 & 0x0f
-      if (firstOp == -1 || op != 0) firstOp = if (op == 0) firstOp else op
       val masked = (h1 & 0x80) != 0
       var len: Long = h1 & 0x7f
       if (len == 126) {
@@ -121,12 +124,20 @@ final class WsApi(engine: QueryEngine, port: Int = 0) {
       val payload = readExact(in, len.toInt)
       if (masked) payload.indices.foreach(i =>
         payload(i) = (payload(i) ^ mask(i % 4)).toByte)
-      if (firstOp == 8) return (8, payload) // close: no continuation
-      if (firstOp == 9) { // ping mid-message: answer pong, keep reading
-        // (unsolicited pings between fragments are legal; rare in practice)
-        return (9, payload)
+      op match {
+        case 8 => return (8, payload) // close aborts any in-flight message
+        case 9 => writeFrame(out, 10, payload) // ping → pong, keep reassembling
+        case 10 => () // unsolicited pong: ignore
+        case 0 => // continuation
+          if (firstOp == -1) throw new java.io.IOException(
+            "ws continuation frame with no message in progress")
+          acc.write(payload); done = fin
+        case 1 | 2 => // text/binary fragment (or whole message if fin)
+          if (firstOp != -1) throw new java.io.IOException(
+            "ws new data frame while a fragmented message is in progress")
+          firstOp = op; acc.write(payload); done = fin
+        case other => throw new java.io.IOException(s"ws unknown opcode $other")
       }
-      acc.write(payload)
     }
     (firstOp, acc.toByteArray)
   }
@@ -162,12 +173,10 @@ final class WsApi(engine: QueryEngine, port: Int = 0) {
     try {
       var open = true
       while (open) {
-        val (op, payload) = readMessage(in)
+        val (op, payload) = readMessage(in, out)
         op match {
           case 8 => // close: echo and finish
             writeFrame(out, 8, payload.take(2)); open = false
-          case 9 => writeFrame(out, 10, payload) // ping → pong
-          case 10 => () // pong: ignore
           case _ =>
             val j = org.json4s.jackson.JsonMethods.parse(new String(payload, UTF_8))
             val query = (j \ "query") match {

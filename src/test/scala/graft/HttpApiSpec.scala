@@ -248,5 +248,92 @@ class HttpApiSpec extends AnyFunSuite {
     } finally ws.stop()
   }
 
+  test("oversized POST body is rejected with 413 before buffering") {
+    // declare a Content-Length over the 16 MB cap WITHOUT sending the body —
+    // the server must reject from the header alone (never tries to read 10 GB)
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      out.write(("POST /api/v1/write HTTP/1.1\r\nHost: x\r\n" +
+        s"Content-Length: ${10L * 1024 * 1024 * 1024}\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      val line = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8")).readLine()
+      assert(line != null && line.contains("413"), s"expected 413, got: $line")
+    } finally sock.close()
+    // sanity: the sql route enforces the same cap
+    val sock2 = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = sock2.getOutputStream
+      out.write(("POST /api/v1/sql HTTP/1.1\r\nHost: x\r\n" +
+        s"Content-Length: ${64L * 1024 * 1024}\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      val line = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock2.getInputStream, "UTF-8")).readLine()
+      assert(line != null && line.contains("413"), s"expected 413, got: $line")
+    } finally sock2.close()
+  }
+
+  test("WebSocket: ping interleaved inside a fragmented message (RFC 6455 §5.4/§5.5)") {
+    val ws = new graft.server.WsApi(engine, port = 0).start()
+    val sock = new java.net.Socket("127.0.0.1", ws.boundPort)
+    try {
+      sock.setSoTimeout(30000)
+      val out = sock.getOutputStream
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      // handshake
+      out.write(("GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      var prev = 0; var b = in.read(); val hdr = new StringBuilder
+      while (b != -1 && !(prev == '\n' && (b == '\r' || b == '\n'))) {
+        hdr.append(b.toChar); prev = b; b = in.read()
+      }
+      if (b == '\r') in.read()
+      assert(hdr.toString.startsWith("HTTP/1.1 101"), hdr.toString)
+
+      def sendFrame(fin: Boolean, op: Int, payload: Array[Byte]): Unit = {
+        out.write((if (fin) 0x80 else 0) | op)
+        assert(payload.length < 126)
+        out.write(0x80 | payload.length) // client frames are masked
+        val mask = Array[Byte](0x11, 0x22, 0x33, 0x44)
+        out.write(mask)
+        out.write(payload.zipWithIndex.map { case (p, i) => (p ^ mask(i % 4)).toByte })
+        out.flush()
+      }
+      def readFrame(): (Int, Array[Byte]) = {
+        val h0 = in.read(); val h1 = in.read()
+        assert(h0 >= 0 && h1 >= 0, "server closed early")
+        var len: Long = h1 & 0x7f
+        if (len == 126) len = ((in.read() & 0xffL) << 8) | (in.read() & 0xffL)
+        else if (len == 127) len = (0 until 8).foldLeft(0L)((a, _) => (a << 8) | (in.read() & 0xffL))
+        val buf = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < len) { val r = in.read(buf, off, len.toInt - off); assert(r > 0); off += r }
+        (h0 & 0x0f, buf)
+      }
+
+      // a query split across two fragments with a PING in between: the server
+      // must pong AND still reassemble + answer the query
+      val msg = """{"query":"SELECT 1 AS one"}""".getBytes("UTF-8")
+      val (half1, half2) = msg.splitAt(msg.length / 2)
+      sendFrame(fin = false, op = 1, half1)
+      sendFrame(fin = true, op = 9, "hi".getBytes("UTF-8")) // ping mid-message
+      sendFrame(fin = true, op = 0, half2)
+
+      val (op1, pay1) = readFrame()
+      assert(op1 == 10 && new String(pay1, "UTF-8") == "hi", "expected pong first")
+      val (op2, pay2) = readFrame()
+      assert(op2 == 1 && new String(pay2, "UTF-8").contains("\"data\""),
+        s"expected data frame, got op=$op2 ${new String(pay2, "UTF-8").take(80)}")
+      val (op3, pay3) = readFrame()
+      assert(op3 == 1 && new String(pay3, "UTF-8").contains("\"end\""))
+      sendFrame(fin = true, op = 8, Array[Byte](0x03, 0xe8.toByte)) // close 1000
+      val (op4, _) = readFrame()
+      assert(op4 == 8, "expected close echo")
+    } finally { sock.close(); ws.stop() }
+  }
+
   test("shutdown") { api.stop() }
 }
