@@ -71,6 +71,23 @@ object Bench {
     def time(f: => Unit): Double = {
       val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
     }
+
+    // Block-device write bandwidth AT RUN TIME (128 MB fsync'd), so the record
+    // itself carries the evidence for/against the tmpfs decision — the device
+    // intermittently throttles ~100× (measured 520 → 5 MB/s within an hour).
+    def diskProbeMbps(): Double = {
+      val p = java.nio.file.Files.createTempFile("graft_ioprobe", ".bin")
+      val buf = new Array[Byte](1 << 20)
+      val t = time {
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.WRITE)
+        (1 to 128).foreach(_ => ch.write(java.nio.ByteBuffer.wrap(buf)))
+        ch.force(true); ch.close()
+      }
+      java.nio.file.Files.delete(p)
+      (128 / t * 10).round / 10.0
+    }
+    val diskMbpsStart = diskProbeMbps()
     import scala.jdk.CollectionConverters._
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
@@ -155,7 +172,19 @@ object Bench {
     // RESULT in <100 ms" — collect is the delivery (the reference's L1 serves
     // cached bytes); count() would bolt a 2-stage shuffle onto every probe and
     // measure the scheduler instead.
+    // BOTH warm shapes are measured (VERDICT r4 "What's wrong #2"):
+    //  - warm_persisted: repeat hit served from the persisted DISTRIBUTED
+    //    result (localization off) — what a first repeat or >20 K-row result
+    //    gets; an executor-block scan + collect, not a driver array lookup.
+    //  - warm_local (the headline warm_query_median, L1-serving analog):
+    //    repeat hit after the one-time localization to a LocalRelation.
+    eng.localizeWarmHits = false
     eng.sql(windowSql(1704067210000000000L)).collect() // populate caches
+    val warmPersistedRuns = (1 to 9).map(_ =>
+      time { eng.sql(windowSql(1704067210000000000L)).collect() }).sorted
+    val warmPersistedMedian = warmPersistedRuns(4)
+    eng.localizeWarmHits = true
+    eng.sql(windowSql(1704067210000000000L)).collect() // triggers localization
     val warmRuns = (1 to 9).map(_ =>
       time { eng.sql(windowSql(1704067210000000000L)).collect() }).sorted
     val warmMedian = warmRuns(4)
@@ -175,7 +204,10 @@ object Bench {
       // If the 3 disagree wildly (>3× spread — the hypervisor's I/O throttle
       // bursts), take up to 2 extra runs so one bad sample can't own the median.
       def spreadWild = runs.size >= 3 && runs.max / math.max(runs.min, 1e-9) > 3.0
-      while ((runs.size < 3 || (spreadWild && runs.size < 5)) &&
+      // q_join_broadcast pinned at 5 runs (VERDICT r4 #8): its r4 median was
+      // inflated by one noisy run; 5 samples keep one burst from owning it
+      val minRuns = if (name == "q_join_broadcast") 5 else 3
+      while ((runs.size < minRuns || (spreadWild && runs.size < 5)) &&
           (runs.isEmpty || spent < 25.0)) {
         val t = time {
           try fn(spark, sfDir).count()
@@ -190,6 +222,10 @@ object Bench {
     val queriesTotal = medians.values.sum
     val total = queriesTotal + ingestSec + warmMedian + prunedMedian
     val gcTotalMs = gcMs - gc0
+    // second probe AFTER the sweep: the record carries the worse of the two,
+    // the audit-relevant number (was the device throttled at any point?)
+    val diskMbpsEnd = diskProbeMbps()
+    val diskMbps = math.min(diskMbpsStart, diskMbpsEnd)
 
     def f3(v: Double): String = f"$v%.3f"
     // ---- sidecar + stderr: the FULL record ----------------------------------
@@ -202,6 +238,8 @@ object Bench {
          |"ingest_runs_sec":[${ingestRuns.map(f3).mkString(",")}],
          |"samples_per_sec":$samplesPerSec,"compression_ratio":$compressionRatio,
          |"warm_runs_sec":[${warmRuns.map(f3).mkString(",")}],
+         |"warm_persisted_runs_sec":[${warmPersistedRuns.map(f3).mkString(",")}],
+         |"disk_mbps_start":$diskMbpsStart,"disk_mbps_end":$diskMbpsEnd,
          |"pruned_runs_sec":[${prunedRuns.map(f3).mkString(",")}],
          |"gc_time_ms":$gcTotalMs,"peak_heap_mb":$peakHeapMb,
          |"queries_total_sec":${f3(queriesTotal)},"n_queries":${medians.size},
@@ -223,6 +261,8 @@ object Bench {
       s""""samples_per_sec":$samplesPerSec,"ingest_sec":${f3(ingestSec)},""" +
       s""""compression_ratio":$compressionRatio,""" +
       s""""warm_query_median":${f3(warmMedian)},"warm_query_min":${f3(warmRuns.head)},""" +
+      s""""warm_local":${f3(warmMedian)},"warm_persisted":${f3(warmPersistedMedian)},""" +
+      s""""disk_mbps":$diskMbps,""" +
       s""""pruned_query_median":${f3(prunedMedian)},"pruned_query_min":${f3(prunedRuns.head)},""" +
       s""""gc_time_ms":$gcTotalMs,"peak_heap_mb":$peakHeapMb,""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")

@@ -129,6 +129,13 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   @volatile var resultCacheEnabled: Boolean = limits.resultCacheEnabled.getOrElse(
     spark.conf.get("spark.graft.resultCache.enabled", "true").toBoolean)
 
+  /** When false, warm repeat hits stay on the persisted DISTRIBUTED result
+    * (never swapped to a driver-local LocalRelation) — the shape a first
+    * repeat or a >20 K-row result always gets. The bench measures both warm
+    * numbers so the <100 ms gate can't be read as a driver array lookup.
+    */
+  @volatile var localizeWarmHits: Boolean = true
+
   /** Query-pattern stats feeding index recommendations — populated per query like
     * the reference's adaptive-index hooks (engine.rs:259-300).
     */
@@ -213,7 +220,8 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       val hit = planCache.get(key)
       if (hit != null) {
         // persisted-but-not-yet-localized entry on a REPEAT hit → localize it
-        if (localizedKeys(key) || !cachedBytes.contains(key)) return hit
+        if (!localizeWarmHits || localizedKeys(key) || !cachedBytes.contains(key))
+          return hit
         toLocalize = hit
       }
     }

@@ -28,14 +28,17 @@ import graft.promql.PromQL
   *   POST /api/v1/write     snappy(WriteRequest)  → 204 (remote-write ingest
   *        through the production chunk path: wire parse → value routing →
   *        sorted hour chunks + catalog registration)
-  *   GET  /api/v1/stream?query=…[&batch=n]        → SSE stream of
-  *        {type:"data",rows:[…]} frames then {type:"end",rows_read:n}
+  *   GET  /api/v1/stream?query=…[&batch=n][&live=1][&duration=s] → SSE stream
+  *        of {type:"data",rows:[…]} frames then {type:"end",rows_read:n}
   *        (the reference's streaming frame protocol, src/api/query/streaming
   *        .rs:27-136, over SSE instead of WebSocket; rows are delivered
   *        incrementally via toLocalIterator — partition-at-a-time, never a
   *        whole-result collect, so arbitrarily large results stream in
-  *        bounded driver memory. Live tailing stays out of scope per SURVEY
-  *        §7.5 — the engine-side merge exists in streaming.LiveMerge.)
+  *        bounded driver memory). live=1 tails freshly flushed chunks after
+  *        the historical phase (LiveMerge.CatalogTail: merge-timestamp
+  *        cutoff fixed at query start, reference live:true semantics) until
+  *        the client disconnects or `duration` seconds pass; the WS route in
+  *        [[WsApi]] supports the same via {"live":true}.
   */
 final class HttpApi(engine: QueryEngine, port: Int = 0) {
 
@@ -246,40 +249,64 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
     val query = p.get("query").flatMap(_.headOption)
       .getOrElse(throw new IllegalArgumentException("missing query param"))
     val batchRows = p.get("batch").flatMap(_.headOption).map(_.toInt).getOrElse(256)
-    engine.execute(query) { df =>
-      import org.json4s._
-      val schema = df.schema
-      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-      ex.getResponseHeaders.set("Cache-Control", "no-cache")
-      ex.sendResponseHeaders(200, 0L) // chunked
-      val os = ex.getResponseBody
-      def frame(j: JObject): Unit = {
-        os.write(("data: " + org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(j)) + "\n\n").getBytes("UTF-8"))
-        os.flush()
-      }
-      var n = 0L
-      try {
-        // partition-at-a-time delivery: toLocalIterator never materializes the
-        // whole result on the driver (the reference streams RecordBatches the
-        // same way)
-        import scala.jdk.CollectionConverters._
-        df.toLocalIterator().asScala.grouped(batchRows).foreach { rows =>
-            n += rows.size
-            frame(JObject(
-              "type" -> JString("data"),
-              "rows" -> JArray(rows.toList.map(r =>
-                JArray(schema.fields.toList.zipWithIndex.map { case (f, i) =>
-                  ResultFormat.jsonValue(r, i, f.dataType)
-                })))))
-          }
-        frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
-      } catch {
-        case e: Throwable =>
-          frame(JObject("type" -> JString("error"),
-            "message" -> JString(Option(e.getMessage).getOrElse(e.toString))))
-      } finally os.close()
+    val live = p.get("live").flatMap(_.headOption).exists(v => v == "1" || v == "true")
+    // live tails end on client disconnect (the write fails); `duration` (secs)
+    // bounds a tail for curl-ability
+    val durationMs = p.get("duration").flatMap(_.headOption).map(_.toLong * 1000)
+    import org.json4s._
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0L) // chunked
+    val os = ex.getResponseBody
+    def frame(j: JObject): Unit = {
+      os.write(("data: " + org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(j)) + "\n\n").getBytes("UTF-8"))
+      os.flush()
     }
+    var n = 0L
+    def streamRows(df: DataFrame, withColumns: Boolean): Unit = {
+      val schema = df.schema
+      // partition-at-a-time delivery: toLocalIterator never materializes the
+      // whole result on the driver (the reference streams RecordBatches the
+      // same way)
+      import scala.jdk.CollectionConverters._
+      df.toLocalIterator().asScala.grouped(batchRows).foreach { rows =>
+        n += rows.size
+        val base = List[(String, JValue)](
+          "type" -> JString("data"),
+          "rows" -> JArray(rows.toList.map(r =>
+            JArray(schema.fields.toList.zipWithIndex.map { case (f, i) =>
+              ResultFormat.jsonValue(r, i, f.dataType)
+            }))))
+        frame(JObject(if (withColumns)
+          base :+ ("columns" -> (JArray(schema.fieldNames.toList
+            .map(JString(_))): JValue))
+        else base))
+      }
+    }
+    // subscribe BEFORE the historical phase (no flush can fall in the gap);
+    // merge_timestamp fixed at query start, live rows before it are dropped
+    val tail = if (live)
+      Some(new graft.streaming.LiveMerge.CatalogTail(
+        engine.spark, engine.catalog, System.currentTimeMillis() * 1000000L))
+    else None
+    try {
+      engine.execute(query)(df => streamRows(df, withColumns = false))
+      tail.foreach { t =>
+        val deadline = durationMs.map(System.currentTimeMillis() + _)
+        while (deadline.forall(_ > System.currentTimeMillis())) {
+          t.poll().foreach(streamRows(_, withColumns = true))
+          Thread.sleep(250)
+        }
+      }
+      frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
+    } catch {
+      case e: Throwable =>
+        // a dead client surfaces as a write failure — nothing to report to
+        try frame(JObject("type" -> JString("error"),
+          "message" -> JString(Option(e.getMessage).getOrElse(e.toString))))
+        catch { case _: Throwable => () }
+    } finally os.close()
   })
 
   server.createContext("/api/v1/series", handler { ex =>

@@ -13,10 +13,16 @@ import graft.engine.{QueryEngine, ResultFormat}
   * what ships with the JVM, same zero-deps stance as [[HttpApi]].
   *
   * Protocol (mirrors the SSE route so either transport serves the same shapes):
-  *   client → text frame  {"query": "...", "batch": n?}
+  *   client → text frame  {"query": "...", "batch": n?, "live": bool?}
   *   server → text frames {"type":"data","rows":[[...],...]} (≤ batch rows each)
   *            then        {"type":"end","rows_read":n}
   *            or          {"type":"error","message":"..."}   then close.
+  * With "live":true the end frame is deferred: after the historical phase the
+  * server tails freshly flushed chunks (LiveMerge.CatalogTail — the
+  * reference's live:true flush-broadcast subscription, src/api/query/
+  * streaming.rs:89-125, merge-timestamp cutoff fixed at query start) and
+  * forwards them as data frames (self-describing: live frames add "columns")
+  * until the client sends close, which elicits end + close-echo.
   *
   * Scale shape: rows are delivered via `toLocalIterator` — partition-at-a-time,
   * bounded driver memory, arbitrarily large results stream (identical delivery
@@ -188,20 +194,63 @@ final class WsApi(engine: QueryEngine, port: Int = 0) {
               case JInt(n) => n.toInt
               case _ => 256
             }
+            val live = (j \ "live") match {
+              case JBool(b) => b
+              case _ => false
+            }
             var n = 0L
-            try engine.execute(query) { df =>
+            def streamRows(df: org.apache.spark.sql.DataFrame,
+                           withColumns: Boolean): Unit = {
               val schema = df.schema
               import scala.jdk.CollectionConverters._
               df.toLocalIterator().asScala.grouped(batchRows).foreach { rows =>
                 n += rows.size
-                frame(JObject(
+                val base = List[(String, JValue)](
                   "type" -> JString("data"),
                   "rows" -> JArray(rows.toList.map(r =>
                     JArray(schema.fields.toList.zipWithIndex.map { case (f, i) =>
                       ResultFormat.jsonValue(r, i, f.dataType)
-                    })))))
+                    }))))
+                // live frames carry their own column list: the tail's schema is
+                // the flushed chunks', not the query result's (the reference's
+                // batch_to_json is self-describing the same way)
+                frame(JObject(if (withColumns)
+                  base :+ ("columns" -> (JArray(schema.fieldNames.toList
+                    .map(JString(_))): JValue))
+                else base))
               }
-              frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
+            }
+            // merge_timestamp fixed at query start; subscribe BEFORE the
+            // historical phase so no flush falls between snapshot and tail
+            // (reference src/api/query/streaming.rs:34-125 order of phases)
+            val tail = if (live)
+              Some(new graft.streaming.LiveMerge.CatalogTail(
+                engine.spark, engine.catalog, System.currentTimeMillis() * 1000000L))
+            else None
+            try {
+              engine.execute(query)(df => streamRows(df, withColumns = false))
+              tail.foreach { t =>
+                var tailing = true
+                while (tailing) {
+                  t.poll().foreach(streamRows(_, withColumns = true))
+                  // wait for new flushes, watching for client frames (a close
+                  // ends the live phase — the reference's select-loop arm)
+                  var waitedMs = 0
+                  while (tailing && in.available() == 0 && waitedMs < 250) {
+                    Thread.sleep(10); waitedMs += 10
+                  }
+                  if (in.available() > 0) {
+                    val (op2, p2) = readMessage(in, out)
+                    if (op2 == 8) {
+                      frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
+                      writeFrame(out, 8, p2.take(2))
+                      tailing = false; open = false
+                    } // non-close client messages during live are ignored
+                  }
+                }
+              }
+              if (open)
+                frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
             } catch {
               case e: Throwable =>
                 frame(JObject("type" -> JString("error"),

@@ -50,6 +50,39 @@ object LiveMerge {
     where.fold(cut)(w => cut.filter(expr(w)))
   }
 
+  /** Serving-surface live tail: the flush-broadcast subscription of the
+    * reference's `live:true` streaming path (src/api/query/streaming.rs:89-125
+    * subscribes to the ingester broadcast and forwards every freshly flushed
+    * batch; src/query/streaming.rs:361-383 drops live rows with
+    * `timestamp < merge_timestamp`). Here the "broadcast" is the catalog:
+    * each `poll()` returns the rows of chunks registered since the last poll
+    * (or since construction — construct BEFORE the historical phase so no
+    * flush can fall between snapshot and subscription), merge-cutoff applied.
+    * Each poll is a small batch read of only the NEW chunk files — no
+    * per-connection Structured Streaming query, so a serving node can hold
+    * many tails cheaply.
+    */
+  final class CatalogTail(spark: SparkSession, catalog: graft.catalog.ChunkCatalog,
+                          val mergeTimestampNs: Long) {
+    private var seen: Set[String] = catalog.allChunks.map(_.path).toSet
+
+    /** Rows flushed since the last poll with ts >= merge cutoff; None if no new
+      * chunks. Late rows (ts < cutoff) are silently dropped, faithful to the
+      * reference's dedup boundary — they were the historical phase's to serve.
+      */
+    def poll(): Option[DataFrame] = {
+      catalog.invalidateCache()
+      val fresh = catalog.allChunks.filterNot(c => seen.contains(c.path))
+      if (fresh.isEmpty) None
+      else {
+        seen ++= fresh.map(_.path)
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(fresh.map(_.path): _*)
+          .filter(col(MetricSchema.TimestampNsCol) >= mergeTimestampNs))
+      }
+    }
+  }
+
   /** Topic subscription filters (All / Metrics / And / Or — reference
     * topic_broadcast.rs:121-222) expressed as Column predicates.
     */

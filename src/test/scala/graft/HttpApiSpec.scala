@@ -335,5 +335,100 @@ class HttpApiSpec extends AnyFunSuite {
     } finally { sock.close(); ws.stop() }
   }
 
+  test("WebSocket live tail: chunks flushed mid-stream arrive as data frames after the historical phase") {
+    import org.json4s._
+    // dedicated engine: the tail polls ITS catalog, and we append to it mid-test
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_live_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    writer.write(Converters.pointsToDf(spark,
+      (0 until 5).map(i => MetricPoint(t0 + i * 1000L, "cpu_usage", i * 1.0,
+        Map("host" -> "h1")))))
+    val eng = new QueryEngine(spark, cat)
+    val ws = new graft.server.WsApi(eng, port = 0).start()
+    try {
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val listener = new java.net.http.WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(w: java.net.http.WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { received.add(sb.toString); sb.setLength(0) }
+          w.request(1)
+          null
+        }
+      }
+      val sock = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:${ws.boundPort}/"), listener).join()
+      def next(): JValue = {
+        val s = received.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+        assert(s != null, "timed out waiting for ws frame")
+        org.json4s.jackson.JsonMethods.parse(s)
+      }
+      val q = s"SELECT metric_name, COUNT(*) AS cnt FROM metrics " +
+        s"WHERE timestamp_ns >= $t0 GROUP BY metric_name"
+      sock.sendText(s"""{"query":"${q.replace("\"", "\\\"")}","live":true}""", true).join()
+      // historical phase: one data frame (cpu_usage, 5), NO end frame yet
+      val h = next()
+      assert((h \ "type") == JString("data") &&
+        (h \ "rows") == JArray(List(JArray(List(JString("cpu_usage"), JInt(5))))))
+      assert(received.isEmpty, "end must be deferred in live mode")
+      // flush new chunks mid-stream: one batch at/after the merge cutoff (kept)
+      // and one entirely BEFORE it (dropped — the reference's dedup boundary)
+      val nowNs = System.currentTimeMillis() * 1000000L
+      writer.write(Converters.pointsToDf(spark,
+        Seq(MetricPoint(nowNs + 3600L * 1000000000L, "mem_usage", 42.0,
+          Map("host" -> "h2")))))
+      val live = next()
+      assert((live \ "type") == JString("data"), s"expected live data frame: $live")
+      val cols = (live \ "columns") match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => fail(s"live frame must carry columns: $live")
+      }
+      val mnIdx = cols.indexOf("metric_name")
+      assert(mnIdx >= 0)
+      val JArray(List(JArray(liveRow))) = (live \ "rows")
+      assert(liveRow(mnIdx) == JString("mem_usage"))
+      // a pre-cutoff flush must NOT produce a frame
+      writer.write(Converters.pointsToDf(spark,
+        Seq(MetricPoint(t0 + 999L, "stale_metric", 1.0, Map("host" -> "h3")))))
+      Thread.sleep(1200) // two poll cycles
+      assert(received.isEmpty, s"pre-cutoff rows must be dropped: ${received.peek()}")
+      // close ends the live phase: end frame with total rows, then close echo
+      sock.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+      val e = next()
+      assert((e \ "type") == JString("end") && (e \ "rows_read") == JInt(2), s"got $e")
+    } finally ws.stop()
+  }
+
+  test("SSE live tail: duration-bounded tail forwards a mid-stream flush") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_live_sse_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    writer.write(Converters.pointsToDf(spark,
+      Seq(MetricPoint(t0, "cpu_usage", 1.0, Map("host" -> "h1")))))
+    val eng = new QueryEngine(spark, cat)
+    val liveApi = new HttpApi(eng, port = 0).start()
+    try {
+      val q = java.net.URLEncoder.encode(
+        s"SELECT COUNT(*) AS cnt FROM metrics WHERE timestamp_ns >= $t0", "UTF-8")
+      // flush a post-cutoff batch ~1 s into the 4 s tail window
+      val flusher = new Thread(() => {
+        Thread.sleep(1000)
+        writer.write(Converters.pointsToDf(spark,
+          Seq(MetricPoint(System.currentTimeMillis() * 1000000L + 3600L * 1000000000L,
+            "mem_usage", 2.0, Map("host" -> "h2")))))
+      })
+      flusher.start()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${liveApi.boundPort}/api/v1/stream?query=$q&live=1&duration=4"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      flusher.join()
+      val frames = resp.body().split("\n\n").filter(_.startsWith("data: "))
+      assert(frames.exists(f => f.contains("\"columns\"") && f.contains("mem_usage")),
+        s"expected a live frame with mem_usage, got: ${frames.mkString(" | ")}")
+      assert(frames.last.contains("\"end\"") && frames.last.contains("\"rows_read\":2"))
+    } finally liveApi.stop()
+  }
+
   test("shutdown") { api.stop() }
 }
