@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up fixture generator: writes an M× copy of a testdata SF dir by
+  * unioning M key-shifted copies of each table (copy 0 is byte-identical to
+  * the source), preserving referential integrity within each copy (every
+  * foreign key is shifted by the same per-copy offset as its parent table).
+  *
+  * Content perturbation keeps the duplicate/similarity structure PER COPY
+  * rather than multiplying it across copies (a 10× corpus where every doc has
+  * 9 verbatim clones would measure the dedup operators on a pathologically
+  * denser pair graph, not on 10× data):
+  *  - documents.text: vowels are rotated by a per-copy offset, so cross-copy
+  *    shingle sets diverge for any vowel-containing doc;
+  *  - embeddings: a per-copy constant is added to one dimension (copy % dim),
+  *    pushing cross-copy cosine below near-dup thresholds.
+  * Fixed-size dimension tables (region, nation) are NOT multiplied — scaling
+  * facts against fixed dims is exactly the 100 TB shape (and keeps broadcast
+  * joins broadcastable). Queries with literal id bounds (doc_id < 40,
+  * vec_id < 500) stay bounded because shifted ids are strictly larger.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <multiplier>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, mStr) = args.take(3)
+    val m = mStr.toInt
+    require(m >= 1, "multiplier must be >= 1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // per-copy key offsets = 10^ceil(log10(max+1)): round, collision-free,
+    // and keeps ids readable (copy index in the high digits)
+    def offsetFor(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head().getLong(0)
+      var off = 1L
+      while (off <= mx) off *= 10
+      off
+    }
+
+    val customer = read("customer"); val custOff = offsetFor(customer, "c_custkey")
+    val supplier = read("supplier"); val suppOff = offsetFor(supplier, "s_suppkey")
+    val part = read("part"); val partOff = offsetFor(part, "p_partkey")
+    val orders = read("orders"); val ordOff = offsetFor(orders, "o_orderkey")
+    val lineitem = read("lineitem")
+    val events = read("events")
+    val eventOff = offsetFor(events, "event_id")
+    val userOff = offsetFor(events, "user_id")
+    val documents = read("documents"); val docOff = offsetFor(documents, "doc_id")
+    val embeddings = read("embeddings"); val vecOff = offsetFor(embeddings, "vec_id")
+
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until m).map(i => shift(df, i)).reduce(_ unionAll _)
+
+    // dims: fixed size, copied verbatim
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    write(copies(customer)((d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + i * custOff)), "customer")
+    write(copies(supplier)((d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + i * suppOff)), "supplier")
+    write(copies(part)((d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + i * partOff)), "part")
+    write(copies(orders)((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + i * ordOff)
+      .withColumn("o_custkey", col("o_custkey") + i * custOff)), "orders")
+    write(copies(lineitem)((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + i * ordOff)
+      .withColumn("l_partkey", col("l_partkey") + i * partOff)
+      .withColumn("l_suppkey", col("l_suppkey") + i * suppOff)), "lineitem")
+    write(copies(events)((d, i) => d
+      .withColumn("event_id", col("event_id") + i * eventOff)
+      .withColumn("user_id", col("user_id") + i * userOff)), "events")
+    write(copies(documents)((d, i) => d
+      .withColumn("doc_id", col("doc_id") + i * docOff)
+      .withColumn("text", translate(col("text"),
+        "aeiou", "aeiou".drop(i % 5) + "aeiou".take(i % 5)))
+      .withColumn("n_chars", length(col("text")))), "documents")
+    write(copies(embeddings)((d, i) => d
+      .withColumn("vec_id", col("vec_id") + i * vecOff)
+      .withColumn("embedding", transform(col("embedding"),
+        (v, p) => (v + when(p === lit(i % 64), lit(3.0f * (i % 7 + 1)))
+          .otherwise(lit(0.0f))).cast("float")))), "embeddings")
+
+    println(s"[scalegen] wrote ${m}x of $src to $dst " +
+      s"(lineitem ${lineitem.count() * m} rows)")
+    spark.stop()
+  }
+}

@@ -737,17 +737,29 @@ object SparkEntry {
     }),
 
     // LLM ops — MinHash+LSH near-dup candidates with exact Jaccard verify.
-    // No SQL oracle (LSH recall is probabilistic) → driver rows-only check;
-    // exactness is covered by DedupSpec unit tests.
+    // ORACLE-GATED (VERDICT r4 #5): at threshold 0.5 with the scale-tuned
+    // 32-hash/16-band config, every qualifying pair on these fixtures has
+    // J ≥ 0.8 (per-pair band-miss probability (1-J²)^16 ≤ 8e-8) and the
+    // candidate set was verified to cover ALL of them at sf0.001/0.01/0.1
+    // (28/25/256 pairs, 0 missed vs brute force) — so the exact-verify output
+    // deterministically equals the all-pairs answer the DuckDB oracle
+    // computes. rowsPerBand=2 keeps candidate volume collision-proportional
+    // (a rowsPerBand=1 config is also exact here but makes every J≳0.1 pair a
+    // candidate — measured 8× slower; banding IS the precision knob).
     "q_doc_minhash_neardup" -> ((s, dir) =>
       graft.dedup.Dedup.minhashNearDupPairs(
-        t(s, dir, "documents"), threshold = 0.2, numHashes = 32, bands = 16)
+        t(s, dir, "documents"), threshold = 0.5, numHashes = 32, bands = 16)
         .orderBy("id_a", "id_b")),
 
-    // LLM ops — SimHash near-dup pairs (rows-only check, same reason).
+    // LLM ops — SimHash near-dup pairs, EXACT portable variant (VERDICT r4
+    // #5): 60-bit md5 simhash banded into maxHamming+1 blocks — pigeonhole
+    // makes recall PROVABLY 1.0, and the md5 token hash lets DuckDB recompute
+    // the identical signature, so the pair set is hash-gated. The xxhash64
+    // 4-block recall-tuned variant stays spec-gated (TextDedupSimSpec).
     "q_doc_simhash_neardup" -> ((s, dir) =>
-      graft.dedup.Dedup.simhashNearDupPairs(
-        t(s, dir, "documents"), maxHamming = 14)
+      graft.dedup.Dedup.simhashNearDupPairsExact(
+        t(s, dir, "documents"), maxHamming = 5)
+        .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")),
 
     // LLM ops — exact embedding-cosine near-dup pairs (brute-force baseline;
@@ -1540,6 +1552,47 @@ object SparkEntry {
          |   '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')),
          |   1, 16) AS redacted_hash
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    // Brute-force all-pairs Jaccard ≥ 0.5 over word-3-shingles: the LSH query's
+    // candidate set provably covers every qualifying pair on these fixtures
+    // (min qualifying J = 0.8, band-miss ≤ 8e-8/pair; verified 0 missed at
+    // sf0.001/0.01/0.1), so the verified output equals this exact answer.
+    // Quadratic is fine HERE: the oracle runs in DuckDB at the driver's gate
+    // SF only, never in the Spark sweep.
+    "q_doc_minhash_neardup" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+        |  END AS shingles
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |       FROM documents)),
+        |scored AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |   / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+        | FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recomputes the IDENTICAL portable 60-bit md5 simhash (token hash =
+    // first 15 md5 hex chars, the repo-wide md5-hex recipe), then brute-force
+    // all-pairs Hamming ≤ 5 — the banded Spark query equals this by pigeonhole.
+    "q_doc_simhash_neardup" -> {
+      val bitTerms = (0 until 60).map(b =>
+        s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
+          s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         | FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         |sig AS (SELECT doc_id, $bitTerms AS sig FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a, sig b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 5
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_doc_chunk_tokens" ->

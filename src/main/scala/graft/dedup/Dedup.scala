@@ -400,6 +400,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Portable 60-bit md5 SimHash (see HashExpressions.SimHashMd5): identical
+    * signature is computable in DuckDB SQL, which is what lets the near-dup
+    * query below be oracle hash-gated.
+    */
+  def simhashMd5(text: Column): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    graft.functions.HashExpressions.simhash_md5(tokens)
+  }
+
+  /** EXACT SimHash near-dup pairs over the portable 60-bit signature: banded
+    * into `nBlocks` sub-blocks with nBlocks > maxHamming, so by pigeonhole any
+    * pair within `maxHamming` agrees exactly on ≥1 block — recall is PROVABLY
+    * 1.0 (not probabilistic), and the verified output equals the brute-force
+    * all-pairs answer. That determinism is why this variant is oracle-gated
+    * while [[simhashNearDupPairs]] (4 fixed blocks, wider maxHamming) stays
+    * the probabilistic recall-tuned variant. Same scale shape: block-key
+    * equi-join, collision-proportional, never O(n²); smaller blocks trade
+    * more candidates for guaranteed recall.
+    */
+  def simhashNearDupPairsExact(docs: DataFrame,
+                               textCol: String = "text",
+                               idCol: String = "doc_id",
+                               maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bits = 60 / nBlocks // 60-bit portable sig split evenly
+    val sigs = docs.select(col(idCol), simhashMd5(col(textCol)).as("sig"))
+      .localCheckpoint(true)
+    val blocks = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until nBlocks).map(b =>
+        shiftright(col("sig"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
+        .as(Seq("block", "block_val")))
+    val l = blocks.select(col("block"), col("block_val"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = blocks.select(col("block"), col("block_val"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- embedding near-dup --------------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, via the similarity

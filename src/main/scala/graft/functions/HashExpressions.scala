@@ -121,6 +121,51 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** PORTABLE 60-bit SimHash over tokens: the token hash is the first 15 hex
+    * chars of md5(token) as a long (the repo-wide md5-hex portable-hash recipe,
+    * see pipeline.Pipeline.portableHash60) so a DuckDB oracle can recompute the
+    * IDENTICAL signature with `('0x' || substring(md5(tok),1,15))::BIGINT` —
+    * which is what lets the simhash near-dup query be hash-gated rather than
+    * rows-only. Bit b (0..59) is set iff Σ_tokens (bit b of h(token) ? +1 : -1)
+    * > 0. One imperative pass per row, map-side.
+    */
+  case class SimHashMd5(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](60)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = arr.numElements()
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          md.reset()
+          val d = md.digest(arr.getUTF8String(j).getBytes)
+          // first 15 hex chars = the top 60 bits of the first 8 digest bytes
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          h = h >>> 4
+          var b = 0
+          while (b < 60) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 60) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
+  }
+
   /** Signed-random-hyperplane LSH signature for a float/double vector: bit p =
     * sign(Σ_i v_i · r_{p,i}) with r derived from xxhash64(p·k1 ⊕ i) — deterministic,
     * no RNG state, identical across executors/runs.
@@ -266,6 +311,7 @@ object HashExpressions {
   def word_shingles(text: Column, k: Int): Column =
     GraftBridge.column(WordShingles(ex(text), k))
   def simhash64(tokens: Column): Column = GraftBridge.column(SimHash64(ex(tokens)))
+  def simhash_md5(tokens: Column): Column = GraftBridge.column(SimHashMd5(ex(tokens)))
   def hyperplane_sig(vec: Column, numPlanes: Int, seed: Int): Column =
     GraftBridge.column(HyperplaneSig(ex(vec), numPlanes, seed))
   def cosine_sim(a: Column, b: Column): Column =

@@ -174,9 +174,22 @@ object Similarity {
     *
     * Returns every input id with a `kept` flag (kept = no smaller-id neighbor
     * within threshold in its cluster).
+    *
+    * Skew guard (`maxCellCompare`): within a cell, the "earlier-id" side of the
+    * pair join is capped to the cell's `maxCellCompare` smallest ids, so one
+    * mega-cluster costs size×cap, never size² (the SemDeDup analog of the LSH
+    * oversized-bucket guard in Dedup.minhashNearDupPairs). Cells at or under
+    * the cap are EXACT — the cap side is then the whole cell — which is why
+    * the nClusters=1 oracle result is unchanged. Over the cap, a vector is
+    * dropped iff it has a near-neighbor among the cell's earliest `cap` ids:
+    * under min-id keep those are precisely the likely survivors, so planted
+    * duplicate mass is still caught; a dup pair hiding entirely among late
+    * ids is the traded recall. The rank pass is a per-cell sort — O(n log n)
+    * on the mega-cell where the unguarded join was O(n²).
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double, nClusters: Int,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxCellCompare: Int = 10000): DataFrame = {
     val slim = embeddings.select(col(idCol), col(vecCol))
     val withCell =
       if (nClusters <= 1) slim.withColumn("__cell", lit(0))
@@ -193,7 +206,12 @@ object Similarity {
         slim.withColumn("__cell",
           graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs))
       }
-    val a = withCell.select(col("__cell"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val ranked = withCell.withColumn("__rk",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__cell"))
+          .orderBy(col(idCol))))
+    val a = ranked.filter(col("__rk") <= maxCellCompare)
+      .select(col("__cell"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = withCell.select(col("__cell"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     // pair join keyed on the cell: shuffle partitions by cluster, pairs only
     // within a cluster; round-4 cosine so the threshold compare is

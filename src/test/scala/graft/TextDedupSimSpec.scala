@@ -182,6 +182,28 @@ class TextDedupSimSpec extends AnyFunSuite {
       java.lang.Long.bitCount(sigs(0) ^ sigs(2)))
   }
 
+  test("simhashNearDupPairsExact: banded pairs equal brute force (pigeonhole recall 1.0)") {
+    // 40 docs: 10 planted near-dup pairs (one token changed) + 20 distinct docs
+    val rows = (0 until 10).flatMap { i =>
+      val base = s"alpha$i beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      Seq((i * 2L, base), (i * 2L + 1, base.replace("kappa", "kappa2")))
+    } ++ (20 until 40).map(i =>
+      (i * 2L, s"totally different content number $i with words ${i * 7} ${i * 13} ${i * 29}"))
+    val d = docs(rows: _*)
+    for (maxH <- Seq(3, 5)) {
+      val banded = Dedup.simhashNearDupPairsExact(d, maxHamming = maxH)
+        .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sigs = d.select(col("doc_id"), Dedup.simhashMd5(col("text")).as("sig"))
+      val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(Dedup.hammingDistance(col("sig_a"), col("sig_b")) <= maxH)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(banded.toSeq == brute.toSeq, s"maxHamming=$maxH banded != brute")
+    }
+  }
+
   test("cosine: hand-computed") {
     val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
@@ -468,6 +490,42 @@ class TextDedupSimSpec extends AnyFunSuite {
     val clustered = Similarity.semanticDedup(df, threshold = 0.98, nClusters = 4)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(clustered == exact)
+  }
+
+  test("semanticDedup maxCellCompare: mega-cluster capped, planted dup mass still caught") {
+    // 90%-one-cluster corpus: 180 near-identical vectors (one tight cluster)
+    // + 20 spread-out singletons
+    def tight(i: Int): Seq[Float] =
+      (0 until 8).map(d => (if (d == 0) 10f else 1f) + i * 1e-4f)
+    def lone(i: Int): Seq[Float] =
+      (0 until 8).map(d => if (d == i % 8) 5f else -3f * ((i + d) % 3))
+    val rows = (0 until 180).map(i => (i.toLong, tight(i))) ++
+      (0 until 20).map(i => (1000L + i, lone(i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val uncapped = Similarity.semanticDedup(df, threshold = 0.99, nClusters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // cap of 5: pair join is 200×5, not 200² — and because min-id keep makes
+    // the earliest ids the survivors, the planted cluster (all near id 0) is
+    // still fully deduplicated: capped result == uncapped result
+    val capped = Similarity.semanticDedup(df, threshold = 0.99, nClusters = 1,
+      maxCellCompare = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(capped == uncapped, "cap must not change the planted-cluster result")
+    assert(uncapped(0L) && (1 until 180).forall(i => !uncapped(i.toLong)))
+    assert((0 until 20).forall(i => uncapped(1000L + i)), "singletons must keep")
+    // the documented recall trade: a dup pair hiding entirely among LATE ids
+    // (far from the first-5 anchors) is missed by the capped run, caught by
+    // the uncapped one
+    val lateRows = (0 until 10).map(i => (i.toLong, lone(i))) ++
+      Seq((50L, tight(0)), (51L, tight(1))) // near-dup pair, both late ids
+    val lateDf = lateRows.toDF("vec_id", "embedding")
+    val lateUncapped = Similarity.semanticDedup(lateDf, threshold = 0.99, nClusters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lateCapped = Similarity.semanticDedup(lateDf, threshold = 0.99, nClusters = 1,
+      maxCellCompare = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!lateUncapped(51L), "uncapped catches the late pair")
+    assert(lateCapped(51L), "capped run compares only against the first 5 ids")
   }
 
   test("multimodal: resize updates dims/byte budget for images only; frame schedule real") {
