@@ -31,6 +31,9 @@ object ScaleGen {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,9 +56,6 @@ object ScaleGen {
     val part = read("part"); val partOff = offsetFor(part, "p_partkey")
     val orders = read("orders"); val ordOff = offsetFor(orders, "o_orderkey")
     val lineitem = read("lineitem")
-    val events = read("events")
-    val eventOff = offsetFor(events, "event_id")
-    val userOff = offsetFor(events, "user_id")
     val documents = read("documents"); val docOff = offsetFor(documents, "doc_id")
     val embeddings = read("embeddings"); val vecOff = offsetFor(embeddings, "vec_id")
 
@@ -79,9 +79,10 @@ object ScaleGen {
       .withColumn("l_orderkey", col("l_orderkey") + i * ordOff)
       .withColumn("l_partkey", col("l_partkey") + i * partOff)
       .withColumn("l_suppkey", col("l_suppkey") + i * suppOff)), "lineitem")
-    write(copies(events)((d, i) => d
-      .withColumn("event_id", col("event_id") + i * eventOff)
-      .withColumn("user_id", col("user_id") + i * userOff)), "events")
+    // events is NOT scaled here: its ts column is physically TIMESTAMP(NANOS)
+    // parquet, which Spark can read (nanosAsLong) but cannot write back — the
+    // DuckDB oracles rely on epoch_ns(ts), so the physical type must survive.
+    // scripts/scale_events.py multiplies it with pyarrow, schema-preserving.
     write(copies(documents)((d, i) => d
       .withColumn("doc_id", col("doc_id") + i * docOff)
       .withColumn("text", translate(col("text"),

@@ -754,11 +754,15 @@ object SparkEntry {
     // LLM ops — SimHash near-dup pairs, EXACT portable variant (VERDICT r4
     // #5): 60-bit md5 simhash banded into maxHamming+1 blocks — pigeonhole
     // makes recall PROVABLY 1.0, and the md5 token hash lets DuckDB recompute
-    // the identical signature, so the pair set is hash-gated. The xxhash64
-    // 4-block recall-tuned variant stays spec-gated (TextDedupSimSpec).
+    // the identical signature, so the pair set is hash-gated. maxHamming=3
+    // keeps the pigeonhole blocks 15 bits wide (32k bucket values): at
+    // maxHamming=5 the blocks shrink to 10 bits (1k values) and candidate
+    // pairs grow ~quadratically with corpus size (measured 19× runtime at 10×
+    // docs vs 2× here) — block width is the exactness/scale knob. The
+    // xxhash64 4-block recall-tuned variant stays spec-gated.
     "q_doc_simhash_neardup" -> ((s, dir) =>
       graft.dedup.Dedup.simhashNearDupPairsExact(
-        t(s, dir, "documents"), maxHamming = 5)
+        t(s, dir, "documents"), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")),
 
@@ -1227,17 +1231,21 @@ object SparkEntry {
     "q_promql_label_values" ->
       "SELECT DISTINCT event_type AS value FROM events ORDER BY value",
 
+    // ORDER BY the EXACT (unrounded) representative with the group columns as
+    // tiebreak, matching the transpiled SQL — ordering by the rounded value
+    // (or leaving ties unpinned) makes the k-boundary engine-dependent once
+    // the data has collisions there (surfaced by the 10× scale run).
     "q_promql_topk" ->
       """SELECT event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
         | round(max(value), 2) AS value, max(epoch_ns(ts)) AS timestamp_ns
         |FROM events WHERE event_type = 'click'
-        |GROUP BY 1, 2 ORDER BY value DESC LIMIT 3""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY max(value) DESC, metric_name, host LIMIT 3""".stripMargin,
 
     "q_promql_bottomk" ->
       """SELECT event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
         | round(min(value), 2) AS value, max(epoch_ns(ts)) AS timestamp_ns
         |FROM events WHERE event_type = 'click'
-        |GROUP BY 1, 2 ORDER BY value ASC LIMIT 3""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY min(value) ASC, metric_name, host LIMIT 3""".stripMargin,
 
     "q_promql_max_over_time" ->
       """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
@@ -1578,7 +1586,7 @@ object SparkEntry {
 
     // Recomputes the IDENTICAL portable 60-bit md5 simhash (token hash =
     // first 15 md5 hex chars, the repo-wide md5-hex recipe), then brute-force
-    // all-pairs Hamming ≤ 5 — the banded Spark query equals this by pigeonhole.
+    // all-pairs Hamming ≤ 3 — the banded Spark query equals this by pigeonhole.
     "q_doc_simhash_neardup" -> {
       val bitTerms = (0 until 60).map(b =>
         s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
@@ -1591,7 +1599,7 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
          |FROM sig a, sig b
-         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 5
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
 

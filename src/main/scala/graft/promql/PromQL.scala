@@ -212,9 +212,12 @@ object PromQL {
         val k = p.param.get.toLong max 0L
         val (rep, dir) = if (agg == "topk") ("MAX", "DESC") else ("MIN", "ASC")
         val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
+        // the group columns break value ties DETERMINISTICALLY: without them a
+        // tie at the k boundary makes the kept series engine-dependent
+        // (PromQL itself leaves topk ties unspecified; we pin them)
         s"""SELECT $groupCols, $rep($ValueExpr) AS value, MAX(timestamp_ns) AS timestamp_ns
            |FROM metrics WHERE ${whereClause(p, timeCond)}
-           |GROUP BY $groupCols ORDER BY value $dir LIMIT $k""".stripMargin.replace("\n", " ")
+           |GROUP BY $groupCols ORDER BY value $dir, $groupCols LIMIT $k""".stripMargin.replace("\n", " ")
       case Some("quantile") if p.param.isDefined =>
         val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
         s"""SELECT $groupCols, PERCENTILE($ValueExpr, ${p.param.get}) AS value,

@@ -117,10 +117,12 @@ class PromQLSpec extends AnyFunSuite {
     assert(p.aggregation.contains("topk") && p.param.contains(5.0) &&
       p.metricName == "cpu_usage")
     val sql = PromQL.transpileInstant("""topk(5, cpu_usage{env="prod"})""")
-    assert(sql.contains("ORDER BY value DESC LIMIT 5"))
+    // group cols after `value` pin tie order deterministically across engines
+    assert(sql.contains("ORDER BY value DESC, metric_name LIMIT 5"))
     assert(sql.contains("MAX(") && !sql.replace("MAX(timestamp_ns)", "").contains("MIN("))
     val bk = PromQL.transpileInstant("bottomk(3, mem_usage) by (host)")
-    assert(bk.contains("ORDER BY value ASC LIMIT 3") && bk.contains("GROUP BY metric_name, `host`"))
+    assert(bk.contains("ORDER BY value ASC, metric_name, `host` LIMIT 3") &&
+      bk.contains("GROUP BY metric_name, `host`"))
     // bottomk's series representative is MIN(value): ordering per-series MAXima
     // ascending would pick the k series whose maximum is smallest — inverted
     // intent for series with wide value ranges.
