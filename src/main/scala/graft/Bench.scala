@@ -196,7 +196,12 @@ object Bench {
     // ---- segment 3: full query sweep, median-of-3 ---------------------------
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val detail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional comma-separated filter (scale probes sweep a curated subset)
+    val onlyQueries = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
       var spent = 0.0
       // 3 runs unless the query alone already burned >25 s (report what we have:

@@ -562,6 +562,33 @@ object SparkEntry {
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("dup_cnt"))
         .orderBy("fp")),
 
+    // LLM ops — JSONL corpus roundtrip (the de-facto crawl-corpus format):
+    // distributed JSON write, then a read with the EXPLICIT documents schema
+    // (no inference pass — at 100 TB inference is a second full scan). The
+    // oracle is the identity over the parquet table, so the gate proves the
+    // JSONL path loses nothing (escaping, unicode, nulls, types).
+    "q_src_jsonl_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.DocumentSources.writeJsonl(t(s, dir, "documents"), path)
+      graft.sources.DocumentSources.readDocumentsJsonl(s, path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — Unicode NFC normalization (first step of most pipeline
+    // recipes: composed vs decomposed graphemes break exact dedup and token
+    // counts). Map-side custom expression; DuckDB's nfc_normalize computes
+    // the identical mapping, so content is hash-gated (64-bit md5 prefix).
+    "q_doc_nfc_norm" -> ((s, dir) => {
+      val nfc = graft.sources.DocumentSources.nfcNormalize(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(md5(nfc), 1, 16).as("nfc_hash"),
+        (nfc === col("text")).as("unchanged"))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — token counting + character-class ratios.
     "q_doc_token_stats" -> ((s, dir) => {
       import graft.text.TextFunctions._
@@ -1355,6 +1382,16 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // identity over the parquet table: the Spark side must roundtrip through
+    // JSONL losslessly to match
+    "q_src_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "q_doc_nfc_norm" ->
+      """SELECT doc_id, substring(md5(nfc_normalize(text)), 1, 16) AS nfc_hash,
+        | nfc_normalize(text) = text AS unchanged
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_contamination" ->
       """WITH g AS (

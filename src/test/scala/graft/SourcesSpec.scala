@@ -26,6 +26,49 @@ class SourcesSpec extends AnyFunSuite {
       "host", "value_f64", "value_i64", "value_u64"))
   }
 
+  test("JSONL roundtrip: unicode, newlines, quotes, nulls survive write+schema-read") {
+    import graft.sources.DocumentSources
+    val docs = Seq(
+      (1L, "plain ascii text", "en", "web", 16L),
+      (2L, "café naïve 日本語 😀", "ja", "web", 10L),
+      (3L, "line1\nline2\ttab \"quoted\" back\\slash", "en", "books", 35L),
+      (4L, null, null, "crawl", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl_spec_").toString
+    DocumentSources.writeJsonl(docs, path)
+    val back = DocumentSources.readDocumentsJsonl(spark, path)
+      .orderBy("doc_id").collect()
+    val orig = docs.orderBy("doc_id").collect()
+    assert(back.length == 4)
+    back.zip(orig).foreach { case (b, o) => assert(b == o, s"row mismatch: $b vs $o") }
+    // schema is the explicit one (no inference drift: doc_id stays LONG even
+    // though every value here fits in an int)
+    assert(DocumentSources.readDocumentsJsonl(spark, path).schema ==
+      DocumentSources.documentsSchema)
+  }
+
+  test("nfcNormalize: decomposed forms collapse to composed; ASCII is identity") {
+    import graft.sources.DocumentSources.nfcNormalize
+    val df = Seq(
+      (1L, "café"), // e + combining acute -> U+00E9
+      (2L, "café"), // already composed
+      (3L, "plain"),
+      (4L, "Å")) // A + combining ring -> U+00C5
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), nfcNormalize(col("text")).as("n"),
+        (nfcNormalize(col("text")) === col("text")).as("unchanged"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "café" && !r(0).getBoolean(2))
+    assert(r(1).getString(1) == "café" && r(1).getBoolean(2))
+    assert(r(2).getString(1) == "plain" && r(2).getBoolean(2))
+    assert(r(3).getString(1) == "Å" && !r(3).getBoolean(2))
+    // the two spellings of café now dedup to one fingerprint
+    val fps = df.select(graft.text.TextFunctions.fingerprint(
+      nfcNormalize(col("text"))).as("fp")).filter(col("fp").isNotNull)
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1), "composed and decomposed must fingerprint equal after NFC")
+  }
+
   test("toMetrics: raw ns long timestamps pass through exactly (no double div)") {
     // ns value with sub-µs precision beyond 2^53 — double arithmetic would corrupt it
     val ns = 1704067200123456789L
