@@ -719,6 +719,16 @@ object SparkEntry {
       graft.dedup.Dedup.duplicatedPassageRatio(t(s, dir, "documents"), 16)
         .orderBy("doc_id")),
 
+    // LLM ops — passage-level dedup TRANSFORM (Lee et al. 2021): duplicated
+    // 13-token spans removed corpus-wide, first occurrence (min (doc,start))
+    // kept. Content hash-gated (64-bit md5 prefix of the cleaned text).
+    "q_doc_passage_remove" -> ((s, dir) =>
+      graft.dedup.Dedup.removeDuplicatedPassages(t(s, dir, "documents"), 13)
+        .select(col("doc_id"),
+          substring(md5(col("kept_text")), 1, 16).as("kept_hash"),
+          col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")),
+
     // LLM ops — PII scrub: detection counts + redacted-text hash. The corpus has
     // no PII, so deterministic synthetic PII is injected per doc (email always,
     // IP on even ids, phone on ids % 3 == 0) and then found + redacted.
@@ -1578,6 +1588,36 @@ object SparkEntry {
         |   / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
         |FROM win w LEFT JOIN multi m ON w.passage = m.passage
         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same first-occurrence order key encoding (doc_id*1e6 + start, 0-based
+    // start) as the Spark side; window equality over lowercased tokens, kept
+    // text in original case, whitespace-normalized by reassembly.
+    "q_doc_passage_remove" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |            FROM documents),
+        |lw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+        |       FROM documents),
+        |w AS (SELECT doc_id, i AS start, array_to_string(ltoks[i+1:i+13], ' ') AS win
+        |      FROM lw, UNNEST(generate_series(0, len(ltoks) - 13)) g(i)
+        |      WHERE len(ltoks) >= 13),
+        |firsts AS (SELECT win, min(doc_id * 1000000 + start) AS fkey FROM w GROUP BY win),
+        |dups AS (SELECT w.doc_id, w.start FROM w JOIN firsts f ON w.win = f.win
+        |         WHERE w.doc_id * 1000000 + w.start > f.fkey),
+        |removed AS (SELECT DISTINCT doc_id, start + j AS pos
+        |            FROM dups, UNNEST(generate_series(0, 12)) u(j)),
+        |tokpos AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
+        |           FROM tk, UNNEST(generate_series(0, len(toks) - 1)) g(i)),
+        |kept AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS kept_text,
+        |                count(*) AS n_kept
+        |         FROM tokpos tp LEFT JOIN removed r
+        |           ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+        |         WHERE r.doc_id IS NULL GROUP BY tp.doc_id)
+        |SELECT d.doc_id, substring(md5(coalesce(k.kept_text, '')), 1, 16) AS kept_hash,
+        | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(len(regexp_split_to_array(trim(d.text), '\s+')) - coalesce(k.n_kept, 0)
+        |   AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_doc_pii" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}"

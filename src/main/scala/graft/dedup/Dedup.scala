@@ -361,6 +361,56 @@ object Dedup {
     labels.select(col("v").as(outCol), col("label").as("component"))
   }
 
+  /** Passage-level dedup TRANSFORM (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): remove every duplicated
+    * `windowTokens`-token span from the corpus, keeping the FIRST occurrence
+    * (smallest (doc_id, start) — deterministic). A token is dropped when any
+    * duplicate window instance covers it; the first instance's tokens stay
+    * unless a different duplicate window overlaps them. Output per doc:
+    * whitespace-normalized kept text + kept/removed counts. Window equality
+    * is over lowercased tokens (the corpus-wide shingle convention); kept
+    * text preserves original case.
+    *
+    * Scale shape: shuffles are (1) the window-key aggregation for first
+    * occurrences, (2) the join back, (3) the per-doc reassembly — all linear
+    * in corpus size + duplicate mass, never all-pairs. Per-doc token arrays
+    * are bounded by doc length (collect_list is per-doc, not per-corpus).
+    */
+  def removeDuplicatedPassages(docs: DataFrame,
+                               windowTokens: Int = 13,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+    // window instances at each start position (lowercased content key);
+    // (doc_id * 1e6 + start) is the portable first-occurrence order key —
+    // identical encoding in the DuckDB oracle (token positions < 1e6)
+    val wins = docs
+      .filter(graft.text.TextFunctions.tokenCount(col(textCol)) >= windowTokens)
+      .select(col(idCol),
+        posexplode(shingles(col(textCol), windowTokens)).as(Seq("__start", "__w")))
+      .withColumn("__key", col(idCol) * 1000000L + col("__start"))
+    val firsts = wins.groupBy("__w").agg(min("__key").as("__first"))
+    val removedPos = wins.join(firsts, "__w")
+      .filter(col("__key") > col("__first"))
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + (windowTokens - 1))).as("__pos"))
+      .distinct()
+    val tokPos = toks.select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    val kept = tokPos.join(removedPos, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col(idCol), size(col("__toks")).cast("long").as("__n"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: bit b of the signature is 1 iff

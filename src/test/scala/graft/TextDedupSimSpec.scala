@@ -380,6 +380,29 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("removeDuplicatedPassages: cross-doc span removed from later doc, intra-doc repeat, short docs untouched") {
+    val passage = (1 to 13).map(i => s"p$i").mkString(" ") // exactly one window
+    val d = docs(
+      (1L, s"intro one two $passage outro"),                 // first occurrence keeps
+      (2L, s"other start here $passage trailing words end"), // later doc: span removed
+      (3L, s"$passage middle filler tokens $passage"),       // intra-doc: 2nd removed
+      (4L, "short doc under window"),                        // < 13 tokens: untouched
+      (5L, "totally unrelated text with thirteen completely distinct tokens here now ok fine yes"))
+    val r = graft.dedup.Dedup.removeDuplicatedPassages(d, 13)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: first occurrence — nothing removed
+    assert(r(1L) == (s"intro one two $passage outro", 17L, 0L))
+    // doc 2: the 13 passage tokens removed, surroundings kept
+    assert(r(2L) == ("other start here trailing words end", 6L, 13L))
+    // doc 3: the GLOBAL first occurrence is doc 1's, so BOTH of doc 3's
+    // copies are duplicate instances and go; the filler between them stays
+    assert(r(3L) == ("middle filler tokens", 3L, 26L))
+    // docs 4, 5: no duplicated window — whitespace-normalized identity
+    assert(r(4L) == ("short doc under window", 4L, 0L))
+    assert(r(5L)._3 == 0L)
+  }
+
   test("connectedComponents: chains, rings, isolated pairs, min-id labels") {
     // components: {1,2,3,4,5} (chain), {10,11,12} (ring), {20,21} (pair)
     val pairs = Seq(
