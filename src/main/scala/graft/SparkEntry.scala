@@ -562,6 +562,15 @@ object SparkEntry {
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("dup_cnt"))
         .orderBy("fp")),
 
+    // LLM ops — token-budget sampling: per source, the prefix of the
+    // portable-hash-ordered doc stream fitting an 800-token budget (corpus
+    // mixture recipes are specified in tokens, not docs). Two-phase
+    // distributed prefix sum — no single window partition per source.
+    "q_doc_token_budget" -> ((s, dir) =>
+      graft.pipeline.Pipeline.tokenBudgetSample(
+          t(s, dir, "documents"), budgetTokens = 800L)
+        .orderBy("source", "doc_id")),
+
     // LLM ops — JSONL corpus roundtrip (the de-facto crawl-corpus format):
     // distributed JSON write, then a read with the EXPLICIT documents schema
     // (no inference pass — at 100 TB inference is a second full scan). The
@@ -1392,6 +1401,17 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_doc_token_budget" ->
+      s"""WITH base AS (SELECT source, doc_id, CAST($duckTokens AS BIGINT) AS n_tok,
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         | FROM documents),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+         | FROM base)
+         |SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+         |FROM c WHERE cum_tok <= 800 ORDER BY source, doc_id""".stripMargin,
 
     // identity over the parquet table: the Spark side must roundtrip through
     // JSONL losslessly to match

@@ -154,6 +154,44 @@ object Pipeline {
     * driver-scale prefix window and broadcast-join back as offsets. Same
     * pattern a 1000-executor cluster needs for any global scan ordering.
     */
+  /** Token-budget sampling: per group (source/domain/lang), keep the prefix
+    * of the portable-hash-ordered doc stream whose cumulative token count
+    * fits `budgetTokens` — the standard "take N tokens per source" corpus
+    * composition step (mixture recipes are specified in tokens, not docs).
+    * Deterministic across runs/engines: order is (md5-hex60(doc_id), doc_id),
+    * the same portable key as splits/sampling.
+    *
+    * Scale shape: same two-phase distributed prefix sum as [[packSequences]]
+    * — in-bucket window + broadcast per-(group, bucket) offsets — explicitly
+    * NOT a single window partition per group (a 100 TB source would serialize
+    * through one reducer). Cost: one shuffle on (group, bucket) + a
+    * groups×buckets-row offsets aggregate.
+    */
+  def tokenBudgetSample(df: DataFrame, budgetTokens: Long,
+                        groupCol: String = "source",
+                        idCol: String = "doc_id", textCol: String = "text",
+                        buckets: Int = 256): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be non-negative: $budgetTokens")
+    val bucketWidth = 1152921504606846976L /* 2^60 */ / buckets
+    val base = df.select(col(groupCol), col(idCol),
+        graft.text.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        hex60(col(idCol)).as("__h"))
+      .withColumn("__b", (col("__h") / bucketWidth).cast("long"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__b")).orderBy(col("__h"), col(idCol))
+    val inBucket = base.withColumn("__cum", sum("n_tok").over(wIn))
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy("__b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(groupCol), col("__b")).agg(sum("n_tok").as("__btot"))
+      .withColumn("__off", coalesce(sum("__btot").over(wPrefix), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    inBucket.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn("cum_tok", col("__off") + col("__cum"))
+      .filter(col("cum_tok") <= budgetTokens) // cum monotone ⇒ kept set is a prefix
+      .select(col(groupCol), col(idCol), col("n_tok"), col("cum_tok"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqTokens: Int, buckets: Int = 256): DataFrame = {
     require(seqTokens > 0, s"seqTokens must be positive: $seqTokens")

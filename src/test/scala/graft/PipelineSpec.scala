@@ -153,6 +153,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.size == 200) // every non-empty doc present (i%7+1 >= 1 tokens)
   }
 
+  test("tokenBudgetSample: per-group hash-order prefix fitting the budget; two-phase == sequential") {
+    // 3 sources × 60 docs with varied lengths; buckets=4 forces multi-bucket
+    val docs = (0 until 180).map { i =>
+      (i.toLong, s"s${i % 3}", (0 to i % 9).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Pipeline.tokenBudgetSample(docs, budgetTokens = 50L, buckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // naive sequential reference per source
+    val hashed = docs
+      .select(col("source"), col("doc_id"), Pipeline.hex60(col("doc_id")).as("h"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = hashed.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(t => (t._3, t._2)).toSeq.flatMap { case (_, id, _, n) =>
+        cum += n
+        if (cum <= 50L) Some((src, id) -> (n, cum)) else None
+      }
+    }.toMap
+    assert(out == expected, s"two-phase result != sequential reference " +
+      s"(${out.size} vs ${expected.size} kept)")
+    // the kept set is a PREFIX: every kept doc's cum ≤ budget and no skipped
+    // doc precedes a kept one in hash order
+    assert(out.values.forall(_._2 <= 50L))
+    assert(out.nonEmpty && out.size < 180, "budget must bite but keep some")
+  }
+
   test("packSequences: empty docs occupy no tape; docs longer than seqTokens span") {
     val docs = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens > 16 → spans >= 2 seqs
