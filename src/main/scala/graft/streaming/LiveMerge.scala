@@ -69,6 +69,13 @@ object LiveMerge {
     /** Rows flushed since the last poll with ts >= merge cutoff; None if no new
       * chunks. Late rows (ts < cutoff) are silently dropped, faithful to the
       * reference's dedup boundary — they were the historical phase's to serve.
+      *
+      * Only level-0 chunks are tailed: a compaction running during the tail
+      * REPLACES already-seen chunks with a merged level-N chunk, whose rows
+      * were already delivered — forwarding it would duplicate them. The
+      * reference has the same semantics for free (its broadcast carries fresh
+      * flush batches only; compaction never re-broadcasts). The merged chunk
+      * is still marked seen so a later poll doesn't revisit it.
       */
     def poll(): Option[DataFrame] = {
       catalog.invalidateCache()
@@ -76,8 +83,10 @@ object LiveMerge {
       if (fresh.isEmpty) None
       else {
         seen ++= fresh.map(_.path)
-        Some(spark.read.option("mergeSchema", "true")
-          .parquet(fresh.map(_.path): _*)
+        val flushes = fresh.filter(_.level == 0)
+        if (flushes.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(flushes.map(_.path): _*)
           .filter(col(MetricSchema.TimestampNsCol) >= mergeTimestampNs))
       }
     }

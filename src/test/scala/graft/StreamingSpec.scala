@@ -51,6 +51,36 @@ class StreamingSpec extends AnyFunSuite {
       Set((t0 + 6000L, "cpu", 4.0)))
   }
 
+  test("CatalogTail: new flushes forwarded post-cutoff; compacted chunks never re-forwarded") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_tail_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0, "cpu", 1.0, Map("host" -> "a")),
+      MetricPoint(t0 + 1000L, "cpu", 1.5, Map("host" -> "a")))))
+    val mergeTs = t0 + 5000L
+    val tail = new LiveMerge.CatalogTail(spark, cat, mergeTs)
+    assert(tail.poll().isEmpty, "snapshot chunks are the historical phase's")
+    // fresh flush: one pre-cutoff row (dropped), one post-cutoff (forwarded)
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0 + 4000L, "cpu", 2.0, Map("host" -> "b")),
+      MetricPoint(t0 + 6000L, "cpu", 3.0, Map("host" -> "b")))))
+    val got = tail.poll().get.select("timestamp_ns", "value_f64").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((t0 + 6000L) -> 3.0), s"got $got")
+    assert(tail.poll().isEmpty, "no new chunks -> no frame")
+    // compaction replaces the seen chunks with one merged level-1 chunk whose
+    // rows were already delivered — the tail must NOT forward it again
+    val compactor = new graft.compact.Compactor(spark, cat)
+    compactor.compactGroups(Seq(cat.allChunks))
+    assert(cat.allChunks.exists(_.level > 0), "compaction must have produced a leveled chunk")
+    assert(tail.poll().isEmpty, "compacted chunk would duplicate already-sent rows")
+    // and a flush AFTER the compaction still flows
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0 + 8000L, "cpu", 4.0, Map("host" -> "c")))))
+    val got2 = tail.poll().get.select("value_f64").collect().map(_.getDouble(0)).toSet
+    assert(got2 == Set(4.0))
+  }
+
   test("ingestSink: stream flushes through the production chunk path, queryable mid-stream") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_sink_"), cacheTtlMs = 0L)
     val ckpt = Files.createTempDirectory("graft_sink_ckpt_").toString
