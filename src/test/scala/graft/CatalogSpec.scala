@@ -27,6 +27,43 @@ class CatalogSpec extends AnyFunSuite {
     assert(st.timeIndex(1L).contains("b") && st.timeIndex(2L).contains("b"))
   }
 
+  test("error paths ported from the reference (tests/error_path_tests.rs:425-750)") {
+    val cat = freshCatalog()
+    // zero-timestamp, zero-row chunk registers and is retrievable (rs:425-454)
+    cat.register(ChunkMeta("zero_ts.parquet", 0L, 0L, 0L, 0L))
+    assert(cat.allChunks.exists(c => c.path == "zero_ts.parquet" &&
+      c.minTimestampNs == 0L && c.rowCount == 0L))
+    // duplicate path: second registration OVERWRITES (rs:457-499)
+    cat.register(ChunkMeta("same.parquet", 0L, 1000L, 100L, 1024L))
+    cat.register(ChunkMeta("same.parquet", 2000L, 3000L, 200L, 2048L))
+    cat.invalidateCache()
+    val same = cat.state.chunks("same.parquet")
+    assert(same.minTimestampNs == 2000L && same.rowCount == 200L)
+    // the overwritten (old-range) metadata no longer matches old-range queries
+    assert(!cat.chunksInRange(500L, 900L).exists(_.path == "same.parquet"))
+    assert(cat.chunksInRange(2500L, 2600L).exists(_.path == "same.parquet"))
+    // single-source compaction swap: source removed, target remains (rs:599-648)
+    cat.register(ChunkMeta("single_source.parquet", 0L, 1000L, 100L, 1024L))
+    cat.replaceChunks(Seq("single_source.parquet"),
+      Seq(ChunkMeta("target.parquet", 0L, 1000L, 100L, 1024L, level = 1)))
+    cat.invalidateCache()
+    assert(!cat.state.chunks.contains("single_source.parquet"))
+    assert(cat.state.chunks.contains("target.parquet"))
+    // removing a nonexistent path is a no-op (rs:409-422)
+    val before = cat.allChunks.map(_.path).toSet
+    cat.remove(Seq("never_existed.parquet"))
+    cat.invalidateCache()
+    assert(cat.allChunks.map(_.path).toSet == before)
+    // empty/inverted time range yields no chunks (rs:277-308)
+    assert(cat.chunksInRange(5000000L, 4000000L).isEmpty)
+    // negative timestamps index and retrieve correctly (rs:121-128:
+    // TimeRange supports negative ns; hourBucket floorDiv is negative-safe)
+    cat.register(ChunkMeta("neg.parquet", -7200L * 1000000000L, -3600L * 1000000000L, 10L, 64L))
+    assert(cat.chunksInRange(-7000L * 1000000000L, -6000L * 1000000000L)
+      .exists(_.path == "neg.parquet"))
+    assert(cat.chunksInRange(0L, 1000L).forall(_.path != "neg.parquet"))
+  }
+
   test("chunksInRange: hour-bucket scan + overlap filter") {
     val cat = freshCatalog()
     cat.registerAll(Seq(chunk("h0", 0, 0), chunk("h5", 5, 5), chunk("h10", 10, 10)))
