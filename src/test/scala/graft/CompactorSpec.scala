@@ -23,6 +23,24 @@ class CompactorSpec extends AnyFunSuite {
     assert(groups.head.map(_.path).toSet == Set("a", "b", "c"))
   }
 
+  test("merger error paths: empty group and nonexistent chunk fail loudly (ref coverage_gap_tests.rs:551-583)") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_cmp_err_"), cacheTtlMs = 0L)
+    val comp = new Compactor(spark, cat)
+    intercept[IllegalArgumentException] { comp.compactGroup(Nil) }
+    intercept[Exception] {
+      comp.compactGroup(Seq(ChunkMeta("/nonexistent/chunk.parquet", 0L, 1L, 1L, 1L)))
+    }
+    // and the catalog is untouched by either failure
+    assert(cat.allChunks.isEmpty)
+  }
+
+  test("candidate selection on an empty catalog is empty (ref error_path_tests.rs:650-722)") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_cmp_empty_"), cacheTtlMs = 0L)
+    val comp = new Compactor(spark, cat)
+    assert(comp.l0Candidates().isEmpty)
+    assert(comp.leveledCandidates(99).isEmpty) // nonexistent level: empty, no error
+  }
+
   test("leveled candidate selection: greedy size grouping") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_cmp2_"), cacheTtlMs = 0L)
     def c(p: String, hour: Long, size: Long) =
