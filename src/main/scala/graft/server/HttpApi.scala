@@ -69,10 +69,21 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
     respondJson(ex, code, s"""{"error":${org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(org.json4s.JString(msg)))}}""")
 
-  /** URL-decoded query params; repeated keys (match[]) keep every value. */
+  /** URL-decoded query params; repeated keys (match[]) keep every value.
+    * A POSTed `application/x-www-form-urlencoded` body contributes params
+    * too (after any URI ones) — the Prometheus API accepts both forms and
+    * Grafana POSTs instant/range queries (reference e2e
+    * prometheus_api_tests.rs:273-379).
+    */
   private def params(ex: HttpExchange): Map[String, Seq[String]] = {
-    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-    q.split("&").filter(_.nonEmpty).toSeq.flatMap { kv =>
+    val fromUri = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val fromBody =
+      if (ex.getRequestMethod == "POST" &&
+          Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .exists(_.startsWith("application/x-www-form-urlencoded")))
+        new String(readBody(ex), "UTF-8")
+      else ""
+    (fromUri + "&" + fromBody).split("&").filter(_.nonEmpty).toSeq.flatMap { kv =>
       kv.split("=", 2) match {
         case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
           java.net.URLDecoder.decode(v, "UTF-8"))

@@ -248,6 +248,26 @@ class HttpApiSpec extends AnyFunSuite {
     } finally ws.stop()
   }
 
+  test("PromQL instant + range accept POST form bodies (Grafana shape)") {
+    // reference e2e prometheus_api_tests.rs:273-379: query endpoints accept
+    // application/x-www-form-urlencoded POSTs equivalently to GET params
+    def postForm(path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/x-www-form-urlencoded").build(),
+        HttpResponse.BodyHandlers.ofString())
+    val inst = postForm("/api/v1/query",
+      "query=" + java.net.URLEncoder.encode("sum(cpu_usage) by (host)", "UTF-8"))
+    assert(inst.statusCode() == 200 && inst.body().contains("\"success\""), inst.body())
+    val getInst = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("sum(cpu_usage) by (host)", "UTF-8"))
+    assert(inst.body() == getInst.body(), "POST form result must equal GET result")
+    val range = postForm("/api/v1/query_range",
+      "query=" + java.net.URLEncoder.encode("rate(cpu_usage[5m])", "UTF-8") +
+        s"&start=${t0 / 1000000000L}&end=${t0 / 1000000000L + 7200}&step=600")
+    assert(range.statusCode() == 200 && range.body().contains("\"matrix\""), range.body())
+  }
+
   test("oversized POST body is rejected with 413 before buffering") {
     // declare a Content-Length over the 16 MB cap WITHOUT sending the body —
     // the server must reject from the header alone (never tries to read 10 GB)
