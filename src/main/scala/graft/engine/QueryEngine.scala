@@ -52,15 +52,21 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       // cancelJobGroup only reaches jobs already running.
       override def run(): Unit = { timedOut.set(true); sc.cancelJobGroupAndFutureJobs(tag) }
     }, limits.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val t0 = System.nanoTime()
+    var ok = false
     try {
       sc.setJobGroup(tag, s"graft query: ${query.replaceAll("\\s+", " ").take(120)}",
         interruptOnCancel = true)
-      try action(sql(query, nowNs))
-      catch {
+      try {
+        val out = action(sql(query, nowNs))
+        ok = true
+        out
+      } catch {
         case e: Throwable if timedOut.get() =>
           throw new QueryEngine.QueryTimeoutException(limits.timeoutMs, e)
       } finally sc.clearJobGroup()
     } finally {
+      Telemetry.recordQuery(System.nanoTime() - t0, ok)
       watchdog.cancel(false)
       querySlots.release()
     }
@@ -219,6 +225,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     planCache.synchronized {
       val hit = planCache.get(key)
       if (hit != null) {
+        Telemetry.cacheHits.increment()
         // persisted-but-not-yet-localized entry on a REPEAT hit → localize it
         if (!localizeWarmHits || localizedKeys(key) || !cachedBytes.contains(key))
           return hit
@@ -226,6 +233,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       }
     }
     if (toLocalize != null) return localizeHit(key, toLocalize)
+    Telemetry.cacheMisses.increment()
     val raw = planLock.synchronized {
       register(paths)
       // Reuse the cached PARSED tree — analysis resolves a fresh copy against

@@ -192,6 +192,9 @@ final class ChunkWriter(catalog: ChunkCatalog, tenant: String = "default") {
     val sized = metas.map(m => m.copy(
       sizeBytes = ChunkStats.dirSize(Paths.get(m.path)), schemaDdl = Some(ddl)))
     catalog.registerAll(sized)
+    graft.engine.Telemetry.ingestRows.add(sized.map(_.rowCount).sum)
+    graft.engine.Telemetry.ingestBytes.add(sized.map(_.sizeBytes).sum)
+    graft.engine.Telemetry.ingestChunks.add(sized.size.toLong)
     sized
   }
 }

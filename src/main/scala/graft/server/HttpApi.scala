@@ -157,7 +157,17 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
   // ---- routes ----------------------------------------------------------------
 
   server.createContext("/health", handler(ex => respond(ex, 200, "OK".getBytes, "text/plain")))
-  server.createContext("/ready", handler(ex => respond(ex, 200, "OK".getBytes, "text/plain")))
+  // the reference's ready_check returns "READY", not "OK" (src/api/mod.rs:101-104)
+  server.createContext("/ready", handler(ex => respond(ex, 200, "READY".getBytes, "text/plain")))
+
+  /** Self-telemetry in Prometheus text exposition — the scrape surface for
+    * the counters the reference records through its OTel instruments
+    * (src/query/telemetry.rs, src/ingester/telemetry.rs; no OTLP exporter
+    * exists offline, so the standard /metrics scrape is the export path).
+    */
+  server.createContext("/metrics", handler(ex =>
+    respond(ex, 200, graft.engine.Telemetry.prometheusText().getBytes("UTF-8"),
+      "text/plain; version=0.0.4")))
 
   server.createContext("/api/v1/sql", handler { ex =>
     val (query, format) =

@@ -52,7 +52,7 @@ class HttpApiSpec extends AnyFunSuite {
 
   test("health + ready") {
     assert(get("/health").body() == "OK")
-    assert(get("/ready").body() == "OK")
+    assert(get("/ready").body() == "READY") // reference ready_check (api/mod.rs:101-104)
   }
 
   test("POST /api/v1/sql: JSON {columns,data,stats} roundtrip") {
@@ -246,6 +246,27 @@ class HttpApiSpec extends AnyFunSuite {
       assert((next() \ "type") == JString("error"))
       sock.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
     } finally ws.stop()
+  }
+
+  test("/metrics: self-telemetry counters move with queries and ingest") {
+    import graft.engine.Telemetry
+    val okBefore = Telemetry.queryRequestsOk.sum()
+    val rowsBefore = Telemetry.ingestRows.sum()
+    // one query through the engine...
+    val r = get("/api/v1/sql?query=" + java.net.URLEncoder.encode(
+      s"SELECT COUNT(*) AS c FROM metrics WHERE timestamp_ns >= $t0", "UTF-8"))
+    assert(r.statusCode() == 200)
+    val body = get("/metrics").body()
+    assert(body.contains("graft_query_requests_total{result=\"ok\"}"))
+    assert(Telemetry.queryRequestsOk.sum() > okBefore, "query counter must move")
+    // ...and ingest counters moved when the fixture warehouse was written
+    assert(rowsBefore > 0, "ChunkWriter must have recorded ingested rows")
+    assert(body.contains("graft_ingester_rows_total") &&
+      body.contains("graft_query_latency_seconds_sum"))
+    // exposition parses: every non-comment line is `name[{labels}] value`
+    body.split("\n").filterNot(l => l.startsWith("#") || l.isEmpty).foreach { l =>
+      assert(l.matches("""[a-z_]+(\{[^}]*\})? [-0-9.eE]+"""), s"bad line: $l")
+    }
   }
 
   test("PromQL instant + range accept POST form bodies (Grafana shape)") {
