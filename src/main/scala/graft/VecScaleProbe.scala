@@ -100,6 +100,29 @@ object VecScaleProbe {
     println(f"[vecs] semdedup: kept $semKept of $nVecs " +
       f"(${semKept * 100.0 / nVecs}%.2f%% — expected ≲ #occupied cells; " +
       (if (semKept >= 200 && semKept < nVecs / 10) "OK" else "SUSPECT") + ")")
+
+    // Mega-cluster skew: 90% of the corpus in ONE tight cluster. Uncapped,
+    // that cell's pair join is (0.9n)²/2 — at n=200k that is 1.6e10 pairs and
+    // effectively never finishes; with maxCellCompare the cell costs
+    // 0.9n × cap. The cluster is near-identical so min-id keep should
+    // collapse it to ~1 survivor either way — the cap changes COST, not the
+    // planted-duplicate answer.
+    val nSkew = math.max(nVecs / 5, 10000L)
+    val skew = spark.range(nSkew).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        when(col("id") % 10 =!= 0, // 90%: one tight cluster around a fixed point
+          (lit(5.0f) + (d.cast("float") / 100f) +
+            (pmod(hash(col("vec_id"), d), lit(1000)).cast("float") / 2e6f)).cast("float"))
+          .otherwise( // 10%: spread out
+            (pmod(hash(col("vec_id") * 31 + 7, d), lit(2000)).cast("float") / 100f - 10f)
+              .cast("float"))).as("embedding"))
+    val skewKept = time(s"semanticDedup skew guard (n=$nSkew, 90% one cluster, cap=512)") {
+      graft.sim.Similarity.semanticDedup(skew, threshold = 0.999, nClusters = 64,
+          maxCellCompare = 512)
+        .filter(col("kept")).count()
+    }
+    println(f"[vecs] semdedup skew: kept $skewKept of $nSkew " +
+      f"(mega-cluster collapsed: ${if (skewKept < nSkew / 5) "OK" else "SUSPECT"})")
     spark.stop()
   }
 }
