@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.IntegerType
   *  - `graft_simhash64(tokens)`
   *  - `graft_hyperplane_sig(vec, numPlanes, seed)`
   *  - `graft_cosine_sim(a, b)`
+  *  - `graft_simhash_md5(tokens)`
+  *  - `graft_nfc(text)`
   *
   * Integer parameters must be literals (they configure the expression, they
   * are not per-row inputs — same contract as built-ins like `round`).
@@ -93,5 +95,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_cosine_sim", args, 2)
         HashExpressions.CosineSim(args.head, args(1))
+      }),
+    ("graft_simhash_md5",
+      info("graft_simhash_md5",
+        "graft_simhash_md5(tokens) - portable 60-bit md5 SimHash of a string array" +
+          " (oracle-reproducible: token hash = first 15 md5 hex chars)."),
+      (args: Seq[Expression]) => {
+        arity("graft_simhash_md5", args, 1)
+        HashExpressions.SimHashMd5(args.head)
+      }),
+    ("graft_nfc",
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC normalization (composed form)."),
+      (args: Seq[Expression]) => {
+        arity("graft_nfc", args, 1)
+        graft.sources.DocumentSources.NfcNormalize(args.head)
       }))
 }

@@ -54,6 +54,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == c.getLong(0) && r.getLong(1) == c.getLong(1))
   }
 
+  test("graft_simhash_md5 and graft_nfc resolve and match the Column API") {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+      .createOrReplaceTempView("ext_docs3")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash_md5(split(lower(trim(text)), '\\\\s+')) AS sig FROM ext_docs3")
+      .collect()(0).getLong(0)
+    val viaCol = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+      .select(graft.dedup.Dedup.simhashMd5(col("text"))).collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+    // NFC: decomposed e+combining-acute composes to U+00E9 in SQL text too
+    val nfc = spark.sql("SELECT graft_nfc('café') AS n").collect()(0).getString(0)
+    assert(nfc == "café")
+  }
+
   test("non-literal config parameters are rejected with a clear error") {
     import spark.implicits._
     Seq(("x", 3)).toDF("text", "k").createOrReplaceTempView("ext_bad")
