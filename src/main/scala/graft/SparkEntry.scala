@@ -861,6 +861,28 @@ object SparkEntry {
         .select(col("doc_id") +: graft.text.TextFunctions.gopherFlags(col("text")): _*)
         .orderBy("doc_id")),
 
+    // LLM ops — END-TO-END pipeline composition: NFC normalize → Gopher
+    // quality filter → exact dedup (first-wins on the normalized fingerprint)
+    // → 512-token sequence packing. One query proving the operators COMPOSE —
+    // the user journey a training-data pipeline actually runs — with a
+    // composed DuckDB oracle built from the same proven per-operator pieces.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      val src = t(s, dir, "documents").select(col("doc_id"),
+        graft.sources.DocumentSources.nfcNormalize(col("text")).as("text"))
+      val flagged = src.select(
+        col("doc_id") +: col("text") +: TextFunctions.gopherFlags(col("text")): _*)
+      val kept = flagged.filter(col("keep")).select("doc_id", "text")
+      val fp = kept.withColumn("__fp", TextFunctions.fingerprint(col("text")))
+      val keepers = fp.groupBy("__fp").agg(min("doc_id").as("__keeper"))
+      val survivors = fp.join(keepers, "__fp")
+        .filter(col("doc_id") === col("__keeper"))
+        .select("doc_id", "text")
+      graft.pipeline.Pipeline.packSequences(survivors, "doc_id", "text", seqTokens = 512)
+        .select("doc_id", "n_tok", "start_tok", "seq_first", "seq_last")
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — LSH ANN machinery at bucket-all (numPlanes=0 ⇒ one bucket ⇒
     // candidates = whole corpus ⇒ EXACT, so the signature-join path itself is
     // hash-gated against the brute-force oracle, same trick as q_emb_ivf_indexed's
@@ -1467,6 +1489,41 @@ object SparkEntry {
 
     // global token-tape prefix sum in (hex60, id) order; SUM(BIGINT) is HUGEINT
     // in DuckDB, so every derived column is cast back to BIGINT
+    // Composed from the proven per-operator oracle pieces: nfc_normalize →
+    // gopher keep predicate → first-wins fingerprint dedup → the pack
+    // prefix-sum, all over the SAME text lineage as the Spark chain.
+    "q_pipeline_e2e" ->
+      s"""WITH src AS (SELECT doc_id, nfc_normalize(text) AS text FROM documents),
+         |g AS (SELECT doc_id, text, CAST($duckTokens AS BIGINT) AS n_tok,
+         |  CASE WHEN $duckTokens = 0 THEN 0.0
+         |   ELSE floor(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |        / CAST($duckTokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END
+         |    AS mean_tok_len,
+         |  ${duckRatio("[^A-Za-z0-9\\s]")} AS punct_r,
+         |  ${duckRatio("[A-Za-z]")} AS alpha_r,
+         |  ${duckHitsSum(graft.text.TextFunctions.EnglishStopwords)} AS stop_hits
+         | FROM src),
+         |kept AS (SELECT doc_id, text, n_tok FROM g
+         | WHERE n_tok >= 50 AND n_tok <= 100000 AND mean_tok_len >= 3.0
+         |  AND mean_tok_len <= 10.0 AND punct_r <= 0.1 AND alpha_r >= 0.6
+         |  AND stop_hits >= 2),
+         |fp AS (SELECT doc_id, n_tok,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM kept),
+         |sv AS (SELECT f.doc_id, f.n_tok FROM fp f
+         |  JOIN (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp) d
+         |    ON f.fp = d.fp AND f.doc_id = d.keeper),
+         |t AS (SELECT doc_id, n_tok,
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         | FROM sv WHERE n_tok > 0),
+         |c AS (SELECT doc_id, n_tok,
+         |  CAST(SUM(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+         |       - n_tok AS BIGINT) AS start_tok
+         | FROM t)
+         |SELECT doc_id, n_tok, start_tok,
+         | CAST(start_tok // 512 AS BIGINT) AS seq_first,
+         | CAST((start_tok + n_tok - 1) // 512 AS BIGINT) AS seq_last
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_doc_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST($duckTokens AS BIGINT) AS n_tok,
          |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
