@@ -541,6 +541,24 @@ object SparkEntry {
         .drop("avg_value")
         .orderBy("time_bucket", "metric_name", "host")),
 
+    // §2.10 EXTENSION — rollup-aware serving (dashboard zoom-out routing):
+    // a 6 h mergeable rollup (sum/min/max/count — no stored avg, avg-of-avgs
+    // is wrong on uneven buckets) re-bucketed to answer a 12 h query. The
+    // oracle aggregates RAW events at 12 h directly: equality proves the
+    // rollup path is exact, not approximate — every stored component is
+    // associative, avg derived last from Σsum/Σcount.
+    "q_rollup_serve" -> ((s, dir) => {
+      val rollup = graft.compact.Downsampler.downsampleMergeable(
+        eventsAsMetrics(s, dir), resolutionSeconds = 21600L, labelCols = Seq("host"))
+      graft.compact.Downsampler.serveFromRollup(
+          rollup, resolutionSeconds = 21600L, stepSeconds = 43200L, labelCols = Seq("host"))
+        .select(col("time_bucket"), col("metric_name"), col("host"),
+          round(col("sum_value"), 4).as("sum_v"),
+          col("min_value"), col("max_value"), col("sample_count"),
+          (floor(col("avg_value") * 1000000.0 + 0.5) / 1000000.0).as("avg_v"))
+        .orderBy("time_bucket", "metric_name", "host")
+    }),
+
     // §2.10 5-phase shard split collapsed to a partition-rewrite job: ingest 12 h,
     // split at hour 6, then engine-query counts — no row lost or duplicated.
     "q_split_shard" -> ((s, dir) => {
@@ -1411,6 +1429,15 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
         | event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
         | min(value) AS min_value, max(value) AS max_value, count(*) AS sample_count
+        |FROM events GROUP BY 1, 2, 3 ORDER BY time_bucket, metric_name, host""".stripMargin,
+
+    // RAW 12 h aggregation — the rollup-served result must equal this exactly
+    "q_rollup_serve" ->
+      """SELECT (epoch_ns(ts) // 43200000000000) * 43200000000000 AS time_bucket,
+        | event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | round(sum(value), 4) AS sum_v,
+        | min(value) AS min_value, max(value) AS max_value, count(*) AS sample_count,
+        | floor(sum(value) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
         |FROM events GROUP BY 1, 2, 3 ORDER BY time_bucket, metric_name, host""".stripMargin,
 
     "q_split_shard" ->

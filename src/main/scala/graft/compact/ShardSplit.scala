@@ -116,4 +116,49 @@ object Downsampler {
         max(MetricSchema.ValueF64).as("max_value"),
         count(lit(1)).as("sample_count"))
   }
+
+  /** Rollup with MERGEABLE components only (sum+count+min+max — no stored
+    * avg: avg-of-avgs is wrong on uneven buckets; derive it at serve time as
+    * Σsum/Σcount). This is the storage shape that makes resolution-based
+    * query routing sound.
+    */
+  def downsampleMergeable(df: DataFrame, resolutionSeconds: Long,
+                          labelCols: Seq[String]): DataFrame = {
+    val stepNs = resolutionSeconds * 1000000000L
+    val groupCols = (s"time_bucket" +: MetricSchema.MetricNameCol +: labelCols)
+    df.withColumn("time_bucket",
+        expr(s"(${MetricSchema.TimestampNsCol} div $stepNs) * $stepNs"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(MetricSchema.ValueF64).as("sum_value"),
+        min(MetricSchema.ValueF64).as("min_value"),
+        max(MetricSchema.ValueF64).as("max_value"),
+        count(lit(1)).as("sample_count"))
+  }
+
+  /** Serve a coarser-step bucketed aggregate FROM a mergeable rollup —
+    * the dashboard-zoom-out routing of a metrics store (Thanos/M3-style):
+    * any step that is a whole multiple of the rollup resolution re-buckets
+    * the (much smaller) rollup table instead of re-scanning raw data, and
+    * the result is EXACTLY what the raw aggregation would produce, because
+    * every stored component is associative (sum/min/max/count merge; avg is
+    * derived last). At 100 TB the rollup is ~resolution/avg-interval times
+    * smaller than raw — this read scales with dashboard width, not corpus.
+    */
+  def serveFromRollup(rollup: DataFrame, resolutionSeconds: Long,
+                      stepSeconds: Long, labelCols: Seq[String]): DataFrame = {
+    require(stepSeconds % resolutionSeconds == 0,
+      s"step ${stepSeconds}s must be a multiple of the rollup resolution ${resolutionSeconds}s")
+    val stepNs = stepSeconds * 1000000000L
+    val groupCols = (s"time_bucket" +: MetricSchema.MetricNameCol +: labelCols)
+    rollup
+      .withColumn("time_bucket", expr(s"(time_bucket div $stepNs) * $stepNs"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum("sum_value").as("sum_value"),
+        min("min_value").as("min_value"),
+        max("max_value").as("max_value"),
+        sum("sample_count").as("sample_count"))
+      .withColumn("avg_value", col("sum_value") / col("sample_count"))
+  }
 }

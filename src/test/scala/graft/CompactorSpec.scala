@@ -23,6 +23,34 @@ class CompactorSpec extends AnyFunSuite {
     assert(groups.head.map(_.path).toSet == Set("a", "b", "c"))
   }
 
+  test("serveFromRollup: coarser-step result equals raw aggregation even on uneven buckets") {
+    import org.apache.spark.sql.functions._
+    import graft.ingest.{Converters, MetricPoint}
+    // UNEVEN buckets: hour 0 has 3 samples, hour 1 has 1 — avg-of-avgs over
+    // the two 1h rollup rows would be (2+8)/2 = 5.0; the true 2h avg is
+    // (1+2+3+8)/4 = 3.5. The mergeable (sum,count) rollup must produce 3.5.
+    val pts = Seq(
+      MetricPoint(t0, "cpu", 1.0, Map("host" -> "a")),
+      MetricPoint(t0 + 60L * 1000000000L, "cpu", 2.0, Map("host" -> "a")),
+      MetricPoint(t0 + 120L * 1000000000L, "cpu", 3.0, Map("host" -> "a")),
+      MetricPoint(t0 + hourNs, "cpu", 8.0, Map("host" -> "a")))
+    val raw = Converters.pointsToDf(spark, pts)
+    val rollup = graft.compact.Downsampler.downsampleMergeable(
+      raw, resolutionSeconds = 3600L, labelCols = Seq("host"))
+    assert(rollup.count() == 2)
+    val served = graft.compact.Downsampler.serveFromRollup(
+        rollup, resolutionSeconds = 3600L, stepSeconds = 7200L, labelCols = Seq("host"))
+      .collect()
+    assert(served.length == 1)
+    val r = served(0)
+    assert(r.getAs[Double]("sum_value") == 14.0 && r.getAs[Long]("sample_count") == 4L)
+    assert(r.getAs[Double]("min_value") == 1.0 && r.getAs[Double]("max_value") == 8.0)
+    assert(r.getAs[Double]("avg_value") == 3.5, "avg must be sum/count, not avg-of-avgs")
+    intercept[IllegalArgumentException] {
+      graft.compact.Downsampler.serveFromRollup(rollup, 3600L, 5400L, Seq("host"))
+    }
+  }
+
   test("merger error paths: empty group and nonexistent chunk fail loudly (ref coverage_gap_tests.rs:551-583)") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_cmp_err_"), cacheTtlMs = 0L)
     val comp = new Compactor(spark, cat)
