@@ -595,8 +595,12 @@ object SparkEntry {
     // oracle is the identity over the parquet table, so the gate proves the
     // JSONL path loses nothing (escaping, unicode, nulls, types).
     "q_src_jsonl_roundtrip" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      // scratch on tmpfs when available: the host block device intermittently
+      // throttles ~100×, and this query's write is scaffolding, not the op
+      val base =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm" else System.getProperty("java.io.tmpdir")
+      val path = s"$base/graft_jsonl_" + java.lang.Integer.toHexString(dir.hashCode)
       graft.sources.DocumentSources.writeJsonl(t(s, dir, "documents"), path)
       graft.sources.DocumentSources.readDocumentsJsonl(s, path)
         .select("doc_id", "text", "lang", "source", "n_chars")
