@@ -890,8 +890,15 @@ object SparkEntry {
     // composed DuckDB oracle built from the same proven per-operator pieces.
     "q_pipeline_e2e" -> ((s, dir) => {
       import graft.text.TextFunctions
+      // normalize-once-MATERIALIZE: without the checkpoint barrier Catalyst
+      // pushes the gopher filter below the projection, substituting
+      // nfcNormalize into every sub-predicate — the normalization then runs
+      // ~30× per row (observed in the physical plan). Materializing the
+      // normalized text once is also what a real pipeline does: three
+      // downstream stages (filter, fingerprint dedup, packing) reuse it.
       val src = t(s, dir, "documents").select(col("doc_id"),
         graft.sources.DocumentSources.nfcNormalize(col("text")).as("text"))
+        .localCheckpoint(true)
       val flagged = src.select(
         col("doc_id") +: col("text") +: TextFunctions.gopherFlags(col("text")): _*)
       val kept = flagged.filter(col("keep")).select("doc_id", "text")
