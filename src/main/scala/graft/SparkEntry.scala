@@ -555,7 +555,13 @@ object SparkEntry {
         .select(col("time_bucket"), col("metric_name"), col("host"),
           round(col("sum_value"), 4).as("sum_v"),
           col("min_value"), col("max_value"), col("sample_count"),
-          (floor(col("avg_value") * 1000000.0 + 0.5) / 1000000.0).as("avg_v"))
+          // avg derived from the ROUNDED sum: the raw sums differ between
+          // engines in final ulps (summation order), and flooring the raw
+          // quotient at 1e-6 flips exactly on half-grid boundaries (surfaced
+          // by the 10× run); the rounded sum is hash-identical on both sides,
+          // so the same division gives the same double
+          (floor(round(col("sum_value"), 4) / col("sample_count") * 1000000.0 + 0.5)
+            / 1000000.0).as("avg_v"))
         .orderBy("time_bucket", "metric_name", "host")
     }),
 
@@ -1448,7 +1454,7 @@ object SparkEntry {
         | event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
         | round(sum(value), 4) AS sum_v,
         | min(value) AS min_value, max(value) AS max_value, count(*) AS sample_count,
-        | floor(sum(value) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
+        | floor(round(sum(value), 4) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
         |FROM events GROUP BY 1, 2, 3 ORDER BY time_bucket, metric_name, host""".stripMargin,
 
     "q_split_shard" ->
