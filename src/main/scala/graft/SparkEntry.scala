@@ -626,6 +626,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — winnowing rolling-hash fingerprints (Schleimer et al. 2003):
+    // per-doc sketch size + content hash of the sorted fingerprint set —
+    // the sketch itself is hash-gated, not just its cardinality.
+    "q_doc_winnow_fp" -> ((s, dir) =>
+      graft.dedup.Dedup.winnowingFingerprints(t(s, dir, "documents"), k = 5, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          substring(md5(concat_ws("|", sort_array(collect_list("fp")))), 1, 16)
+            .as("fp_hash"))
+        .orderBy("doc_id")),
+
     // LLM ops — token counting + character-class ratios.
     "q_doc_token_stats" -> ((s, dir) => {
       import graft.text.TextFunctions._
@@ -1478,6 +1489,32 @@ object SparkEntry {
          | FROM base)
          |SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          |FROM c WHERE cum_tok <= 800 ORDER BY source, doc_id""".stripMargin,
+
+    // Reproduces the winnowing sketch exactly: same md5-hex k-gram hash, same
+    // fixed-width hash-pos selection key (lexicographic min == numeric min),
+    // same full-window rule with the short-doc fallback.
+    "q_doc_winnow_fp" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |            FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]
+        |  END AS grams
+        | FROM tk),
+        |e AS (SELECT doc_id, UNNEST(grams) AS gram,
+        |        generate_subscripts(grams, 1) - 1 AS pos FROM g),
+        |k2 AS (SELECT doc_id, pos,
+        |  substring(md5(gram), 1, 15) || '-' || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+        | FROM e),
+        |sel AS (SELECT doc_id, pos,
+        |  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |  count(*) OVER (PARTITION BY doc_id) AS ng
+        | FROM k2),
+        |f AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= greatest(ng - 4, 0))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        | substring(md5(string_agg(fp, '|' ORDER BY fp)), 1, 16) AS fp_hash
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identity over the parquet table: the Spark side must roundtrip through
     // JSONL losslessly to match

@@ -361,6 +361,46 @@ object Dedup {
     labels.select(col("v").as(outCol), col("label").as("component"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS algorithm):
+    * hash every word k-gram, slide a window of `w` consecutive hashes, and
+    * select the MINIMUM in each window (ties broken by leftmost position);
+    * the union of selections is the document's fingerprint sketch.
+    * Guarantee: any shared run of ≥ w+k-1 tokens contributes at least one
+    * shared fingerprint; expected density is 2/(w+1) of the k-grams — a
+    * sketch that shrinks storage ~(w+1)/2× while preserving local-match
+    * detection, the classic rolling-hash fingerprint for plagiarism /
+    * near-dup detection.
+    *
+    * Portability: the k-gram hash is the first 15 md5 hex chars and the
+    * selection key is the fixed-width string `hash-pos`, so lexicographic
+    * min == (hash asc, pos asc) and DuckDB reproduces the sketch exactly.
+    * Docs with fewer than w k-grams yield one fingerprint (the min of all).
+    *
+    * Scale shape: one shuffle on doc_id for the per-doc ordered windows;
+    * window length is bounded by DOC length, never corpus size.
+    */
+  def winnowingFingerprints(docs: DataFrame,
+                            k: Int = 5, w: Int = 4,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(w >= 1, s"window must be >= 1: $w")
+    val grams = docs.select(col(idCol),
+      posexplode(shingles(col(textCol), k)).as(Seq("__pos", "__g")))
+    val keyed = grams.withColumn("__key",
+      concat(substring(md5(col("__g")), 1, 15), lit("-"),
+        lpad(col("__pos").cast("string"), 6, "0")))
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val sliding = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy("__pos").rowsBetween(0, w - 1)
+    keyed
+      .withColumn("__ng", count(lit(1)).over(perDoc))
+      .withColumn("__fp", min("__key").over(sliding))
+      .filter(col("__pos") <= greatest(col("__ng") - w, lit(0))) // full windows only
+      .select(col(idCol), col("__fp").as("fp"))
+      .distinct()
+  }
+
   /** Passage-level dedup TRANSFORM (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better"): remove every duplicated
     * `windowTokens`-token span from the corpus, keeping the FIRST occurrence

@@ -380,6 +380,28 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("winnowingFingerprints: shared >= w+k-1 token run shares a fingerprint hash; short docs get one") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10 > w+k-1 = 8 tokens
+    val d = docs(
+      (1L, s"aaa bbb ccc $shared ddd eee"),
+      (2L, s"xxx yyy $shared zzz"),
+      (3L, "totally different words here nothing shared at all"),
+      (4L, "tiny doc")) // < k tokens: single whole-text shingle -> one fp
+    val fps = graft.dedup.Dedup.winnowingFingerprints(d, k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: docs 1 and 2 share the 10-token run -> >= 1 common HASH part
+    val h1 = byDoc(1L).map(_.takeWhile(_ != '-'))
+    val h2 = byDoc(2L).map(_.takeWhile(_ != '-'))
+    assert((h1 & h2).nonEmpty, "shared run must contribute a shared fingerprint hash")
+    val h3 = byDoc(3L).map(_.takeWhile(_ != '-'))
+    assert((h1 & h3).isEmpty, "unrelated docs share nothing")
+    assert(byDoc(4L).size == 1, "sub-window doc gets exactly one fingerprint")
+    // density: selections are a strict subset of the k-gram positions
+    val n1Grams = 16 - 5 + 1 // doc 1 tokens = 16
+    assert(byDoc(1L).size < n1Grams && byDoc(1L).nonEmpty)
+  }
+
   test("removeDuplicatedPassages: cross-doc span removed from later doc, intra-doc repeat, short docs untouched") {
     val passage = (1 to 13).map(i => s"p$i").mkString(" ") // exactly one window
     val d = docs(
