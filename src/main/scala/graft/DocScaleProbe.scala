@@ -102,6 +102,22 @@ object DocScaleProbe {
       s"${(tape.getAs[Long]("tape_end") + 511) / 512} sequences; tape " +
       (if (tape.getAs[Long]("tape_end") == tape.getAs[Long]("total_tok")) "gap-free OK"
        else "HAS GAPS"))
+
+    // r5 ops at scale: passage-remove (window-key agg + per-doc reassembly,
+    // linear in corpus + dup mass) and winnowing fingerprints (per-doc
+    // window-min sketch at ~2/(w+1) density)
+    val removed = time("removeDuplicatedPassages (13-token windows)") {
+      graft.dedup.Dedup.removeDuplicatedPassages(docs, 13)
+        .agg(sum("n_removed").as("rm"), sum("n_kept").as("kp")).collect()(0)
+    }
+    println(s"[docs] passage-remove: ${removed.getAs[Long]("rm")} tokens removed, " +
+      s"${removed.getAs[Long]("kp")} kept")
+    val fps = time("winnowingFingerprints (k=5, w=4)") {
+      graft.dedup.Dedup.winnowingFingerprints(docs, k = 5, w = 4).count()
+    }
+    // ~80 words/doc → ~76 k-grams/doc; winnowing density should be ≈ 2/(w+1)
+    println(f"[docs] winnowing: $fps fingerprints " +
+      f"(density ${fps.toDouble / (n * 76.0)}%.3f of grams; expected ≈ ${2.0 / 5}%.3f)")
     spark.stop()
   }
 }
