@@ -1511,7 +1511,8 @@ object SparkEntry {
         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
         |  count(*) OVER (PARTITION BY doc_id) AS ng
         | FROM k2),
-        |f AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= greatest(ng - 4, 0))
+        |f AS (SELECT DISTINCT doc_id, substring(fp, 1, 15) AS fp
+        |      FROM sel WHERE pos <= greatest(ng - 4, 0))
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
         | substring(md5(string_agg(fp, '|' ORDER BY fp)), 1, 16) AS fp_hash
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,

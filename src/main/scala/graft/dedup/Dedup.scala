@@ -372,9 +372,12 @@ object Dedup {
     * detection, the classic rolling-hash fingerprint for plagiarism /
     * near-dup detection.
     *
-    * Portability: the k-gram hash is the first 15 md5 hex chars and the
-    * selection key is the fixed-width string `hash-pos`, so lexicographic
-    * min == (hash asc, pos asc) and DuckDB reproduces the sketch exactly.
+    * Portability: the k-gram hash is the first 15 md5 hex chars; the window
+    * SELECTION key is the fixed-width string `hash-pos` (lexicographic
+    * min == (hash asc, pos asc) — position only breaks hash ties, exactly the
+    * paper's rule), and DuckDB reproduces the sketch exactly. The returned
+    * `fp` column is the HASH ALONE: that is what makes the guarantee hold
+    * across documents, where the same shared run sits at different offsets.
     * Docs with fewer than w k-grams yield one fingerprint (the min of all).
     *
     * Scale shape: one shuffle on doc_id for the per-doc ordered windows;
@@ -397,7 +400,7 @@ object Dedup {
       .withColumn("__ng", count(lit(1)).over(perDoc))
       .withColumn("__fp", min("__key").over(sliding))
       .filter(col("__pos") <= greatest(col("__ng") - w, lit(0))) // full windows only
-      .select(col(idCol), col("__fp").as("fp"))
+      .select(col(idCol), substring(col("__fp"), 1, 15).as("fp"))
       .distinct()
   }
 
@@ -513,6 +516,11 @@ object Dedup {
                                textCol: String = "text",
                                idCol: String = "doc_id",
                                maxHamming: Int = 3): DataFrame = {
+    // mirror of winnowingFingerprints' require: out-of-range maxHamming would
+    // otherwise surface as nBlocks <= 0 (division by zero) or a degenerate
+    // zero-bit block mask rather than a clear error
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60): $maxHamming")
     val nBlocks = maxHamming + 1
     val bits = 60 / nBlocks // 60-bit portable sig split evenly
     val sigs = docs.select(col(idCol), simhashMd5(col(textCol)).as("sig"))

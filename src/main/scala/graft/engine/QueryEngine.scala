@@ -304,15 +304,26 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * runs OUTSIDE the cache lock — concurrent hits at worst localize twice.
     */
   private val maxLocalRows = 20000
+
+  /** Guarded collect for localization: a benign execution failure (e.g. a
+    * SparkException from a lost cached block) falls back to the persisted
+    * distributed form (null ⇒ don't localize), but NonFatal ONLY — an
+    * OOM/JVM error must propagate, not silently become a cache-policy
+    * decision. Package-private so the spec can exercise the discipline.
+    */
+  private[graft] def collectForLocalize(
+      thunk: () => Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] =
+    try thunk() catch { case scala.util.control.NonFatal(_) => null }
+
   private def localizeHit(key: (String, Seq[String], Boolean), df: DataFrame): DataFrame = {
-    val rows = try df.collect() catch { case _: Throwable => null }
+    val rows = collectForLocalize(() => df.collect())
     planCache.synchronized {
       if (localizedKeys(key)) return planCache.getOrDefault(key, df)
       localizedKeys += key // even on failure/oversize: don't re-collect every hit
       if (rows == null || rows.length > maxLocalRows) df
       else {
         val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        try df.unpersist(blocking = false) catch { case scala.util.control.NonFatal(_) => () }
         // the executor-storage copy is gone — stop charging it to the
         // retained-bytes budget (localizedKeys keeps isResultCached true)
         cachedBytes.remove(key)
@@ -329,7 +340,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
         .queryExecution.optimizedPlan
       val extracted = PredicateExtraction.extract(optimized, nowNs)
       Some(extracted)
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Step 1: extract time range + column predicates from the query's WHERE clauses.
     * We parse the full statement and walk its Filter conditions (unresolved is fine —

@@ -42,20 +42,32 @@ object ResultFormat {
       case _ => JString(String.valueOf(row.get(i)))
     }
 
-  def toJson(df: DataFrame, executionTimeMs: Long = 0L): String = {
+  /** `maxRows` bounds the driver-side collect: the limit is planned (Spark
+    * CollectLimit — executors stop producing past it), and a clipped result
+    * carries `stats.truncated: true` so a client can tell a 100k-row answer
+    * from a 100k-row clip. Default Int.MaxValue keeps the unbounded
+    * behavior for internal/test callers that shape known-small results.
+    */
+  def toJson(df: DataFrame, executionTimeMs: Long = 0L,
+             maxRows: Int = Int.MaxValue): String = {
     val schema = df.schema
-    val rows = df.collect()
+    val collected =
+      if (maxRows == Int.MaxValue) df.collect() else df.limit(maxRows + 1).collect()
+    val truncated = collected.length > maxRows
+    val rows = if (truncated) collected.take(maxRows) else collected
     val data = JArray(rows.toList.map { row =>
       JArray(schema.fields.toList.zipWithIndex.map { case (f, i) =>
         jsonValue(row, i, f.dataType)
       })
     })
+    val statsFields = List[(String, JValue)](
+      "rows_read" -> JLong(rows.length.toLong),
+      "execution_time_ms" -> JLong(executionTimeMs)) ++
+      (if (truncated) List[(String, JValue)]("truncated" -> JBool(true)) else Nil)
     val doc = JObject(
       "columns" -> JArray(schema.fieldNames.toList.map(JString(_))),
       "data" -> data,
-      "stats" -> JObject(
-        "rows_read" -> JLong(rows.length.toLong),
-        "execution_time_ms" -> JLong(executionTimeMs)))
+      "stats" -> JObject(statsFields))
     JsonMethods.compact(JsonMethods.render(doc))
   }
 

@@ -187,12 +187,20 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
       }
     val t0 = System.nanoTime()
     engine.execute(query) { df =>
+      // Driver-safety cap: the buffered formats collect() — a planned LIMIT
+      // bounds both executor work and driver heap, so `SELECT * FROM metrics`
+      // over a big warehouse clips (json marks stats.truncated) instead of
+      // OOMing the serving process. Unbounded results belong on /api/v1/stream.
       format match {
         case "json" =>
-          respondJson(ex, 200, ResultFormat.toJson(df, (System.nanoTime() - t0) / 1000000L))
+          respondJson(ex, 200, ResultFormat.toJson(df,
+            (System.nanoTime() - t0) / 1000000L, HttpApi.MaxResultRows))
         case "arrow" =>
-          respond(ex, 200, ResultFormat.toArrow(df), "application/vnd.apache.arrow.stream")
-        case "csv" => respond(ex, 200, toCsvString(df).getBytes("UTF-8"), "text/csv")
+          respond(ex, 200, ResultFormat.toArrow(df.limit(HttpApi.MaxResultRows)),
+            "application/vnd.apache.arrow.stream")
+        case "csv" =>
+          respond(ex, 200, toCsvString(df.limit(HttpApi.MaxResultRows)).getBytes("UTF-8"),
+            "text/csv")
         case other => error(ex, 400, s"Invalid format '$other'. Use: json, arrow, or csv")
       }
     }
@@ -317,6 +325,10 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
         val deadline = durationMs.map(System.currentTimeMillis() + _)
         while (deadline.forall(_ > System.currentTimeMillis())) {
           t.poll().foreach(streamRows(_, withColumns = true))
+          // SSE comment keepalive: with no new chunks nothing else is ever
+          // written, so a dead client would leak this handler thread forever —
+          // the ping makes the disconnect surface as a write failure.
+          os.write(": ping\n\n".getBytes("UTF-8")); os.flush()
           Thread.sleep(250)
         }
       }
@@ -354,6 +366,14 @@ object HttpApi {
     * too but axum enforces a default body limit, so this is the parity bound.
     */
   val MaxBodyBytes: Int = 16 << 20
+
+  /** Hard cap on rows any buffered /api/v1/sql response will collect driver-side
+    * (json/arrow/csv all materialize before writing — reference sql_http.rs
+    * buffers all record batches the same way and has the same exposure). The
+    * limit is planned, not post-hoc, so executors stop at the cap too; JSON
+    * responses flag the clip via stats.truncated.
+    */
+  val MaxResultRows: Int = 100000
 
   /** Thrown by routes to produce a specific HTTP status (e.g. 413). */
   final case class HttpError(code: Int, msg: String) extends RuntimeException(msg)

@@ -239,6 +239,19 @@ class EngineSpec extends AnyFunSuite {
     assert(eng2.isResultCached(tiny2), "most recent entry survives the sweep")
   }
 
+  test("localization collect guard: benign failures fall back, fatal errors propagate") {
+    val (eng, _) = freshEngine()
+    // a SparkException (e.g. a lost cached block) → null ⇒ stay distributed
+    assert(eng.collectForLocalize(() =>
+      throw new org.apache.spark.SparkException("block lost")) == null)
+    // a fatal JVM error must NOT be swallowed into a cache-policy decision
+    intercept[OutOfMemoryError] {
+      eng.collectForLocalize(() => throw new OutOfMemoryError("boom"))
+    }
+    // the success path passes rows through untouched
+    assert(eng.collectForLocalize(() => Array.empty).length == 0)
+  }
+
   test("concurrent queries with different pruned chunk sets never cross-contaminate") {
     // Regression: prune→register→spark.sql used to be non-atomic, so two
     // concurrent sql() calls could resolve the shared `metrics` view against

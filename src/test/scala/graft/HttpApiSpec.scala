@@ -289,6 +289,24 @@ class HttpApiSpec extends AnyFunSuite {
     assert(range.statusCode() == 200 && range.body().contains("\"matrix\""), range.body())
   }
 
+  test("over-cap SELECT is clipped at MaxResultRows with stats.truncated (driver-safety cap)") {
+    // 48 fixture rows × 3000 = 144 000 > the 100 000 cap; the LIMIT is planned
+    // (CollectLimit), so executors stop producing past the cap too
+    val q = s"SELECT explode(sequence(1, 3000)) AS n FROM metrics WHERE timestamp_ns >= $t0"
+    val resp = post("/api/v1/sql", s"""{"query":"${q.replace("\"", "\\\"")}"}""")
+    assert(resp.statusCode() == 200)
+    val j = org.json4s.jackson.JsonMethods.parse(resp.body())
+    import org.json4s._
+    assert((j \ "stats" \ "truncated") == JBool(true))
+    assert((j \ "stats" \ "rows_read") == JInt(HttpApi.MaxResultRows))
+    assert((j \ "data").asInstanceOf[JArray].arr.size == HttpApi.MaxResultRows)
+    // an under-cap result carries no truncated marker
+    val small = post("/api/v1/sql",
+      s"""{"query":"SELECT COUNT(*) AS c FROM metrics WHERE timestamp_ns >= $t0"}""")
+    assert((org.json4s.jackson.JsonMethods.parse(small.body()) \ "stats" \ "truncated")
+      == JNothing)
+  }
+
   test("oversized POST body is rejected with 413 before buffering") {
     // declare a Content-Length over the 16 MB cap WITHOUT sending the body —
     // the server must reject from the header alone (never tries to read 10 GB)

@@ -390,16 +390,27 @@ class TextDedupSimSpec extends AnyFunSuite {
     val fps = graft.dedup.Dedup.winnowingFingerprints(d, k = 5, w = 4)
       .collect().map(r => r.getLong(0) -> r.getString(1))
     val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    // guarantee: docs 1 and 2 share the 10-token run -> >= 1 common HASH part
-    val h1 = byDoc(1L).map(_.takeWhile(_ != '-'))
-    val h2 = byDoc(2L).map(_.takeWhile(_ != '-'))
-    assert((h1 & h2).nonEmpty, "shared run must contribute a shared fingerprint hash")
-    val h3 = byDoc(3L).map(_.takeWhile(_ != '-'))
-    assert((h1 & h3).isEmpty, "unrelated docs share nothing")
+    // guarantee holds on the returned column DIRECTLY: docs 1 and 2 share the
+    // 10-token run -> >= 1 common fingerprint (fp is the hash, not hash-pos)
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "shared run must contribute a shared fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs share nothing")
+    assert(byDoc(1L).forall(fp => fp.length == 15 && !fp.contains('-')),
+      "fp column is the bare 15-hex hash")
     assert(byDoc(4L).size == 1, "sub-window doc gets exactly one fingerprint")
     // density: selections are a strict subset of the k-gram positions
     val n1Grams = 16 - 5 + 1 // doc 1 tokens = 16
     assert(byDoc(1L).size < n1Grams && byDoc(1L).nonEmpty)
+  }
+
+  test("simhashNearDupPairsExact: out-of-range maxHamming is a clear error, not a degenerate mask") {
+    val d = docs((1L, "a b c"), (2L, "a b d"))
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.simhashNearDupPairsExact(d, maxHamming = -1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.simhashNearDupPairsExact(d, maxHamming = 60)
+    }
   }
 
   test("removeDuplicatedPassages: cross-doc span removed from later doc, intra-doc repeat, short docs untouched") {
