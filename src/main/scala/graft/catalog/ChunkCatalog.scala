@@ -41,7 +41,15 @@ final case class ChunkMeta(
     level: Int = 0,
     shardId: Option[String] = None,
     columnStats: Map[String, ColumnStats] = Map.empty,
-    schemaDdl: Option[String] = None) {
+    schemaDdl: Option[String] = None,
+    // Level-0 flush provenance of a REWRITTEN chunk (compaction merge, shard-split
+    // half): the original flush paths whose rows this chunk now carries,
+    // flattened transitively so it always names L0 flushes. Empty for original
+    // flushes. Lets a live tail (LiveMerge.CatalogTail) tell which flushes a
+    // rewrite subsumed, so a flush that was compacted away between polls is
+    // still delivered exactly once. Bounded: compaction groups within an hour
+    // partition, so a chunk's provenance is that partition's flush count.
+    sourcePaths: Seq[String] = Nil) {
 
   def overlaps(startNs: Long, endNs: Long): Boolean =
     minTimestampNs <= endNs && maxTimestampNs >= startNs
@@ -248,6 +256,7 @@ object ChunkCatalog {
     "level" -> JInt(c.level),
     "shard_id" -> c.shardId.map(JString(_): JValue).getOrElse(JNull),
     "schema_ddl" -> c.schemaDdl.map(JString(_): JValue).getOrElse(JNull),
+    "source_paths" -> JArray(c.sourcePaths.map(JString(_): JValue).toList),
     "column_stats" -> JObject(c.columnStats.toList.sortBy(_._1).map {
       case (k, v) => k -> (statsToJson(v): JValue)
     }))
@@ -307,7 +316,11 @@ object ChunkCatalog {
           level = long(j \ "level").toInt,
           shardId = (j \ "shard_id") match { case JString(s) => Some(s); case _ => None },
           columnStats = stats,
-          schemaDdl = (j \ "schema_ddl") match { case JString(s) => Some(s); case _ => None })
+          schemaDdl = (j \ "schema_ddl") match { case JString(s) => Some(s); case _ => None },
+          sourcePaths = (j \ "source_paths") match {
+            case JArray(a) => a.collect { case JString(s) => s }
+            case _ => Nil // catalogs written before provenance existed
+          })
       }.toMap
       case _ => Map.empty[String, ChunkMeta]
     }

@@ -86,7 +86,8 @@ final class Compactor(
       .write.option("compression", "zstd")
       .parquet(target.toString)
     val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, newLevel)
-      .copy(schemaDdl = Some(df.schema.toDDL))
+      .copy(schemaDdl = Some(df.schema.toDDL),
+        sourcePaths = Compactor.l0Provenance(group))
     catalog.replaceChunks(group.map(_.path), Seq(meta))
     // Old files go through grace-period GC rather than immediate delete
     // (reference 5-min grace, mod.rs:816-918).
@@ -136,6 +137,7 @@ final class Compactor(
         throw new IllegalStateException(s"missing sweep stats for group $i"))
       m.copy(
         level = g.map(_.level).max + 1,
+        sourcePaths = Compactor.l0Provenance(g),
         sizeBytes = ChunkStats.dirSize(java.nio.file.Paths.get(path)),
         schemaDdl = Some(org.apache.spark.sql.types.StructType(
           union.schema.fields.filterNot(_.name == "__grp")).toDDL))
@@ -191,6 +193,19 @@ object Compactor {
 
   final case class CompactionBackpressure(
       l0PendingFiles: Long, isBehind: Boolean, recommendedDelayMs: Long)
+
+  /** Flattened level-0 flush provenance of a rewrite (see ChunkMeta.sourcePaths):
+    * an original flush contributes its own path; an already-rewritten input
+    * contributes ITS provenance, so the result always names L0 flushes. A
+    * legacy merged chunk without recorded provenance contributes nothing
+    * (its flushes predate tracking — nothing recoverable).
+    */
+  def l0Provenance(group: Seq[ChunkMeta]): Seq[String] =
+    group.flatMap { c =>
+      if (c.sourcePaths.nonEmpty) c.sourcePaths
+      else if (c.level == 0) Seq(c.path)
+      else Nil
+    }.distinct
 
   /** L0 250 MB, L1 2 GB, L2 10 GB, L3+ 50 GB (reference mod.rs:84-97,991-998). */
   def defaultLevelTargets(level: Int): Long = level match {

@@ -51,7 +51,10 @@ final class ShardSplitter(spark: SparkSession, catalog: ChunkCatalog) {
             .sortWithinPartitions(MetricSchema.TimestampNsCol)
             .write.option("compression", "zstd").parquet(target.toString)
           val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, c.level)
-            .copy(shardId = Some(shard), schemaDdl = Some(df.schema.toDDL))
+            .copy(shardId = Some(shard), schemaDdl = Some(df.schema.toDDL),
+              // rewrite provenance: a live tail must not re-deliver a half
+              // whose source flush it already served (ChunkMeta.sourcePaths)
+              sourcePaths = Compactor.l0Provenance(Seq(c)))
           if (meta.rowCount == 0L) { ChunkStats.deleteDir(target); None }
           else Some(meta)
         }
@@ -88,7 +91,8 @@ final class ColumnPromoter(spark: SparkSession, catalog: ChunkCatalog) {
       df.observe(obs, aggs.head, aggs.tail: _*)
         .write.option("compression", "zstd").parquet(target.toString)
       val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, c.level)
-        .copy(schemaDdl = Some(df.schema.toDDL))
+        .copy(schemaDdl = Some(df.schema.toDDL),
+          sourcePaths = Compactor.l0Provenance(Seq(c)))
       catalog.replaceChunks(Seq(c.path), Seq(meta))
       catalog.deferDelete(Seq(c.path), System.currentTimeMillis())
       meta

@@ -64,18 +64,30 @@ object LiveMerge {
     */
   final class CatalogTail(spark: SparkSession, catalog: graft.catalog.ChunkCatalog,
                           val mergeTimestampNs: Long) {
-    private var seen: Set[String] = catalog.allChunks.map(_.path).toSet
+    // Seed with the snapshot's chunks AND their L0 provenance: a pre-snapshot
+    // flush that was long since compacted away must never be "recovered" —
+    // its rows belonged to the historical phase.
+    private var seen: Set[String] = {
+      val cs = catalog.allChunks
+      cs.map(_.path).toSet ++ cs.flatMap(_.sourcePaths)
+    }
 
     /** Rows flushed since the last poll with ts >= merge cutoff; None if no new
       * chunks. Late rows (ts < cutoff) are silently dropped, faithful to the
       * reference's dedup boundary — they were the historical phase's to serve.
       *
-      * Only level-0 chunks are tailed: a compaction running during the tail
-      * REPLACES already-seen chunks with a merged level-N chunk, whose rows
-      * were already delivered — forwarding it would duplicate them. The
-      * reference has the same semantics for free (its broadcast carries fresh
-      * flush batches only; compaction never re-broadcasts). The merged chunk
-      * is still marked seen so a later poll doesn't revisit it.
+      * Delivery is tracked per level-0 FLUSH, not per catalog entry, because
+      * compaction/splits rewrite entries between polls:
+      *  - a fresh provenance-free level-0 chunk is a new flush → deliver it;
+      *  - a fresh REWRITE (merged chunk, split half — carries sourcePaths)
+      *    holds rows of flushes that were each either already delivered (their
+      *    path is seen) or flushed-then-rewritten-away between polls (never in
+      *    the catalog at a poll). The latter are recovered by reading those
+      *    source flush files directly — still on disk under grace-period GC.
+      *    Forwarding the rewrite itself would duplicate the delivered part.
+      * A tail stalled past the GC grace period loses the recovered flushes —
+      * the same lagging-subscriber semantics as the reference's bounded
+      * broadcast channel (src/api/query/streaming.rs live subscription).
       */
     def poll(): Option[DataFrame] = {
       catalog.invalidateCache()
@@ -83,10 +95,14 @@ object LiveMerge {
       if (fresh.isEmpty) None
       else {
         seen ++= fresh.map(_.path)
-        val flushes = fresh.filter(_.level == 0)
-        if (flushes.isEmpty) None
+        val flushes = fresh.filter(c => c.level == 0 && c.sourcePaths.isEmpty).map(_.path)
+        val recovered = fresh.flatMap(_.sourcePaths).distinct.filterNot(seen.contains)
+        seen ++= recovered
+        val readable = flushes ++ recovered.filter(p =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        if (readable.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true")
-          .parquet(flushes.map(_.path): _*)
+          .parquet(readable: _*)
           .filter(col(MetricSchema.TimestampNsCol) >= mergeTimestampNs))
       }
     }

@@ -81,6 +81,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 == Set(4.0))
   }
 
+  test("CatalogTail: flush compacted away between polls is recovered exactly once (lineage)") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_tailrec_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0, "cpu", 0.5, Map("host" -> "a")))))
+    val mergeTs = t0 + 5000L
+    val tail = new LiveMerge.CatalogTail(spark, cat, mergeTs)
+    assert(tail.poll().isEmpty)
+    // flush A: polled and delivered
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0 + 6000L, "cpu", 1.0, Map("host" -> "b")))))
+    assert(tail.poll().get.select("value_f64").collect().map(_.getDouble(0)).toSet == Set(1.0))
+    // flush B: compacted away BEFORE the next poll — it never appears in the
+    // catalog as level-0 at any poll, but its rows must still be delivered
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0 + 7000L, "cpu", 2.0, Map("host" -> "b")))))
+    new graft.compact.Compactor(spark, cat).compactGroups(Seq(cat.allChunks))
+    assert(cat.allChunks.forall(_.level > 0), "everything merged into one leveled chunk")
+    val got = tail.poll().get.select("value_f64").collect().map(_.getDouble(0)).toSet
+    assert(got == Set(2.0), s"recover ONLY the never-delivered flush, got $got")
+    assert(tail.poll().isEmpty, "recovery is exactly-once")
+    // a tail constructed AFTER compaction owes nothing from the merged chunk's
+    // lineage (seeded as historical), even across a FURTHER rewrite
+    val tail2 = new LiveMerge.CatalogTail(spark, cat, mergeTs)
+    writer.write(Converters.pointsToDf(spark, Seq(
+      MetricPoint(t0 + 8000L, "cpu", 3.0, Map("host" -> "c")))))
+    new graft.compact.Compactor(spark, cat).compactGroups(Seq(cat.allChunks))
+    val got2 = tail2.poll().get.select("value_f64").collect().map(_.getDouble(0)).toSet
+    assert(got2 == Set(3.0), s"only the new flush is recovered, got $got2")
+    assert(tail2.poll().isEmpty)
+  }
+
   test("ingestSink: stream flushes through the production chunk path, queryable mid-stream") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_sink_"), cacheTtlMs = 0L)
     val ckpt = Files.createTempDirectory("graft_sink_ckpt_").toString
