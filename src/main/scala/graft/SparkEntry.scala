@@ -565,6 +565,28 @@ object SparkEntry {
         .orderBy("time_bucket", "metric_name", "host")
     }),
 
+    // §2.10 EXTENSION — ENGINE-INTEGRATED rollup routing (completes the
+    // reference's configured-but-unimplemented downsample_after_days,
+    // src/compactor/mod.rs:70-91): plain SQL against the registered `metrics`
+    // view; QueryEngine detects that the 12 h bucketed aggregate is a whole
+    // multiple of the REGISTERED 6 h rollup's resolution and answers from the
+    // rollup table without touching raw chunks (require() makes the gate fail
+    // if it ever silently falls back to raw). Oracle aggregates RAW events —
+    // hash equality proves the routed path is exact.
+    "q_rollup_routed" -> ((s, dir) => {
+      val eng = rollupEngine(s, dir)
+      val step = 43200L * 1000000000L
+      val df = eng.sql(
+        s"SELECT (timestamp_ns div $step) * $step AS time_bucket, metric_name, host, " +
+          "round(sum(value_f64), 4) AS sum_v, min(value_f64) AS min_value, " +
+          "max(value_f64) AS max_value, count(*) AS sample_count " +
+          s"FROM metrics WHERE timestamp_ns >= $Jan1Ns AND timestamp_ns < $Jan3Ns " +
+          "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
+      require(eng.lastServedFromRollup,
+        "q_rollup_routed must be answered from the registered rollup")
+      df
+    }),
+
     // §2.10 5-phase shard split collapsed to a partition-rewrite job: ingest 12 h,
     // split at hour 6, then engine-query counts — no row lost or duplicated.
     "q_split_shard" -> ((s, dir) => {
@@ -1056,6 +1078,25 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Dedicated warehouse+rollup for q_rollup_routed (separate from engineCache:
+    * a registered rollup changes OTHER queries' routing decisions — this
+    * engine is the only one with one registered).
+    */
+  private val rollupEngineCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.engine.QueryEngine]()
+
+  private def rollupEngine(s: SparkSession, dir: String): graft.engine.QueryEngine =
+    rollupEngineCache.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_q_")
+      val catalog = new graft.catalog.ChunkCatalog(tmp)
+      new graft.ingest.ChunkWriter(catalog)
+        .write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") < Jan3Ns))
+      graft.compact.Downsampler.materializeRollup(s, catalog,
+        resolutionSeconds = 21600L, labelCols = Seq("host"))
+      new graft.engine.QueryEngine(s, catalog)
+    })
+
   /** Memoized compacted warehouse for q_compact_merge: two interleaved L0 writes
     * of events[Jan1, maxTs) then a full compaction sweep, built once per
     * (session, dir).
@@ -1467,6 +1508,17 @@ object SparkEntry {
         | min(value) AS min_value, max(value) AS max_value, count(*) AS sample_count,
         | floor(round(sum(value), 4) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
         |FROM events GROUP BY 1, 2, 3 ORDER BY time_bucket, metric_name, host""".stripMargin,
+
+    // RAW aggregation at 12 h over the first two days — the engine-ROUTED
+    // (6 h rollup → 12 h re-bucket) result must hash-equal this
+    "q_rollup_routed" ->
+      """SELECT (epoch_ns(ts) // 43200000000000) * 43200000000000 AS time_bucket,
+        | event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | round(sum(value), 4) AS sum_v, min(value) AS min_value, max(value) AS max_value,
+        | count(*) AS sample_count
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704240000000000000
+        |GROUP BY 1, 2, 3 ORDER BY time_bucket, metric_name, host""".stripMargin,
 
     "q_split_shard" ->
       """SELECT event_type AS metric_name, count(*) AS cnt, round(sum(value), 4) AS sum_v

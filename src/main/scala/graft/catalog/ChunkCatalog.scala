@@ -55,6 +55,26 @@ final case class ChunkMeta(
     minTimestampNs <= endNs && maxTimestampNs >= startNs
 }
 
+/** A materialized mergeable rollup registered in the catalog (the engine-side
+  * completion of the reference's configured-but-unimplemented
+  * `downsample_after_days`, src/compactor/mod.rs:70-91): a parquet table of
+  * (time_bucket, metric_name, labels..., sum/min/max/sample_count/value_count)
+  * at `resolutionSeconds`, covering raw timestamps in
+  * [minBucketNs, maxCoveredNsExclusive). QueryEngine routes bucketed
+  * aggregates whose step is a whole multiple of the resolution (and whose
+  * range/columns the rollup covers) to this table instead of raw chunks.
+  * Consistency invariant: registering any NEW raw chunk overlapping the
+  * covered range drops the rollup (write-invalidation) — rewrites of existing
+  * rows (compaction, splits, promotion) keep it, they move rows, not data.
+  */
+final case class RollupMeta(
+    path: String,
+    resolutionSeconds: Long,
+    labelCols: Seq[String],
+    minBucketNs: Long,
+    maxCoveredNsExclusive: Long,
+    rowCount: Long)
+
 /** The unified catalog document: {version, chunks, time_index} — reference
   * src/metadata/s3.rs:104-116. time_index buckets chunks by hour of minTimestamp.
   *
@@ -109,16 +129,29 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
 
   // --- writes (all single-writer, atomic-rename committed) -----------------
 
-  def register(chunk: ChunkMeta): Unit = mutate { st =>
-    st.copy(
-      chunks = st.chunks + (chunk.path -> chunk),
-      timeIndex = addToIndex(st.timeIndex, chunk))
-  }
+  def register(chunk: ChunkMeta): Unit = registerAll(Seq(chunk))
 
   def registerAll(chunks: Seq[ChunkMeta]): Unit = mutate { st =>
-    chunks.foldLeft(st) { (s, c) =>
+    val added = chunks.foldLeft(st) { (s, c) =>
       s.copy(chunks = s.chunks + (c.path -> c), timeIndex = addToIndex(s.timeIndex, c))
     }
+    // Write-invalidation: NEW raw data overlapping a rollup's covered range
+    // makes it stale — drop it (re-materialize later). Chunk REWRITES
+    // (compaction/split/promotion) go through replaceChunks and keep rollups.
+    added.copy(rollups = added.rollups.filterNot(r =>
+      chunks.exists(c => c.minTimestampNs < r.maxCoveredNsExclusive &&
+        c.maxTimestampNs >= r.minBucketNs)))
+  }
+
+  def rollups: Seq[RollupMeta] = state.rollups
+
+  /** Register a materialized rollup (replaces any previous one at the same path). */
+  def registerRollup(r: RollupMeta): Unit = mutate { st =>
+    st.copy(rollups = st.rollups.filterNot(_.path == r.path) :+ r)
+  }
+
+  def dropRollup(path: String): Unit = mutate { st =>
+    st.copy(rollups = st.rollups.filterNot(_.path == path))
   }
 
   /** Atomically remove source chunks and add the compacted chunk — mirrors the
@@ -136,7 +169,19 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     st.copy(chunks = withAdds._1, timeIndex = withAdds._2)
   }
 
-  def remove(paths: Seq[String]): Unit = replaceChunks(paths, Nil)
+  /** Remove chunks (retention/GC path). Unlike compaction/split rewrites this
+    * DELETES rows, so any rollup whose coverage overlaps a removed chunk is
+    * dropped — it would otherwise keep serving the deleted data.
+    */
+  def remove(paths: Seq[String]): Unit = {
+    val removedMetas = state.chunks.view.filterKeys(paths.toSet).values.toList
+    mutate { st =>
+      st.copy(rollups = st.rollups.filterNot(r =>
+        removedMetas.exists(c => c.minTimestampNs < r.maxCoveredNsExclusive &&
+          c.maxTimestampNs >= r.minBucketNs)))
+    }
+    replaceChunks(paths, Nil)
+  }
 
   def setActiveSplits(splits: Seq[String]): Unit = mutate(_.copy(activeSplits = splits.toList))
 
@@ -187,7 +232,8 @@ object ChunkCatalog {
       chunks: Map[String, ChunkMeta],
       timeIndex: scala.collection.immutable.TreeMap[Long, List[String]],
       activeSplits: List[String],
-      pendingDeletes: List[(String, Long)])
+      pendingDeletes: List[(String, Long)],
+      rollups: List[RollupMeta] = Nil)
 
   object CatalogState {
     val empty: CatalogState = CatalogState(1L, Map.empty,
@@ -273,7 +319,14 @@ object ChunkCatalog {
       "active_splits" -> JArray(st.activeSplits.map(JString(_): JValue)),
       "pending_deletes" -> JArray(st.pendingDeletes.map { case (p, t) =>
         JObject("path" -> JString(p), "after" -> JLong(t)): JValue
-      }))
+      }),
+      "rollups" -> JArray(st.rollups.map(r => JObject(
+        "path" -> JString(r.path),
+        "resolution_seconds" -> JLong(r.resolutionSeconds),
+        "label_cols" -> JArray(r.labelCols.map(JString(_): JValue).toList),
+        "min_bucket" -> JLong(r.minBucketNs),
+        "max_covered_exclusive" -> JLong(r.maxCoveredNsExclusive),
+        "row_count" -> JLong(r.rowCount)): JValue)))
     JsonMethods.pretty(JsonMethods.render(doc))
   }
 
@@ -344,6 +397,21 @@ object ChunkCatalog {
       }
       case _ => Nil
     }
-    CatalogState(long(doc \ "version"), chunks, timeIndex, splits, pending)
+    val rollups = (doc \ "rollups") match {
+      case JArray(a) => a.collect { case o: JObject =>
+        RollupMeta(
+          path = (o \ "path") match { case JString(s) => s; case _ => "" },
+          resolutionSeconds = long(o \ "resolution_seconds"),
+          labelCols = (o \ "label_cols") match {
+            case JArray(ls) => ls.collect { case JString(s) => s }
+            case _ => Nil
+          },
+          minBucketNs = long(o \ "min_bucket"),
+          maxCoveredNsExclusive = long(o \ "max_covered_exclusive"),
+          rowCount = long(o \ "row_count"))
+      }
+      case _ => Nil
+    }
+    CatalogState(long(doc \ "version"), chunks, timeIndex, splits, pending, rollups)
   }
 }

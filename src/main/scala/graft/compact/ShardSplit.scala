@@ -124,7 +124,9 @@ object Downsampler {
   /** Rollup with MERGEABLE components only (sum+count+min+max — no stored
     * avg: avg-of-avgs is wrong on uneven buckets; derive it at serve time as
     * Σsum/Σcount). This is the storage shape that makes resolution-based
-    * query routing sound.
+    * query routing sound. `sample_count` counts ROWS (merges to count(*));
+    * `value_count` counts non-null values (what avg(value) divides by —
+    * they differ only when value_f64 has nulls, e.g. multi-value-type mode).
     */
   def downsampleMergeable(df: DataFrame, resolutionSeconds: Long,
                           labelCols: Seq[String]): DataFrame = {
@@ -137,7 +139,8 @@ object Downsampler {
         sum(MetricSchema.ValueF64).as("sum_value"),
         min(MetricSchema.ValueF64).as("min_value"),
         max(MetricSchema.ValueF64).as("max_value"),
-        count(lit(1)).as("sample_count"))
+        count(lit(1)).as("sample_count"),
+        count(MetricSchema.ValueF64).as("value_count"))
   }
 
   /** Serve a coarser-step bucketed aggregate FROM a mergeable rollup —
@@ -162,7 +165,50 @@ object Downsampler {
         sum("sum_value").as("sum_value"),
         min("min_value").as("min_value"),
         max("max_value").as("max_value"),
-        sum("sample_count").as("sample_count"))
-      .withColumn("avg_value", col("sum_value") / col("sample_count"))
+        sum("sample_count").as("sample_count"),
+        sum("value_count").as("value_count"))
+      // avg over the values that EXIST, exactly like avg(value_f64) on raw rows
+      .withColumn("avg_value", col("sum_value") / col("value_count"))
+  }
+
+  /** Build the mergeable rollup over the catalog's CURRENT raw chunks, write it
+    * as one parquet table under the warehouse root, and register it for
+    * engine-side query routing (see [[graft.plans.RollupRouting]]). Coverage is
+    * recorded as [min bucket, max bucket + resolution): a query whose time
+    * bounds fall inside it can be answered from the rollup alone. Any raw
+    * chunk registered AFTERWARDS that overlaps the coverage drops the
+    * registration (ChunkCatalog write-invalidation) — mirroring the
+    * reference's intent that downsampling applies to aged-out immutable data
+    * (`downsample_after_days`, src/compactor/mod.rs:70-91).
+    */
+  def materializeRollup(spark: SparkSession, catalog: ChunkCatalog,
+                        resolutionSeconds: Long,
+                        labelCols: Seq[String]): graft.catalog.RollupMeta = {
+    val chunks = catalog.allChunks
+    require(chunks.nonEmpty, "cannot materialize a rollup over an empty warehouse")
+    val raw = ChunkCatalog.mergedSchema(chunks) match {
+      case Some(schema) => spark.read.schema(schema).parquet(chunks.map(_.path): _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(chunks.map(_.path): _*)
+    }
+    val target = catalog.root.resolve(
+      s"default/rollup/res${resolutionSeconds}s_${UUID.randomUUID()}")
+    val obs = org.apache.spark.sql.Observation(s"rollup_${UUID.randomUUID()}")
+    downsampleMergeable(raw, resolutionSeconds, labelCols)
+      .observe(obs, min(col("time_bucket")).as("min_b"),
+        max(col("time_bucket")).as("max_b"), count(lit(1)).as("n"))
+      .write.option("compression", "zstd").parquet(target.toString)
+    val m = obs.get
+    // Built over the ENTIRE warehouse: coverage is the full time axis — a
+    // bucket with no rollup row has no raw row either, so any bounded query
+    // routes; and any subsequently registered chunk invalidates (as it must).
+    val meta = graft.catalog.RollupMeta(
+      path = target.toString,
+      resolutionSeconds = resolutionSeconds,
+      labelCols = labelCols,
+      minBucketNs = Long.MinValue,
+      maxCoveredNsExclusive = Long.MaxValue,
+      rowCount = m("n").asInstanceOf[Long])
+    catalog.registerRollup(meta)
+    meta
   }
 }

@@ -112,10 +112,17 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   private val localizedKeys =
     scala.collection.mutable.HashSet.empty[(String, Seq[String], Boolean)]
 
+  /** Keys whose cached entry is a rollup-routed plan (lastServedFromRollup
+    * stays truthful on cache hits).
+    */
+  private val rollupKeys =
+    scala.collection.mutable.HashSet.empty[(String, Seq[String], Boolean)]
+
   private def dropEntry(key: (String, Seq[String], Boolean), df: DataFrame): Unit = {
     try df.unpersist(blocking = false) catch { case _: Throwable => () }
     cachedBytes.remove(key)
     localizedKeys.remove(key)
+    rollupKeys.remove(key)
   }
 
   /** RAM result-cache tier, the Spark analog of the reference's L1 moka cache
@@ -141,6 +148,16 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * numbers so the <100 ms gate can't be read as a driver array lookup.
     */
   @volatile var localizeWarmHits: Boolean = true
+
+  /** Resolution-based rollup routing (graft.plans.RollupRouting) — on by
+    * default; registered rollups only exist when an operator materialized one.
+    */
+  @volatile var rollupRoutingEnabled: Boolean = true
+
+  /** True iff the most recent sql() was answered from a registered rollup
+    * (observability for tests/telemetry, like lastPrunedPaths).
+    */
+  @volatile var lastServedFromRollup: Boolean = false
 
   /** Query-pattern stats feeding index recommendations — populated per query like
     * the reference's adaptive-index hooks (engine.rs:259-300).
@@ -220,12 +237,16 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     val paths = prune(range, preds)
     lastPrunedPaths = paths
     val split = catalog.hasActiveSplit
-    val key = (query, paths, split)
+    // rollup identity is part of the cache key: (de)registering a rollup must
+    // never serve a stale cached plan built against the other source
+    val rollups = if (rollupRoutingEnabled && !split) catalog.rollups else Nil
+    val key = (query, paths ++ rollups.map("rollup:" + _.path), split)
     var toLocalize: DataFrame = null
     planCache.synchronized {
       val hit = planCache.get(key)
       if (hit != null) {
         Telemetry.cacheHits.increment()
+        lastServedFromRollup = rollupKeys(key)
         // persisted-but-not-yet-localized entry on a REPEAT hit → localize it
         if (!localizeWarmHits || localizedKeys(key) || !cachedBytes.contains(key))
           return hit
@@ -243,6 +264,21 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       // scan's file listing) must bind to THIS query's registered path set.
       df.queryExecution.assertAnalyzed()
       df
+    }
+    // Resolution-based rollup routing (graft.plans.RollupRouting): a bucketed
+    // aggregate the registered rollup can answer EXACTLY reads the rollup
+    // table instead of raw chunks. Never during an active split (the rollup
+    // predates the split's dedup semantics); a failed match routes to raw.
+    val routed: Option[DataFrame] =
+      if (rollups.isEmpty) None
+      else
+        try graft.plans.RollupRouting.route(spark, rollups, raw.queryExecution.analyzed)
+        catch { case scala.util.control.NonFatal(_) => None }
+    lastServedFromRollup = routed.isDefined
+    routed.foreach { r =>
+      Telemetry.rollupRouted.increment()
+      planCache.synchronized { planCache.put(key, r); rollupKeys += key }
+      return r
     }
     try adaptiveStats.recordFromPlan(raw.queryExecution.analyzed)
     catch { case _: Throwable => () } // stats are advisory, never fail a query

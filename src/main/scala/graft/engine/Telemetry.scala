@@ -23,6 +23,7 @@ object Telemetry {
   private val queryLatencyNsMaxA = new AtomicLong(0L)
   val cacheHits = new LongAdder
   val cacheMisses = new LongAdder
+  val rollupRouted = new LongAdder
   val ingestRows = new LongAdder
   val ingestBytes = new LongAdder
   val ingestChunks = new LongAdder
@@ -60,6 +61,9 @@ object Telemetry {
         queryLatencyNsMax / 1e9) +
       c("graft_query_cache_hits_total", "Result/plan cache hits", cacheHits.sum()) +
       c("graft_query_cache_misses_total", "Result/plan cache misses", cacheMisses.sum()) +
+      c("graft_query_rollup_routed_total",
+        "Queries answered from a registered rollup instead of raw chunks",
+        rollupRouted.sum()) +
       c("graft_ingester_rows_total", "Rows ingested through ChunkWriter",
         ingestRows.sum()) +
       c("graft_ingester_bytes_written_total", "Compressed chunk bytes written",
