@@ -11,11 +11,19 @@ import org.apache.spark.sql.functions._
   * Content perturbation keeps the duplicate/similarity structure PER COPY
   * rather than multiplying it across copies (a 10× corpus where every doc has
   * 9 verbatim clones would measure the dedup operators on a pathologically
-  * denser pair graph, not on 10× data):
-  *  - documents.text: vowels are rotated by a per-copy offset, so cross-copy
-  *    shingle sets diverge for any vowel-containing doc;
-  *  - embeddings: a per-copy constant is added to one dimension (copy % dim),
-  *    pushing cross-copy cosine below near-dup thresholds.
+  * denser pair graph, not on 10× data), and the perturbation has NO identity
+  * cycle, so cross-copy duplicate DENSITY stays constant at ANY multiplier
+  * (the round-5 vowel rotation was cyclic: copies i ≡ j (mod 5) carried
+  * verbatim clones from m=6 up):
+  *  - documents.text (copy i > 0): a copy-UNIQUE salt token `zq<i>x` is
+  *    inserted after every 8 tokens, so every 13-token passage window and
+  *    ≥55% of 5-gram shingles differ across copies (cross-copy Jaccard
+  *    ≈ 0.28, far under near-dup thresholds) while INTRA-copy duplicate
+  *    structure is preserved exactly (both members of a source dup pair get
+  *    the same salt);
+  *  - embeddings (copy i > 0): a per-copy constant is added to dimension
+  *    i % 64, pushing cross-copy cosine below near-dup thresholds.
+  * Copy 0 of every table is byte-identical to the source.
   * Fixed-size dimension tables (region, nation) are NOT multiplied — scaling
   * facts against fixed dims is exactly the 100 TB shape (and keeps broadcast
   * joins broadcastable). Queries with literal id bounds (doc_id < 40,
@@ -83,16 +91,21 @@ object ScaleGen {
     // parquet, which Spark can read (nanosAsLong) but cannot write back — the
     // DuckDB oracles rely on epoch_ns(ts), so the physical type must survive.
     // scripts/scale_events.py multiplies it with pyarrow, schema-preserving.
-    write(copies(documents)((d, i) => d
-      .withColumn("doc_id", col("doc_id") + i * docOff)
-      .withColumn("text", translate(col("text"),
-        "aeiou", "aeiou".drop(i % 5) + "aeiou".take(i % 5)))
-      .withColumn("n_chars", length(col("text")))), "documents")
-    write(copies(embeddings)((d, i) => d
-      .withColumn("vec_id", col("vec_id") + i * vecOff)
-      .withColumn("embedding", transform(col("embedding"),
+    write(copies(documents)((d, i) => {
+      val shifted = d.withColumn("doc_id", col("doc_id") + i * docOff)
+      if (i == 0) shifted // copy 0 byte-identical
+      else shifted
+        .withColumn("text", regexp_replace(col("text"),
+          "((?:\\S+\\s+){8})", s"$$1zq${i}x "))
+        .withColumn("n_chars", length(col("text")))
+    }), "documents")
+    write(copies(embeddings)((d, i) => {
+      val shifted = d.withColumn("vec_id", col("vec_id") + i * vecOff)
+      if (i == 0) shifted // copy 0 byte-identical
+      else shifted.withColumn("embedding", transform(col("embedding"),
         (v, p) => (v + when(p === lit(i % 64), lit(3.0f * (i % 7 + 1)))
-          .otherwise(lit(0.0f))).cast("float")))), "embeddings")
+          .otherwise(lit(0.0f))).cast("float")))
+    }), "embeddings")
 
     println(s"[scalegen] wrote ${m}x of $src to $dst " +
       s"(lineitem ${lineitem.count() * m} rows)")

@@ -243,22 +243,44 @@ object Dedup {
     * Scale shape: probe sets (benchmark suites) are tiny next to a 100 TB
     * corpus, so the distinct probe-gram set is BROADCAST and the check is a
     * map-side join inside the corpus scan — no corpus shuffle except the final
-    * per-doc aggregation. Set `broadcastProbes = false` for a giant probe set
-    * (falls back to a shuffle join AQE can re-plan).
+    * per-doc aggregation. `broadcastProbes = None` (default) AUTO-selects: a
+    * KMV sketch estimates the distinct probe-gram count first and broadcast
+    * is chosen only under [[ContaminationAutoBroadcastMaxGrams]] — a giant
+    * probe set falls back to a shuffle join (AQE re-plannable) instead of
+    * OOMing every executor on a driver-built hash relation. `Some(b)` forces.
     */
   def contamination(docs: DataFrame, probeFilter: Column, k: Int = 5,
                     textCol: String = "text", idCol: String = "doc_id",
-                    broadcastProbes: Boolean = true): DataFrame = {
+                    broadcastProbes: Option[Boolean] = None,
+                    autoBroadcastMaxGrams: Long = ContaminationAutoBroadcastMaxGrams
+                   ): DataFrame = {
     val g = docs.select(col(idCol), probeFilter.as("__probe"),
       shingles(col(textCol), k).as("__g"))
     val probes0 = g.filter(col("__probe")).select(explode(col("__g")).as("gram")).distinct()
-    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val doBroadcast = broadcastProbes.getOrElse {
+      // KMV over the probe grams: one small job over the PROBE side only
+      // (never the corpus); ±2% at k=1024 is plenty for a 16× size margin
+      val est = graft.pipeline.Pipeline
+        .kmvDistinct(g.filter(col("__probe")).select(explode(col("__g")).as("gram")),
+          col("gram"), k = 1024)
+        .collect()(0).getAs[Long]("est_distinct")
+      est <= autoBroadcastMaxGrams
+    }
+    val probes = if (doBroadcast) broadcast(probes0) else probes0
     g.filter(!col("__probe"))
       .select(col(idCol), explode(col("__g")).as("gram"))
       .join(probes, "gram")
       .groupBy(col(idCol))
       .agg(countDistinct("gram").as("shared_grams"))
   }
+
+  /** Auto-broadcast bound for [[contamination]]: ~4M distinct k-grams ≈ a few
+    * hundred MB as a broadcast hash relation (40-60 B/gram string + overhead) —
+    * the upper end of what a 4-8 GB executor comfortably holds. Benchmark
+    * probe suites are orders of magnitude below this; web-scale probe sets
+    * (e.g. decontaminating against an entire eval CORPUS) blow past it.
+    */
+  val ContaminationAutoBroadcastMaxGrams: Long = 4000000L
 
   /** Duplicated-passage ratio (ExactSubstr-style signal, Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better"): for every doc,

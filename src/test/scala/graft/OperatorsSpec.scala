@@ -165,6 +165,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("rangeJoinAuto: bin derived from skewed interval lengths is the median, result exact") {
+    // skewed density: 90 short (len 10) + 10 huge (len 1000) intervals — a
+    // hand-tuned coarse bin collapses every point into few bins (occupancy²
+    // candidates); the auto bin tracks the TYPICAL length
+    val intervals = ((0 until 90).map(i => (i * 11L, i * 11L + 10L, i.toLong)) ++
+      (0 until 10).map(i => (i * 90L, i * 90L + 1000L, 90L + i))).toDF("s", "e", "iid")
+    val points = (0L until 1200L).map(t => (t, t)).toDF("ts", "pid").repartition(8)
+    val bin = Operators.autoBinSize(intervals, "s", "e")
+    assert(bin == 10L, s"median interval length is the bin, got $bin")
+    val got = Operators.rangeJoinAuto(points, intervals, "ts", "s", "e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val naive = points.join(intervals, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == naive.toSeq && got.nonEmpty)
+    // the tuning matters: candidate pairs (pre-residual equi-join size) with
+    // the auto bin stay well under a 100×-coarser bin's occupancy² pairing
+    def candidates(b: Long): Long = {
+      val binned = points.withColumn("__bin", expr(s"ts div ${b}L"))
+      val exploded = intervals.filter(col("e") > col("s"))
+        .withColumn("__bin", explode(sequence(expr(s"s div ${b}L"), expr(s"(e - 1) div ${b}L"))))
+      binned.join(exploded, Seq("__bin")).count()
+    }
+    assert(candidates(bin) < candidates(bin * 100),
+      "auto bin must produce fewer candidate pairs than a 100x-coarser bin")
+    // degenerate inputs: no positive-length intervals → bin 1, empty result
+    val empties = Seq((5L, 5L, 0L)).toDF("s", "e", "iid")
+    assert(Operators.autoBinSize(empties, "s", "e") == 1L)
+    assert(Operators.rangeJoinAuto(points, empties, "ts", "s", "e").count() == 0L)
+  }
+
   test("rangeJoin with equi-keys only matches within the key") {
     val points = Seq((1L, 5L, "p1"), (2L, 5L, "p2")).toDF("k", "ts", "pid")
     val intervals = Seq((1L, 0L, 10L, "w1")).toDF("k", "s", "e", "iid")

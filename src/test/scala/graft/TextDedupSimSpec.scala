@@ -251,6 +251,33 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2L, 5L -> 1L)) // doc 3 absent: zero shared grams
   }
 
+  test("contamination auto-broadcast: small probes broadcast, over-bound probes shuffle, same answer") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = ((0 until 40).map(i => (i * 2L, s"probe set doc $i with words w$i x$i y$i z$i q$i")) ++
+      (0 until 40).map(i => (i * 2L + 1L, s"corpus doc $i with words w$i x$i y$i z$i extra"))).toDF("doc_id", "text")
+    val probe = org.apache.spark.sql.functions.col("doc_id") % 2 === 0
+    // assert on the INJECTED hint in the analyzed plan (AQE may independently
+    // re-broadcast a genuinely tiny side at runtime — that is its call, not
+    // the guard's; the guard must only stop the driver-FORCED broadcast)
+    def planOf(bound: Long): (String, Map[Long, Long]) = {
+      val df = graft.dedup.Dedup.contamination(docs, probe, k = 3,
+        broadcastProbes = None, autoBroadcastMaxGrams = bound)
+      (df.queryExecution.analyzed.toString,
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    // small probe set under the bound → KMV estimate selects BROADCAST
+    val (bPlan, bOut) = planOf(bound = 4000000L)
+    assert(bPlan.toLowerCase.contains("broadcast"),
+      s"auto must broadcast small probes:\n$bPlan")
+    // same probe set with the bound forced below the estimate → no forced
+    // broadcast, identical answer (the mega-probe-set path, no OOM risk)
+    val (sPlan, sOut) = planOf(bound = 10L)
+    assert(!sPlan.toLowerCase.contains("broadcast"),
+      s"over-bound probe set must not be force-broadcast:\n$sPlan")
+    assert(sOut == bOut && bOut.nonEmpty, "join strategy must not change the answer")
+  }
+
   test("repetition stats: exact counts and deterministic ratio") {
     val spark = SparkTestBase.spark
     import spark.implicits._
