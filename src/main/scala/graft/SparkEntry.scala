@@ -801,6 +801,17 @@ object SparkEntry {
           col("n_kept"), col("n_removed"))
         .orderBy("doc_id")),
 
+    // Bounded-slice variant — same rationale as q_doc_minhash_neardup_s (the
+    // transform itself is linear, but its oracle's window join is the
+    // quadratic-ish part at big SFs; the slice pins oracle cost).
+    "q_doc_passage_remove_s" -> ((s, dir) =>
+      graft.dedup.Dedup.removeDuplicatedPassages(
+        t(s, dir, "documents").filter(col("doc_id") < 2000), 13)
+        .select(col("doc_id"),
+          substring(md5(col("kept_text")), 1, 16).as("kept_hash"),
+          col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")),
+
     // LLM ops — PII scrub: detection counts + redacted-text hash. The corpus has
     // no PII, so deterministic synthetic PII is injected per doc (email always,
     // IP on even ids, phone on ids % 3 == 0) and then found + redacted.
@@ -860,6 +871,17 @@ object SparkEntry {
         t(s, dir, "documents"), threshold = 0.5, numHashes = 32, bands = 16)
         .orderBy("id_a", "id_b")),
 
+    // Bounded-slice variant (VERDICT r5 #4): the full-corpus query above is
+    // hash-gated at the gate SFs, but its all-pairs DuckDB oracle is quadratic
+    // — at 10×+ the RECORDED run gated it rows-only. This fixed 2000-doc slice
+    // keeps the oracle subquadratic at ANY SF, so the hash gate holds in every
+    // scale record (the q_emb_neardup_exact pattern).
+    "q_doc_minhash_neardup_s" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 2000),
+        threshold = 0.5, numHashes = 32, bands = 16)
+        .orderBy("id_a", "id_b")),
+
     // LLM ops — SimHash near-dup pairs, EXACT portable variant (VERDICT r4
     // #5): 60-bit md5 simhash banded into maxHamming+1 blocks — pigeonhole
     // makes recall PROVABLY 1.0, and the md5 token hash lets DuckDB recompute
@@ -872,6 +894,13 @@ object SparkEntry {
     "q_doc_simhash_neardup" -> ((s, dir) =>
       graft.dedup.Dedup.simhashNearDupPairsExact(
         t(s, dir, "documents"), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")),
+
+    // Bounded-slice variant — same rationale as q_doc_minhash_neardup_s.
+    "q_doc_simhash_neardup_s" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashNearDupPairsExact(
+        t(s, dir, "documents").filter(col("doc_id") < 2000), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")),
 
@@ -1166,6 +1195,60 @@ object SparkEntry {
   /** Stopword-occurrence count snippet (DuckDB): non-overlapping hits of ` w ` in the
     * padded lowercased text — mirrors TextFunctions.stopwordHits exactly.
     */
+  /** Brute-force portable-simhash oracle (identical 60-bit md5 signature,
+    * all-pairs Hamming ≤ 3), optionally over a bounded doc_id slice so the
+    * quadratic pairing stays feasible at any SF.
+    */
+  private def simhashOracle(docBound: Option[Long]): String = {
+    val where = docBound.fold("")(b => s" WHERE doc_id < $b")
+    val bitTerms = (0 until 60).map(b =>
+      s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       | FROM documents$where),
+       |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |sig AS (SELECT doc_id, $bitTerms AS sig FROM h GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a, sig b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Passage-removal oracle (Lee et al. 2021 transform mirror), optionally
+    * over a bounded doc_id slice (the corpus-wide window join is the cost
+    * driver at big SFs).
+    */
+  private def passageRemoveOracle(docBound: Option[Long]): String = {
+    val where = docBound.fold("")(b => s" WHERE doc_id < $b")
+    s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |            FROM documents$where),
+       |lw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks
+       |       FROM documents$where),
+       |w AS (SELECT doc_id, i AS start, array_to_string(ltoks[i+1:i+13], ' ') AS win
+       |      FROM lw, UNNEST(generate_series(0, len(ltoks) - 13)) g(i)
+       |      WHERE len(ltoks) >= 13),
+       |firsts AS (SELECT win, min(doc_id * 1000000 + start) AS fkey FROM w GROUP BY win),
+       |dups AS (SELECT w.doc_id, w.start FROM w JOIN firsts f ON w.win = f.win
+       |         WHERE w.doc_id * 1000000 + w.start > f.fkey),
+       |removed AS (SELECT DISTINCT doc_id, start + j AS pos
+       |            FROM dups, UNNEST(generate_series(0, 12)) u(j)),
+       |tokpos AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
+       |           FROM tk, UNNEST(generate_series(0, len(toks) - 1)) g(i)),
+       |kept AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS kept_text,
+       |                count(*) AS n_kept
+       |         FROM tokpos tp LEFT JOIN removed r
+       |           ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+       |         WHERE r.doc_id IS NULL GROUP BY tp.doc_id)
+       |SELECT d.doc_id, substring(md5(coalesce(k.kept_text, '')), 1, 16) AS kept_hash,
+       | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       | CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) - coalesce(k.n_kept, 0)
+       |   AS BIGINT) AS n_removed
+       |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+       |${docBound.fold("")(b => s"WHERE d.doc_id < $b\n")}ORDER BY d.doc_id""".stripMargin
+  }
+
   private def duckHits(w: String): String =
     s"(len(string_split(' ' || lower(text) || ' ', ' $w ')) - 1)"
 
@@ -1805,32 +1888,10 @@ object SparkEntry {
     // Same first-occurrence order key encoding (doc_id*1e6 + start, 0-based
     // start) as the Spark side; window equality over lowercased tokens, kept
     // text in original case, whitespace-normalized by reassembly.
-    "q_doc_passage_remove" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |            FROM documents),
-        |lw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
-        |       FROM documents),
-        |w AS (SELECT doc_id, i AS start, array_to_string(ltoks[i+1:i+13], ' ') AS win
-        |      FROM lw, UNNEST(generate_series(0, len(ltoks) - 13)) g(i)
-        |      WHERE len(ltoks) >= 13),
-        |firsts AS (SELECT win, min(doc_id * 1000000 + start) AS fkey FROM w GROUP BY win),
-        |dups AS (SELECT w.doc_id, w.start FROM w JOIN firsts f ON w.win = f.win
-        |         WHERE w.doc_id * 1000000 + w.start > f.fkey),
-        |removed AS (SELECT DISTINCT doc_id, start + j AS pos
-        |            FROM dups, UNNEST(generate_series(0, 12)) u(j)),
-        |tokpos AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
-        |           FROM tk, UNNEST(generate_series(0, len(toks) - 1)) g(i)),
-        |kept AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS kept_text,
-        |                count(*) AS n_kept
-        |         FROM tokpos tp LEFT JOIN removed r
-        |           ON tp.doc_id = r.doc_id AND tp.pos = r.pos
-        |         WHERE r.doc_id IS NULL GROUP BY tp.doc_id)
-        |SELECT d.doc_id, substring(md5(coalesce(k.kept_text, '')), 1, 16) AS kept_hash,
-        | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-        | CAST(len(regexp_split_to_array(trim(d.text), '\s+')) - coalesce(k.n_kept, 0)
-        |   AS BIGINT) AS n_removed
-        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_doc_passage_remove" -> passageRemoveOracle(docBound = None),
+
+    // bounded slice: the oracle's window join stays feasible at any SF
+    "q_doc_passage_remove_s" -> passageRemoveOracle(docBound = Some(2000L)),
 
     "q_doc_pii" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}"
@@ -1874,24 +1935,30 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // bounded slice: all-pairs stays subquadratic at any SF
+    "q_doc_minhash_neardup_s" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+        |  END AS shingles
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |       FROM documents WHERE doc_id < 2000)),
+        |scored AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |   / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+        | FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Recomputes the IDENTICAL portable 60-bit md5 simhash (token hash =
     // first 15 md5 hex chars, the repo-wide md5-hex recipe), then brute-force
     // all-pairs Hamming ≤ 3 — the banded Spark query equals this by pigeonhole.
-    "q_doc_simhash_neardup" -> {
-      val bitTerms = (0 until 60).map(b =>
-        s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
-          s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
-      s"""WITH toks AS (
-         | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-         | FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-         |sig AS (SELECT doc_id, $bitTerms AS sig FROM h GROUP BY doc_id)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-         |FROM sig a, sig b
-         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q_doc_simhash_neardup" -> simhashOracle(docBound = None),
+
+    // bounded slice: all-pairs stays subquadratic at any SF
+    "q_doc_simhash_neardup_s" -> simhashOracle(docBound = Some(2000L)),
 
     "q_doc_chunk_tokens" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
