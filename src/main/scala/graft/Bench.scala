@@ -40,8 +40,14 @@ object Bench {
       try { java.nio.file.Files.createDirectories(d); d.toString }
       catch { case _: Throwable => System.getProperty("java.io.tmpdir") }
     }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,8192] runs the same sweep across 4
+    // separate executor JVMs — real BlockManager shuffle transfers, broadcast
+    // over the wire, serialized task closures — the closest a single host gets
+    // to multi-node evidence. Executors are fresh JVMs, so they need this
+    // process's classpath (sbt's forked-run classpath carries graft classes).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", shuffleDir)
       .config("spark.sql.session.timeZone", "UTC")
@@ -49,7 +55,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "7g"))
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Queries run through engines constructed inside SparkEntry — reach them

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media row: opaque bytes + typed metadata. The Spark-side plumbing (schema,
-  * partitioning, batch shape) is real. Image (PNG/JPEG) and audio (WAV) decode are
-  * REAL too — `javax.imageio` and `javax.sound.sampled` ship in the JDK, so no
-  * external codec libraries are needed. Only video decode remains a clearly-marked
-  * deterministic stub (no MP4 codec in the JDK). Payloads that fail to decode
+  * partitioning, batch shape) is real. Image (PNG/JPEG), audio (WAV) AND video
+  * (MJPEG-in-AVI, via [[AviMjpeg]]) decode are REAL — `javax.imageio` /
+  * `javax.sound.sampled` plus a pure byte-walk RIFF parser, all JDK built-ins, no
+  * external codec libraries. MP4/H.264 specifically has no JDK codec and routes to
+  * the deterministic fallback (documented exclusion). Payloads that fail to decode
   * (corrupt objects are a fact of life in a 100 TB lake) fall back to a
   * deterministic content-hash feature with feature[0] = 0 marking the failure —
   * the pipeline never throws, mirroring production quarantine-not-crash handling.
@@ -113,9 +114,30 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Throwable => None }
 
-  /** ---- STUB ---- video frame sampling: no MP4 codec ships with the JDK; a real
-    * impl seeks to [[frameTimestampsMs]] and decodes each frame. The stub derives
-    * one deterministic pseudo-frame feature per timestamp.
+  /** REAL video decode for MJPEG-in-AVI (the JDK-decodable container — every frame
+    * chunk is a complete JPEG): parse the RIFF tree, sample `n` frames at the
+    * centers of n equal sub-intervals of the frame list (the [[frameTimestampsMs]]
+    * schedule applied to frame indexes), decode each with ImageIO, and emit the
+    * per-frame image features flattened (n × 8 floats). None unless the payload is
+    * an AVI and ALL sampled frames decode — a half-readable file falls back to the
+    * hash feature rather than yielding a variable-length vector. MP4/H.264 has no
+    * JDK codec and is handled by the fallback path (documented in COVERAGE.md).
+    */
+  private[multimodal] def decodeVideoFeatures(payload: Array[Byte], n: Int): Option[Array[Float]] =
+    AviMjpeg.parse(payload).flatMap { avi =>
+      val total = avi.frameChunks.length
+      val idxs = (0 until n).map(i => math.min((2 * i + 1) * total / (2 * n), total - 1))
+      val perFrame = idxs.map { ix =>
+        val (off, len) = avi.frameChunks(ix)
+        decodeImageFeatures(java.util.Arrays.copyOfRange(payload, off, off + len))
+      }
+      if (perFrame.exists(_.isEmpty)) None
+      else Some(perFrame.flatMap(_.get).toArray)
+    }
+
+  /** Fallback frame sampling for payloads with no decodable container (e.g. MP4 —
+    * no JDK codec): one deterministic pseudo-frame hash feature per timestamp,
+    * feature[0] = 0 marking the undecoded path.
     */
   private def stubFrameSample(payload: Array[Byte], durationMs: Long, n: Int): Seq[Array[Float]] =
     (0 until n).map(i => hashFeature(payload :+ i.toByte))
@@ -156,7 +178,8 @@ object Multimodal {
           val feat = m.modality match {
             case "image" => decodeImageFeatures(m.payload).getOrElse(hashFeature(m.payload))
             case "audio" => decodeAudioFeatures(m.payload).getOrElse(hashFeature(m.payload))
-            case _ => stubFrameSample(m.payload, m.duration_ms, 4).flatten.toArray
+            case _ => decodeVideoFeatures(m.payload, 4).getOrElse(
+              stubFrameSample(m.payload, m.duration_ms, 4).flatten.toArray)
           }
           var crc = 0L
           var i = 0

@@ -389,6 +389,54 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(resized.width == 2 && resized.height == 2)
   }
 
+  test("multimodal: REAL MJPEG-AVI video decodes frames end-to-end through extractFeatures") {
+    import graft.multimodal._
+    // 8 JPEG frames, 8×8, brightness ramp: frame i is uniform gray level i*32
+    def jpegFrame(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = math.min(level, 255)
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val frames = (0 until 8).map(i => jpegFrame(i * 32))
+    val avi = AviMjpeg.writeMjpegAvi(frames, 8, 8, fps = 4)
+
+    // container parse: dims, frame period, all 8 chunks found
+    val parsed = AviMjpeg.parse(avi).get
+    assert(parsed.width == 8 && parsed.height == 8)
+    assert(parsed.microSecPerFrame == 250000L)
+    assert(parsed.frameChunks.length == 8)
+
+    val media = Seq(
+      MediaRecord(0L, "video", avi, "video/x-msvideo", 8, 8, 2000L, 0),
+      MediaRecord(1L, "video", "not a video".getBytes, "video/mp4", 0, 0, 100L, 0))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+      .map(f => f.media_id -> f.feature).toMap
+
+    // real path: 4 sampled frames × 8 image floats, decoded flag set per frame
+    val fv = feats(0L)
+    assert(fv.length == 32)
+    assert((0 until 4).forall(k => fv(8 * k) == 1f), "every sampled frame must really decode")
+    assert((0 until 4).forall(k => fv(8 * k + 1) == 8f && fv(8 * k + 2) == 8f))
+    // center-of-interval schedule over 8 frames with n=4 → indexes 1,3,5,7;
+    // the brightness ramp must come through strictly increasing (JPEG is lossy,
+    // so compare lumas, not exact levels)
+    val lumas = (0 until 4).map(k => fv(8 * k + 6))
+    assert(lumas == lumas.sorted && lumas.distinct.length == 4, lumas.toString)
+    assert(math.abs(lumas(0) - 32f / 255f) < 0.05 && math.abs(lumas(3) - 224f / 255f) < 0.05)
+
+    // MP4/garbage payload: deterministic fallback (feature[0] == 0), never throws
+    assert(feats(1L)(0) == 0f && feats(1L).length == 32)
+
+    // hostile container: truncated mid-chunk must not throw or read OOB
+    assert(AviMjpeg.parse(avi.take(40)).isEmpty)
+    assert(AviMjpeg.parse(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("duplicatedPassageRatio: shared windows counted, unique docs zero, short docs out") {
     import spark.implicits._
     val shared = (1 to 20).map(i => s"s$i").mkString(" ") // 20 tokens shared verbatim
