@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Scale-record variant of check_correctness.py: per-oracle timeout.
+
+At 10x-100x fixtures some DuckDB oracles are themselves quadratic (all-pairs
+near-dup verification over the full corpus) while the Spark operator under
+test is not. Those queries are recorded ROWS-ONLY at scale (they stay
+hash-gated at the gate SFs, and their bounded-slice _s variants stay
+hash-gated at every SF). A per-oracle wall-clock budget turns "oracle cannot
+keep up" into a recorded fact instead of a hung run.
+
+Usage: check_correctness_scale.py <sfDir> <verifyOutDir> [timeoutSec] [jsonOut]
+"""
+import sys, json, glob, os, time, threading
+import duckdb
+import pandas as pd
+import numpy as np
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+    json_out = sys.argv[4] if len(sys.argv) > 4 else None
+    con = duckdb.connect()
+    for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    n_ok = n_fail = n_timeout = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            results[name] = {"status": "fail", "why": "no spark output"}
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        if name not in oracles:
+            print(f"ROWS {name}: rows={len(got)} (no oracle)")
+            results[name] = {"status": "rows_only", "rows": len(got), "why": "no oracle"}
+            continue
+        t0 = time.time()
+        timed_out = [False]
+
+        def interrupt():
+            timed_out[0] = True
+            con.interrupt()
+
+        timer = threading.Timer(timeout, interrupt)
+        timer.start()
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            timer.cancel()
+            if timed_out[0]:
+                print(f"ROWS {name}: rows={len(got)} (oracle timeout >{timeout:.0f}s)")
+                results[name] = {"status": "rows_only", "rows": len(got),
+                                 "why": f"oracle timeout >{timeout:.0f}s"}
+                n_timeout += 1
+            else:
+                print(f"FAIL {name}: oracle error: {e}")
+                results[name] = {"status": "fail", "why": f"oracle error: {e}"}
+                n_fail += 1
+            continue
+        timer.cancel()
+        oracle_sec = time.time() - t0
+        g, w = norm(got.copy()), norm(want.copy())
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            results[name] = {"status": "fail", "why": "columns mismatch"}
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            results[name] = {"status": "fail",
+                             "why": f"rows {len(g)} vs {len(w)}"}
+            n_fail += 1
+            continue
+        ok = True
+        detail = []
+        for c in g.columns:
+            a, b = g[c].values, w[c].values
+            if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(w[c].dtype, np.floating):
+                a = a.astype(float); b = b.astype(float)
+                both_nan = np.isnan(a) & np.isnan(b)
+                eq = (a == b) | both_nan
+                if not eq.all():
+                    ok = False
+                    diff = np.nanmax(np.abs(np.where(eq, 0, a - b)))
+                    detail.append(f"col {c}: {np.sum(~eq)} diffs, max {diff:.3e}")
+            else:
+                if not (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all():
+                    ok = False
+                    bad = np.where(pd.Series(a).astype(str) != pd.Series(b).astype(str))[0][:3]
+                    detail.append(f"col {c}: e.g. idx {bad}: {a[bad]} vs {b[bad]}")
+        if ok:
+            print(f"OK   {name}: {len(g)} rows (oracle {oracle_sec:.1f}s)")
+            results[name] = {"status": "ok", "rows": len(g),
+                             "oracle_sec": round(oracle_sec, 1)}
+            n_ok += 1
+        else:
+            print(f"FAIL {name}: {'; '.join(detail)}")
+            results[name] = {"status": "fail", "why": "; ".join(detail)}
+            n_fail += 1
+    print(f"\n{n_ok} ok, {n_fail} fail, {n_timeout} oracle-timeout(rows-only)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"ok": n_ok, "fail": n_fail, "oracle_timeout": n_timeout,
+                       "timeout_sec": timeout, "per_query": results}, f, indent=1)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
