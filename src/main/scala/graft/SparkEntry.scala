@@ -17,18 +17,46 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with `ts` normalized to a raw epoch-ns LongType column —
+    * the reference's ns-fidelity carrier (SURVEY.md §7.4.1).
+    *
+    * The fixture generator has shipped events.ts under two physical parquet
+    * types: TIMESTAMP(NANOS) (reads as a ns Long via
+    * spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/tests) and
+    * TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Both normalize to the same
+    * ns-Long carrier here, and the DuckDB oracles' epoch_ns(ts) agrees with
+    * either file bit-for-bit: a micros file is µs-aligned on both sides, a
+    * nanos file is read raw. Session timezone is UTC in every entry point, so
+    * the NTZ→timestamp cast is the identity instant mapping. All downstream
+    * bucket arithmetic uses integral `div` (never double division: 1.7e18 ns
+    * exceeds 2^53, doubles would mis-bucket boundary values).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
+
+  /** events rows with ts >= the given epoch-ns bound (µs-aligned), filtered on
+    * the RAW column so the predicate reaches the parquet scan in both physical
+    * layouts — a post-normalization filter on the derived ns Long would read
+    * every row group at 100 TB. */
+  private def eventsSinceNs(s: SparkSession, dir: String, minNs: Long): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df.filter(col("ts") >= minNs)
+      case _ => df.filter(col("ts") >= timestamp_micros(lit(minNs / 1000L)).cast("timestamp_ntz"))
+        .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
+
   /** The `events` stream table viewed as the reference's wide `metrics` table:
     * ts → timestamp(+ns), event_type → metric_name, a derived `host` label, value →
-    * value_f64 (SURVEY.md §1.5 mapping).
-    *
-    * events.ts is physically TIMESTAMP(NANOS) Parquet; with
-    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench/tests) it reads
-    * as a raw ns LongType — exactly the reference's ns-fidelity carrier
-    * (SURVEY.md §7.4.1). All bucket arithmetic uses integral `div` (never double
-    * division: 1.7e18 ns exceeds 2^53, doubles would mis-bucket boundary values).
-    */
+    * value_f64 (SURVEY.md §1.5 mapping). */
   private def eventsAsMetrics(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+    events(s, dir).select(
       timestamp_micros(expr("ts div 1000")).as("timestamp"),
       col("ts").as("timestamp_ns"),
       col("event_type").as("metric_name"),
@@ -124,7 +152,7 @@ object SparkEntry {
     // scripts/telemetry/query-pack/live.sql): LIKE filter + newest-first
     // LIMIT. Tiebreak on event_id for a deterministic total order.
     "q_like_recent" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .filter(col("event_type").like("%ick%"))
         .select(col("event_id"), col("event_type"),
           expr("(ts div 1000) * 1000").as("ts_ns"), col("value"))
@@ -233,7 +261,7 @@ object SparkEntry {
 
     // §2.8 scalar function surface: coalesce/cast/LIKE/RLIKE/json path.
     "q_scalar_funcs" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .select(
           col("event_id"),
           coalesce(col("value"), lit(0.0)).as("v"),
@@ -245,7 +273,7 @@ object SparkEntry {
     // §2.5 time-bucket aggregate: integer-division bucketing in raw ns —
     // (ts_ns DIV step) * step, the exact arithmetic of prometheus_api.rs:970-1011.
     "q_ts_bucket_agg" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .groupBy(expr("(ts div 21600000000000) * 21600000000000").as("time_bucket"),
           col("event_type").as("metric_name"))
         .agg(count(lit(1)).as("cnt"),
@@ -256,7 +284,7 @@ object SparkEntry {
 
     // §2.5 date_trunc rollup (postrun.sql:1).
     "q_ts_date_trunc" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .groupBy(
           unix_micros(date_trunc("hour", timestamp_micros(expr("ts div 1000"))))
             .as("hour_us"),
@@ -267,7 +295,7 @@ object SparkEntry {
     // §2.5 rate approximation: (MAX-MIN)/range_secs per bucket — faithful to the
     // reference's non-extrapolating rate (prometheus_api.rs:964-1013).
     "q_ts_rate" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .groupBy(expr("(ts div 21600000000000) * 21600000000000").as("time_bucket"),
           col("event_type").as("metric_name"))
         .agg(((max("value") - min("value")) / lit(3600.0)).as("rate"))
@@ -276,8 +304,7 @@ object SparkEntry {
     // §2.3/§2.7 recent-window top-N scan: WHERE ts >= cutoff ORDER BY DESC LIMIT
     // (roundtrip_tests.rs:200-204 shape).
     "q_ts_recent_topn" -> ((s, dir) =>
-      t(s, dir, "events")
-        .filter(col("ts") >= lit(1706140800L * 1000000000L)) // 2024-01-25 in ns
+      eventsSinceNs(s, dir, 1706140800L * 1000000000L) // 2024-01-25 in ns
         .select(expr("ts div 1000").as("ts_us"), col("event_id"),
           col("event_type"), col("value"))
         .orderBy(col("ts_us").desc, col("event_id"))
@@ -287,7 +314,7 @@ object SparkEntry {
     // the reference's key ignores labels (dedup.rs:27); first = lowest event_id.
     "q_ts_dedup_firstwins" -> ((s, dir) => {
       val w = Window.partitionBy("ts_us", "event_type").orderBy("event_id")
-      t(s, dir, "events")
+      events(s, dir)
         .select(expr("ts div 1000").as("ts_us"), col("event_type"),
           col("event_id"), col("value"))
         .withColumn("rn", row_number().over(w))
@@ -300,7 +327,7 @@ object SparkEntry {
     "q_ts_instant_last" -> ((s, dir) => {
       val w = Window.partitionBy("metric_name")
         .orderBy(col("ts_us").desc, col("event_id").desc)
-      t(s, dir, "events")
+      events(s, dir)
         .select(col("event_type").as("metric_name"), expr("ts div 1000").as("ts_us"),
           col("event_id"), col("value"))
         .withColumn("rn", row_number().over(w))
@@ -311,7 +338,7 @@ object SparkEntry {
     // Beyond-reference operator: gap-based SESSIONIZATION — per-user sessions
     // close after 6h idle; lag→flag→running-sum, one shuffle on user_id.
     "q_sessionize" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("user_id"),
+      val e = events(s, dir).select(col("user_id"),
         expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
       graft.operators.Operators
         .sessionize(e, Seq("user_id"), "ts_us", 21600000000L, Seq(col("event_id")))
@@ -325,7 +352,7 @@ object SparkEntry {
     // semantics — the reference's own rate is (MAX-MIN)/range with no reset
     // handling, kept faithfully as q_ts_rate/q_promql_range_rate).
     "q_counter_rate" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(
+      val e = events(s, dir).select(
         col("event_type").as("metric_name"),
         concat(lit("h"), (col("user_id") % 10).cast("string")).as("host"),
         expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
@@ -341,7 +368,7 @@ object SparkEntry {
     // native ASOF JOIN.
     "q_asof_join" -> ((s, dir) => {
       // µs-aligned ns (the oracle's DuckDB reads parquet ns as µs timestamps)
-      val ev = t(s, dir, "events").withColumn("ts_us1000", expr("(ts div 1000) * 1000"))
+      val ev = events(s, dir).withColumn("ts_us1000", expr("(ts div 1000) * 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts_us1000").as("ts_ns"), col("event_id"), col("value"))
       val views = ev.filter(col("event_type") === "view")
@@ -358,7 +385,7 @@ object SparkEntry {
     // ts BETWEEN s AND e join is a nested loop; this is the equi-join form
     // (point → 1 bin, interval → its overlapped bins, residual filter).
     "q_range_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
+      val e = events(s, dir)
       val points = e.select(expr("ts div 1000").as("ts_us"), col("user_id"))
       val windows = e.filter(col("event_type") === "purchase" && col("value") > 200)
         .select(col("event_id").as("win_id"), expr("ts div 1000").as("ws"),
@@ -783,7 +810,7 @@ object SparkEntry {
     // §2.5 extension — KMV distinct-count sketch: deterministic (unlike HLL),
     // so the ESTIMATE itself is oracle-verified bit-for-bit.
     "q_distinct_kmv" -> ((s, dir) =>
-      graft.pipeline.Pipeline.kmvDistinct(t(s, dir, "events"), col("user_id"), 64)),
+      graft.pipeline.Pipeline.kmvDistinct(events(s, dir), col("user_id"), 64)),
 
     // LLM ops — duplicated-passage ratio (ExactSubstr-style, Lee et al. 2022):
     // fraction of each doc's 16-token windows that also occur in another doc.
