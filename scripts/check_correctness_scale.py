@@ -32,7 +32,11 @@ def main():
     con = duckdb.connect()
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+        # driver testdata is one file per table; Spark-written scale fixtures
+        # are directories of part files
+        p = f"{sf_dir}/{tbl}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{pat}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     n_ok = n_fail = n_timeout = 0

@@ -15,17 +15,23 @@ import org.apache.spark.sql.functions._
   * cycle, so cross-copy duplicate DENSITY stays constant at ANY multiplier
   * (the round-5 vowel rotation was cyclic: copies i ≡ j (mod 5) carried
   * verbatim clones from m=6 up):
-  *  - documents.text (copy i > 0): a copy-UNIQUE salt token `zq<i>x` is
-  *    inserted after every 2 tokens, so EVERY k≥3-token window (3-gram
-  *    shingles, 13-token passages, winnowing k-grams) contains a salt →
-  *    cross-copy shingle Jaccard is exactly 0, below even the LSH banding
-  *    noise floor. An every-8 salt (J≈0.28 < the 0.5 threshold) kept the
-  *    OUTPUT density constant but sat inside the banding S-curve: at
-  *    r=2/b=16 a J=0.28 pair is a candidate with p≈0.73, so the m(m-1)/2
-  *    cross-copy near pairs all reached exact verification — measured 11 min
-  *    for q_doc_minhash_neardup at 100× (the fixture, not the engine).
-  *    J=0 keeps candidate work linear in m. INTRA-copy duplicate structure
-  *    is preserved (both members of a source dup pair get the same salt);
+  *  - documents.text (copy i > 0): a copy-unique CONTENT-KEYED salt token
+  *    `zq<i>q<tok>` (tok = the preceding token) is inserted after every 2
+  *    tokens, so EVERY k≥3-token window (3-gram shingles, 13-token passages,
+  *    winnowing k-grams) contains a salt → cross-copy shingle Jaccard is
+  *    exactly 0, below even the LSH banding noise floor. Two rejected
+  *    designs, both measured: an every-8 CONSTANT salt (J≈0.28 < the 0.5
+  *    threshold) kept OUTPUT density constant but sat inside the banding
+  *    S-curve — at r=2/b=16 a J=0.28 pair is a candidate with p≈0.73, so all
+  *    m(m-1)/2 cross-copy near pairs reached exact verification (11 min for
+  *    q_doc_minhash_neardup at 100×: the fixture, not the engine); an
+  *    every-2 CONSTANT salt fixed that but made one identical token ~1/3 of
+  *    every doc, collapsing same-copy unigram SimHash signatures toward the
+  *    shared salt hash (90 M near-dup pairs at 10×). Keying the salt on the
+  *    neighboring token keeps it exactly as diverse as the content — no
+  *    dominant token, no signature collapse — while still poisoning every
+  *    window against cross-copy matches. INTRA-copy duplicate structure is
+  *    preserved (near-identical texts produce near-identical salts);
   *  - embeddings (copy i > 0): a per-copy constant is added to dimension
   *    i % 64, pushing cross-copy cosine below near-dup thresholds.
   * Copy 0 of every table is byte-identical to the source.
@@ -101,7 +107,7 @@ object ScaleGen {
       if (i == 0) shifted // copy 0 byte-identical
       else shifted
         .withColumn("text", regexp_replace(col("text"),
-          "((?:\\S+\\s+){2})", s"$$1zq${i}x "))
+          "(\\S+\\s+(\\S+)\\s+)", s"$$1zq${i}q$$2 "))
         .withColumn("n_chars", length(col("text")))
     }), "documents")
     write(copies(embeddings)((d, i) => {
