@@ -996,14 +996,16 @@ object SparkEntry {
       val src = t(s, dir, "documents").select(col("doc_id"),
         graft.sources.DocumentSources.nfcNormalize(col("text")).as("text"))
         .localCheckpoint(true)
-      val flagged = src.select(
-        col("doc_id") +: col("text") +: TextFunctions.gopherFlags(col("text")): _*)
-      val kept = flagged.filter(col("keep")).select("doc_id", "text")
-      val fp = kept.withColumn("__fp", TextFunctions.fingerprint(col("text")))
-      val keepers = fp.groupBy("__fp").agg(min("doc_id").as("__keeper"))
-      val survivors = fp.join(keepers, "__fp")
-        .filter(col("doc_id") === col("__keeper"))
+      // single-pass native keep (no per-flag projection needed here), then
+      // window-based first-wins dedup — ONE subtree and ONE shuffle, where the
+      // groupBy-keepers + join-back form evaluated the whole gopher chain once
+      // per join side. The survivors barrier matters the same way the src one
+      // does: packSequences consumes its input in two subtrees (per-bucket
+      // ranks + bucket offsets), which re-ran filter+dedup twice unmaterialized
+      // (measured 4 gopher evaluations per run → 1 after the two barriers).
+      val kept = src.filter(TextFunctions.gopherKeep(col("text")))
         .select("doc_id", "text")
+      val survivors = graft.dedup.Dedup.exact(kept).localCheckpoint(true)
       graft.pipeline.Pipeline.packSequences(survivors, "doc_id", "text", seqTokens = 512)
         .select("doc_id", "n_tok", "start_tok", "seq_first", "seq_last")
         .orderBy("doc_id")

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass native forms of the hot-path text predicates.
+  *
+  * Why custom: `TextFunctions.gopherFlags` composes ~15 separate regex /
+  * split / replace passes per row (each allocating intermediate strings or
+  * token arrays), and `TextFunctions.tokenCount` materializes the full token
+  * array just to take its size. Fine per-document; at corpus scale the
+  * pipeline query spends most of its runtime re-walking the same text
+  * (measured: the Gopher `keep` evaluation alone was 5.8 s over 50 k salted
+  * docs — ~70 % of it regex engine time). These expressions compute the
+  * SAME results in one code-point walk with zero allocation.
+  *
+  * Exactness contract (spec-enforced by equivalence properties in
+  * TextDedupSimSpec against the compositional forms):
+  *  - character classes are the compositional forms' JAVA REGEX classes:
+  *    alpha `[A-Za-z]`, digit `[0-9]`, whitespace `\s` = the six ASCII chars
+  *    { \t \n \x0B \f \r SPACE } (unicode letters deliberately land in the
+  *    `[^A-Za-z0-9\s]` symbol class, exactly as the regex does);
+  *  - token count replicates `size(split(trim(text), "\\s+"))` INCLUDING its
+  *    quirks: `trim` strips 0x20 only, a leading non-space whitespace run
+  *    yields a phantom empty piece, and Spark's limit=-1 split keeps the
+  *    trailing empty piece — i.e. pieces = (maximal ws runs) + 1, 0 for the
+  *    empty trimmed string;
+  *  - mean token length and its [3,10] bounds use the identical IEEE double
+  *    sequence (div, ×1e6, +0.5, floor);
+  *  - stopword hits replicate the padded non-overlapping ` word ` scan of
+  *    `size(split(concat(" ", lower(text), " "), " w ")) − 1` via an
+  *    indexOf/advance loop over the UTF8String-lowercased text.
+  */
+object TextNativeExpressions {
+
+  private val WsMax = 32 // all class-\s code points are <= 0x20
+  @inline private def isWs(cp: Int): Boolean =
+    cp == 32 || (cp >= 9 && cp <= 13)
+  @inline private def isAlpha(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+  @inline private def isDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
+
+  /** size(split(trim(text), "\\s+")) with the empty-string guard — one
+    * counting walk, no token array.
+    */
+  private[functions] def tokenCountOf(raw: String): Int = {
+    var from = 0
+    var to = raw.length
+    while (from < to && raw.charAt(from) == ' ') from += 1
+    while (to > from && raw.charAt(to - 1) == ' ') to -= 1
+    if (from == to) return 0
+    var pieces = 1
+    var inRun = false
+    var i = from
+    while (i < to) {
+      val cp = raw.codePointAt(i)
+      if (isWs(cp)) {
+        if (!inRun) { pieces += 1; inRun = true }
+      } else inRun = false
+      i += Character.charCount(cp)
+    }
+    pieces
+  }
+
+  case class TokenCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      tokenCountOf(input.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression): TokenCount =
+      copy(child = c)
+  }
+
+  /** The Gopher-rule `keep` conjunction (Rae et al. 2021 subset — see
+    * TextFunctions.gopherFlags) as one boolean pass: the four counting rules
+    * come from a single code-point walk; the stopword rule short-circuits
+    * after 2 hits and runs only if the cheap rules all passed.
+    */
+  case class GopherKeep(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      val raw = u.toString
+      // one walk: code-point length + class counts over the RAW text,
+      // token pieces over the space-trimmed view
+      var len = 0; var alpha = 0; var punct = 0; var nonWs = 0
+      var from = 0
+      var to = raw.length
+      while (from < to && raw.charAt(from) == ' ') from += 1
+      while (to > from && raw.charAt(to - 1) == ' ') to -= 1
+      var pieces = if (from == to) 0 else 1
+      var inRun = false
+      var i = 0
+      while (i < raw.length) {
+        val cp = raw.codePointAt(i)
+        len += 1
+        if (isWs(cp)) {
+          if (i >= from && i < to) { if (!inRun) { pieces += 1; inRun = true } }
+        } else {
+          inRun = false
+          nonWs += 1
+          if (isAlpha(cp)) alpha += 1
+          else if (!isDigit(cp)) punct += 1
+        }
+        i += Character.charCount(cp)
+      }
+      val nTok = pieces.toLong
+      if (nTok < 50 || nTok > 100000) return false
+      val meanTokLen =
+        math.floor(nonWs.toDouble / nTok.toDouble * 1000000.0 + 0.5) / 1000000.0
+      if (meanTokLen < 3.0 || meanTokLen > 10.0) return false
+      if (len > 0 && punct.toDouble / len.toDouble > 0.1) return false
+      if (len == 0 || alpha.toDouble / len.toDouble < 0.6) return false
+      // stopword rule last: >= 2 non-overlapping padded ` word ` hits
+      val padded = " " + u.toLowerCase.toString + " "
+      var hits = 0
+      val words = graft.text.TextFunctions.EnglishStopwords
+      var w = 0
+      while (w < words.length && hits < 2) {
+        val needle = " " + words(w) + " "
+        var idx = padded.indexOf(needle)
+        while (idx >= 0 && hits < 2) {
+          hits += 1
+          idx = padded.indexOf(needle, idx + needle.length)
+        }
+        w += 1
+      }
+      hits >= 2
+    }
+    override protected def withNewChildInternal(c: Expression): GopherKeep =
+      copy(child = c)
+  }
+
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+  def token_count(text: Column): Column = GraftBridge.column(TokenCount(ex(text)))
+  def gopher_keep(text: Column): Column = GraftBridge.column(GopherKeep(ex(text)))
+}

@@ -13,8 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace token count. `split` on \s+ after trim; empty string → 0 tokens. */
+  /** Whitespace token count. `split` on \s+ after trim; empty string → 0 tokens.
+    * Native single-pass counter; [[tokenCountSql]] is the SQL-expressible
+    * definition it replicates bit-for-bit (equivalence spec-enforced) and the
+    * form the DuckDB oracles use.
+    */
   def tokenCount(text: Column): Column =
+    graft.functions.TextNativeExpressions.token_count(text)
+
+  /** The compositional `size(split(trim(text), "\\s+"))` definition of
+    * [[tokenCount]] — kept as the oracle-shaped reference for the
+    * equivalence spec.
+    */
+  def tokenCountSql(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
@@ -125,6 +136,14 @@ object TextFunctions {
       okStop.as("ok_stopwords"),
       (okNTok && okTokLen && okSymbol && okAlpha && okStop).as("keep"))
   }
+
+  /** [[gopherFlags]]' `keep` conjunction alone, as ONE single-pass native
+    * expression (TextNativeExpressions.GopherKeep) — for pure-filter call
+    * sites that never project the individual flags. Equivalence to the
+    * compositional `keep` is spec-enforced.
+    */
+  def gopherKeep(text: Column): Column =
+    graft.functions.TextNativeExpressions.gopher_keep(text)
 
   /** N-gram-free language ID heuristic: argmax of per-language stopword hit counts.
     * Deterministic tie-break by fixed language order (en > fr > de > es), 'und' when

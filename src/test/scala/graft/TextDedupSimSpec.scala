@@ -659,6 +659,57 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(lateCapped(51L), "capped run compares only against the first 5 ids")
   }
 
+  test("native tokenCount / gopherKeep are bit-equivalent to the compositional forms") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // text generator biased toward the edge cases the native walk must
+    // replicate: tab/newline runs, leading/trailing spaces, unicode letters
+    // (symbol-class in the ASCII regexes), digits, stopwords, empty strings
+    val token = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      3 -> Gen.oneOf(TextFunctions.EnglishStopwords),
+      1 -> Gen.oneOf("!?.", "café", "élève", "1234", "...", "😀"))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "\r\n")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 120)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sep)
+      lead <- Gen.oneOf("", " ", "  ", "\t", " \t")
+      trail <- Gen.oneOf("", " ", "\t ", "\n")
+    } yield lead + (if (toks.isEmpty) "" else
+      toks.head + seps.zip(toks.tail).map { case (s, t) => s + t }.mkString) + trail
+    val prop = Prop.forAll(Gen.listOfN(40, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("tc_native"),
+          TextFunctions.tokenCountSql(col("text")).as("tc_sql"),
+          TextFunctions.gopherKeep(col("text")).as("keep_native"))
+      val flags = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id") +: TextFunctions.gopherFlags(col("text")): _*)
+        .select(col("doc_id"), col("keep").as("keep_sql"))
+      val joined = df.join(flags, "doc_id").collect()
+      joined.forall { r =>
+        r.getInt(1) == r.getInt(2) && r.getBoolean(3) == r.getBoolean(4)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("gopherKeep matches compositional keep on a long mixed document") {
+    // a realistic doc that actually exercises every rule branch near its
+    // boundary: ~60 tokens, mixed stopwords, punctuation, unicode
+    val doc = (1 to 30).map(i => s"the quick brown fox$i and").mkString(" ") +
+      " café !!! 123"
+    val both = docs((1L, doc), (2L, "short"), (3L, ""), (4L, "a " * 200))
+      .select(col("doc_id"),
+        TextFunctions.gopherKeep(col("text")).as("n"),
+        TextFunctions.gopherFlags(col("text")).last.as("c"))
+      .collect()
+    both.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2), s"doc ${r.getLong(0)}"))
+  }
+
   test("multimodal: resize updates dims/byte budget for images only; frame schedule real") {
     import graft.multimodal._
     val media = Multimodal.documentsAsMedia(
