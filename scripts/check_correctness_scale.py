@@ -11,6 +11,7 @@ keep up" into a recorded fact instead of a hung run.
 Usage: check_correctness_scale.py <sfDir> <verifyOutDir> [timeoutSec] [jsonOut]
 """
 import sys, json, glob, os, time, threading
+import pyarrow.parquet as pq
 import duckdb
 import pandas as pd
 import numpy as np
@@ -40,6 +41,36 @@ def main():
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     n_ok = n_fail = n_timeout = 0
+    # outputs too big to canonicalize through pandas (astype(str) on a 50M-row
+    # frame exhausts the address space) are compared as a DuckDB-internal
+    # multiset digest instead: row count + HUGEINT sum of per-row hashes over
+    # the sorted columns cast to VARCHAR via one identical SQL recipe on both
+    # sides (both formattings produced by DuckDB, so the comparison is exact)
+    BIG_ROWS = 2_000_000
+
+    def digest_compare(name, spark_glob, oracle_sql, n_spark):
+        con.execute("CREATE OR REPLACE VIEW __spark_out AS "
+                    f"SELECT * FROM '{spark_glob}'")
+        cols = [r[0] for r in con.execute("DESCRIBE __spark_out").fetchall()]
+        con.execute(f"CREATE OR REPLACE VIEW __oracle_out AS ({oracle_sql})")
+        ocols = [r[0] for r in con.execute("DESCRIBE __oracle_out").fetchall()]
+        if sorted(cols) != sorted(ocols):
+            return False, f"columns {sorted(cols)} vs {sorted(ocols)}"
+        def dig(view):
+            sel = ", ".join(
+                f"coalesce(CAST(\"{c}\" AS VARCHAR), '\x00null')"
+                for c in sorted(cols))
+            return con.execute(
+                f"SELECT count(*), sum(hash(concat_ws('\x1f', {sel}))::HUGEINT) "
+                f"FROM {view}").fetchone()
+        sn, sh = dig("__spark_out")
+        on_, oh = dig("__oracle_out")
+        if sn != on_:
+            return False, f"rows {sn} vs {on_}"
+        if sh != oh:
+            return False, f"multiset digest mismatch over {sn} rows"
+        return True, sn
+
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -49,6 +80,48 @@ def main():
             print(f"FAIL {name}: no spark output")
             results[name] = {"status": "fail", "why": "no spark output"}
             n_fail += 1
+            continue
+        n_spark_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if n_spark_rows > BIG_ROWS and name in oracles:
+            t0 = time.time()
+            timed_out = [False]
+
+            def interrupt():
+                timed_out[0] = True
+                con.interrupt()
+
+            timer = threading.Timer(timeout, interrupt)
+            timer.start()
+            try:
+                ok, info = digest_compare(
+                    name, os.path.join(d, "*.parquet"), oracles[name],
+                    n_spark_rows)
+            except Exception as e:
+                timer.cancel()
+                if timed_out[0]:
+                    print(f"ROWS {name}: rows={n_spark_rows} "
+                          f"(oracle timeout >{timeout:.0f}s, digest path)")
+                    results[name] = {"status": "rows_only", "rows": n_spark_rows,
+                                     "why": f"oracle timeout >{timeout:.0f}s"}
+                    n_timeout += 1
+                else:
+                    print(f"FAIL {name}: digest oracle error: {e}")
+                    results[name] = {"status": "fail",
+                                     "why": f"digest oracle error: {e}"}
+                    n_fail += 1
+                continue
+            timer.cancel()
+            if ok:
+                print(f"OK   {name}: {info} rows (digest, "
+                      f"oracle {time.time() - t0:.1f}s)")
+                results[name] = {"status": "ok", "rows": info, "digest": True,
+                                 "oracle_sec": round(time.time() - t0, 1)}
+                n_ok += 1
+            else:
+                print(f"FAIL {name}: {info} (digest)")
+                results[name] = {"status": "fail", "why": str(info),
+                                 "digest": True}
+                n_fail += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         if name not in oracles:
