@@ -265,7 +265,7 @@ object ChunkCatalog {
         }
       }
       Some(StructType(fields.values.toSeq))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def addToIndex(idx: scala.collection.immutable.TreeMap[Long, List[String]],

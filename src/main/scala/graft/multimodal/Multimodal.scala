@@ -77,7 +77,7 @@ object Multimodal {
         Some(Array(1f, w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat,
           luma.toFloat, (w.toDouble / h).toFloat))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL WAV decode via the JDK's javax.sound.sampled. 8-float feature:
     * [1, channels, sampleRate, nFrames, meanAmp, rms, peak, zeroCrossingRate]
@@ -112,7 +112,7 @@ object Multimodal {
           (n / fmt.getChannels).toFloat, (sum / n).toFloat,
           math.sqrt(sq / n).toFloat, peak.toFloat, (crossings.toDouble / n).toFloat))
       } finally in.close()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL video decode for MJPEG-in-AVI (the JDK-decodable container — every frame
     * chunk is a complete JPEG): parse the RIFF tree, sample `n` frames at the
@@ -235,7 +235,7 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", buf)
         Some(buf.toByteArray)
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL logic (no codec needed): uniform frame-sample timestamps for a video
     * of `durationMs` — the schedule a real frame extractor seeks to. n points
