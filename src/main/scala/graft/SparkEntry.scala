@@ -1224,25 +1224,47 @@ object SparkEntry {
   /** Stopword-occurrence count snippet (DuckDB): non-overlapping hits of ` w ` in the
     * padded lowercased text — mirrors TextFunctions.stopwordHits exactly.
     */
-  /** Brute-force portable-simhash oracle (identical 60-bit md5 signature,
-    * all-pairs Hamming ≤ 3), optionally over a bounded doc_id slice so the
-    * quadratic pairing stays feasible at any SF.
+  /** Portable-simhash oracle (identical 60-bit md5 signature, Hamming ≤ 3).
+    * The bounded `_s` slice keeps the naive all-pairs cartesian — maximally
+    * independent of the Spark implementation. The full-corpus variant joins
+    * on the four 15-bit signature blocks first and verifies the exact Hamming
+    * distance on the candidates: by pigeonhole, any pair at Hamming ≤ 3 over
+    * 4 disjoint blocks agrees on at least one whole block, so this is EXACT
+    * (a theorem, not an LSH probability) while staying collision-proportional
+    * — feasible at the 10×/100× fixtures where the docs² cartesian timed out.
+    * Verified row-identical to the all-pairs form at sf0.001/0.01/0.1.
     */
   private def simhashOracle(docBound: Option[Long]): String = {
     val where = docBound.fold("")(b => s" WHERE doc_id < $b")
     val bitTerms = (0 until 60).map(b =>
       s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
         s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
-    s"""WITH toks AS (
-       | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-       | FROM documents$where),
-       |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-       |sig AS (SELECT doc_id, $bitTerms AS sig FROM h GROUP BY doc_id)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-       |FROM sig a, sig b
-       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
-       |ORDER BY id_a, id_b""".stripMargin
+    val sigCte =
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         | FROM documents$where),
+         |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         |sig AS (SELECT doc_id, $bitTerms AS sig FROM h GROUP BY doc_id)""".stripMargin
+    if (docBound.isDefined)
+      s"""$sigCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a, sig b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    else
+      s"""$sigCte,
+         |blk AS (SELECT doc_id, sig, 0 AS b, (sig & 32767) AS bv FROM sig
+         | UNION ALL SELECT doc_id, sig, 1, (sig >> 15) & 32767 FROM sig
+         | UNION ALL SELECT doc_id, sig, 2, (sig >> 30) & 32767 FROM sig
+         | UNION ALL SELECT doc_id, sig, 3, (sig >> 45) & 32767 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                a.sig AS sa, b.sig AS sb
+         |         FROM blk a JOIN blk b
+         |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Passage-removal oracle (Lee et al. 2021 transform mirror), optionally
@@ -1946,22 +1968,30 @@ object SparkEntry {
     // candidate set provably covers every qualifying pair on these fixtures
     // (min qualifying J = 0.8, band-miss ≤ 8e-8/pair; verified 0 missed at
     // sf0.001/0.01/0.1), so the verified output equals this exact answer.
-    // Quadratic is fine HERE: the oracle runs in DuckDB at the driver's gate
-    // SF only, never in the Spark sweep.
+    // EXACT all-shared-shingle formulation (not all-pairs): explode to
+    // (doc, shingle) rows, equi-join on the shingle for the intersection
+    // count, J = i/(n_a+n_b-i). Work is proportional to shared-shingle pair
+    // mass, not docs² — the oracle stays feasible at 10×/100× fixtures where
+    // the naive cartesian timed out (rows-only gates in SCALE_r05). Verified
+    // row-identical to the all-pairs form at sf0.001/0.01 (and against the
+    // independent naive _s slice at every SF).
     "q_doc_minhash_neardup" ->
-      """WITH sh AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |   ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
-        |  END AS shingles
-        | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |       FROM documents)),
-        |scored AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |   / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
-        | FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |            FROM documents),
+        |ex AS (
+        | SELECT DISTINCT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+        |        ELSE array_to_string(toks[i:i+2], ' ') END AS s
+        | FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+        |card AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN card ca ON inter.id_a = ca.doc_id
+        |           JOIN card cb ON inter.id_b = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     // bounded slice: all-pairs stays subquadratic at any SF
@@ -1982,8 +2012,8 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Recomputes the IDENTICAL portable 60-bit md5 simhash (token hash =
-    // first 15 md5 hex chars, the repo-wide md5-hex recipe), then brute-force
-    // all-pairs Hamming ≤ 3 — the banded Spark query equals this by pigeonhole.
+    // first 15 md5 hex chars, the repo-wide md5-hex recipe); exact
+    // block-join + Hamming-verify formulation (see simhashOracle scaladoc).
     "q_doc_simhash_neardup" -> simhashOracle(docBound = None),
 
     // bounded slice: all-pairs stays subquadratic at any SF
