@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Assemble SCALE_r06.json from three BENCH_DETAIL runs + two scale
+correctness JSONs.
+
+Usage: assemble_scale_record.py <detail_sf0.1> <detail_10x> <detail_100x> \
+         <corr_10x.json> <corr_100x.json> <out.json>
+
+The record is the round-6 answer to VERDICT r5 directive #1: the FULL query
+surface swept and oracle-compared at 10x and 100x rows, on identity-free
+(content-keyed salt) fixtures where cross-copy duplicate density is constant
+by construction — so per-query ratios measure the ENGINE, not a densified
+pair graph.
+"""
+import sys, json
+
+
+def load(p):
+    return json.load(open(p))
+
+
+def main():
+    d1, d10, d100, c10, c100, out = sys.argv[1:7]
+    b1, b10, b100 = load(d1), load(d10), load(d100)
+    corr10, corr100 = load(c10), load(c100)
+
+    def med(b):
+        return {k: v["median"] for k, v in b["queries"].items()}
+
+    m1, m10, m100 = med(b1), med(b10), med(b100)
+    common = sorted(set(m1) & set(m10) & set(m100))
+
+    def ratios(mx):
+        return {k: round(mx[k] / max(m1[k], 1e-3), 2) for k in common}
+
+    r10, r100 = ratios(m10), ratios(m100)
+
+    def summarize(r):
+        vals = sorted(r.values())
+        n = len(vals)
+        return {
+            "median": vals[n // 2],
+            "p90": vals[int(n * 0.9)],
+            "worst": dict(sorted(r.items(), key=lambda kv: -kv[1])[:6]),
+        }
+
+    def corr_summary(c):
+        qs = {k: v for k, v in c.items() if isinstance(v, dict)}
+        return {
+            "n": len(qs),
+            "hash_ok": sum(1 for v in qs.values() if v.get("hash_match")),
+            "rows_only": sorted(k for k, v in qs.items()
+                                if v.get("rows_match") and not v.get("hash_match")),
+            "fail": sorted(k for k, v in qs.items() if not v.get("rows_match")),
+        }
+
+    rec = {
+        "what": ("full-surface 10x AND 100x scale record (VERDICT r5 directive #1): "
+                 "every SparkEntry query swept (median-of-runs) and DuckDB-oracle-"
+                 "compared at 10x and 100x the bench SF on duplicate-density-"
+                 "controlled fixtures"),
+        "fixture": ("ScaleGen of sf0.1 with content-keyed per-copy salt "
+                    "(zq<i>q<tok> after every 2 tokens: cross-copy shingle Jaccard "
+                    "exactly 0, no identity cycle at any multiplier; embeddings "
+                    "perturbed per copy; referential integrity kept; events "
+                    "multiplied schema-preserving via pyarrow). 10x = 6M lineitem "
+                    "/ 1M events / 50k docs; 100x = 60M / 10M / 500k, 1.6 GB"),
+        "correctness_10x": corr_summary(corr10),
+        "correctness_100x": corr_summary(corr100),
+        "sweep_total_sec": {
+            "sf0.1": round(b1["queries_total_sec"], 1),
+            "x10": round(b10["queries_total_sec"], 1),
+            "x100": round(b100["queries_total_sec"], 1),
+            "n_queries": len(common),
+        },
+        "per_query_ratio_10x": summarize(r10),
+        "per_query_ratio_100x": summarize(r100),
+        "gates_at_scale": {
+            "note": ("ingest/warm/pruned segments are fixed-size by design "
+                     "(they generate their own 4M-row warehouse) — reported for "
+                     "each run to show they are scale-independent"),
+            "samples_per_sec": {"sf0.1": b1["samples_per_sec"],
+                                "x10": b10["samples_per_sec"],
+                                "x100": b100["samples_per_sec"]},
+            "warm_median_sec": {"sf0.1": b1["warm_runs_sec"][4],
+                                "x10": b10["warm_runs_sec"][4],
+                                "x100": b100["warm_runs_sec"][4]},
+            "pruned_median_sec": {"sf0.1": b1["pruned_runs_sec"][3],
+                                  "x10": b10["pruned_runs_sec"][3],
+                                  "x100": b100["pruned_runs_sec"][3]},
+        },
+        "abs_sec_100x": dict(sorted(m100.items(), key=lambda kv: -kv[1])[:12]),
+        "explanations": {},
+    }
+    json.dump(rec, open(out, "w"), indent=1)
+    print(json.dumps(rec["per_query_ratio_100x"], indent=1))
+    print(json.dumps(rec["sweep_total_sec"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,14 +30,31 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
     json_out = sys.argv[4] if len(sys.argv) > 4 else None
-    con = duckdb.connect()
-    for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
-                "lineitem", "events", "documents", "embeddings"]:
-        # driver testdata is one file per table; Spark-written scale fixtures
-        # are directories of part files
-        p = f"{sf_dir}/{tbl}.parquet"
-        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{pat}'")
+
+    # Bounded memory + disk spill: the 100x fixtures taught us that DuckDB's
+    # default budget (80% of RAM) lets ONE quadratic-leaning oracle exhaust
+    # the machine and — worse — fragment the process address space so every
+    # LATER query's pandas read dies too. A hard cap + temp_directory turns
+    # "one oracle eats the box" into "that oracle spills or fails alone", and
+    # reconnect() below gives the next query a clean allocator.
+    spill_dir = os.environ.get("DUCKDB_SPILL_DIR", "/root/duckdb_spill")
+    os.makedirs(spill_dir, exist_ok=True)
+
+    def connect():
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '40GB')}'")
+        c.execute(f"SET temp_directory='{spill_dir}'")
+        c.execute("SET preserve_insertion_order=false")
+        for tbl in ["region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings"]:
+            # driver testdata is one file per table; Spark-written scale
+            # fixtures are directories of part files
+            p = f"{sf_dir}/{tbl}.parquet"
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            c.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{pat}'")
+        return c
+
+    con = connect()
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     n_ok = n_fail = n_timeout = 0
@@ -109,6 +126,10 @@ def main():
                     results[name] = {"status": "fail",
                                      "why": f"digest oracle error: {e}"}
                     n_fail += 1
+                    if "Out of Memory" in str(e):
+                        try: con.close()
+                        except Exception: pass
+                        con = connect()
                 continue
             timer.cancel()
             if ok:
@@ -123,7 +144,33 @@ def main():
                                  "digest": True}
                 n_fail += 1
             continue
-        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        try:
+            got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        except MemoryError:
+            # address space too tight for pandas materialization — the
+            # streaming digest path needs no Python-side frame at all
+            if name in oracles:
+                try:
+                    ok, info = digest_compare(
+                        name, os.path.join(d, "*.parquet"), oracles[name],
+                        n_spark_rows)
+                except Exception as e:
+                    print(f"FAIL {name}: digest fallback error: {e}")
+                    results[name] = {"status": "fail",
+                                     "why": f"digest fallback error: {e}"}
+                    n_fail += 1
+                    continue
+                if ok:
+                    print(f"OK   {name}: {info} rows (digest fallback)")
+                    results[name] = {"status": "ok", "rows": info,
+                                     "digest": True}
+                    n_ok += 1
+                else:
+                    print(f"FAIL {name}: {info} (digest fallback)")
+                    results[name] = {"status": "fail", "why": str(info),
+                                     "digest": True}
+                    n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS {name}: rows={len(got)} (no oracle)")
             results[name] = {"status": "rows_only", "rows": len(got), "why": "no oracle"}
@@ -150,6 +197,10 @@ def main():
                 print(f"FAIL {name}: oracle error: {e}")
                 results[name] = {"status": "fail", "why": f"oracle error: {e}"}
                 n_fail += 1
+                if "Out of Memory" in str(e):
+                    try: con.close()
+                    except Exception: pass
+                    con = connect()
             continue
         timer.cancel()
         oracle_sec = time.time() - t0
