@@ -3,7 +3,8 @@
 correctness JSONs.
 
 Usage: assemble_scale_record.py <detail_sf0.1> <detail_10x> <detail_100x> \
-         <corr_10x.json> <corr_100x.json> <out.json>
+         <corr_10x.json> <corr_100x.json> <out.json> \
+         [detail_localcluster] [corr_localcluster.json]
 
 The record is the round-6 answer to VERDICT r5 directive #1: the FULL query
 surface swept and oracle-compared at 10x and 100x rows, on identity-free
@@ -44,13 +45,18 @@ def main():
         }
 
     def corr_summary(c):
-        qs = {k: v for k, v in c.items() if isinstance(v, dict)}
+        # check_correctness_scale.py emits {"ok":N,...,"per_query":{name:
+        # {"status": "ok"|"rows_only"|"fail"|"oracle_timeout", ...}}}; "ok"
+        # means hash-equal (value-compare or streaming multiset digest).
+        qs = c.get("per_query", {k: v for k, v in c.items()
+                                 if isinstance(v, dict)})
         return {
             "n": len(qs),
-            "hash_ok": sum(1 for v in qs.values() if v.get("hash_match")),
+            "hash_ok": sum(1 for v in qs.values() if v.get("status") == "ok"),
             "rows_only": sorted(k for k, v in qs.items()
-                                if v.get("rows_match") and not v.get("hash_match")),
-            "fail": sorted(k for k, v in qs.items() if not v.get("rows_match")),
+                                if v.get("status") == "rows_only"),
+            "fail": sorted(k for k, v in qs.items()
+                           if v.get("status") not in ("ok", "rows_only")),
         }
 
     rec = {
@@ -91,6 +97,34 @@ def main():
         "abs_sec_100x": dict(sorted(m100.items(), key=lambda kv: -kv[1])[:12]),
         "explanations": {},
     }
+
+    # Optional multi-JVM section (VERDICT r5 directive #2): the same sweep in
+    # local-cluster[4,8,8192] — 4 executor JVMs, real BlockManager shuffle
+    # transfers, broadcast over the wire, serialized closures.
+    if len(sys.argv) > 7:
+        blc = load(sys.argv[7])
+        mlc = med(blc)
+        rlc = {k: round(mlc[k] / max(m1[k], 1e-3), 2)
+               for k in sorted(set(m1) & set(mlc))}
+        sec = {
+            "mode": "local-cluster[4,8,8192] (4 executor JVMs x 8 cores, "
+                    "7g each) vs local[32], same sf0.1 fixtures",
+            "sweep_total_sec": {"local[32]": round(b1["queries_total_sec"], 1),
+                                "local-cluster": round(blc["queries_total_sec"], 1)},
+            "gates": {
+                "samples_per_sec": blc["samples_per_sec"],
+                "warm_median_sec": blc["warm_runs_sec"][4],
+                "pruned_median_sec": blc["pruned_runs_sec"][3],
+                "compression_ratio": blc["compression_ratio"],
+            },
+            "per_query_ratio": summarize(rlc),
+            "over_2x": {k: v for k, v in sorted(rlc.items(),
+                                                key=lambda kv: -kv[1])
+                        if v > 2.0},
+        }
+        if len(sys.argv) > 8:
+            sec["correctness"] = corr_summary(load(sys.argv[8]))
+        rec["multi_jvm"] = sec
     json.dump(rec, open(out, "w"), indent=1)
     print(json.dumps(rec["per_query_ratio_100x"], indent=1))
     print(json.dumps(rec["sweep_total_sec"]))
