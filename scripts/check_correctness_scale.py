@@ -54,10 +54,39 @@ def main():
             c.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{pat}'")
         return c
 
+    def reconnect(old):
+        # the dying instance may still hold its (capped) allocation when the
+        # next connect runs — release it, collect, and retry with backoff so
+        # one OOM'd oracle cannot take down the remaining queries
+        import gc
+        try:
+            old.close()
+        except Exception:
+            pass
+        del old
+        gc.collect()
+        for attempt in range(5):
+            try:
+                return connect()
+            except Exception:
+                time.sleep(5 * (attempt + 1))
+                gc.collect()
+        return connect()  # final attempt propagates
+
     con = connect()
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     n_ok = n_fail = n_timeout = 0
+
+    # RESUME_JSON: per_query entries already ok/rows_only in a prior (crashed)
+    # run are kept and skipped — failed entries are re-attempted
+    done = {}
+    resume_from = os.environ.get("RESUME_JSON")
+    if resume_from and os.path.exists(resume_from):
+        prior = json.load(open(resume_from)).get("per_query", {})
+        done = {k: v for k, v in prior.items()
+                if v.get("status") in ("ok", "rows_only")}
+        print(f"resuming: {len(done)} queries carried over from {resume_from}")
     # outputs too big to canonicalize through pandas (astype(str) on a 50M-row
     # frame exhausts the address space) are compared as a DuckDB-internal
     # multiset digest instead: row count + HUGEINT sum of per-row hashes over
@@ -88,9 +117,26 @@ def main():
             return False, f"multiset digest mismatch over {sn} rows"
         return True, sn
 
+    def flush():
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump({"ok": n_ok, "fail": n_fail, "oracle_timeout": n_timeout,
+                           "timeout_sec": timeout, "partial": True,
+                           "per_query": results}, f, indent=1)
+
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            continue
+        flush()  # crash loses at most the in-flight query
+        if name in done:
+            results[name] = done[name]
+            st = done[name]["status"]
+            if st == "ok":
+                n_ok += 1
+            else:
+                n_timeout += 1
+            print(f"SKIP {name}: carried over ({st})")
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
@@ -127,9 +173,7 @@ def main():
                                      "why": f"digest oracle error: {e}"}
                     n_fail += 1
                     if "Out of Memory" in str(e):
-                        try: con.close()
-                        except Exception: pass
-                        con = connect()
+                        con = reconnect(con)
                 continue
             timer.cancel()
             if ok:
@@ -198,9 +242,7 @@ def main():
                 results[name] = {"status": "fail", "why": f"oracle error: {e}"}
                 n_fail += 1
                 if "Out of Memory" in str(e):
-                    try: con.close()
-                    except Exception: pass
-                    con = connect()
+                    con = reconnect(con)
             continue
         timer.cancel()
         oracle_sec = time.time() - t0

@@ -86,12 +86,20 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base"),
-          // avg = exact-decimal sum / count: round(sum,2) recovers the exact
-          // 2-decimal total (same double in Spark and DuckDB regardless of
-          // summation order), so the division is bit-identical across engines —
-          // a direct round(avg(...), k) sits on rounding-tie knife edges.
-          (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          // Exact DECIMAL summation, cast to double after: double sums over
+          // 60M+ rows differ between engines by hundreds of ulps (summation
+          // order), which crosses the 2-decimal rounding grid — the 100x run
+          // measured 0.02 diffs. The 2-dp values are exact in DECIMAL(18,2),
+          // the sum is exact in the widened decimal, and both engines then
+          // perform the same correctly-rounded u/100 conversion (unscaled
+          // fits in 2^53 up to ~9e13 totals). Order-independent at ANY scale.
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_base"),
+          // avg = exact decimal sum / count: identical dividends on both
+          // engines make the IEEE division bit-identical too — a direct
+          // round(avg(...), k) sits on rounding-tie knife edges.
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("avg_price"),
           round(min("l_discount"), 4).as("min_disc"),
           round(max("l_discount"), 4).as("max_disc"),
           count(lit(1)).as("cnt"))
@@ -132,7 +140,8 @@ object SparkEntry {
         """SELECT
           | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS st,
           | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS pri,
-          | ROUND(SUM(o_totalprice), 2) AS sum_price, COUNT(*) AS cnt
+          | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+          |   AS sum_price, COUNT(*) AS cnt
           |FROM orders_cube_v
           |GROUP BY CUBE(o_orderstatus, o_orderpriority)
           |ORDER BY st, pri""".stripMargin)
@@ -909,6 +918,22 @@ object SparkEntry {
         threshold = 0.5, numHashes = 32, bands = 16)
         .orderBy("id_a", "id_b")),
 
+    // INCREMENTAL near-dup via the MATERIALIZED LSH index (MinHashIndex — the
+    // dedup analog of q_emb_ivf_indexed): the corpus side (doc_id % 17 != 0)
+    // is banded ONCE into a bh_part-partitioned bucket layout; the batch
+    // (doc_id % 17 == 0) probes only its own bucket partitions. Exactness on
+    // the fixtures follows the same argument as q_doc_minhash_neardup (same
+    // 32/16 config: band-miss <= 8e-8 for J >= 0.8 pairs, estimate at 3-sigma),
+    // so the probe output EQUALS the exact cross-pair answer the oracle
+    // computes with the subquadratic shared-shingle formulation.
+    "q_doc_minhash_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.MinHashIndex.probe(s, mhIndex(s, dir),
+          docs.filter(col("doc_id") % 17 === 0),
+          docs.filter(col("doc_id") % 17 =!= 0), threshold = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // LLM ops — SimHash near-dup pairs, EXACT portable variant (VERDICT r4
     // #5): 60-bit md5 simhash banded into maxHamming+1 blocks — pigeonhole
     // makes recall PROVABLY 1.0, and the md5 token hash lets DuckDB recompute
@@ -1138,6 +1163,23 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Materialized MinHash-LSH index over `dir`'s corpus-side documents
+    * (doc_id % 17 != 0) — built once per (session, dir), the one-time write
+    * cost an incremental-ingest deployment pays. Probed by
+    * q_doc_minhash_index_probe with the batch side (doc_id % 17 == 0).
+    */
+  private val mhIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def mhIndex(s: SparkSession, dir: String): String =
+    mhIndexCache.computeIfAbsent((s, dir), _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mh_").toString
+      graft.dedup.MinHashIndex.build(
+        s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 17 =!= 0),
+        root, numHashes = 32, bands = 16)
+      root
+    })
+
   /** Dedicated warehouse+rollup for q_rollup_routed (separate from engineCache:
     * a registered rollup changes OTHER queries' routing decisions — this
     * engine is the only one with one registered).
@@ -1337,8 +1379,8 @@ object SparkEntry {
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base,
-        | round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         | round(min(l_discount), 4) AS min_disc,
         | round(max(l_discount), 4) AS max_disc,
         | count(*) AS cnt
@@ -1594,7 +1636,7 @@ object SparkEntry {
       """SELECT
         | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS st,
         | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS pri,
-        | round(sum(o_totalprice), 2) AS sum_price, count(*) AS cnt
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price, count(*) AS cnt
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY st, pri""".stripMargin,
@@ -1993,6 +2035,29 @@ object SparkEntry {
         |           JOIN card cb ON inter.id_b = cb.doc_id
         |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // index probe: same shared-shingle EXACT formulation, restricted to
+    // (batch x corpus) cross pairs — work stays proportional to shared-shingle
+    // pair mass at any SF
+    "q_doc_minhash_index_probe" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |            FROM documents),
+        |ex AS (
+        | SELECT DISTINCT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+        |        ELSE array_to_string(toks[i:i+2], ' ') END AS s
+        | FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+        |card AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s
+        |          WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0
+        |          GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id,
+        | round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN card ca ON inter.batch_id = ca.doc_id
+        |           JOIN card cb ON inter.corpus_id = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // bounded slice: all-pairs stays subquadratic at any SF
     "q_doc_minhash_neardup_s" ->

@@ -1,0 +1,160 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MATERIALIZED MinHash-LSH near-duplicate index — the dedup analog of
+  * [[graft.sim.IvfIndex]]. [[Dedup.minhashNearDupPairs]] re-shingles and
+  * re-bands the WHOLE corpus on every run (right for one-shot dedup); this
+  * writes the corpus's band buckets and signatures ONCE so that a daily ingest
+  * batch probes the index instead of re-LSHing 100 TB of already-indexed text.
+  * (The reference's dedup surface is one-shot only; incremental probing is a
+  * flagged extension, like `IvfIndex` is for ANN.)
+  *
+  * Layout under `indexRoot`:
+  *  - `params/`  one row: (k, num_hashes, bands, n_parts, max_bucket) — probes
+  *    MUST shingle/hash identically to the build, so the build pins them.
+  *  - `sigs/`    (doc_id, sig) — the signature-estimate prefilter side.
+  *  - `buckets/` (band, band_hash, doc_id), written partitioned by
+  *    `bh_part = pmod(band_hash, n_parts)` and hash-clustered so each
+  *    partition is one file (the IvfIndex write discipline).
+  *
+  * Scale shape of a probe: the batch's own band hashes select which `bh_part`
+  * partitions exist in the plan — PLANNING-time partition pruning, so a small
+  * batch touches |batch band keys| of `n_parts` corpus partitions, not the
+  * corpus. The exact-verify step recomputes shingles ONLY for corpus docs that
+  * survive the signature estimate (a semi-join against the corpus table), so
+  * corpus text is re-read proportionally to candidates, never scanned.
+  *
+  * Oversized buckets (degenerate keys — empty text, boilerplate) are dropped
+  * at BUILD time (> `maxBucket` docs), mirroring the skew guard in
+  * [[Dedup.minhashNearDupPairs]]; standard LSH practice.
+  */
+object MinHashIndex {
+
+  private def paramsPath(root: String) = s"$root/params"
+  private def sigsPath(root: String) = s"$root/sigs"
+  private def bucketsPath(root: String) = s"$root/buckets"
+
+  final case class Params(k: Int, numHashes: Int, bands: Int, nParts: Int,
+                          maxBucket: Int) {
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** One corpus scan → signatures + pruned band buckets, materialized. */
+  def build(docs: DataFrame, indexRoot: String,
+            textCol: String = "text", idCol: String = "doc_id",
+            k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+            nParts: Int = 256, maxBucket: Int = 1000): Unit = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val spark = docs.sparkSession
+    val p = Params(k, numHashes, bands, nParts, maxBucket)
+
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(p.k, p.numHashes, p.bands, p.nParts, p.maxBucket)), 1),
+        StructType(Seq("k", "num_hashes", "bands", "n_parts", "max_bucket")
+          .map(StructField(_, IntegerType, nullable = false))))
+      .write.mode("overwrite").parquet(paramsPath(indexRoot))
+
+    // localCheckpoint: sigs write + bucket write + oversized agg reuse this
+    // subtree; the columnar cache re-encodes the array columns at ~15x the
+    // compute cost (same measurement as minhashNearDupPairs).
+    val withSig = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__sh", Dedup.shingles(col("__text"), k))
+      .withColumn("sig", Dedup.minhashSignature(col("__sh"), numHashes))
+      .localCheckpoint(true)
+
+    withSig.select("doc_id", "sig").write.mode("overwrite").parquet(sigsPath(indexRoot))
+
+    val buckets = Dedup.lshBuckets(withSig, "doc_id", "sig", bands, p.rowsPerBand)
+    val oversized = buckets.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select("band", "band_hash")
+    buckets.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
+      .withColumn("bh_part", pmod(col("band_hash"), lit(nParts)).cast("int"))
+      .repartition(nParts, col("bh_part"))
+      .write.mode("overwrite").partitionBy("bh_part").parquet(bucketsPath(indexRoot))
+  }
+
+  def readParams(spark: SparkSession, indexRoot: String): Params = {
+    val r = spark.read.parquet(paramsPath(indexRoot)).head()
+    Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+  }
+
+  // Explicit schema: a corpus whose every bucket was dropped as degenerate
+  // (or an empty corpus) writes ZERO data files, and schema inference over an
+  // empty partitioned dir fails — the index must still be probeable (empty).
+  private val bucketSchema = StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("band_hash", LongType, nullable = true),
+    StructField("doc_id", LongType, nullable = true),
+    StructField("bh_part", IntegerType, nullable = true)))
+
+  /** The partition-filtered bucket scan for a probed `bh_part` set — exposed so
+    * specs can assert partition pruning on its executed plan.
+    */
+  def probedBuckets(spark: SparkSession, indexRoot: String,
+                    parts: Seq[Int]): DataFrame =
+    spark.read.schema(bucketSchema).parquet(bucketsPath(indexRoot))
+      .filter(col("bh_part").isin(parts: _*))
+
+  /** Near-dup pairs between a new `batch` and the indexed corpus:
+    * (batch_id, corpus_id, jaccard) with exact n-gram Jaccard ≥ `threshold`.
+    *
+    * `corpus` is the same table the index was built over (text is NOT stored in
+    * the index — verification re-reads only candidate docs from it). Pairs
+    * where the two ids coincide are excluded, so probing a batch drawn from the
+    * corpus itself never reports identity pairs.
+    */
+  def probe(spark: SparkSession, indexRoot: String,
+            batch: DataFrame, corpus: DataFrame, threshold: Double = 0.7,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val p = readParams(spark, indexRoot)
+
+    val withSig = batch.select(col(idCol).as("batch_id"), col(textCol).as("__text"))
+      .withColumn("__sh", Dedup.shingles(col("__text"), p.k))
+      .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
+      .localCheckpoint(true)
+    val batchBuckets = Dedup
+      .lshBuckets(withSig, "batch_id", "sig", p.bands, p.rowsPerBand)
+      .withColumn("bh_part", pmod(col("band_hash"), lit(p.nParts)).cast("int"))
+      .localCheckpoint(true)
+
+    // The driver-side part list is bounded by n_parts (== 256 by default), the
+    // same cardinality discipline as IvfIndex's probed-cell list. isin over an
+    // int partition column prunes at planning time.
+    val parts = batchBuckets.select("bh_part").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val candidates = probedBuckets(spark, indexRoot, parts)
+      .join(batchBuckets.select("band", "band_hash", "batch_id"),
+        Seq("band", "band_hash"))
+      .filter(col("doc_id") =!= col("batch_id"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id")).distinct()
+
+    // estimate-then-verify, same 3-sigma margin as minhashNearDupPairs
+    val estMin = threshold -
+      3.0 * math.sqrt(threshold * (1 - threshold) / p.numHashes)
+    val estimated = candidates
+      .join(spark.read.parquet(sigsPath(indexRoot))
+        .select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")), "corpus_id")
+      .join(withSig.select(col("batch_id"), col("sig").as("sig_b")), "batch_id")
+      .filter(size(filter(zip_with(col("sig_b"), col("sig_c"), _ === _), b => b))
+        >= lit(math.ceil(estMin * p.numHashes).toInt))
+      .select("batch_id", "corpus_id")
+
+    // exact verify: corpus text only for estimate survivors (semi-join reach)
+    val survivors = estimated.select(col("corpus_id").as("doc_id")).distinct()
+    val corpusSh = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("__t"))
+      .join(survivors.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"), "left_semi")
+      .withColumn("sh_c", Dedup.shingles(col("__t"), p.k))
+      .select("corpus_id", "sh_c")
+    estimated
+      .join(corpusSh, "corpus_id")
+      .join(withSig.select(col("batch_id"), col("__sh").as("sh_b")), "batch_id")
+      .withColumn("jaccard", round(Dedup.jaccard(col("sh_b"), col("sh_c")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, MinHashIndex}
+
+class MinHashIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Deterministic corpus: near-dup templates (J >= 0.8 within a family) plus
+    * unique filler, same construction idea as the gate fixtures.
+    */
+  private def corpus(n: Int) = {
+    val templates = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "spark catalyst optimizer rewrites logical plans into physical plans",
+      "minhash signatures estimate jaccard similarity between shingle sets")
+    docs((0L until n).map { i =>
+      if (i % 7 == 0) {
+        val t = templates((i % 21).toInt / 7)
+        (i, s"$t variant${i % 3}") // family members share a long prefix
+      } else
+        (i, s"unique document number $i with content token${i * 31} token${i * 17} end")
+    }: _*)
+  }
+
+  test("probe finds exactly the cross near-dup pairs the one-shot operator finds") {
+    val all = corpus(70)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    val rest = all.filter(col("doc_id") % 5 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("mh_idx_").toString
+    MinHashIndex.build(rest, root, numHashes = 32, bands = 16, nParts = 16)
+
+    val got = MinHashIndex.probe(spark, root, batch, rest, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // reference: one-shot operator over the union, restricted to cross pairs
+    val oneShot = Dedup.minhashNearDupPairs(all, threshold = 0.5,
+        numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, j) => if (a % 5 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(got == oneShot)
+    assert(got.nonEmpty) // the fixture plants cross-family near-dups
+  }
+
+  test("probing a corpus-drawn batch reports no identity pairs") {
+    val all = corpus(40)
+    val root = java.nio.file.Files.createTempDirectory("mh_idx_id_").toString
+    MinHashIndex.build(all, root, numHashes = 32, bands = 16, nParts = 16)
+    val got = MinHashIndex.probe(spark, root, all.filter(col("doc_id") < 10),
+      all, threshold = 0.5).collect()
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("probe reads only the batch's bucket partitions (pruned scan)") {
+    val all = corpus(80)
+    val root = java.nio.file.Files.createTempDirectory("mh_idx_pr_").toString
+    MinHashIndex.build(all, root, numHashes = 32, bands = 16, nParts = 64)
+    val allParts = spark.read.parquet(s"$root/buckets")
+      .select("bh_part").distinct().count()
+    assert(allParts > 1)
+    // a single doc probes at most `bands` partitions of the 64
+    val p = MinHashIndex.readParams(spark, root)
+    val one = docs((9999L, "the quick brown fox jumps over the lazy dog again and again variant0"))
+      .withColumn("__sh", Dedup.shingles(col("text"), p.k))
+      .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
+    val parts = Dedup.lshBuckets(one, "doc_id", "sig", p.bands, p.rowsPerBand)
+      .select(pmod(col("band_hash"), lit(p.nParts)).cast("int").as("bh_part"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val touched = MinHashIndex.probedBuckets(spark, root, parts)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.length < allParts)
+    assert(touched.forall(f => parts.exists(pt => f.contains(s"bh_part=$pt/"))))
+  }
+
+  test("build drops oversized (degenerate) buckets; probe misses only those") {
+    // 30 empty-text docs all collide into one degenerate bucket family
+    val degenerate = docs((0L until 30).map(i => (i, "")): _*)
+    val root = java.nio.file.Files.createTempDirectory("mh_idx_deg_").toString
+    MinHashIndex.build(degenerate, root, numHashes = 32, bands = 16,
+      nParts = 16, maxBucket = 10)
+    assert(MinHashIndex.probedBuckets(spark, root, 0 until 16).count() == 0)
+    val got = MinHashIndex.probe(spark, root, degenerate.filter(col("doc_id") < 2),
+      degenerate, threshold = 0.5).collect()
+    assert(got.isEmpty)
+  }
+}
