@@ -12,6 +12,14 @@ import org.apache.spark.sql.types._
   * (The reference's dedup surface is one-shot only; incremental probing is a
   * flagged extension, like `IvfIndex` is for ANN.)
   *
+  * Relation to [[Dedup.writeNearDupIndex]]: that is the flat artifact cache —
+  * (id, shingles, sig) stored verbatim, every probe re-derives band keys and
+  * scans the WHOLE index. Right when the corpus is small or probes are rare.
+  * This index is the 100 TB successor: band keys are materialized into a
+  * partition-pruned layout so probe I/O is proportional to the batch, and
+  * shingle arrays (≈ text-sized) are NOT stored — verification re-reads only
+  * candidate docs from the corpus table.
+  *
   * Layout under `indexRoot`:
   *  - `params/`  one row: (k, num_hashes, bands, n_parts, max_bucket) — probes
   *    MUST shingle/hash identically to the build, so the build pins them.
