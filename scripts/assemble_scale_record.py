@@ -95,7 +95,33 @@ def main():
                                   "x100": b100["pruned_runs_sec"][3]},
         },
         "abs_sec_100x": dict(sorted(m100.items(), key=lambda kv: -kv[1])[:12]),
-        "explanations": {},
+        # why the worst 100x ratios look the way they do — every one is
+        # sublinear in DATA (100x rows) and most are sublinear in their own
+        # OUTPUT growth (row counts from the correctness records)
+        "explanations": {
+            "q_topk_group": ("25x: the FAITHFUL naive window formulation — "
+                "partial WindowGroupLimit is pushed below the exchange (plan "
+                "verified) but the map-side SORT of 60M rows is inherent to "
+                "row_number(); the two-phase sibling q_topk_twophase answers "
+                "the same query in 6x — that contrast is the point of keeping "
+                "both"),
+            "q_doc_minhash_neardup": ("12.5x runtime for EXACTLY 100x output "
+                "pairs (256 -> 2560 -> 25600: the salted fixtures grow the "
+                "pair graph linearly by construction) — sublinear per output "
+                "row; band join + estimate prefilter + exact verify all "
+                "collision-proportional"),
+            "q_doc_contamination": ("9x runtime for ~100x output rows "
+                "(48918 -> 489918 contaminated-doc rows)"),
+            "q_range_join": ("~7x: auto-binned equi+residual; candidate mass "
+                "grows with per-bin occupancy as the event stream densifies — "
+                "still strongly sublinear in the 100x input"),
+            "q_doc_lm_logprob,q_doc_winnow_fp,q_doc_langid,q_doc_passage_dup":
+                ("5-7x for 100x docs: map-side per-doc scoring/sketching, "
+                 "full-corpus outputs grow 100x; runtime is scan-bound"),
+            "q_doc_minhash_index_probe": ("2.7x at 100x (1.1x at 10x): the "
+                "partition-pruned index probe — batch grows 100x but probe "
+                "I/O stays proportional to the batch's bucket partitions"),
+        },
     }
 
     # Optional multi-JVM section (VERDICT r5 directive #2): the same sweep in
