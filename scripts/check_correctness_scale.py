@@ -108,8 +108,11 @@ def main():
         if sorted(cols) != sorted(ocols):
             return False, f"columns {sorted(cols)} vs {sorted(ocols)}"
         def dig(view):
+            # null sentinel must not contain NUL — DuckDB's parser truncates
+            # the statement at \x00 ("unterminated quoted string"); \x01 is
+            # equally improbable in real values and parses fine
             sel = ", ".join(
-                f"coalesce(CAST(\"{c}\" AS VARCHAR), '\x00null')"
+                f"coalesce(CAST(\"{c}\" AS VARCHAR), '\x01null')"
                 for c in sorted(cols))
             return con.execute(
                 f"SELECT count(*), sum(hash(concat_ws('\x1f', {sel}))::HUGEINT) "

@@ -1117,6 +1117,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Same daily-ingest shape through the Bloom prefilter: the corpus
+    // fingerprint set folds into a sketch BloomFilter; only the batch's
+    // might-contain slice reaches the exact anti-join. No false negatives ⇒
+    // output EQUALS the exact operator at any fpp — the oracle is the plain
+    // exact-incremental SQL on a different split (% 3).
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.Dedup.incrementalExactDedupBloom(
+          docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 =!= 0))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — quantized ANN at FULL rerank (shortlist ⊇ corpus ⇒ the exact
     // re-rank sees everything ⇒ EXACT ⇒ hash-gated: the int8 coarse-score +
     // rerank machinery is what's verified; realistic rerankFactor recall is
@@ -2250,6 +2263,19 @@ object SparkEntry {
         | FROM documents),
         |nb AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
         |seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0)
+        |SELECT doc_id FROM (
+        | SELECT nb.doc_id, row_number() OVER (PARTITION BY nb.fp ORDER BY nb.doc_id) AS rn
+        | FROM nb LEFT JOIN seen ON nb.fp = seen.fp
+        | WHERE seen.fp IS NULL) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // bloom-prefiltered variant: same exact-incremental semantics on % 3
+    "q_dedup_incremental_bloom" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |nb AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+        |seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0)
         |SELECT doc_id FROM (
         | SELECT nb.doc_id, row_number() OVER (PARTITION BY nb.fp ORDER BY nb.doc_id) AS rn
         | FROM nb LEFT JOIN seen ON nb.fp = seen.fp

@@ -90,6 +90,56 @@ object Dedup {
       idCol, numHashes, bands, threshold, maxBucket)
   }
 
+  /** [[incrementalExactDedup]] with a Bloom prefilter — IDENTICAL output,
+    * cheaper probe. The corpus's distinct fingerprints are folded into a
+    * Spark-sketch BloomFilter over `xxhash64(fp)`; batch rows the filter
+    * definitively rejects skip the corpus anti-join entirely, and only the
+    * might-contain fraction (true dups + `fpp` false positives + any 64-bit
+    * hash collisions) re-verifies through the exact anti-join. Equal
+    * fingerprints map to equal longs, so false NEGATIVES are impossible and
+    * collisions only ADD verify work — the result equals the exact operator
+    * by construction at any fpp.
+    *
+    * Scale shape: a 1e9-fingerprint corpus compresses to ~1.2 GB of filter at
+    * fpp=0.01 (vs an 8 GB+ broadcast hash set) and ships to each executor once
+    * per stage; a mostly-new daily batch then shuffles only its tiny
+    * might-contain slice. `maxFilterBytes` refuses a filter too big to ship —
+    * fall back to [[incrementalExactDedup]]'s plain anti-join beyond it.
+    */
+  def incrementalExactDedupBloom(newBatch: DataFrame, corpus: DataFrame,
+                                 textCol: String = "text", idCol: String = "doc_id",
+                                 fpp: Double = 0.01, expectedItems: Long = -1L,
+                                 corpusFingerprints: Option[DataFrame] = None,
+                                 maxFilterBytes: Long = 256L << 20): DataFrame = {
+    val fp = graft.text.TextFunctions.fingerprint(col(textCol))
+    val seen = corpusFingerprints
+      .map(_.toDF("__fp"))
+      .getOrElse(corpus.select(fp.as("__fp")))
+      .distinct()
+    val n = if (expectedItems > 0) expectedItems else seen.count()
+    val bloom = seen.select(xxhash64(col("__fp")).as("__h"))
+      .stat.bloomFilter("__h", math.max(n, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    require(bytes.length <= maxFilterBytes,
+      s"bloom filter ${bytes.length}B exceeds maxFilterBytes=$maxFilterBytes " +
+        "— use incrementalExactDedup's plain anti-join at this corpus size")
+    val batchFp = newBatch.withColumn("__fp", fp)
+    val might = graft.functions.HashExpressions
+      .bloom_might_contain_long(xxhash64(col("__fp")), bytes)
+    val definiteNew = batchFp.filter(!might)
+    val maybes = batchFp.filter(might).join(seen, Seq("__fp"), "left_anti")
+    // first-wins within the batch: in-batch dups share a fingerprint, so they
+    // always take the same bloom branch; ranking after the union keeps the
+    // window identical to incrementalExactDedup's regardless of the split
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    definiteNew.unionByName(maybes)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   private def prepMinHash(df: DataFrame, textCol: String, idCol: String,
                           k: Int, numHashes: Int): DataFrame =
     df.select(col(idCol), col(textCol))

@@ -302,6 +302,33 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** `mightContainLong` probe against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter`. The filter bytes ride in the
+    * serialized plan (shipped to each executor once per stage via the task
+    * binary broadcast) — callers bound the size. No false negatives by the
+    * Bloom invariant, so a `false` here is a definitive "not in the corpus";
+    * used by `Dedup.incrementalExactDedupBloom` to skip the corpus anti-join
+    * for the (typically dominant) definitely-new fraction of a batch.
+    */
+  case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case LongType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain_long needs bigint, got $other")
+      }
+    @transient private lazy val filter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(filter.mightContainLong(input.asInstanceOf[Long]))
+    override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+      copy(child = c)
+  }
+
   // ---- Column wrappers -----------------------------------------------------
 
   private def ex(c: Column): Expression = GraftBridge.expression(c)
@@ -318,4 +345,6 @@ object HashExpressions {
     GraftBridge.column(CosineSim(ex(a), ex(b)))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroid(ex(vec), centroids))
+  def bloom_might_contain_long(hash: Column, bloomBytes: Array[Byte]): Column =
+    GraftBridge.column(BloomMightContainLong(ex(hash), bloomBytes))
 }

@@ -123,6 +123,30 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("incrementalExactDedupBloom: equals the exact operator; no false negatives") {
+    // larger deterministic corpus so the bloom actually splits the batch
+    val corpus = docs((0L until 400).map(i => (i, s"corpus doc $i body token${i * 7}")): _*)
+    val batch = docs((1000L until 1200).map { i =>
+      if (i % 4 == 0) (i, s"corpus doc ${i % 400} body token${(i % 400) * 7}") // dup
+      else (i, s"fresh batch doc $i payload")
+    }: _*)
+    val exact = Dedup.incrementalExactDedup(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    for (fpp <- Seq(0.5, 0.01)) { // even an awful fpp must not change the answer
+      val got = Dedup.incrementalExactDedupBloom(batch, corpus, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == exact, s"fpp=$fpp")
+    }
+    // pin the put/probe hash recipe: EVERY corpus fingerprint hash must probe
+    // true (a Spark-version drift in stat.bloomFilter's putLong would surface
+    // here as a false negative, which the operator's exactness relies on)
+    val fps = corpus.select(xxhash64(
+      TextFunctions.fingerprint(col("text"))).as("__h")).distinct()
+    val bloom = fps.stat.bloomFilter("__h", 400, 0.01)
+    val misses = fps.collect().map(_.getLong(0)).count(h => !bloom.mightContainLong(h))
+    assert(misses == 0)
+  }
+
   test("incrementalNearDup: batch docs matching corpus near-dups, best match kept") {
     val base = "one two three four five six seven eight nine ten " * 3
     val corpus = docs((1L, base), (2L, "totally different words entirely here"))
