@@ -89,6 +89,30 @@ object DocScaleProbe {
       s"$survivors survived (expected 0 — every batch doc is a planted copy) " +
       (if (survivors == 0) "OK" else "MISMATCH"))
 
+    // same batch through the Bloom prefilter: answer must be identical and the
+    // corpus anti-join sees only the might-contain slice
+    val bloomSurvivors = time("incremental exact dedup via bloom prefilter") {
+      graft.dedup.Dedup.incrementalExactDedupBloom(newBatch, corpus).count()
+    }
+    println(s"[docs] bloom incremental dedup: $bloomSurvivors survived " +
+      (if (bloomSurvivors == survivors) "== exact OK" else "MISMATCH vs exact"))
+
+    // materialized LSH index: build ONCE over the 97.5% corpus, probe the 2.5%
+    // batch — steady-state probe cost tracks the batch, not the corpus (the
+    // one-shot near-dup above re-LSHes everything every run). Every batch doc
+    // is a planted exact copy of a corpus doc, so every batch id must match.
+    val idxRoot = java.nio.file.Files.createTempDirectory("mh_probe_idx_").toString
+    time("MinHashIndex.build (97.5% corpus)") {
+      graft.dedup.MinHashIndex.build(corpus, idxRoot, numHashes = 32, bands = 16)
+    }
+    val nBatch = newBatch.count()
+    val probed = time("MinHashIndex.probe (2.5% batch)") {
+      graft.dedup.MinHashIndex.probe(spark, idxRoot, newBatch, corpus, threshold = 0.8)
+        .select("batch_id").distinct().count()
+    }
+    println(s"[docs] index probe: $probed of $nBatch batch docs matched " +
+      (if (probed == nBatch) "OK" else "MISMATCH"))
+
     // sequence packing: two-phase distributed prefix sum — verify the tape is
     // gap-free (last offset + tokens == total tokens) and time the layout
     val tape = time("sequence packing (512-tok seqs)") {

@@ -105,6 +105,14 @@ object Dedup {
     * per stage; a mostly-new daily batch then shuffles only its tiny
     * might-contain slice. `maxFilterBytes` refuses a filter too big to ship —
     * fall back to [[incrementalExactDedup]]'s plain anti-join beyond it.
+    *
+    * Regime (measured, DocScaleProbe 500 k docs): building the filter costs
+    * two extra corpus-fingerprint passes, so at broadcast-able corpus sizes
+    * the plain anti-join WINS (3.3 s vs 6.9 s). The bloom pays off when the
+    * fingerprint set exceeds the broadcast budget but the filter doesn't, or
+    * when the filter is reused across daily batches — pass
+    * `corpusFingerprints` from the persisted fingerprint table so the build
+    * touches only that single column.
     */
   def incrementalExactDedupBloom(newBatch: DataFrame, corpus: DataFrame,
                                  textCol: String = "text", idCol: String = "doc_id",

@@ -86,6 +86,35 @@ object MinHashIndex {
       .write.mode("overwrite").partitionBy("bh_part").parquet(bucketsPath(indexRoot))
   }
 
+  /** Shingle + sign a new batch (e.g. a probe's dedup survivors) and APPEND
+    * its signatures and band buckets — the steady-state write path between
+    * rebuilds, mirroring [[graft.sim.IvfIndex.append]]. Params are read from
+    * the index, so the appended rows hash identically to the build.
+    *
+    * The oversized-bucket guard is applied to the NEW rows only: a bucket
+    * that becomes degenerate across old+new appends is not retro-pruned until
+    * the next `build` (same trade as IvfIndex, where drift is monitored, not
+    * migrated — a rebuild is the cheap deterministic remedy).
+    */
+  def append(newDocs: DataFrame, indexRoot: String,
+             textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = newDocs.sparkSession
+    val p = readParams(spark, indexRoot)
+    val withSig = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__sh", Dedup.shingles(col("__text"), p.k))
+      .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
+      .localCheckpoint(true)
+    withSig.select("doc_id", "sig").write.mode("append").parquet(sigsPath(indexRoot))
+    val buckets = Dedup.lshBuckets(withSig, "doc_id", "sig", p.bands, p.rowsPerBand)
+    val oversized = buckets.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > p.maxBucket)
+      .select("band", "band_hash")
+    buckets.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
+      .withColumn("bh_part", pmod(col("band_hash"), lit(p.nParts)).cast("int"))
+      .repartition(p.nParts, col("bh_part"))
+      .write.mode("append").partitionBy("bh_part").parquet(bucketsPath(indexRoot))
+  }
+
   def readParams(spark: SparkSession, indexRoot: String): Params = {
     val r = spark.read.parquet(paramsPath(indexRoot)).head()
     Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))

@@ -81,6 +81,28 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(touched.forall(f => parts.exists(pt => f.contains(s"bh_part=$pt/"))))
   }
 
+  test("append: probe after append equals a fresh build over the union") {
+    val all = corpus(90)
+    val old = all.filter(col("doc_id") < 60)
+    val added = all.filter(col("doc_id") >= 60)
+    val batch = docs((5000L, "the quick brown fox jumps over the lazy dog again and again variant1"),
+      (5001L, "spark catalyst optimizer rewrites logical plans into physical plans variant2"))
+
+    val rootA = java.nio.file.Files.createTempDirectory("mh_idx_app_").toString
+    MinHashIndex.build(old, rootA, numHashes = 32, bands = 16, nParts = 16)
+    MinHashIndex.append(added, rootA)
+    val viaAppend = MinHashIndex.probe(spark, rootA, batch, all, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val rootB = java.nio.file.Files.createTempDirectory("mh_idx_reb_").toString
+    MinHashIndex.build(all, rootB, numHashes = 32, bands = 16, nParts = 16)
+    val viaRebuild = MinHashIndex.probe(spark, rootB, batch, all, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.exists(_._2 >= 60)) // matches in the APPENDED slice are found
+  }
+
   test("build drops oversized (degenerate) buckets; probe misses only those") {
     // 30 empty-text docs all collide into one degenerate bucket family
     val degenerate = docs((0L until 30).map(i => (i, "")): _*)
