@@ -88,7 +88,11 @@ def main():
     done = {}
     resume_from = os.environ.get("RESUME_JSON")
     if resume_from and os.path.exists(resume_from):
-        prior = json.load(open(resume_from)).get("per_query", {})
+        try:
+            prior = json.load(open(resume_from)).get("per_query", {})
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"resume file unreadable ({e}) — starting fresh")
+            prior = {}
         done = {k: v for k, v in prior.items()
                 if v.get("status") in ("ok", "rows_only")}
         print(f"resuming: {len(done)} queries carried over from {resume_from}")
@@ -126,11 +130,15 @@ def main():
         return True, sn
 
     def flush():
+        # atomic: a kill mid-write must not truncate the file the NEXT run's
+        # resume (and the retry loop's progress check) depends on
         if json_out:
-            with open(json_out, "w") as f:
+            tmp = json_out + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"ok": n_ok, "fail": n_fail, "oracle_timeout": n_timeout,
                            "timeout_sec": timeout, "partial": True,
                            "per_query": results}, f, indent=1)
+            os.replace(tmp, json_out)
 
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
@@ -142,7 +150,11 @@ def main():
             st = done[name]["status"]
             if st == "ok":
                 n_ok += 1
-            else:
+            elif done[name].get("why") != "no oracle":
+                # fresh runs count only TIMEOUT rows_only here; a no-oracle
+                # rows_only increments nothing — mirror that so resumed
+                # summaries (and the retry loop's progress metric) match a
+                # clean run's
                 n_timeout += 1
             print(f"SKIP {name}: carried over ({st})")
             continue
@@ -251,13 +263,33 @@ def main():
                     # query's held execution memory — the all-DuckDB digest
                     # path compares the SAME oracle without ever leaving the
                     # (spill-capable) engine; measured: an oracle that OOMs
-                    # through .df() completes via COPY-free digest in ~65s
+                    # through .df() completes via COPY-free digest in ~65s.
+                    # Re-arm the per-oracle budget: the retry re-executes the
+                    # oracle (now spilling) and must not hang the run.
                     con = reconnect(con)
+                    retry_timed_out = [False]
+
+                    def retry_interrupt():
+                        retry_timed_out[0] = True
+                        con.interrupt()
+
+                    retry_timer = threading.Timer(timeout, retry_interrupt)
+                    retry_timer.start()
                     try:
                         ok, info = digest_compare(
                             name, os.path.join(d, "*.parquet"),
                             oracles[name], len(got))
                     except Exception as e2:
+                        retry_timer.cancel()
+                        if retry_timed_out[0]:
+                            print(f"ROWS {name}: rows={len(got)} (digest retry "
+                                  f"timeout >{timeout:.0f}s after OOM)")
+                            results[name] = {"status": "rows_only",
+                                             "rows": len(got),
+                                             "why": f"oracle OOM then digest "
+                                                    f"timeout >{timeout:.0f}s"}
+                            n_timeout += 1
+                            continue
                         print(f"FAIL {name}: oracle error: {e}; "
                               f"digest retry: {e2}")
                         results[name] = {"status": "fail",
@@ -266,6 +298,7 @@ def main():
                         n_fail += 1
                         con = reconnect(con)
                         continue
+                    retry_timer.cancel()
                     if ok:
                         print(f"OK   {name}: {info} rows (digest after OOM, "
                               f"{time.time() - t0:.1f}s)")

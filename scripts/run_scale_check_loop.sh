@@ -13,10 +13,15 @@ set -u
 SF="$1"; OUT="$2"; TMO="$3"; JSON="$4"
 MAX_ROUNDS="${MAX_ROUNDS:-8}"
 for i in $(seq 1 "$MAX_ROUNDS"); do
-  if [ -f "$JSON" ]; then
+  if [ -f "$JSON" ] && python3 -c "import json;json.load(open('$JSON'))" 2>/dev/null; then
+    # only refresh the resume copy from a PARSEABLE file — a kill mid-write
+    # must not destroy the last good carry-over set (flush() is atomic via
+    # os.replace, so this is belt-and-braces)
     cp "$JSON" "$JSON.resume"
+  fi
+  if [ -f "$JSON.resume" ]; then
     export RESUME_JSON="$JSON.resume"
-    BEFORE=$(python3 -c "import json;d=json.load(open('$JSON'));print(d['ok']+d['oracle_timeout'])" 2>/dev/null || echo 0)
+    BEFORE=$(python3 -c "import json;d=json.load(open('$RESUME_JSON'));print(d['ok']+d['oracle_timeout'])" 2>/dev/null || echo 0)
   else
     BEFORE=0
   fi

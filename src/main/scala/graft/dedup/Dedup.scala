@@ -120,10 +120,14 @@ object Dedup {
                                  corpusFingerprints: Option[DataFrame] = None,
                                  maxFilterBytes: Long = 256L << 20): DataFrame = {
     val fp = graft.text.TextFunctions.fingerprint(col(textCol))
+    // localCheckpoint: the distinct-fingerprint subtree feeds the sizing
+    // count, the filter aggregation AND the anti-join — without it the corpus
+    // scan + fingerprint + distinct shuffle runs three times
     val seen = corpusFingerprints
       .map(_.toDF("__fp"))
       .getOrElse(corpus.select(fp.as("__fp")))
       .distinct()
+      .localCheckpoint(true)
     val n = if (expectedItems > 0) expectedItems else seen.count()
     val bloom = seen.select(xxhash64(col("__fp")).as("__h"))
       .stat.bloomFilter("__h", math.max(n, 1L), fpp)

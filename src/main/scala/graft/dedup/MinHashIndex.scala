@@ -44,6 +44,7 @@ object MinHashIndex {
   private def paramsPath(root: String) = s"$root/params"
   private def sigsPath(root: String) = s"$root/sigs"
   private def bucketsPath(root: String) = s"$root/buckets"
+  private def prunedPath(root: String) = s"$root/pruned"
 
   final case class Params(k: Int, numHashes: Int, bands: Int, nParts: Int,
                           maxBucket: Int) {
@@ -80,6 +81,10 @@ object MinHashIndex {
     val oversized = buckets.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
       .select("band", "band_hash")
+    // dropped keys are TOMBSTONED, not just omitted: append() must not
+    // silently re-populate a key the build pruned, and probe() must ignore
+    // any rows a later append tombstoned in place
+    oversized.write.mode("overwrite").parquet(prunedPath(indexRoot))
     buckets.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
       .withColumn("bh_part", pmod(col("band_hash"), lit(nParts)).cast("int"))
       .repartition(nParts, col("bh_part"))
@@ -91,10 +96,12 @@ object MinHashIndex {
     * rebuilds, mirroring [[graft.sim.IvfIndex.append]]. Params are read from
     * the index, so the appended rows hash identically to the build.
     *
-    * The oversized-bucket guard is applied to the NEW rows only: a bucket
-    * that becomes degenerate across old+new appends is not retro-pruned until
-    * the next `build` (same trade as IvfIndex, where drift is monitored, not
-    * migrated — a rebuild is the cheap deterministic remedy).
+    * The oversized-bucket guard counts OLD + NEW rows per touched key (the
+    * old side read partition-pruned to the new keys' `bh_part`s): a key the
+    * build tombstoned stays dead, and a key that crosses `maxBucket` through
+    * this append is tombstoned from here on — its already-written rows stay
+    * on disk but [[probe]] excludes them, so probe-after-append equals a
+    * fresh rebuild over the union (spec-pinned) in both directions.
     */
   def append(newDocs: DataFrame, indexRoot: String,
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
@@ -105,15 +112,37 @@ object MinHashIndex {
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
       .localCheckpoint(true)
     withSig.select("doc_id", "sig").write.mode("append").parquet(sigsPath(indexRoot))
+    val priorPruned = pruned(spark, indexRoot)
     val buckets = Dedup.lshBuckets(withSig, "doc_id", "sig", p.bands, p.rowsPerBand)
-    val oversized = buckets.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > p.maxBucket)
-      .select("band", "band_hash")
-    buckets.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
+      .join(broadcast(priorPruned), Seq("band", "band_hash"), "left_anti")
       .withColumn("bh_part", pmod(col("band_hash"), lit(p.nParts)).cast("int"))
+      .localCheckpoint(true)
+    val newCounts = buckets.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__new"))
+    val touchedParts = buckets.select("bh_part").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val oldCounts = probedBuckets(spark, indexRoot, touchedParts)
+      .join(newCounts.select("band", "band_hash"), Seq("band", "band_hash"),
+        "left_semi")
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("__old"))
+    val nowOversized = newCounts
+      .join(oldCounts, Seq("band", "band_hash"), "left_outer")
+      .filter(col("__new") + coalesce(col("__old"), lit(0L)) > p.maxBucket)
+      .select("band", "band_hash")
+      .localCheckpoint(true)
+    nowOversized.write.mode("append").parquet(prunedPath(indexRoot))
+    buckets.join(broadcast(nowOversized), Seq("band", "band_hash"), "left_anti")
       .repartition(p.nParts, col("bh_part"))
       .write.mode("append").partitionBy("bh_part").parquet(bucketsPath(indexRoot))
   }
+
+  private val prunedSchema = StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("band_hash", LongType, nullable = true)))
+
+  /** Tombstoned (degenerate) band keys — empty-safe read. */
+  def pruned(spark: SparkSession, indexRoot: String): DataFrame =
+    spark.read.schema(prunedSchema).parquet(prunedPath(indexRoot))
 
   def readParams(spark: SparkSession, indexRoot: String): Params = {
     val r = spark.read.parquet(paramsPath(indexRoot)).head()
@@ -164,7 +193,11 @@ object MinHashIndex {
     // int partition column prunes at planning time.
     val parts = batchBuckets.select("bh_part").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    // exclude rows in keys a later append tombstoned (their on-disk rows are
+    // not rewritten); the pruned table holds only degenerate keys — tiny
     val candidates = probedBuckets(spark, indexRoot, parts)
+      .join(broadcast(pruned(spark, indexRoot)), Seq("band", "band_hash"),
+        "left_anti")
       .join(batchBuckets.select("band", "band_hash", "batch_id"),
         Seq("band", "band_hash"))
       .filter(col("doc_id") =!= col("batch_id"))

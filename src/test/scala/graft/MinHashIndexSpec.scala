@@ -103,6 +103,34 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(viaAppend.exists(_._2 >= 60)) // matches in the APPENDED slice are found
   }
 
+  test("append tombstones keys crossing maxBucket across old+new; probe == rebuild") {
+    // 8 identical boilerplate docs at build (under cap=10, kept), 5 more via
+    // append (combined 13 > 10): the key must die, and its already-written
+    // rows must stop matching — exactly what a fresh rebuild over the union
+    // would do. A normal near-dup family must keep matching after the append.
+    val boiler = "exactly the same boilerplate text repeated in every single document here"
+    val normal = "the quick brown fox jumps over the lazy dog again and again"
+    val old = docs(((0L until 8).map(i => (i, boiler)) :+ (100L, normal)): _*)
+    val added = docs(((200L until 205).map(i => (i, boiler)) :+ (300L, s"$normal variant0")): _*)
+    val union = old.unionByName(added)
+
+    val rootA = java.nio.file.Files.createTempDirectory("mh_idx_tomb_").toString
+    MinHashIndex.build(old, rootA, numHashes = 32, bands = 16, nParts = 16, maxBucket = 10)
+    MinHashIndex.append(added, rootA)
+    val batch = docs((9000L, boiler), (9001L, normal))
+    val viaAppend = MinHashIndex.probe(spark, rootA, batch, union, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val rootB = java.nio.file.Files.createTempDirectory("mh_idx_tomb2_").toString
+    MinHashIndex.build(union, rootB, numHashes = 32, bands = 16, nParts = 16, maxBucket = 10)
+    val viaRebuild = MinHashIndex.probe(spark, rootB, batch, union, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.forall(_._1 == 9001L)) // boilerplate key is dead both ways
+    assert(viaAppend.exists(p => p._1 == 9001L && p._2 == 300L)) // appended normal doc matches
+  }
+
   test("build drops oversized (degenerate) buckets; probe misses only those") {
     // 30 empty-text docs all collide into one degenerate bucket family
     val degenerate = docs((0L until 30).map(i => (i, "")): _*)
