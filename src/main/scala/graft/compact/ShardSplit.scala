@@ -211,4 +211,56 @@ object Downsampler {
     catalog.registerRollup(meta)
     meta
   }
+
+  /** Coverage end for an age-triggered rollup, from chunk METADATA alone:
+    * the bucket floor of the earliest row NOT rolled up (the first live
+    * chunk's min timestamp, clamped to the cutoff). Exposed so the
+    * maintenance sweep can decide idempotently without reading data.
+    */
+  def agedCoverageEnd(chunks: Seq[graft.catalog.ChunkMeta], cutoffNs: Long,
+                      resolutionSeconds: Long): Option[Long] = {
+    val resNs = resolutionSeconds * 1000000000L
+    val (aged, live) = chunks.partition(_.maxTimestampNs < cutoffNs)
+    if (aged.isEmpty) None
+    else Some(Math.floorDiv(live.map(_.minTimestampNs).foldLeft(cutoffNs)(math.min),
+      resNs) * resNs)
+  }
+
+  /** Age-triggered rollup — the `downsample_after_days` LOOP itself (the
+    * whole-warehouse [[materializeRollup]] is the one-shot backfill): roll up
+    * ONLY chunks entirely older than `cutoffNs`, and claim coverage ending at
+    * the bucket floor of the earliest row left raw. Live ingest lands at
+    * recent timestamps beyond the coverage, so this rollup SURVIVES ongoing
+    * writes (write-invalidation still drops it if late-arriving data lands
+    * inside the covered past — as it must). Aged rows at or beyond the
+    * coverage end are stored but unreachable: routing clips every query to
+    * coverage. Returns None when no chunk has fully aged.
+    */
+  def materializeAgedRollup(spark: SparkSession, catalog: ChunkCatalog,
+                            resolutionSeconds: Long, labelCols: Seq[String],
+                            cutoffNs: Long): Option[graft.catalog.RollupMeta] = {
+    val chunks = catalog.allChunks
+    val aged = chunks.filter(_.maxTimestampNs < cutoffNs)
+    agedCoverageEnd(chunks, cutoffNs, resolutionSeconds).map { covEnd =>
+      val raw = ChunkCatalog.mergedSchema(aged) match {
+        case Some(schema) => spark.read.schema(schema).parquet(aged.map(_.path): _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(aged.map(_.path): _*)
+      }
+      val target = catalog.root.resolve(
+        s"default/rollup/res${resolutionSeconds}s_${UUID.randomUUID()}")
+      val obs = org.apache.spark.sql.Observation(s"rollup_${UUID.randomUUID()}")
+      downsampleMergeable(raw, resolutionSeconds, labelCols)
+        .observe(obs, count(lit(1)).as("n"))
+        .write.option("compression", "zstd").parquet(target.toString)
+      val meta = graft.catalog.RollupMeta(
+        path = target.toString,
+        resolutionSeconds = resolutionSeconds,
+        labelCols = labelCols,
+        minBucketNs = Long.MinValue,
+        maxCoveredNsExclusive = covEnd,
+        rowCount = obs.get("n").asInstanceOf[Long])
+      catalog.registerRollup(meta)
+      meta
+    }
+  }
 }

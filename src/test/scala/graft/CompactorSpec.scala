@@ -150,4 +150,58 @@ class CompactorSpec extends AnyFunSuite {
     cat.invalidateCache()
     assert(cat.allChunks.map(_.path) == Seq("new"))
   }
+
+  test("maintenance downsample loop: aged chunks roll up, live ingest survives, idempotent") {
+    import graft.compact.Maintenance
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_mnt_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    val mk = (base: Long) => (0 until 10).map(i =>
+      MetricPoint(base + i * 60L * 1000000000L, "cpu", i.toDouble, Map("h" -> "x")))
+    writer.write(Converters.pointsToDf(spark, mk(t0)))           // aged (hour 0)
+    writer.write(Converters.pointsToDf(spark, mk(t0 + 48 * hourNs))) // recent
+    val nowMs = (t0 + 49 * hourNs) / 1000000L
+    val maint = new Maintenance(spark, cat,
+      retentionNs = 365L * 86400 * 1000000000L,
+      downsample = Some(Maintenance.Downsample(
+        afterNs = 24 * hourNs, resolutionSeconds = 3600L, labelCols = Seq("h"))))
+
+    val rep = maint.runOnce(nowMs)
+    assert(rep.rolledUp.isDefined)
+    val meta = rep.rolledUp.get
+    cat.invalidateCache()
+    assert(cat.rollups.map(_.path) == Seq(meta.path))
+    // coverage ends at the CUTOFF (bucket-aligned), not at the first live
+    // row: data arriving in the (cutoff, first-live) gap then stays raw
+    // without needing invalidation
+    assert(meta.maxCoveredNsExclusive == t0 + 25 * hourNs)
+    // the rollup holds exactly the aged hour
+    val r = spark.read.parquet(meta.path)
+    assert(r.count() == 1 && r.collect()(0).getAs[Double]("sum_value") == 45.0)
+
+    // second sweep with no newly-aged data: idempotent no-op
+    val rep2 = maint.runOnce(nowMs)
+    assert(rep2.rolledUp.isEmpty)
+    cat.invalidateCache()
+    assert(cat.rollups.map(_.path) == Seq(meta.path))
+
+    // live ingest at RECENT timestamps does not invalidate the rollup
+    writer.write(Converters.pointsToDf(spark, mk(t0 + 50 * hourNs)))
+    cat.invalidateCache()
+    assert(cat.rollups.map(_.path) == Seq(meta.path))
+
+    // more data ages past the threshold: the sweep EXTENDS coverage and
+    // retires the superseded registration
+    val laterMs = (t0 + 80 * hourNs) / 1000000L
+    val rep3 = maint.runOnce(laterMs)
+    assert(rep3.rolledUp.isDefined)
+    val meta2 = rep3.rolledUp.get
+    assert(meta2.maxCoveredNsExclusive > meta.maxCoveredNsExclusive)
+    cat.invalidateCache()
+    assert(cat.rollups.map(_.path) == Seq(meta2.path))
+
+    // late-arriving data INSIDE the covered past invalidates (write-invalidation)
+    writer.write(Converters.pointsToDf(spark, mk(t0 + hourNs)))
+    cat.invalidateCache()
+    assert(cat.rollups.isEmpty)
+  }
 }
