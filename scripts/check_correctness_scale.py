@@ -176,9 +176,18 @@ def main():
             timer = threading.Timer(timeout, interrupt)
             timer.start()
             try:
-                ok, info = digest_compare(
-                    name, os.path.join(d, "*.parquet"), oracles[name],
-                    n_spark_rows)
+                try:
+                    ok, info = digest_compare(
+                        name, os.path.join(d, "*.parquet"), oracles[name],
+                        n_spark_rows)
+                except Exception as e1:
+                    # stale interrupt from a previous query's late timer
+                    if "INTERRUPT" in str(e1).upper() and not timed_out[0]:
+                        ok, info = digest_compare(
+                            name, os.path.join(d, "*.parquet"), oracles[name],
+                            n_spark_rows)
+                    else:
+                        raise
             except Exception as e:
                 timer.cancel()
                 if timed_out[0]:
@@ -249,7 +258,16 @@ def main():
         timer = threading.Timer(timeout, interrupt)
         timer.start()
         try:
-            want = con.execute(oracles[name]).df()
+            try:
+                want = con.execute(oracles[name]).df()
+            except Exception as e1:
+                # a PREVIOUS query's timer can fire in the gap between its
+                # query completing and timer.cancel(), leaving a stale
+                # interrupt flag on the shared connection — retry once
+                if "INTERRUPT" in str(e1).upper() and not timed_out[0]:
+                    want = con.execute(oracles[name]).df()
+                else:
+                    raise
         except Exception as e:
             timer.cancel()
             if timed_out[0]:

@@ -105,10 +105,20 @@ object ScaleGen {
     write(copies(documents)((d, i) => {
       val shifted = d.withColumn("doc_id", col("doc_id") + i * docOff)
       if (i == 0) shifted // copy 0 byte-identical
-      else shifted
-        .withColumn("text", regexp_replace(col("text"),
-          "(\\S+\\s+(\\S+)\\s+)", s"$$1zq${i}q$$2 "))
-        .withColumn("n_chars", length(col("text")))
+      else {
+        // the interleave regex needs "tok ws tok ws" — a doc of <= 2 tokens
+        // (none exist in the driver fixtures, min is 10; guarded anyway)
+        // would pass through UNSALTED and carry verbatim cross-copy text,
+        // exactly the densified pair graph this salt prevents. If the regex
+        // left the text unchanged, append the per-copy marker instead.
+        val salted = regexp_replace(col("text"),
+          "(\\S+\\s+(\\S+)\\s+)", s"$$1zq${i}q$$2 ")
+        shifted
+          .withColumn("text",
+            when(salted === col("text"), concat(col("text"), lit(s" zq${i}qs")))
+              .otherwise(salted))
+          .withColumn("n_chars", length(col("text")))
+      }
     }), "documents")
     write(copies(embeddings)((d, i) => {
       val shifted = d.withColumn("vec_id", col("vec_id") + i * vecOff)

@@ -2046,7 +2046,7 @@ object SparkEntry {
         | round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
         |FROM inter JOIN card ca ON inter.id_a = ca.doc_id
         |           JOIN card cb ON inter.id_b = cb.doc_id
-        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+        |WHERE round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     // index probe: same shared-shingle EXACT formulation, restricted to
@@ -2069,7 +2069,7 @@ object SparkEntry {
         | round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
         |FROM inter JOIN card ca ON inter.batch_id = ca.doc_id
         |           JOIN card cb ON inter.corpus_id = cb.doc_id
-        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+        |WHERE round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.5
         |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // bounded slice: all-pairs stays subquadratic at any SF

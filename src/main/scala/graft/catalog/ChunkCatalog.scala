@@ -173,14 +173,22 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     * DELETES rows, so any rollup whose coverage overlaps a removed chunk is
     * dropped — it would otherwise keep serving the deleted data.
     */
-  def remove(paths: Seq[String]): Unit = {
-    val removedMetas = state.chunks.view.filterKeys(paths.toSet).values.toList
-    mutate { st =>
-      st.copy(rollups = st.rollups.filterNot(r =>
+  def remove(paths: Seq[String]): Unit = mutate { st =>
+    // ONE atomic swap, and the removed metas come from the freshly-loaded
+    // state INSIDE the lock — reading the TTL-cached snapshot outside it
+    // could miss a chunk another writer registered, leaving a rollup serving
+    // deleted rows; and a crash between two separate mutations must not
+    // strand the catalog with chunks gone but the overlapping rollup kept.
+    val removed = paths.toSet
+    val removedMetas = st.chunks.view.filterKeys(removed).values.toList
+    val keptChunks = st.chunks -- removed
+    val prunedIndex = st.timeIndex.map { case (k, v) =>
+      k -> v.filterNot(removed.contains)
+    }.filter(_._2.nonEmpty)
+    st.copy(chunks = keptChunks, timeIndex = prunedIndex,
+      rollups = st.rollups.filterNot(r =>
         removedMetas.exists(c => c.minTimestampNs < r.maxCoveredNsExclusive &&
           c.maxTimestampNs >= r.minBucketNs)))
-    }
-    replaceChunks(paths, Nil)
   }
 
   def setActiveSplits(splits: Seq[String]): Unit = mutate(_.copy(activeSplits = splits.toList))

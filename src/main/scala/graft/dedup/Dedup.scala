@@ -279,7 +279,8 @@ object Dedup {
                           numHashes: Int = 64,
                           bands: Int = 16,
                           threshold: Double = 0.7,
-                          maxBucket: Int = 1000): DataFrame = {
+                          maxBucket: Int = 1000,
+                          estSigma: Double = 3.0): DataFrame = {
     val rowsPerBand = numHashes / bands
     // localCheckpoint (row-based block storage), NOT .cache(): the columnar cache
     // encodes array columns at ~15× the cost of the compute, while the downstream
@@ -304,7 +305,11 @@ object Dedup {
 
     // estimate-then-verify: join the small signature arrays first and keep only
     // pairs whose estimated J clears threshold − 3σ, then exact-verify those
-    val estMin = threshold - 3.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // estSigma widens the estimate margin for corpora dense at the threshold
+    // boundary: like banding itself, the prefilter is probabilistic for a
+    // pair at EXACTLY J=threshold (miss p ~ 1e-3 at 3 sigma); estSigma=4.5
+    // drops that below 1e-5, and estSigma <= 0 disables the prefilter bound
+    val estMin = threshold - estSigma * math.sqrt(threshold * (1 - threshold) / numHashes)
     val ga = withShingles.select(col(idCol).as("id_a"), col("__sig").as("sig_a"))
     val gb = withShingles.select(col(idCol).as("id_b"), col("__sig").as("sig_b"))
     val estimated = candidates

@@ -272,7 +272,8 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     val routed: Option[DataFrame] =
       if (rollups.isEmpty) None
       else
-        try graft.plans.RollupRouting.route(spark, rollups, raw.queryExecution.analyzed)
+        try graft.plans.RollupRouting.route(spark, rollups,
+          raw.queryExecution.analyzed, paths)
         catch { case scala.util.control.NonFatal(_) => None }
     lastServedFromRollup = routed.isDefined
     routed.foreach { r =>

@@ -35,12 +35,24 @@ import graft.schema.MetricSchema
   */
 object RollupRouting {
 
-  /** Try every registered rollup, coarsest resolution first (fewest rows read). */
+  /** Try every registered rollup, coarsest resolution first (fewest rows read).
+    *
+    * `registeredChunkPaths` is the engine's OWN metrics relation identity: the
+    * rewrite fires only when the plan's leaf scans exactly those files.
+    * Without the check, any user SQL over an unrelated table that happens to
+    * carry the metrics column names (a staging import, another tenant's view)
+    * would silently be answered from THIS warehouse's rollup.
+    */
   def route(spark: SparkSession, rollups: Seq[RollupMeta],
-            analyzed: LogicalPlan): Option[DataFrame] = {
+            analyzed: LogicalPlan,
+            registeredChunkPaths: Seq[String]): Option[DataFrame] = {
     val candidates = rollups.sortBy(-_.resolutionSeconds)
-    candidates.view.flatMap(r => routeOne(spark, r, analyzed)).headOption
+    val expected = registeredChunkPaths.map(normalizePath).toSet
+    candidates.view.flatMap(r => routeOne(spark, r, analyzed, expected)).headOption
   }
+
+  private def normalizePath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   // ---- plan matching -------------------------------------------------------
 
@@ -54,7 +66,8 @@ object RollupRouting {
   private case class Agg(kind: String, roundScale: Option[Int]) extends Out
 
   private def routeOne(spark: SparkSession, rollup: RollupMeta,
-                       analyzed: LogicalPlan): Option[DataFrame] = {
+                       analyzed: LogicalPlan,
+                       expectedPaths: Set[String]): Option[DataFrame] = {
     val resNs = rollup.resolutionSeconds * 1000000000L
 
     // [Sort] on top (re-applied after the rewrite, by output-column name)
@@ -67,7 +80,7 @@ object RollupRouting {
       case _ => return None
     }
     // [Filter] → metrics leaf (through view/alias wrappers)
-    val (conjuncts, leafOk) = stripToRelation(agg.child)
+    val (conjuncts, leafOk) = stripToRelation(agg.child, expectedPaths)
     if (!leafOk) return None
 
     val groupable = Set(MetricSchema.MetricNameCol) ++ rollup.labelCols
@@ -101,7 +114,8 @@ object RollupRouting {
     // -- classify filters: aligned time bounds + rollup-column predicates
     var lower: Option[Long] = None // inclusive ns
     var upper: Option[Long] = None // exclusive ns
-    val keptPreds = Seq.newBuilder[Expression]
+    // every conjunct must individually qualify (else the whole match aborts),
+    // so the fold below can transplant `conjuncts` verbatim
     conjuncts.foreach { c =>
       val refs = c.references.map(_.name).toSet
       if (refs == Set(tsCol)) {
@@ -109,11 +123,10 @@ object RollupRouting {
           case Some((lo, hi)) =>
             lo.foreach(l => lower = Some(lower.fold(l)(math.max(_, l))))
             hi.foreach(h => upper = Some(upper.fold(h)(math.min(_, h))))
-            keptPreds += c
           case None => return None // unaligned / unsupported time predicate
         }
       } else if (refs.nonEmpty && refs.subsetOf(groupable) && c.deterministic) {
-        keptPreds += c
+        () // label/metric predicate — transfers verbatim
       } else return None
     }
     // coverage: the query's time window must sit inside the rollup's
@@ -176,17 +189,30 @@ object RollupRouting {
   }
 
   /** Descend through view/alias wrappers, collecting Filter conjuncts; true
-    * iff the leaf is a relation (the registered metrics view's backing scan).
+    * iff the leaf IS the registered metrics view's backing scan — a file
+    * relation over exactly the engine's registered chunk paths. A file
+    * relation over anything else (a user's own parquet table with the same
+    * column names) must NOT be rewritten. The only accepted non-file leaf is
+    * the engine's empty-warehouse placeholder, and only when the engine has
+    * no registered paths at all.
     */
-  private def stripToRelation(plan: LogicalPlan): (Seq[Expression], Boolean) =
+  private def stripToRelation(plan: LogicalPlan,
+                              expectedPaths: Set[String]): (Seq[Expression], Boolean) =
     plan match {
       case Filter(cond, child) =>
-        val (cs, ok) = stripToRelation(child)
+        val (cs, ok) = stripToRelation(child, expectedPaths)
         (splitConjuncts(cond) ++ cs, ok)
-      case SubqueryAlias(_, child) => stripToRelation(child)
-      case v: View => stripToRelation(v.child)
-      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => (Nil, true)
-      case l: LeafNode => (Nil, l.schema.fieldNames.contains(tsCol))
+      case SubqueryAlias(_, child) => stripToRelation(child, expectedPaths)
+      case v: View => stripToRelation(v.child, expectedPaths)
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val roots = fs.location.rootPaths.map(p => p.toUri.getPath).toSet
+            (Nil, roots.nonEmpty && roots == expectedPaths)
+          case _ => (Nil, false)
+        }
+      case l: LeafNode =>
+        (Nil, expectedPaths.isEmpty && l.schema.fieldNames.contains(tsCol))
       case _ => (Nil, false)
     }
 

@@ -323,12 +323,22 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
       engine.execute(query)(df => streamRows(df, withColumns = false))
       tail.foreach { t =>
         val deadline = durationMs.map(System.currentTimeMillis() + _)
+        // SSE comment keepalive: with no new chunks nothing else is ever
+        // written, so a dead client would leak this handler thread forever —
+        // the ping makes the disconnect surface as a write failure. Pinged
+        // only after an IDLE interval (SSE convention is seconds, not per
+        // poll tick): data frames already prove liveness when they flow.
+        val keepaliveIdleMs = 5000L
+        var lastWriteMs = System.currentTimeMillis()
         while (deadline.forall(_ > System.currentTimeMillis())) {
-          t.poll().foreach(streamRows(_, withColumns = true))
-          // SSE comment keepalive: with no new chunks nothing else is ever
-          // written, so a dead client would leak this handler thread forever —
-          // the ping makes the disconnect surface as a write failure.
-          os.write(": ping\n\n".getBytes("UTF-8")); os.flush()
+          t.poll().foreach { df =>
+            streamRows(df, withColumns = true)
+            lastWriteMs = System.currentTimeMillis()
+          }
+          if (System.currentTimeMillis() - lastWriteMs >= keepaliveIdleMs) {
+            os.write(": ping\n\n".getBytes("UTF-8")); os.flush()
+            lastWriteMs = System.currentTimeMillis()
+          }
           Thread.sleep(250)
         }
       }

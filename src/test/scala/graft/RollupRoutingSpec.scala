@@ -63,6 +63,24 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(eng.lastServedFromRollup)
   }
 
+  test("routing never rewrites a foreign table that mimics the metrics schema") {
+    val (eng, cat, _) = freshEngine()
+    Downsampler.materializeRollup(spark, cat, resolutionSeconds = 3600L,
+      labelCols = Seq("host"))
+    // a user-visible parquet table with IDENTICAL column names but its own
+    // data — a bucketed aggregate over it must answer from ITS rows, never
+    // be silently rewritten onto this warehouse's rollup
+    val foreign = Files.createTempDirectory("graft_foreign_").resolve("t").toString
+    Converters.pointsToDf(spark,
+        Seq(MetricPoint(t0, "cpu_usage", 999.0, Map("host" -> "server1"))))
+      .write.parquet(foreign)
+    spark.read.parquet(foreign).createOrReplaceTempView("foreign_metrics")
+    val out = eng.sql(bucketedSql.replace("FROM metrics ", "FROM foreign_metrics "))
+      .collect()
+    assert(!eng.lastServedFromRollup, "foreign relation must not route")
+    assert(out.length == 1 && out(0).getAs[Double]("sum_v") == 999.0)
+  }
+
   test("non-routable shapes fall back to raw: unaligned bound, non-multiple step, unknown label") {
     val (eng, cat, _) = freshEngine()
     Downsampler.materializeRollup(spark, cat, resolutionSeconds = 3600L,
