@@ -12,6 +12,9 @@
 set -u
 SF="$1"; OUT="$2"; TMO="$3"; JSON="$4"
 MAX_ROUNDS="${MAX_ROUNDS:-8}"
+# deleting the output JSON means "verify everything fresh" — a stale resume
+# copy from an earlier run must not quietly mark queries ok without re-running
+[ -f "$JSON" ] || rm -f "$JSON.resume"
 for i in $(seq 1 "$MAX_ROUNDS"); do
   if [ -f "$JSON" ] && python3 -c "import json;json.load(open('$JSON'))" 2>/dev/null; then
     # only refresh the resume copy from a PARSEABLE file — a kill mid-write

@@ -73,7 +73,11 @@ final case class RollupMeta(
     labelCols: Seq[String],
     minBucketNs: Long,
     maxCoveredNsExclusive: Long,
-    rowCount: Long)
+    rowCount: Long,
+    // chunks with maxTimestampNs < buildCutoffNs are folded in — the boundary
+    // an incremental extension merges FROM. MaxValue = "built over everything"
+    // (the whole-warehouse rollup, and records persisted before this field).
+    buildCutoffNs: Long = Long.MaxValue)
 
 /** The unified catalog document: {version, chunks, time_index} — reference
   * src/metadata/s3.rs:104-116. time_index buckets chunks by hour of minTimestamp.
@@ -154,15 +158,20 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     st.copy(rollups = st.rollups.filterNot(_.path == path))
   }
 
+  /** Chunk-map + time-index with `removed` pruned — shared by the rewrite and
+    * delete paths so the index semantics cannot silently diverge.
+    */
+  private def pruneChunks(st: CatalogState, removed: Set[String]) =
+    (st.chunks -- removed,
+      st.timeIndex.map { case (k, v) => k -> v.filterNot(removed.contains) }
+        .filter(_._2.nonEmpty))
+
   /** Atomically remove source chunks and add the compacted chunk — mirrors the
     * reference's single-CAS compaction swap (src/metadata/s3.rs:1277-1332).
     */
   def replaceChunks(removePaths: Seq[String], add: Seq[ChunkMeta]): Unit = mutate { st =>
     val removed = removePaths.toSet
-    val keptChunks = st.chunks -- removed
-    val prunedIndex = st.timeIndex.map { case (k, v) =>
-      k -> v.filterNot(removed.contains)
-    }.filter(_._2.nonEmpty)
+    val (keptChunks, prunedIndex) = pruneChunks(st, removed)
     val withAdds = add.foldLeft((keptChunks, prunedIndex)) { case ((cs, ti), c) =>
       (cs + (c.path -> c), addToIndex(ti, c))
     }
@@ -181,10 +190,7 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     // strand the catalog with chunks gone but the overlapping rollup kept.
     val removed = paths.toSet
     val removedMetas = st.chunks.view.filterKeys(removed).values.toList
-    val keptChunks = st.chunks -- removed
-    val prunedIndex = st.timeIndex.map { case (k, v) =>
-      k -> v.filterNot(removed.contains)
-    }.filter(_._2.nonEmpty)
+    val (keptChunks, prunedIndex) = pruneChunks(st, removed)
     st.copy(chunks = keptChunks, timeIndex = prunedIndex,
       rollups = st.rollups.filterNot(r =>
         removedMetas.exists(c => c.minTimestampNs < r.maxCoveredNsExclusive &&
@@ -334,7 +340,8 @@ object ChunkCatalog {
         "label_cols" -> JArray(r.labelCols.map(JString(_): JValue).toList),
         "min_bucket" -> JLong(r.minBucketNs),
         "max_covered_exclusive" -> JLong(r.maxCoveredNsExclusive),
-        "row_count" -> JLong(r.rowCount)): JValue)))
+        "row_count" -> JLong(r.rowCount),
+        "build_cutoff" -> JLong(r.buildCutoffNs)): JValue)))
     JsonMethods.pretty(JsonMethods.render(doc))
   }
 
@@ -416,7 +423,11 @@ object ChunkCatalog {
           },
           minBucketNs = long(o \ "min_bucket"),
           maxCoveredNsExclusive = long(o \ "max_covered_exclusive"),
-          rowCount = long(o \ "row_count"))
+          rowCount = long(o \ "row_count"),
+          buildCutoffNs = (o \ "build_cutoff") match {
+            case JNothing | JNull => Long.MaxValue // pre-field records
+            case v => long(v)
+          })
       }
       case _ => Nil
     }

@@ -35,24 +35,42 @@ final class Maintenance(
     val deleted = catalog.gc(nowMs)
     val rolledUp = downsample.flatMap { cfg =>
       val rollCutoffNs = nowMs * 1000000L - cfg.afterNs
+      // a rollup only substitutes for this config when it matches on BOTH
+      // resolution and label set — a same-resolution rollup with different
+      // labels can answer different queries, never these
+      def matches(r: RollupMeta): Boolean =
+        r.resolutionSeconds == cfg.resolutionSeconds &&
+          r.labelCols == cfg.labelCols
       Downsampler.agedCoverageEnd(catalog.allChunks, rollCutoffNs,
           cfg.resolutionSeconds).flatMap { covEnd =>
-        // idempotence from metadata alone: only rebuild when new data has
-        // aged past what an existing same-resolution rollup already covers
-        val already = catalog.rollups.exists(r =>
-          r.resolutionSeconds == cfg.resolutionSeconds &&
-            r.maxCoveredNsExclusive >= covEnd)
-        if (already) None
-        else Downsampler.materializeAgedRollup(spark, catalog,
-            cfg.resolutionSeconds, cfg.labelCols, rollCutoffNs).map { meta =>
-          // retire superseded same-resolution registrations (their files are
-          // left for GC-by-convention; the catalog stops routing to them)
-          catalog.rollups
-            .filter(r => r.resolutionSeconds == cfg.resolutionSeconds &&
-              r.path != meta.path &&
-              r.maxCoveredNsExclusive <= meta.maxCoveredNsExclusive)
-            .foreach(r => catalog.dropRollup(r.path))
-          meta
+        // idempotence from metadata alone: act only when new data has aged
+        // past what an existing matching rollup already covers
+        if (catalog.rollups.exists(r => matches(r) &&
+            r.maxCoveredNsExclusive >= covEnd)) None
+        else {
+          // steady state: EXTEND the widest matching prior incrementally
+          // (O(newly aged), not O(all aged history)); full build only when
+          // no prior exists
+          val prior = catalog.rollups.filter(matches)
+            .sortBy(-_.maxCoveredNsExclusive).headOption
+          val built = prior match {
+            case Some(p) =>
+              Downsampler.extendAgedRollup(spark, catalog, p, rollCutoffNs)
+            case None =>
+              Downsampler.materializeAgedRollup(spark, catalog,
+                cfg.resolutionSeconds, cfg.labelCols, rollCutoffNs)
+          }
+          built.foreach { meta =>
+            // retire superseded matching registrations AND their files
+            catalog.rollups
+              .filter(r => matches(r) && r.path != meta.path &&
+                r.maxCoveredNsExclusive <= meta.maxCoveredNsExclusive)
+              .foreach { r =>
+                catalog.dropRollup(r.path)
+                Downsampler.deleteRollupFiles(r.path)
+              }
+          }
+          built
         }
       }
     }

@@ -258,9 +258,90 @@ object Downsampler {
         labelCols = labelCols,
         minBucketNs = Long.MinValue,
         maxCoveredNsExclusive = covEnd,
-        rowCount = obs.get("n").asInstanceOf[Long])
+        rowCount = obs.get("n").asInstanceOf[Long],
+        buildCutoffNs = cutoffNs)
       catalog.registerRollup(meta)
       meta
+    }
+  }
+
+  /** INCREMENTAL coverage extension — the steady-state sweep cost: merge the
+    * prior aged rollup with ONLY the chunks that aged since its build cutoff
+    * (chunk sets are disjoint by construction, so no row is counted twice;
+    * the stored components are associative, so re-aggregating union buckets
+    * is exact). Without this, every extension re-reads the entire aged
+    * history: O(total past) per sweep instead of O(newly aged increment).
+    *
+    * When nothing newly aged exists but the coverage bound moved (the
+    * clamping live chunk was compacted or aged), the prior registration is
+    * extended in place — rows absent from the rollup all live beyond the new
+    * bound, so wider coverage stays exact with zero data read.
+    *
+    * Returns the new registration, or None when coverage cannot move. The
+    * superseded rollup's files are the CALLER's to retire (after dropRollup).
+    */
+  def extendAgedRollup(spark: SparkSession, catalog: ChunkCatalog,
+                       prior: graft.catalog.RollupMeta,
+                       cutoffNs: Long): Option[graft.catalog.RollupMeta] = {
+    val chunks = catalog.allChunks
+    agedCoverageEnd(chunks, cutoffNs, prior.resolutionSeconds).flatMap { covEnd =>
+      if (covEnd <= prior.maxCoveredNsExclusive) None
+      else {
+        val newlyAged = chunks.filter(c =>
+          c.maxTimestampNs < cutoffNs && c.maxTimestampNs >= prior.buildCutoffNs)
+        if (newlyAged.isEmpty) {
+          val meta = prior.copy(maxCoveredNsExclusive = covEnd,
+            buildCutoffNs = cutoffNs)
+          catalog.registerRollup(meta) // same path: replaces in place
+          Some(meta)
+        } else {
+          val fresh = ChunkCatalog.mergedSchema(newlyAged) match {
+            case Some(schema) =>
+              spark.read.schema(schema).parquet(newlyAged.map(_.path): _*)
+            case None =>
+              spark.read.option("mergeSchema", "true").parquet(newlyAged.map(_.path): _*)
+          }
+          val target = catalog.root.resolve(
+            s"default/rollup/res${prior.resolutionSeconds}s_${UUID.randomUUID()}")
+          val obs = org.apache.spark.sql.Observation(s"rollup_${UUID.randomUUID()}")
+          val keyCols = "time_bucket" +: MetricSchema.MetricNameCol +: prior.labelCols
+          spark.read.parquet(prior.path)
+            .unionByName(downsampleMergeable(fresh, prior.resolutionSeconds, prior.labelCols))
+            .groupBy(keyCols.map(col): _*)
+            .agg(
+              sum("sum_value").as("sum_value"),
+              min("min_value").as("min_value"),
+              max("max_value").as("max_value"),
+              sum("sample_count").as("sample_count"),
+              sum("value_count").as("value_count"))
+            .observe(obs, count(lit(1)).as("n"))
+            .write.option("compression", "zstd").parquet(target.toString)
+          val meta = graft.catalog.RollupMeta(
+            path = target.toString,
+            resolutionSeconds = prior.resolutionSeconds,
+            labelCols = prior.labelCols,
+            minBucketNs = Long.MinValue,
+            maxCoveredNsExclusive = covEnd,
+            rowCount = obs.get("n").asInstanceOf[Long],
+            buildCutoffNs = cutoffNs)
+          catalog.registerRollup(meta)
+          Some(meta)
+        }
+      }
+    }
+  }
+
+  /** Recursively delete a retired rollup directory (deregistered parquet dirs
+    * otherwise accumulate one per extension sweep; catalog GC only handles
+    * single files).
+    */
+  def deleteRollupFiles(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      val all = java.nio.file.Files.walk(root)
+      try all.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally all.close()
     }
   }
 }

@@ -308,8 +308,11 @@ object Dedup {
     // estSigma widens the estimate margin for corpora dense at the threshold
     // boundary: like banding itself, the prefilter is probabilistic for a
     // pair at EXACTLY J=threshold (miss p ~ 1e-3 at 3 sigma); estSigma=4.5
-    // drops that below 1e-5, and estSigma <= 0 disables the prefilter bound
-    val estMin = threshold - estSigma * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // drops that below 1e-5, and estSigma <= 0 DISABLES the prefilter (a
+    // zero bound admits every candidate to exact verification)
+    val estMin =
+      if (estSigma <= 0) 0.0
+      else threshold - estSigma * math.sqrt(threshold * (1 - threshold) / numHashes)
     val ga = withShingles.select(col(idCol).as("id_a"), col("__sig").as("sig_a"))
     val gb = withShingles.select(col(idCol).as("id_b"), col("__sig").as("sig_b"))
     val estimated = candidates

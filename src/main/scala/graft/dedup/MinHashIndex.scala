@@ -140,9 +140,18 @@ object MinHashIndex {
     StructField("band", IntegerType, nullable = false),
     StructField("band_hash", LongType, nullable = true)))
 
-  /** Tombstoned (degenerate) band keys — empty-safe read. */
-  def pruned(spark: SparkSession, indexRoot: String): DataFrame =
-    spark.read.schema(prunedSchema).parquet(prunedPath(indexRoot))
+  /** Tombstoned (degenerate) band keys — empty-safe read, and absent-safe: an
+    * index persisted before tombstones existed has no pruned/ dir and must
+    * stay probeable/appendable (semantically it pruned nothing).
+    */
+  def pruned(spark: SparkSession, indexRoot: String): DataFrame = {
+    val p = prunedPath(indexRoot)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      spark.read.schema(prunedSchema).parquet(p)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], prunedSchema)
+  }
 
   def readParams(spark: SparkSession, indexRoot: String): Params = {
     val r = spark.read.parquet(paramsPath(indexRoot)).head()

@@ -211,8 +211,9 @@ object RollupRouting {
             (Nil, roots.nonEmpty && roots == expectedPaths)
           case _ => (Nil, false)
         }
-      case l: LeafNode =>
-        (Nil, expectedPaths.isEmpty && l.schema.fieldNames.contains(tsCol))
+      // No other leaf qualifies — a LocalRelation/LogicalRDD with metrics-
+      // shaped columns could be a USER's table (and with an empty pruned
+      // path set, routing could only restate an empty answer anyway).
       case _ => (Nil, false)
     }
 

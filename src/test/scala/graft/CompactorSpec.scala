@@ -189,15 +189,26 @@ class CompactorSpec extends AnyFunSuite {
     cat.invalidateCache()
     assert(cat.rollups.map(_.path) == Seq(meta.path))
 
-    // more data ages past the threshold: the sweep EXTENDS coverage and
-    // retires the superseded registration
+    // more data ages past the threshold: the sweep EXTENDS the prior rollup
+    // INCREMENTALLY (merging only newly-aged chunks — O(increment), not
+    // O(all aged history)), retires the superseded registration AND its files
     val laterMs = (t0 + 80 * hourNs) / 1000000L
     val rep3 = maint.runOnce(laterMs)
     assert(rep3.rolledUp.isDefined)
     val meta2 = rep3.rolledUp.get
     assert(meta2.maxCoveredNsExclusive > meta.maxCoveredNsExclusive)
+    assert(meta2.buildCutoffNs == laterMs * 1000000L - 24 * hourNs)
     cat.invalidateCache()
     assert(cat.rollups.map(_.path) == Seq(meta2.path))
+    // merged content equals what a full rebuild over all aged chunks gives:
+    // 3 aged hours x 10 rows, each hour bucket summing 0..9 = 45
+    val merged = spark.read.parquet(meta2.path)
+    assert(merged.count() == 3)
+    assert(merged.agg(org.apache.spark.sql.functions.sum("sum_value"),
+        org.apache.spark.sql.functions.sum("sample_count"))
+      .collect()(0).toSeq == Seq(135.0, 30L))
+    // the superseded rollup's directory is gone, not just deregistered
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(meta.path)))
 
     // late-arriving data INSIDE the covered past invalidates (write-invalidation)
     writer.write(Converters.pointsToDf(spark, mk(t0 + hourNs)))
