@@ -77,7 +77,15 @@ final case class RollupMeta(
     // chunks with maxTimestampNs < buildCutoffNs are folded in — the boundary
     // an incremental extension merges FROM. MaxValue = "built over everything"
     // (the whole-warehouse rollup, and records persisted before this field).
-    buildCutoffNs: Long = Long.MaxValue)
+    buildCutoffNs: Long = Long.MaxValue,
+    // Set when a chunk rewrite (compaction/split) merged rows from BOTH sides
+    // of buildCutoffNs into one chunk: the "newly aged since buildCutoffNs"
+    // timestamp predicate can no longer distinguish already-rolled rows from
+    // new ones, so the next coverage extension must be a FULL rebuild over all
+    // aged chunks (incremental merge would double-count the rolled side).
+    // Serving stays exact — rewrites move rows, not data — only the
+    // incremental-extension shortcut is poisoned.
+    staleForExtension: Boolean = false)
 
 /** The unified catalog document: {version, chunks, time_index} — reference
   * src/metadata/s3.rs:104-116. time_index buckets chunks by hour of minTimestamp.
@@ -142,8 +150,15 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     // Write-invalidation: NEW raw data overlapping a rollup's covered range
     // makes it stale — drop it (re-materialize later). Chunk REWRITES
     // (compaction/split/promotion) go through replaceChunks and keep rollups.
+    // The range checked extends to buildCutoffNs, not just the coverage end: a
+    // late-arriving chunk landing in the gap [maxCoveredNsExclusive,
+    // buildCutoffNs) is already "aged" by the extension's timestamp predicate
+    // (maxTs < buildCutoffNs) so it would NEVER be picked up as newly aged —
+    // when coverage later advances past it, the rollup would silently
+    // undercount those buckets. Dropping forces a full rebuild that sees it.
     added.copy(rollups = added.rollups.filterNot(r =>
-      chunks.exists(c => c.minTimestampNs < r.maxCoveredNsExclusive &&
+      chunks.exists(c =>
+        c.minTimestampNs < math.max(r.maxCoveredNsExclusive, r.buildCutoffNs) &&
         c.maxTimestampNs >= r.minBucketNs)))
   }
 
@@ -171,11 +186,37 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     */
   def replaceChunks(removePaths: Seq[String], add: Seq[ChunkMeta]): Unit = mutate { st =>
     val removed = removePaths.toSet
+    // Rewrites keep rollups (rows move, data doesn't) — but they can poison
+    // the INCREMENTAL extension, which classifies chunks purely by
+    // `maxTimestampNs` against the rollup's buildCutoffNs boundary:
+    //  (b) a merge folding an already-rolled chunk (maxTs < cutoff) into an
+    //      output with maxTs >= cutoff makes the rolled rows look "newly
+    //      aged" when the output later ages → double-counted sums;
+    //  (a) a rewrite moving never-rolled rows (source maxTs >= cutoff) into
+    //      an output with maxTs < cutoff makes them look already-rolled →
+    //      silently missing when coverage advances (e.g. splitting a live
+    //      chunk below the cutoff).
+    // Flag such rollups stale-for-extension: serving stays exact, but the
+    // next coverage extension must be a full rebuild over all aged chunks.
+    // The test is conservative (chunk bounds, not row provenance); a false
+    // positive costs one full rebuild, never correctness.
+    val removedMetas = st.chunks.view.filterKeys(removed).values.toList
+    val patchedRollups = st.rollups.map { r =>
+      val cut = r.buildCutoffNs
+      def stale: Boolean = {
+        val (rolledSrc, unrolledSrc) = removedMetas.partition(_.maxTimestampNs < cut)
+        (unrolledSrc.nonEmpty && add.exists(_.maxTimestampNs < cut)) ||
+          (rolledSrc.nonEmpty && add.exists(_.maxTimestampNs >= cut))
+      }
+      if (cut != Long.MaxValue && !r.staleForExtension && stale)
+        r.copy(staleForExtension = true)
+      else r
+    }
     val (keptChunks, prunedIndex) = pruneChunks(st, removed)
     val withAdds = add.foldLeft((keptChunks, prunedIndex)) { case ((cs, ti), c) =>
       (cs + (c.path -> c), addToIndex(ti, c))
     }
-    st.copy(chunks = withAdds._1, timeIndex = withAdds._2)
+    st.copy(chunks = withAdds._1, timeIndex = withAdds._2, rollups = patchedRollups)
   }
 
   /** Remove chunks (retention/GC path). Unlike compaction/split rewrites this
@@ -341,7 +382,8 @@ object ChunkCatalog {
         "min_bucket" -> JLong(r.minBucketNs),
         "max_covered_exclusive" -> JLong(r.maxCoveredNsExclusive),
         "row_count" -> JLong(r.rowCount),
-        "build_cutoff" -> JLong(r.buildCutoffNs)): JValue)))
+        "build_cutoff" -> JLong(r.buildCutoffNs),
+        "stale_extension" -> JBool(r.staleForExtension)): JValue)))
     JsonMethods.pretty(JsonMethods.render(doc))
   }
 
@@ -427,6 +469,10 @@ object ChunkCatalog {
           buildCutoffNs = (o \ "build_cutoff") match {
             case JNothing | JNull => Long.MaxValue // pre-field records
             case v => long(v)
+          },
+          staleForExtension = (o \ "stale_extension") match {
+            case JBool(b) => b
+            case _ => false // pre-field records
           })
       }
       case _ => Nil

@@ -286,7 +286,14 @@ object Downsampler {
     val chunks = catalog.allChunks
     agedCoverageEnd(chunks, cutoffNs, prior.resolutionSeconds).flatMap { covEnd =>
       if (covEnd <= prior.maxCoveredNsExclusive) None
-      else {
+      else if (prior.staleForExtension) {
+        // A rewrite merged rows across prior.buildCutoffNs (catalog flagged
+        // it): the maxTs-vs-cutoff predicate below can no longer separate
+        // rolled from unrolled rows — incremental merge would double-count
+        // or drop them. Rebuild from ALL aged chunks; exact by construction.
+        materializeAgedRollup(spark, catalog, prior.resolutionSeconds,
+          prior.labelCols, cutoffNs)
+      } else {
         val newlyAged = chunks.filter(c =>
           c.maxTimestampNs < cutoffNs && c.maxTimestampNs >= prior.buildCutoffNs)
         if (newlyAged.isEmpty) {

@@ -107,7 +107,14 @@ object MinHashIndex {
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = newDocs.sparkSession
     val p = readParams(spark, indexRoot)
+    // Idempotence guard: a doc_id already in the index is skipped — without
+    // this, a re-appended batch writes duplicate sigs/bucket rows and every
+    // later probe emits duplicate (batch_id, corpus_id) pairs. Cost: one
+    // column-pruned scan of sigs/ doc_ids anti-joined against the (small)
+    // batch — proportional to the corpus ID column, not its text.
+    val existing = spark.read.parquet(sigsPath(indexRoot)).select("doc_id")
     val withSig = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(existing, Seq("doc_id"), "left_anti")
       .withColumn("__sh", Dedup.shingles(col("__text"), p.k))
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
       .localCheckpoint(true)
@@ -146,7 +153,12 @@ object MinHashIndex {
     */
   def pruned(spark: SparkSession, indexRoot: String): DataFrame = {
     val p = prunedPath(indexRoot)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    // existence via the path's own Hadoop FileSystem, NOT java.nio: all other
+    // index I/O goes through Spark, so indexRoot can be hdfs:// or s3a:// —
+    // a local-only check would silently ignore tombstones on remote storage
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hp))
       spark.read.schema(prunedSchema).parquet(p)
     else
       spark.createDataFrame(
@@ -221,7 +233,9 @@ object MinHashIndex {
       .join(withSig.select(col("batch_id"), col("sig").as("sig_b")), "batch_id")
       .filter(size(filter(zip_with(col("sig_b"), col("sig_c"), _ === _), b => b))
         >= lit(math.ceil(estMin * p.numHashes).toInt))
-      .select("batch_id", "corpus_id")
+      // candidate-sized distinct: belt-and-braces against duplicate sigs rows
+      // (e.g. an index written before append() enforced doc_id uniqueness)
+      .select("batch_id", "corpus_id").distinct()
 
     // exact verify: corpus text only for estimate survivors (semi-join reach)
     val survivors = estimated.select(col("corpus_id").as("doc_id")).distinct()

@@ -127,4 +127,61 @@ class CatalogSpec extends AnyFunSuite {
     val conflict = ChunkMeta("d", 0, 1, 1, 1, schemaDdl = Some("ts STRING"))
     assert(ChunkCatalog.mergedSchema(Seq(st.chunks("a"), conflict)).isEmpty)
   }
+
+  test("rollup invalidation covers the [coverage, buildCutoff) gap — late backfill drops it") {
+    import graft.catalog.RollupMeta
+    val cat = freshCatalog()
+    // aged rollup: coverage clamped at hour 20 by a live chunk with an old
+    // minTs, but everything below the hour-25 age cutoff was folded in
+    cat.register(chunk("live", 20, 48))
+    cat.registerRollup(RollupMeta("/r/a", 3600L, Seq("h"),
+      minBucketNs = Long.MinValue, maxCoveredNsExclusive = 20 * hourNs,
+      rowCount = 10L, buildCutoffNs = 25 * hourNs))
+    // ingest at recent timestamps (beyond the cutoff): rollup survives
+    cat.register(chunk("recent", 50, 50))
+    cat.invalidateCache()
+    assert(cat.rollups.nonEmpty)
+    // backfill landing INSIDE the gap [coverage end, build cutoff): such a
+    // chunk is already "aged" by the extension's maxTs predicate, so it can
+    // never be picked up as newly aged — registration must drop the rollup
+    cat.register(chunk("backfill", 21, 23))
+    cat.invalidateCache()
+    assert(cat.rollups.isEmpty,
+      "gap backfill must invalidate, else extended coverage undercounts")
+  }
+
+  test("replaceChunks flags a rollup stale when a rewrite crosses its age boundary") {
+    import graft.catalog.RollupMeta
+    val cat = freshCatalog()
+    val rolled = chunk("old", 0, 2)        // maxTs < cutoff: folded into the rollup
+    val live = chunk("new", 40, 48)        // maxTs >= cutoff: not rolled
+    cat.registerAll(Seq(rolled, live))
+    cat.registerRollup(RollupMeta("/r/b", 3600L, Seq("h"),
+      minBucketNs = Long.MinValue, maxCoveredNsExclusive = 25 * hourNs,
+      rowCount = 3L, buildCutoffNs = 25 * hourNs))
+    // a rewrite of SAME-side chunks keeps the rollup extendable
+    cat.replaceChunks(Seq("new"), Seq(chunk("new2", 40, 48, level = 1)))
+    cat.invalidateCache()
+    assert(!cat.rollups.head.staleForExtension)
+    // a merge folding a rolled chunk and an unrolled chunk into one output
+    // poisons the maxTs-vs-cutoff classification → flagged, never dropped
+    // (serving stays exact; only incremental extension must rebuild)
+    cat.replaceChunks(Seq("old", "new2"), Seq(chunk("merged", 0, 48, level = 2)))
+    cat.invalidateCache()
+    assert(cat.rollups.head.staleForExtension)
+    // the flag also survives a JSON round-trip
+    val reparsed = ChunkCatalog.parse(ChunkCatalog.render(cat.state))
+    assert(reparsed.rollups.head.staleForExtension)
+    // splitting a live chunk BELOW the cutoff also flags: the aged-looking
+    // half carries never-rolled rows that would otherwise escape extension
+    val cat2 = freshCatalog()
+    cat2.register(chunk("span", 10, 48))
+    cat2.registerRollup(RollupMeta("/r/c", 3600L, Seq("h"),
+      minBucketNs = Long.MinValue, maxCoveredNsExclusive = 10 * hourNs,
+      rowCount = 3L, buildCutoffNs = 25 * hourNs))
+    cat2.replaceChunks(Seq("span"),
+      Seq(chunk("lo", 10, 20, level = 1), chunk("hi", 26, 48, level = 1)))
+    cat2.invalidateCache()
+    assert(cat2.rollups.head.staleForExtension)
+  }
 }

@@ -215,4 +215,49 @@ class CompactorSpec extends AnyFunSuite {
     cat.invalidateCache()
     assert(cat.rollups.isEmpty)
   }
+
+  test("compaction across the age boundary: extension full-rebuilds, never double-counts") {
+    import graft.compact.Maintenance
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_mnt_str_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    val mk = (base: Long) => (0 until 10).map(i =>
+      MetricPoint(base + i * 60L * 1000000000L, "cpu", i.toDouble, Map("h" -> "x")))
+    // three aged hours + one recent hour; each hour's values sum to 45
+    (0 until 3).foreach(h => writer.write(Converters.pointsToDf(spark, mk(t0 + h * hourNs))))
+    writer.write(Converters.pointsToDf(spark, mk(t0 + 48 * hourNs)))
+    val maint = new Maintenance(spark, cat,
+      retentionNs = 365L * 86400 * 1000000000L,
+      downsample = Some(Maintenance.Downsample(
+        afterNs = 24 * hourNs, resolutionSeconds = 3600L, labelCols = Seq("h"))))
+    val rep = maint.runOnce((t0 + 49 * hourNs) / 1000000L)
+    val first = rep.rolledUp.get // hours 0-2 rolled: sum 135, 30 samples
+    assert(!first.staleForExtension)
+
+    // compact an already-rolled chunk together with the recent (unrolled)
+    // chunk: the merged chunk's maxTs crosses the rollup's buildCutoffNs —
+    // the catalog must flag the rollup stale-for-extension (ADVICE r6 high)
+    cat.invalidateCache()
+    val chunks = cat.allChunks
+    val rolledChunk = chunks.find(_.maxTimestampNs < t0 + 3 * hourNs).get
+    val recentChunk = chunks.find(_.minTimestampNs >= t0 + 48 * hourNs).get
+    val comp = new Compactor(spark, cat)
+    comp.compactGroup(Seq(rolledChunk, recentChunk))
+    cat.invalidateCache()
+    assert(cat.rollups.head.staleForExtension,
+      "boundary-straddling merge must poison incremental extension")
+
+    // everything now ages: the sweep must REBUILD from all aged chunks. An
+    // incremental merge here would re-aggregate the merged chunk's already-
+    // rolled hour (sum 225, 50 samples) — exact is 4 hours x 45 = 180, 40.
+    val rep2 = maint.runOnce((t0 + 80 * hourNs) / 1000000L)
+    val second = rep2.rolledUp.get
+    assert(!second.staleForExtension)
+    val r = spark.read.parquet(second.path)
+      .agg(org.apache.spark.sql.functions.sum("sum_value"),
+        org.apache.spark.sql.functions.sum("sample_count")).collect()(0)
+    assert(r.toSeq == Seq(180.0, 40L),
+      s"expected exact rebuild totals (180.0, 40), got ${r.toSeq}")
+    cat.invalidateCache()
+    assert(cat.rollups.map(_.path) == Seq(second.path)) // prior retired
+  }
 }

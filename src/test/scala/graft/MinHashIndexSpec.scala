@@ -131,6 +131,24 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(viaAppend.exists(p => p._1 == 9001L && p._2 == 300L)) // appended normal doc matches
   }
 
+  test("re-appending already-indexed docs is a no-op: no duplicate probe pairs") {
+    val all = corpus(60)
+    val root = java.nio.file.Files.createTempDirectory("mh_idx_reapp_").toString
+    MinHashIndex.build(all, root, numHashes = 32, bands = 16, nParts = 16)
+    val batch = docs((5000L, "the quick brown fox jumps over the lazy dog again and again variant1"))
+    val before = MinHashIndex.probe(spark, root, batch, all, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(before.nonEmpty)
+    // append a slice that is ALREADY in the index — the doc_id guard must
+    // skip it entirely (no duplicate sigs/bucket rows)
+    MinHashIndex.append(all.filter(col("doc_id") < 30), root)
+    assert(spark.read.parquet(s"$root/sigs").groupBy("doc_id")
+      .count().filter(col("count") > 1).count() == 0, "sigs must stay unique per doc_id")
+    val after = MinHashIndex.probe(spark, root, batch, all, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(after == before, "re-append must not change or duplicate probe output")
+  }
+
   test("build drops oversized (degenerate) buckets; probe misses only those") {
     // 30 empty-text docs all collide into one degenerate bucket family
     val degenerate = docs((0L until 30).map(i => (i, "")): _*)
