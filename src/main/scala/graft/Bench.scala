@@ -38,7 +38,7 @@ object Bench {
     val shuffleDir = {
       val d = java.nio.file.Paths.get("/dev/shm/graft_bench_shuffle")
       try { java.nio.file.Files.createDirectories(d); d.toString }
-      catch { case _: Throwable => System.getProperty("java.io.tmpdir") }
+      catch { case scala.util.control.NonFatal(_) => System.getProperty("java.io.tmpdir") }
     }
     // SPARK_GRAFT_MASTER=local-cluster[4,8,8192] runs the same sweep across 4
     // separate executor JVMs — real BlockManager shuffle transfers, broadcast
@@ -116,7 +116,7 @@ object Bench {
     val warehouse =
       try java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "graft_bench_ingest_")
-      catch { case _: Throwable => java.nio.file.Files.createTempDirectory("graft_bench_ingest_") }
+      catch { case scala.util.control.NonFatal(_) => java.nio.file.Files.createTempDirectory("graft_bench_ingest_") }
     val catalog = new graft.catalog.ChunkCatalog(warehouse)
     val writer = new graft.ingest.ChunkWriter(catalog)
     // exactly 4 M rows: 10 metrics × 5 hosts × 2 regions = 100 series × 100 Hz ×
@@ -165,7 +165,7 @@ object Bench {
     val latWarehouse =
       try java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "graft_bench_lat_")
-      catch { case _: Throwable => java.nio.file.Files.createTempDirectory("graft_bench_lat_") }
+      catch { case scala.util.control.NonFatal(_) => java.nio.file.Files.createTempDirectory("graft_bench_lat_") }
     val latCatalog = new graft.catalog.ChunkCatalog(latWarehouse)
     new graft.ingest.ChunkWriter(latCatalog).write(df)
     df.unpersist(blocking = false)
@@ -226,7 +226,7 @@ object Bench {
           (runs.isEmpty || spent < 25.0)) {
         val t = time {
           try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+          catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] $name: ${e.getMessage}") }
         }
         runs += t; spent += t
       }
@@ -262,7 +262,7 @@ object Bench {
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] sidecar write failed: $e") }
     System.err.println(detailJson)
 
     // ---- final stdout line: SHORT headline (driver tail-captures 2000 chars) --

@@ -240,6 +240,17 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
 
   def setActiveSplits(splits: Seq[String]): Unit = mutate(_.copy(activeSplits = splits.toList))
 
+  /** Named numeric table statistics (e.g. the range-join median interval
+    * length, derived once at write/compact time instead of per-query — see
+    * Operators.rangeJoinAuto). Stats are advisory: a stale value can only
+    * change performance, never results, so writes are cheap overwrite.
+    */
+  def setTableStat(name: String, value: Long): Unit = mutate { st =>
+    st.copy(tableStats = st.tableStats + (name -> value))
+  }
+
+  def tableStat(name: String): Option[Long] = state.tableStats.get(name)
+
   /** Deletions deferred by a grace period (reference 5 min GC grace,
     * src/compactor/mod.rs:816-918). Entries are (path, deletableAfterMs).
     */
@@ -288,7 +299,8 @@ object ChunkCatalog {
       timeIndex: scala.collection.immutable.TreeMap[Long, List[String]],
       activeSplits: List[String],
       pendingDeletes: List[(String, Long)],
-      rollups: List[RollupMeta] = Nil)
+      rollups: List[RollupMeta] = Nil,
+      tableStats: Map[String, Long] = Map.empty)
 
   object CatalogState {
     val empty: CatalogState = CatalogState(1L, Map.empty,
@@ -383,7 +395,10 @@ object ChunkCatalog {
         "max_covered_exclusive" -> JLong(r.maxCoveredNsExclusive),
         "row_count" -> JLong(r.rowCount),
         "build_cutoff" -> JLong(r.buildCutoffNs),
-        "stale_extension" -> JBool(r.staleForExtension)): JValue)))
+        "stale_extension" -> JBool(r.staleForExtension)): JValue)),
+      "table_stats" -> JObject(st.tableStats.toList.sortBy(_._1).map {
+        case (k, v) => k -> (JLong(v): JValue)
+      }))
     JsonMethods.pretty(JsonMethods.render(doc))
   }
 
@@ -477,6 +492,11 @@ object ChunkCatalog {
       }
       case _ => Nil
     }
-    CatalogState(long(doc \ "version"), chunks, timeIndex, splits, pending, rollups)
+    val tableStats = (doc \ "table_stats") match {
+      case JObject(fields) => fields.map { case (k, v) => k -> long(v) }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    CatalogState(long(doc \ "version"), chunks, timeIndex, splits, pending, rollups,
+      tableStats)
   }
 }

@@ -118,11 +118,19 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   private val rollupKeys =
     scala.collection.mutable.HashSet.empty[(String, Seq[String], Boolean)]
 
+  /** Keys whose cached entry is a topK-rewritten plan (lastTopKRouted stays
+    * truthful on cache hits).
+    */
+  private val topKKeys =
+    scala.collection.mutable.HashSet.empty[(String, Seq[String], Boolean)]
+
   private def dropEntry(key: (String, Seq[String], Boolean), df: DataFrame): Unit = {
-    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    try df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
     cachedBytes.remove(key)
     localizedKeys.remove(key)
     rollupKeys.remove(key)
+    topKKeys.remove(key)
   }
 
   /** RAM result-cache tier, the Spark analog of the reference's L1 moka cache
@@ -158,6 +166,16 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * (observability for tests/telemetry, like lastPrunedPaths).
     */
   @volatile var lastServedFromRollup: Boolean = false
+
+  /** Naive-top-k rewrite (graft.plans.TopKRouting): `row_number() ≤ k` over
+    * the registered scan re-planned as the two-phase Operators.topKPerGroup.
+    * On by default — the naive form's window sort parallelism is the group
+    * count, the one deliberate scale outlier in the bench record.
+    */
+  @volatile var topKRoutingEnabled: Boolean = true
+
+  /** True iff the most recent sql() was re-planned by TopKRouting. */
+  @volatile var lastTopKRouted: Boolean = false
 
   /** Query-pattern stats feeding index recommendations — populated per query like
     * the reference's adaptive-index hooks (engine.rs:259-300).
@@ -238,15 +256,21 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     lastPrunedPaths = paths
     val split = catalog.hasActiveSplit
     // rollup identity is part of the cache key: (de)registering a rollup must
-    // never serve a stale cached plan built against the other source
+    // never serve a stale cached plan built against the other source; the
+    // topK-rewrite toggle likewise (a cached naive plan must not be served
+    // while the rewrite is on, nor the reverse)
     val rollups = if (rollupRoutingEnabled && !split) catalog.rollups else Nil
-    val key = (query, paths ++ rollups.map("rollup:" + _.path), split)
+    val key = (query,
+      paths ++ rollups.map("rollup:" + _.path) ++
+        (if (topKRoutingEnabled && !split) Seq("topk:on") else Nil),
+      split)
     var toLocalize: DataFrame = null
     planCache.synchronized {
       val hit = planCache.get(key)
       if (hit != null) {
         Telemetry.cacheHits.increment()
         lastServedFromRollup = rollupKeys(key)
+        lastTopKRouted = topKKeys(key)
         // persisted-but-not-yet-localized entry on a REPEAT hit → localize it
         if (!localizeWarmHits || localizedKeys(key) || !cachedBytes.contains(key))
           return hit
@@ -281,8 +305,23 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       planCache.synchronized { planCache.put(key, r); rollupKeys += key }
       return r
     }
+    // Two-phase top-k rewrite (graft.plans.TopKRouting): the naive
+    // row_number-filter window shape over the registered scan re-plans as
+    // Operators.topKPerGroup — same rows, parallelism no longer bounded by
+    // the group count. Skipped during an active split (the raw path applies
+    // split dedup); a failed match routes to raw.
+    val topk: Option[DataFrame] =
+      if (!topKRoutingEnabled || split) None
+      else
+        try graft.plans.TopKRouting.route(spark, raw.queryExecution.analyzed, paths)
+        catch { case scala.util.control.NonFatal(_) => None }
+    lastTopKRouted = topk.isDefined
+    topk.foreach { r =>
+      planCache.synchronized { planCache.put(key, r); topKKeys += key }
+      return r
+    }
     try adaptiveStats.recordFromPlan(raw.queryExecution.analyzed)
-    catch { case _: Throwable => () } // stats are advisory, never fail a query
+    catch { case scala.util.control.NonFatal(_) => () } // advisory, never fail a query
     // Split-dedup only applies when the result still carries the dedup key
     // columns; aggregated results pass through untouched, mirroring the
     // reference's dedup_batches which skips batches lacking the key columns
@@ -299,7 +338,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     // dashboard-sized aggregate over a pruned chunk set is.
     val estBytes =
       try result.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case _: Throwable => BigInt(Long.MaxValue) }
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
     val persisted = resultCacheEnabled && estBytes <= limits.maxCachedResultBytes
     if (persisted)
       result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -388,21 +427,16 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
 
   /** Extraction over an already-parsed plan — a pure tree-walk, so callers can
     * amortize the (relatively expensive) SQL parse across extractions.
+    *
+    * ALL Filter nodes' conjuncts go through ONE extraction (PredicateExtraction
+    * .extract): the default last-1-hour window applies only when NO time bound
+    * exists anywhere in the statement. Extracting each Filter separately and
+    * intersecting would let a time-free OUTER filter (`WHERE rn <= 5` above a
+    * bounded subquery) inject the default window and silently empty the prune.
     */
   private def extractFromParsed(parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                                nowNs: Long): (TimeRange, Seq[ColumnPredicate]) = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    val conds = parsed.collect { case LFilter(c, _) => c }
-    if (conds.isEmpty) (TimeRange(nowNs - PredicateExtraction.DefaultWindowNs, nowNs), Nil)
-    else {
-      val all = conds.map(PredicateExtraction.extractFromExpression(_, nowNs))
-      val range = all.map(_._1).reduce { (a, b) =>
-        TimeRange(math.max(a.startNs, b.startNs), math.min(a.endNs, b.endNs))
-      }
-      // If every condition contributed only the default window, treat as default.
-      (range, all.flatMap(_._2))
-    }
-  }
+                                nowNs: Long): (TimeRange, Seq[ColumnPredicate]) =
+    PredicateExtraction.extract(parsed, nowNs)
 
   /** Step 2: catalog prune — time index then zone maps. */
   def prune(range: TimeRange, preds: Seq[ColumnPredicate]): Seq[String] =
@@ -410,11 +444,25 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       .filter(c => preds.forall(_.keepChunk(c)))
       .map(_.path)
 
+  /** The temp-view object this engine last registered as `metrics` — identity
+    * is checked on every register() so the path-set short-circuit can never
+    * trust a view some OTHER code on the same session replaced (e.g. a
+    * transpiler helper calling createOrReplaceTempView("metrics")): resolving
+    * against a foreign view would silently answer from the wrong relation.
+    */
+  @volatile private var lastRegisteredView: AnyRef = null
+
+  private def currentMetricsView(): AnyRef =
+    try spark.sessionState.catalog.getTempView("metrics").orNull
+    catch { case scala.util.control.NonFatal(_) => null }
+
   /** Step 3: (re)register the `metrics` view over exactly the pruned chunk set; cached
-    * when the path set is unchanged (engine.rs:133-187).
+    * when the path set is unchanged AND the live view is still ours
+    * (engine.rs:133-187).
     */
   def register(paths: Seq[String]): Unit = synchronized {
-    if (lastRegisteredPaths == paths) return
+    if (lastRegisteredPaths == paths && lastRegisteredView != null &&
+      (lastRegisteredView eq currentMetricsView())) return
     val df =
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -432,6 +480,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       }
     df.createOrReplaceTempView("metrics")
     lastRegisteredPaths = paths
+    lastRegisteredView = currentMetricsView()
   }
 
   /** information_schema-equivalent label discovery

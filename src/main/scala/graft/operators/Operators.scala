@@ -162,12 +162,35 @@ object Operators {
 
   /** [[rangeJoin]] with the bin width derived from the interval-length
     * distribution — no hand-tuned knob to re-tune when the data grows 100×.
+    *
+    * `binStat` short-circuits the derivation pass with a PERSISTED statistic
+    * (the catalog's table-stats map, written once at write/compact time via
+    * [[deriveBinStat]]): the steady-state call then costs zero extra scans.
+    * The stat is advisory — any positive bin width yields identical results
+    * (only the explode factor / candidate count changes) — so a stale stat
+    * can degrade performance but never correctness; the quantile pass runs
+    * only when no stat was ever derived.
     */
   def rangeJoinAuto(points: DataFrame, intervals: DataFrame, pointTs: String,
                     startCol: String, endCol: String,
-                    keyCols: Seq[String] = Nil): DataFrame =
+                    keyCols: Seq[String] = Nil,
+                    binStat: Option[Long] = None): DataFrame =
     rangeJoin(points, intervals, pointTs, startCol, endCol,
-      autoBinSize(intervals, startCol, endCol), keyCols)
+      binStat.filter(_ > 0).getOrElse(autoBinSize(intervals, startCol, endCol)),
+      keyCols)
+
+  /** Derive the median-interval-length bin statistic and persist it in the
+    * catalog's table-stats map under `statName` — the write/compact-time hook
+    * whose value [[rangeJoinAuto]] consumes as `binStat` at query time.
+    * Returns the derived width.
+    */
+  def deriveBinStat(catalog: graft.catalog.ChunkCatalog, statName: String,
+                    intervals: DataFrame, startCol: String,
+                    endCol: String): Long = {
+    val bin = autoBinSize(intervals, startCol, endCol)
+    catalog.setTableStat(statName, bin)
+    bin
+  }
 
   /** As-of join (time-series point-in-time lookup): for every left row, the single
     * most recent right row with `rightTs <= leftTs` (within `toleranceNs` when

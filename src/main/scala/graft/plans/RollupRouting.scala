@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.{col, expr => sqlExpr, max => fMax, min => fMin, round => fRound, sum => fSum}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
 import graft.catalog.RollupMeta
 import graft.schema.MetricSchema
 
@@ -62,8 +62,16 @@ object RollupRouting {
   /** What a SELECT-list item maps to over the rollup table. */
   private sealed trait Out
   private case class GroupBucket(stepNs: Long) extends Out
+  // date_trunc form: same bucket arithmetic, TimestampType output
+  private case class GroupBucketTs(stepNs: Long) extends Out
   private case class GroupCol(name: String) extends Out
   private case class Agg(kind: String, roundScale: Option[Int]) extends Out
+
+  private def bucketStepOf(o: Out): Option[Long] = o match {
+    case GroupBucket(s) => Some(s)
+    case GroupBucketTs(s) => Some(s)
+    case _ => None
+  }
 
   private def routeOne(spark: SparkSession, rollup: RollupMeta,
                        analyzed: LogicalPlan,
@@ -85,11 +93,11 @@ object RollupRouting {
 
     val groupable = Set(MetricSchema.MetricNameCol) ++ rollup.labelCols
 
-    // -- classify grouping keys
+    // -- classify grouping keys (div-mul ns bucket OR date_trunc form)
     var stepNs: Option[Long] = None
     val groupOk = agg.groupingExpressions.forall {
       case a: AttributeReference if groupable(a.name) => true
-      case e => bucketStep(e) match {
+      case e => bucketStep(e).orElse(truncStep(e)) match {
         case Some(s) if stepNs.forall(_ == s) => stepNs = Some(s); true
         case _ => false
       }
@@ -108,14 +116,17 @@ object RollupRouting {
       case None => return None
     }}
     // bucket keys in the SELECT must agree with the GROUP BY step
-    if (outs.exists { case (_, GroupBucket(s)) => !stepNs.contains(s); case _ => false })
+    if (outs.exists { case (_, o) => bucketStepOf(o).exists(s => !stepNs.contains(s)) })
       return None
 
     // -- classify filters: aligned time bounds + rollup-column predicates
     var lower: Option[Long] = None // inclusive ns
     var upper: Option[Long] = None // exclusive ns
-    // every conjunct must individually qualify (else the whole match aborts),
-    // so the fold below can transplant `conjuncts` verbatim
+    // every conjunct must individually qualify (else the whole match aborts);
+    // time conjuncts (on timestamp_ns OR the µs timestamp column) are fully
+    // absorbed into [lower, upper) and reapplied as one time_bucket range;
+    // label conjuncts transplant verbatim
+    val labelConjuncts = Seq.newBuilder[Expression]
     conjuncts.foreach { c =>
       val refs = c.references.map(_.name).toSet
       if (refs == Set(tsCol)) {
@@ -125,8 +136,15 @@ object RollupRouting {
             hi.foreach(h => upper = Some(upper.fold(h)(math.min(_, h))))
           case None => return None // unaligned / unsupported time predicate
         }
+      } else if (refs == Set(tsMicrosCol)) {
+        timeBoundMicros(c, resNs) match {
+          case Some((lo, hi)) =>
+            lo.foreach(l => lower = Some(lower.fold(l)(math.max(_, l))))
+            hi.foreach(h => upper = Some(upper.fold(h)(math.min(_, h))))
+          case None => return None
+        }
       } else if (refs.nonEmpty && refs.subsetOf(groupable) && c.deterministic) {
-        () // label/metric predicate — transfers verbatim
+        labelConjuncts += c // label/metric predicate — transfers verbatim
       } else return None
     }
     // coverage: the query's time window must sit inside the rollup's
@@ -138,9 +156,12 @@ object RollupRouting {
 
     // ---- build the equivalent query over the rollup table ------------------
     val ru = spark.read.parquet(rollup.path)
-    // time predicates transfer verbatim onto time_bucket (alignment proven
-    // above); label/metric predicates transfer verbatim by column name
-    val filtered0 = conjuncts.foldLeft(ru) { (d, c) =>
+    // time predicates were absorbed into [lower, upper) — reapply as ONE
+    // time_bucket range (exact per the alignment proofs in timeBound /
+    // timeBoundMicros); label/metric predicates transfer verbatim by name
+    val timeFiltered = ru.filter(
+      col("time_bucket") >= lower.get && col("time_bucket") < upper.get)
+    val filtered0 = labelConjuncts.result().foldLeft(timeFiltered) { (d, c) =>
       d.filter(org.apache.spark.sql.GraftBridge.column(transplant(c)))
     }
     // the re-bucketed key is materialized as a named column up front so the
@@ -167,6 +188,9 @@ object RollupRouting {
     // project to the original SELECT order/names
     val projected = grouped.select(outs.map {
       case (name, GroupBucket(_)) => col("__rebucket").cast(LongType).as(name)
+      // ns bucket → µs → TimestampType: exact, resNs is a multiple of 1000
+      case (name, GroupBucketTs(_)) =>
+        sqlExpr("timestamp_micros(__rebucket div 1000)").as(name)
       case (name, GroupCol(c)) => col(c).as(name)
       case (name, _: Agg) => col(name)
     }: _*)
@@ -238,6 +262,112 @@ object RollupRouting {
     case _ => false
   }
 
+  private val tsMicrosCol = MetricSchema.TimestampCol
+
+  /** True when the zone truncates exactly like UTC at every instant (fixed
+    * zero offset — UTC, GMT, Etc/UTC). Required for hour/day date_trunc
+    * routing: a non-zero or DST-shifting offset moves hour/day boundaries
+    * off the rollup's UTC-epoch-aligned buckets (e.g. +05:45, half-hour DST).
+    */
+  private def utcEquivalent(zone: java.time.ZoneId): Boolean = {
+    val rules = zone.getRules
+    rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+  }
+
+  /** True when every offset the zone uses from epoch 0 onward is a whole
+    * number of minutes — then minute truncation coincides with UTC minute
+    * truncation regardless of the zone (all post-1972 IANA offsets qualify;
+    * the check guards the pre-1972 second-precision LMT corner).
+    */
+  private def wholeMinuteOffsets(zone: java.time.ZoneId): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val rules = zone.getRules
+    def whole(off: java.time.ZoneOffset) = off.getTotalSeconds % 60 == 0
+    whole(rules.getOffset(java.time.Instant.EPOCH)) &&
+      rules.getTransitions.asScala
+        .filter(!_.getInstant.isBefore(java.time.Instant.EPOCH))
+        .forall(t => whole(t.getOffsetAfter)) &&
+      rules.getTransitionRules.asScala.forall(r =>
+        whole(r.getOffsetAfter) && whole(r.getStandardOffset))
+  }
+
+  /** `date_trunc('minute'|'hour'|'day', timestamp)` — the reference's own
+    * acceptance idiom (README.md:208, scripts/telemetry/query-pack/
+    * postrun.sql:1) — is bucket alignment with S ∈ {60, 3600, 86400} s on the
+    * µs `timestamp` column (an exact ns-div-1000 of timestamp_ns at ingest),
+    * PROVIDED the session timezone's truncation boundaries coincide with
+    * UTC-epoch multiples (see utcEquivalent / wholeMinuteOffsets). Returns
+    * the step in ns, or None when the shape or the zone disqualifies.
+    */
+  private def truncStep(e: Expression): Option[Long] = e match {
+    case t: TruncTimestamp if attrNamed(t.timestamp, tsMicrosCol) =>
+      val unit = t.format match {
+        case Literal(s, StringType) if s != null => Some(s.toString.toLowerCase)
+        case _ => None
+      }
+      val stepSec = unit.flatMap {
+        case "second" => Some(1L)
+        case "minute" => Some(60L)
+        case "hour" => Some(3600L)
+        case "day" | "dd" => Some(86400L)
+        case _ => None // week/month/...: not fixed-width buckets
+      }
+      // the plan is analyzed, so ResolveTimeZone has pinned timeZoneId;
+      // a missing one means "not the shape we proved" → refuse
+      stepSec.flatMap { s =>
+        t.timeZoneId.flatMap { tz =>
+          val zone = java.time.ZoneId.of(tz)
+          val zoneOk =
+            if (s <= 1L) true // second truncation is zone-independent
+            else if (s <= 60L) wholeMinuteOffsets(zone)
+            else utcEquivalent(zone)
+          if (zoneOk) Some(s * 1000000000L) else None
+        }
+      }
+    case _ => None
+  }
+
+  /** Aligned literal bound on the µs `timestamp` column → ns bounds.
+    * Ingest pins `timestamp` = floor(timestamp_ns / 1000) µs, so with L in µs
+    * aligned to the resolution (L·1000 % resNs == 0):
+    *   ts >= L  ⇔ ns >= L·1000        — exact bucket bound
+    *   ts <  L  ⇔ ns <  L·1000        — exact bucket bound
+    *   ts >  L  ⇔ ns >= (L+1)·1000    — aligned only if (L+1)·1000 is (never
+    *   ts <= L  ⇔ ns <  (L+1)·1000      for res ≥ 1 s) → rejected
+    */
+  private def timeBoundMicros(c: Expression, resNs: Long): Option[(Option[Long], Option[Long])] = {
+    def micros(e: Expression): Option[Long] = e match {
+      case _ if e.foldable && e.dataType == TimestampType =>
+        e.eval(null) match {
+          case l: java.lang.Long => Some(l)
+          case _ => None
+        }
+      case _ => None
+    }
+    def aligned(us: Long): Boolean = (us * 1000L) % resNs == 0
+    c match {
+      case GreaterThanOrEqual(l, r) if attrNamed(l, tsMicrosCol) =>
+        micros(r).filter(aligned).map(v => (Some(v * 1000L), None))
+      case LessThan(l, r) if attrNamed(l, tsMicrosCol) =>
+        micros(r).filter(aligned).map(v => (None, Some(v * 1000L)))
+      case GreaterThan(l, r) if attrNamed(l, tsMicrosCol) =>
+        micros(r).filter(v => aligned(v + 1)).map(v => (Some((v + 1) * 1000L), None))
+      case LessThanOrEqual(l, r) if attrNamed(l, tsMicrosCol) =>
+        micros(r).filter(v => aligned(v + 1)).map(v => (None, Some((v + 1) * 1000L)))
+      // literal-first spellings
+      case LessThanOrEqual(l, r) if attrNamed(r, tsMicrosCol) =>
+        micros(l).filter(aligned).map(v => (Some(v * 1000L), None))
+      case GreaterThan(l, r) if attrNamed(r, tsMicrosCol) =>
+        micros(l).filter(aligned).map(v => (None, Some(v * 1000L)))
+      case LessThan(l, r) if attrNamed(r, tsMicrosCol) =>
+        micros(l).filter(v => aligned(v + 1)).map(v => (Some((v + 1) * 1000L), None))
+      case GreaterThanOrEqual(l, r) if attrNamed(r, tsMicrosCol) =>
+        micros(l).filter(v => aligned(v + 1)).map(v => (None, Some((v + 1) * 1000L)))
+      case _ => None
+    }
+  }
+
   /** `(timestamp_ns div S) * S` (matched through evalMode variants by class). */
   private def bucketStep(e: Expression): Option[Long] = e match {
     case m: Multiply => (m.left, m.right) match {
@@ -257,6 +387,7 @@ object RollupRouting {
     e match {
       case a: AttributeReference if groupable(a.name) => Some(GroupCol(a.name))
       case _ if bucketStep(e).isDefined => Some(GroupBucket(bucketStep(e).get))
+      case _ if truncStep(e).isDefined => Some(GroupBucketTs(truncStep(e).get))
       case r: Round =>
         longLit(r.scale).flatMap(d => classifyOut(r.child, groupable).collect {
           case Agg(kind, None) => Agg(kind, Some(d.toInt))

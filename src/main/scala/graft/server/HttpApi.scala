@@ -51,6 +51,12 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
   def start(): HttpApi = { server.start(); this }
   def stop(): Unit = server.stop(0)
 
+  /** Test hook: register an extra context through the standard request guard,
+    * so the guard's NonFatal-vs-fatal discipline is spec-testable.
+    */
+  private[graft] def contextForTest(path: String)(f: HttpExchange => Unit): Unit =
+    server.createContext(path, handler(f))
+
   // ---- plumbing -------------------------------------------------------------
 
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
@@ -93,15 +99,23 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
   }
 
+  /** The ONE top-level request guard: benign failures become HTTP error
+    * responses; fatal errors (OOM, JVM errors) are logged and RETHROWN — a
+    * dead executor thread must never silently degrade into a 400.
+    */
   private def handler(f: HttpExchange => Unit): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try f(ex)
       catch {
         case HttpApi.HttpError(code, msg) =>
-          try error(ex, code, msg) catch { case _: Throwable => () }
-        case e: Throwable =>
+          try error(ex, code, msg)
+          catch { case scala.util.control.NonFatal(_) => () }
+        case scala.util.control.NonFatal(e) =>
           try error(ex, 400, Option(e.getMessage).getOrElse(e.toString))
-          catch { case _: Throwable => () } // response already started
+          catch { case scala.util.control.NonFatal(_) => () } // response already started
+        case e: Throwable =>
+          System.err.println(s"[http] FATAL error in request handler: $e")
+          throw e
       }
   }
 
@@ -262,7 +276,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
           org.xerial.snappy.Snappy.uncompress(raw)
         } catch {
           case e: HttpApi.HttpError => throw e
-          case _: Throwable => raw // not snappy-framed: treat as raw proto
+          case scala.util.control.NonFatal(_) => raw // not snappy-framed: raw proto
         }
       val points = graft.ingest.PromWire.toRoutedPoints(proto)
       if (points.nonEmpty) {
@@ -344,11 +358,11 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
       }
       frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         // a dead client surfaces as a write failure — nothing to report to
         try frame(JObject("type" -> JString("error"),
           "message" -> JString(Option(e.getMessage).getOrElse(e.toString))))
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
     } finally os.close()
   })
 

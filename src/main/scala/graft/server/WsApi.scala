@@ -44,7 +44,12 @@ final class WsApi(engine: QueryEngine, port: Int = 0) {
         try {
           val sock = server.accept()
           pool.execute(() => try handle(sock) finally sock.close())
-        } catch { case _: Throwable if !running => () case _: Throwable => () }
+        } catch {
+          case _: Throwable if !running => () // socket closed during shutdown
+          case scala.util.control.NonFatal(_) => () // one bad accept, keep serving
+          case e: Throwable => // fatal: log and let the acceptor die loudly
+            System.err.println(s"[ws] FATAL error in accept loop: $e"); throw e
+        }
       }
     }, "ws-acceptor")
     acceptor.setDaemon(true)
@@ -252,7 +257,7 @@ final class WsApi(engine: QueryEngine, port: Int = 0) {
               if (open)
                 frame(JObject("type" -> JString("end"), "rows_read" -> JLong(n)))
             } catch {
-              case e: Throwable =>
+              case scala.util.control.NonFatal(e) =>
                 frame(JObject("type" -> JString("error"),
                   "message" -> JString(Option(e.getMessage).getOrElse(e.toString))))
             }
@@ -261,7 +266,7 @@ final class WsApi(engine: QueryEngine, port: Int = 0) {
     } catch {
       case _: java.io.EOFException => () // peer went away: normal teardown
     } finally {
-      try out.flush() catch { case _: Throwable => () }
+      try out.flush() catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -489,5 +489,25 @@ class HttpApiSpec extends AnyFunSuite {
     } finally liveApi.stop()
   }
 
+  test("request guard: NonFatal → 400 response; fatal errors propagate, never a 400") {
+    api.contextForTest("/test/nonfatal")(_ =>
+      throw new IllegalStateException("benign failure"))
+    api.contextForTest("/test/fatal")(_ =>
+      // fatal by scala.util.control.NonFatal's definition; must NOT be
+      // swallowed into an HTTP error (the JDK server then drops the exchange
+      // without a response — the client sees a transport failure, not a 400)
+      throw new InterruptedException("executor thread interrupted"))
+    val benign = get("/test/nonfatal")
+    assert(benign.statusCode() == 400 && benign.body().contains("benign failure"))
+    val fatalOutcome =
+      try Left(get("/test/fatal").statusCode())
+      catch { case e: java.io.IOException => Right(e) }
+    fatalOutcome match {
+      case Left(code) => assert(code != 400 && code != 200,
+        s"fatal error must not be converted into an HTTP $code")
+      case Right(_) => () // connection dropped: the error propagated
+    }
+  }
+
   test("shutdown") { api.stop() }
 }

@@ -195,6 +195,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Operators.rangeJoinAuto(points, empties, "ts", "s", "e").count() == 0L)
   }
 
+  test("rangeJoinAuto binStat: persisted stat skips derivation; stale stat never changes results") {
+    val intervals = (0 until 50).map(i => (i * 11L, i * 11L + 10L, i.toLong))
+      .toDF("s", "e", "iid")
+    val points = (0L until 600L).map(t => (t, t)).toDF("ts", "pid").repartition(4)
+    val naive = points.join(intervals, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // write/compact-time derivation persists the stat into the catalog
+    val cat = new graft.catalog.ChunkCatalog(
+      java.nio.file.Files.createTempDirectory("graft_stat_"), cacheTtlMs = 0L)
+    val derived = Operators.deriveBinStat(cat, "events.win_len", intervals, "s", "e")
+    assert(derived == 10L && cat.tableStat("events.win_len").contains(10L))
+    // the stat survives a JSON round-trip (it is catalog state, not JVM state)
+    val reread = graft.catalog.ChunkCatalog.parse(
+      graft.catalog.ChunkCatalog.render(cat.state))
+    assert(reread.tableStats.get("events.win_len").contains(10L))
+    // query-time: the persisted stat is used verbatim
+    val viaStat = Operators.rangeJoinAuto(points, intervals, "ts", "s", "e",
+        binStat = cat.tableStat("events.win_len"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaStat == naive)
+    // a WILDLY stale stat (data drifted 100×) degrades only the plan, never
+    // the answer — the residual containment filter is always exact
+    for (stale <- Seq(1L, 1000L)) {
+      val viaStale = Operators.rangeJoinAuto(points, intervals, "ts", "s", "e",
+          binStat = Some(stale))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(viaStale == naive, s"stale bin $stale must not change results")
+    }
+    // nonsense stat (≤ 0) falls back to the derivation pass
+    assert(Operators.rangeJoinAuto(points, intervals, "ts", "s", "e",
+      binStat = Some(0L)).select("pid", "iid").count() == naive.size)
+  }
+
   test("rangeJoin with equi-keys only matches within the key") {
     val points = Seq((1L, 5L, "p1"), (2L, 5L, "p2")).toDF("k", "ts", "pid")
     val intervals = Seq((1L, 0L, 10L, "w1")).toDF("k", "s", "e", "iid")

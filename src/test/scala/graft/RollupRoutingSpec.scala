@@ -138,6 +138,45 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(cat.rollups.isEmpty, "retention must invalidate overlapping rollups")
   }
 
+  test("date_trunc buckets route (minute/hour/day); non-UTC zone refuses hour, keeps minute") {
+    val (eng, cat, _) = freshEngine()
+    Downsampler.materializeRollup(spark, cat, resolutionSeconds = 60L,
+      labelCols = Seq("host"))
+    val lo = "TIMESTAMP '2024-01-01 00:00:00+00:00'"
+    val hiHours = "TIMESTAMP '2024-01-01 04:00:00+00:00'"
+    val hiDay = "TIMESTAMP '2024-01-02 00:00:00+00:00'"
+    def q(unit: String, hi: String) =
+      s"SELECT date_trunc('$unit', timestamp) AS b, metric_name, host, " +
+        "sum(value_f64) AS sum_v, count(*) AS cnt " +
+        s"FROM metrics WHERE timestamp >= $lo AND timestamp < $hi " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    // 12 points/hour at whole minutes: 48×4 / 4×4 / 1×4 expected rows
+    for ((unit, hi, rows) <- Seq(("minute", hiHours, 192), ("hour", hiHours, 16),
+        ("day", hiDay, 4))) {
+      eng.rollupRoutingEnabled = false
+      val raw = eng.sql(q(unit, hi)).collect().map(_.toSeq).toSeq
+      assert(!eng.lastServedFromRollup && raw.size == rows, s"$unit raw shape")
+      eng.rollupRoutingEnabled = true
+      val routed = eng.sql(q(unit, hi))
+      assert(eng.lastServedFromRollup, s"date_trunc('$unit') must route")
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup") && !plan.contains("/data/"),
+        s"$unit must read only the rollup table:\n$plan")
+      assert(routed.collect().map(_.toSeq).toSeq == raw,
+        s"date_trunc('$unit') routed result must equal raw")
+    }
+    // Kathmandu is +05:45: hour/day truncation boundaries sit off the UTC
+    // bucket grid → must answer from raw; minute truncation is still exact
+    // under any whole-minute offset → still routes
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    val eng2 = new QueryEngine(s2, cat)
+    eng2.sql(q("hour", hiHours)).collect()
+    assert(!eng2.lastServedFromRollup, "hour truncation in +05:45 must not route")
+    eng2.sql(q("minute", hiHours)).collect()
+    assert(eng2.lastServedFromRollup, "minute truncation is zone-safe and must route")
+  }
+
   test("catalog JSON roundtrips rollup registrations") {
     val (_, cat, _) = freshEngine()
     val meta = Downsampler.materializeRollup(spark, cat, resolutionSeconds = 3600L,
