@@ -1,0 +1,306 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import scala.collection.mutable.ArrayBuffer
+
+/** Mixed-load soak drive — measures the ONE BASELINE.md row the reference
+  * planned but never benchmarked (`docs/benchmark-improvement-plan.md:396-401`):
+  *
+  *   during sustained concurrent ingest + compaction + queries,
+  *     write-throughput drop   < 20 % vs unloaded baseline
+  *     warm-query p99          < 200 ms
+  *     cold-query p99          < 1,000 ms
+  *
+  * Phase 1 measures each axis ALONE (baseline); phase 2 runs them
+  * CONCURRENTLY for a sustained window: an ingest loop (1 M-sample batches
+  * through the production chunk path), a maintenance loop (compaction +
+  * retention + GC + the age-triggered downsample sweep, the reference's 60 s
+  * tick compressed to 5 s so compactions actually overlap the window), a warm
+  * query hammer (fixed dashboard window → plan/result cache path) and a cold
+  * query hammer (fresh window every call → parse, prune, parquet scan).
+  * Queries run on the interactive engine profile (codegen off — the
+  * dashboard-serving deployment shape), sharing the catalog with the writers.
+  *
+  * A third section records sustained STRUCTURED-STREAMING throughput: a rate
+  * source through StreamingDedup.exactDedupStream with a 10 s watermark,
+  * reporting processed rows/s and the state-row trend (flat state == the
+  * watermark is really evicting).
+  *
+  * Emits SOAK_r07.json (repo cwd) and the same JSON on stdout's last line.
+  * All load is wall-clock bounded: SOAK_BASELINE_SEC / SOAK_SOAK_SEC /
+  * SOAK_STREAM_SEC env knobs (defaults 25 / 150 / 45).
+  */
+object Soak {
+
+  private def env(name: String, default: Long): Long =
+    sys.env.get(name).map(_.toLong).getOrElse(default)
+
+  private def p99(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0
+    else {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(0.99 * s.size).toInt - 1))
+    }
+
+  private def round1(d: Double): Double = math.round(d * 10.0) / 10.0
+
+  def main(args: Array[String]): Unit = {
+    val baselineSec = env("SOAK_BASELINE_SEC", 25L)
+    val soakSec = env("SOAK_SOAK_SEC", 150L)
+    val streamSec = env("SOAK_STREAM_SEC", 45L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val shuffleDir = {
+      val d = java.nio.file.Paths.get("/dev/shm/graft_soak_shuffle")
+      try { java.nio.file.Files.createDirectories(d); d.toString }
+      catch { case scala.util.control.NonFatal(_) => System.getProperty("java.io.tmpdir") }
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", shuffleDir)
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR") // queries must not starve behind ingest jobs
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import scala.jdk.CollectionConverters._
+    def peakHeapMb: Long = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+
+    val warehouse =
+      try java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft_soak_wh_")
+      catch { case scala.util.control.NonFatal(_) =>
+        java.nio.file.Files.createTempDirectory("graft_soak_wh_") }
+    val catalog = new graft.catalog.ChunkCatalog(warehouse, cacheTtlMs = 1000L)
+    val writer = new graft.ingest.ChunkWriter(catalog)
+
+    // ---- data: 100 series; each ingest batch = 10 virtual minutes ≈ 1 M
+    // samples — the reference's OWN flush bound (5 min OR 1 M rows OR 100 MB,
+    // src/ingester/mod.rs:75-88), so L0 chunks and their hour-group merges are
+    // flush-sized like the reference's, not ballooned by compressed virtual
+    // time. Virtual time starts 2024-01-01; batches advance it.
+    val baseNs = 1704067200L * 1000000000L
+    val batchVirtualSec = 600
+    val hz = 17
+    val batchRows = 100L * hz * batchVirtualSec // series × Hz × sec = 1.02 M
+    def mkBatch(tick: Long): DataFrame =
+      graft.fixtures.DataGenerator.generate(spark,
+        metrics = 10, hosts = 5, regions = 2, samplesPerSecond = hz,
+        durationSeconds = batchVirtualSec,
+        startNs = baseNs + tick * batchVirtualSec * 1000000000L,
+        // 3/4 of the cores: the reference runs ingesters and query nodes as
+        // SEPARATE processes — on one box the ingest job must not be allowed
+        // to occupy every task slot between query arrivals
+        partitions = math.max(4, cpus.toInt * 3 / 4))
+
+    // seed history: 2 virtual hours (12 ticks) for the query hammers
+    val historyTicks = 12L
+    System.err.println(s"[soak] seeding ${historyTicks} history batches...")
+    (0L until historyTicks).foreach { t =>
+      val b = mkBatch(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      b.count(); writer.write(b); b.unpersist(blocking = false)
+    }
+    val ingestTick = new AtomicLong(historyTicks)
+
+    def timedWrite(tick: Long): Double = {
+      val b = mkBatch(tick).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      b.count() // materialize outside the timed region (same rule as Bench)
+      val t0 = System.nanoTime()
+      writer.write(b)
+      val sec = (System.nanoTime() - t0) / 1e9
+      b.unpersist(blocking = false)
+      sec
+    }
+
+    // interactive serving profile: shared SparkContext, codegen off — the
+    // pruned-dashboard shape re-plans in tens of ms instead of paying janino
+    val engine = graft.engine.QueryEngine.interactive(spark, catalog)
+
+    val warmSql =
+      s"SELECT metric_name, host, round(avg(value_f64), 4) AS avg_v, count(*) AS cnt " +
+        s"FROM metrics WHERE timestamp_ns >= $baseNs AND timestamp_ns < ${baseNs + 1800L * 1000000000L} " +
+        "GROUP BY metric_name, host ORDER BY metric_name, host"
+    // a cold call = the reference query pack's dashboard shape: a fresh
+    // 10-minute window (~1 M rows pruned out of the full span), never cached
+    def coldSql(i: Long): String = {
+      val start = baseNs + (i % (historyTicks - 1)) * 600L * 1000000000L
+      s"SELECT metric_name, round(max(value_f64), 4) AS max_v, count(*) AS cnt " +
+        s"FROM metrics WHERE timestamp_ns >= $start AND timestamp_ns < ${start + 600L * 1000000000L} " +
+        s"GROUP BY metric_name ORDER BY metric_name -- w$i"
+    }
+
+    def hammer(n: Int, sql: Long => String): Seq[Double] = {
+      val out = ArrayBuffer[Double]()
+      var i = 0L
+      while (i < n) {
+        val t0 = System.nanoTime()
+        engine.sql(sql(i)).collect()
+        out += (System.nanoTime() - t0) / 1e6
+        i += 1
+      }
+      out.toSeq
+    }
+
+    // ---- phase 1: baselines, each axis alone --------------------------------
+    // JIT/codegen warm-up first: without it the baseline under-reads and the
+    // soak-phase "drop" goes negative (measured −11 % on a cold JVM)
+    System.err.println("[soak] ingest warm-up...")
+    (0 until 6).foreach(_ => timedWrite(ingestTick.getAndIncrement()))
+    System.err.println("[soak] baseline ingest...")
+    val baseIngest = ArrayBuffer[Double]()
+    val baseT0 = System.nanoTime()
+    while ((System.nanoTime() - baseT0) / 1e9 < baselineSec)
+      baseIngest += timedWrite(ingestTick.getAndIncrement())
+    val baselineRate = batchRows * baseIngest.size / baseIngest.sum
+
+    System.err.println("[soak] baseline queries...")
+    engine.sql(warmSql).collect() // prime
+    val baseWarm = hammer(300, _ => warmSql).drop(5)
+    val baseCold = hammer(80, coldSql).drop(3)
+
+    // ---- phase 2: everything at once ----------------------------------------
+    System.err.println(s"[soak] mixed load for ${soakSec}s...")
+    val stop = new AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val soakIngest = ArrayBuffer[Double]()
+    val soakWarm = ArrayBuffer[Double]()
+    val soakCold = ArrayBuffer[Double]()
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rollupBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sweepsDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val chunksStart = catalog.allChunks.size
+
+    def loopThread(name: String)(body: () => Unit): Thread = {
+      val t = new Thread(() => {
+        try while (!stop.get()) body()
+        catch { case e: Throwable => errors.add(s"$name: $e"); stop.set(true) }
+      }, s"soak-$name")
+      t.setDaemon(true); t.start(); t
+    }
+
+    val tIngest = loopThread("ingest") { () =>
+      val sec = timedWrite(ingestTick.getAndIncrement())
+      soakIngest.synchronized { soakIngest += sec }
+    }
+    val maint = new graft.compact.Maintenance(spark, catalog,
+      compactor = new graft.compact.Compactor(spark, catalog, l0FileThreshold = 6),
+      downsample = Some(graft.compact.Maintenance.Downsample(
+        afterNs = 3600L * 1000000000L, resolutionSeconds = 60L,
+        labelCols = Seq("host", "region"))))
+    val tMaint = loopThread("maintenance") { () =>
+      // virtual now tracks the ingest frontier (timestamps are synthetic)
+      val frontierNs = baseNs + ingestTick.get() * batchVirtualSec * 1000000000L
+      val rep = maint.runOnce(nowMs = frontierNs / 1000000L)
+      compactions.addAndGet(rep.compacted.size)
+      if (rep.rolledUp.isDefined) rollupBuilds.incrementAndGet()
+      sweepsDone.incrementAndGet()
+      Thread.sleep(5000)
+    }
+    // queries run in their own FAIR pool: with scheduler.mode=FAIR the
+    // "queries" pool gets an equal share of task slots against the ingest
+    // and maintenance jobs' pool, so a query burst is scheduled promptly
+    // instead of queueing behind a 24-task ingest stage
+    val tWarm = loopThread("warm") { () =>
+      engine.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "queries")
+      val t0 = System.nanoTime()
+      engine.sql(warmSql).collect()
+      soakWarm.synchronized { soakWarm += (System.nanoTime() - t0) / 1e6 }
+      Thread.sleep(25)
+    }
+    val coldI = new AtomicLong(1000L) // distinct text space from baseline
+    val tCold = loopThread("cold") { () =>
+      engine.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "queries")
+      val t0 = System.nanoTime()
+      engine.sql(coldSql(coldI.getAndIncrement())).collect()
+      soakCold.synchronized { soakCold += (System.nanoTime() - t0) / 1e6 }
+      Thread.sleep(100)
+    }
+
+    Thread.sleep(soakSec * 1000L)
+    stop.set(true)
+    Seq(tIngest, tMaint, tWarm, tCold).foreach(_.join(120000))
+    if (!errors.isEmpty)
+      throw new IllegalStateException("soak thread failed: " +
+        errors.asScala.mkString("; "))
+
+    val soakRate =
+      if (soakIngest.isEmpty) 0.0 else batchRows * soakIngest.size / soakIngest.sum
+    val dropPct = (1.0 - soakRate / baselineRate) * 100.0
+    val chunksEnd = catalog.allChunks.size
+
+    // ---- phase 3: streaming throughput --------------------------------------
+    System.err.println(s"[soak] streaming dedup for ${streamSec}s...")
+    import org.apache.spark.sql.functions._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_soak_ckpt_").toString
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 200000).option("numPartitions", 8).load()
+      .withColumn("doc_id", col("value"))
+      // ~25% duplicate fingerprints inside the watermark horizon
+      .withColumn("text", concat(lit("document body "), pmod(col("value"), lit(150000L))))
+      .withColumn("event_time", col("timestamp"))
+    val deduped = graft.streaming.StreamingDedup.exactDedupStream(
+      stream, textCol = "text", eventTimeCol = "event_time", delay = "10 seconds")
+    val outRows = new AtomicLong(0L)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) => outRows.addAndGet(b.count()); () }
+      .start()
+    val stateSamples = ArrayBuffer[Long]()
+    val streamT0 = System.nanoTime()
+    while ((System.nanoTime() - streamT0) / 1e9 < streamSec) {
+      Thread.sleep(5000)
+      Option(q.lastProgress).foreach { p =>
+        if (p.stateOperators.nonEmpty)
+          stateSamples += p.stateOperators.map(_.numRowsTotal).sum
+      }
+    }
+    val progresses = q.recentProgress.toSeq
+    q.stop()
+    val inRows = progresses.map(_.numInputRows).sum
+    val streamWallSec = (System.nanoTime() - streamT0) / 1e9
+    val streamRate = inRows / streamWallSec
+    // flat state = eviction works: last sample within 2x of the mid sample
+    val stateFlat = stateSamples.size >= 3 && {
+      val mid = stateSamples(stateSamples.size / 2).toDouble
+      mid > 0 && stateSamples.last <= mid * 2.0
+    }
+
+    val okDrop = dropPct < 20.0
+    val okWarm = p99(soakWarm.toSeq) < 200.0
+    val okCold = p99(soakCold.toSeq) < 1000.0
+    val json =
+      s"""{"metric":"soak_mixed_load","duration_sec":$soakSec,""" +
+      s""""baseline":{"ingest_samples_per_sec":${baselineRate.toLong},""" +
+      s""""warm_p99_ms":${round1(p99(baseWarm))},"warm_median_ms":${round1(baseWarm.sorted.apply(baseWarm.size / 2))},""" +
+      s""""cold_p99_ms":${round1(p99(baseCold))},"cold_median_ms":${round1(baseCold.sorted.apply(baseCold.size / 2))}},""" +
+      s""""soak":{"ingest_samples_per_sec":${soakRate.toLong},"write_drop_pct":${round1(dropPct)},""" +
+      s""""ingest_batches":${soakIngest.size},""" +
+      s""""warm_p99_ms":${round1(p99(soakWarm.toSeq))},"warm_queries":${soakWarm.size},""" +
+      s""""cold_p99_ms":${round1(p99(soakCold.toSeq))},"cold_queries":${soakCold.size},""" +
+      s""""compacted_chunks":${compactions.get()},"rollup_sweeps":${rollupBuilds.get()},""" +
+      s""""maintenance_sweeps_completed":${sweepsDone.get()},""" +
+      s""""chunks_start":$chunksStart,"chunks_end":$chunksEnd,""" +
+      s""""peak_heap_mb":$peakHeapMb,"gc_time_ms":$gcMs},""" +
+      s""""acceptance":{"write_drop_lt_20pct":$okDrop,"warm_p99_lt_200ms":$okWarm,""" +
+      s""""cold_p99_lt_1000ms":$okCold},""" +
+      s""""streaming":{"duration_sec":${streamWallSec.toInt},"input_rows":$inRows,""" +
+      s""""rows_per_sec":${streamRate.toLong},"output_rows":${outRows.get()},""" +
+      s""""state_rows_samples":[${stateSamples.mkString(",")}],"state_flat":$stateFlat}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r07.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[soak] sidecar write failed: $e") }
+    println(json)
+    spark.stop()
+  }
+}

@@ -82,7 +82,9 @@ final class Compactor(
     // file either way, so the single-task sort costs nothing extra.
     df.observe(obs, aggs.head, aggs.tail: _*)
       .repartition(1)
-      .sortWithinPartitions("timestamp_ns")
+      // metric_name secondary key: still timestamp-sorted, better dictionary
+      // runs (same measured ~6 % as the ingest writer)
+      .sortWithinPartitions("timestamp_ns", "metric_name")
       .write.option("compression", "zstd")
       .parquet(target.toString)
     val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, newLevel)
@@ -123,7 +125,7 @@ final class Compactor(
     val union = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
     union
       .repartition(col("__grp"))
-      .sortWithinPartitions(col("__grp"), col("timestamp_ns"))
+      .sortWithinPartitions(col("__grp"), col("timestamp_ns"), col("metric_name"))
       .write
       .partitionBy("__grp")
       .option("compression", "zstd")

@@ -48,7 +48,8 @@ final class ShardSplitter(spark: SparkSession, catalog: ChunkCatalog) {
           // pass would run the observe subtree twice (doubled stats)
           df.filter(cond).observe(obs, aggs.head, aggs.tail: _*)
             .repartition(1)
-            .sortWithinPartitions(MetricSchema.TimestampNsCol)
+            .sortWithinPartitions(MetricSchema.TimestampNsCol,
+              MetricSchema.MetricNameCol)
             .write.option("compression", "zstd").parquet(target.toString)
           val meta = ChunkStats.metaFromMetrics(obs.get, fields, target.toString, c.level)
             .copy(shardId = Some(shard), schemaDdl = Some(df.schema.toDDL),
