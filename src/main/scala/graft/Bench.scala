@@ -35,11 +35,7 @@ object Bench {
     // write buffers (its ingester also never puts the hot path through a
     // throttled local disk; durable writes are async S3 uploads). The durable
     // parquet write path is still exercised — see the ingest segment below.
-    val shuffleDir = {
-      val d = java.nio.file.Paths.get("/dev/shm/graft_bench_shuffle")
-      try { java.nio.file.Files.createDirectories(d); d.toString }
-      catch { case scala.util.control.NonFatal(_) => System.getProperty("java.io.tmpdir") }
-    }
+    val shuffleDir = graft.util.ShmDirs.shuffleDir("graft_bench_shuffle")
     // SPARK_GRAFT_MASTER=local-cluster[4,8,8192] runs the same sweep across 4
     // separate executor JVMs — real BlockManager shuffle transfers, broadcast
     // over the wire, serialized task closures — the closest a single host gets
@@ -113,10 +109,7 @@ object Bench {
     // writes to RAM buffers with async S3 upload — local-disk bandwidth is not
     // part of its samples/sec axis either). The durable-disk write path is
     // covered by ScaleProbe (518 M rows → real disk, 1.9-4.2 M samples/s).
-    val warehouse =
-      try java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "graft_bench_ingest_")
-      catch { case scala.util.control.NonFatal(_) => java.nio.file.Files.createTempDirectory("graft_bench_ingest_") }
+    val warehouse = graft.util.ShmDirs.tempDir("graft_bench_ingest_")
     val catalog = new graft.catalog.ChunkCatalog(warehouse)
     val writer = new graft.ingest.ChunkWriter(catalog)
     // exactly 4 M rows: 10 metrics × 5 hosts × 2 regions = 100 series × 100 Hz ×
@@ -162,10 +155,7 @@ object Bench {
     // ingest-timing warehouse above holds one data copy per timing run, which
     // would couple query latency to however many ingest retries the noise
     // forced.
-    val latWarehouse =
-      try java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "graft_bench_lat_")
-      catch { case scala.util.control.NonFatal(_) => java.nio.file.Files.createTempDirectory("graft_bench_lat_") }
+    val latWarehouse = graft.util.ShmDirs.tempDir("graft_bench_lat_")
     val latCatalog = new graft.catalog.ChunkCatalog(latWarehouse)
     new graft.ingest.ChunkWriter(latCatalog).write(df)
     df.unpersist(blocking = false)

