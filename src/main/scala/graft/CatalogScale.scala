@@ -5,16 +5,21 @@ import java.nio.file.Files
 
 /** Catalog metadata scale probe — pure driver-side, no Spark. At 100 TB the
   * catalog holds 10⁵–10⁶ chunk entries (100 TB / ~100-500 MB chunks), and
-  * register / prune / GC become driver work on one JSON document (the
-  * reference keeps the same single-document design with an hour-bucket
-  * time_index, src/metadata/s3.rs:104-116). This probe measures, at 10⁵ and
-  * 10⁶ synthetic chunks:
-  *   - cold load (parse the full document),
+  * register / prune / GC become driver work on the metadata store. The
+  * reference keeps ONE JSON document CAS-committed per mutation
+  * (src/metadata/s3.rs:104-116) — measured here in round 7 at ~780 MB and
+  * ~30 s per single-chunk registration at 10⁶ chunks. The sharded layout
+  * (hour-range shard files under a manifest, ChunkCatalog.scala) replaces
+  * that; this probe measures, at 10⁵ and 10⁶ synthetic chunks:
+  *   - cold load (manifest + all shards, parallel parse),
   *   - warm prune via chunksInRange + zone-map predicate filter (the
   *     per-query path — must stay in single-digit ms),
-  *   - batched registration (the ingest path — amortized per flush),
-  *   - single-chunk registration (worst case: one full-document rewrite),
-  *   - render (serialize the full document).
+  *   - worst-case batched registration (10⁴–10⁵ chunks spread across the
+  *     WHOLE 2-year span — touches every shard),
+  *   - flush-shaped registration (50 chunks in one hour — the real ingest
+  *     pattern, touches one shard),
+  *   - single-chunk registration (one shard + manifest),
+  *   - GC of 1 k pending deletes (manifest-only mutation).
   * Emits CATALOG_SCALE.json. Chunks are spread over 2 years of hours with
   * ~57 chunks/hour at 10⁶ — the realistic density for hour-bucketed flushes
   * across many shards.
@@ -54,17 +59,27 @@ object CatalogScale {
             "host" -> ColumnStats.ofString(s"host-${i % 100}", s"host-${i % 100 + 9}")))
       }
 
-      // ---- build via batched registration (the ingest path). Every mutate
-      // is a full-document parse+render+rewrite (single-JSON-doc design,
-      // faithful to the reference's s3.rs CAS document): the per-batch cost
-      // IS the measurement — it grows with the doc, so big deployments must
-      // register in flush-sized batches, exactly what ChunkWriter does.
+      // ---- build via batched registration. Each build batch is spread over
+      // the WHOLE 2-year span, so it dirties every shard — the worst case for
+      // the sharded layout (a real flush lands in one hour). Kept as the
+      // upper bound; the flush-shaped cost is measured separately below.
       val batch = math.max(10000, n / 10)
       val batchTimes = (0 until n by batch).map { start =>
         val chunks = (start until math.min(start + batch, n)).map(mkChunk)
         timeMs(cat.registerAll(chunks))._2
       }
-      // ---- single-chunk registration (worst case full rewrite) -------------
+      // ---- flush-shaped registration: 50 chunks, one hour, one shard -------
+      val flushRegMs = (0 until 5).map { j =>
+        val hour = 7000 + j
+        val chunks = (0 until 50).map { i =>
+          mkChunk(n + 100 + j * 50 + i).copy(
+            path = s"s3://warehouse/default/data/flush_${j}_$i",
+            minTimestampNs = baseNs + hour * hourNs + i * 1000000L,
+            maxTimestampNs = baseNs + hour * hourNs + i * 1000000L + hourNs / 60)
+        }
+        timeMs(cat.registerAll(chunks))._2
+      }
+      // ---- single-chunk registration (one shard + manifest rewrite) --------
       val singleRegMs = (0 until 3).map { j =>
         timeMs(cat.register(mkChunk(n + j)))._2
       }
@@ -87,25 +102,36 @@ object CatalogScale {
       val pruneMs = pruneTimes.map(_._2).sorted
       val meanHits = pruneTimes.map(_._1).sum / pruneTimes.size
 
-      // ---- render (full-document serialize, the cost inside every mutate) --
-      val (_, renderMs) = timeMs(ChunkCatalog.render(cold.state))
-
-      // ---- gc --------------------------------------------------------------
-      cold.deferDelete((0 until 1000).map(i => s"s3://warehouse/default/data/chunk_$i"),
+      // ---- gc (manifest-only mutation in the sharded layout) ---------------
+      cold.deferDelete((0 until 1000).map(i => s"s3://warehouse/default/data/gcfile_$i"),
         nowMs = 0L, graceMs = 0L)
       val (_, gcMs) = timeMs(cold.gc(nowMs = System.currentTimeMillis()))
 
-      val docBytes = Files.size(dir.resolve("catalog.json"))
+      // total on-disk metadata: manifest + shard files
+      val docBytes = {
+        val manifest = dir.resolve("manifest.json")
+        val base = if (Files.exists(manifest)) Files.size(manifest) else 0L
+        val shardsDir = dir.resolve("shards")
+        val stream = Files.list(shardsDir)
+        try base + stream.mapToLong(p => Files.size(p)).sum
+        finally stream.close()
+      }
+      val shardCount = {
+        val stream = Files.list(dir.resolve("shards"))
+        try stream.count() finally stream.close()
+      }
       System.err.println(s"[catscale] n=$n prune p50=${round2(pruneMs(pruneMs.size / 2))} ms " +
-        s"p99=${round2(pruneMs((pruneMs.size * 99) / 100))} ms singleReg=${round2(singleRegMs.min)} ms")
-      s""""n_$n":{"doc_bytes":$docBytes,""" +
+        s"p99=${round2(pruneMs((pruneMs.size * 99) / 100))} ms singleReg=${round2(singleRegMs.min)} ms " +
+        s"flushReg=${round2(flushRegMs.min)} ms gc1k=${round2(gcMs)} ms shards=$shardCount")
+      s""""n_$n":{"meta_bytes":$docBytes,""" +
+        s""""shard_files":$shardCount,""" +
         s""""cold_load_ms":${round2(coldLoadMs)},""" +
         s""""prune_p50_ms":${round2(pruneMs(pruneMs.size / 2))},""" +
         s""""prune_p99_ms":${round2(pruneMs((pruneMs.size * 99) / 100))},""" +
         s""""prune_mean_hits":$meanHits,""" +
-        s""""register_batch10k_mean_ms":${round2(batchTimes.sum / batchTimes.size)},""" +
+        s""""register_fullspan_batch_mean_ms":${round2(batchTimes.sum / batchTimes.size)},""" +
+        s""""register_flush50_min_ms":${round2(flushRegMs.min)},""" +
         s""""register_single_min_ms":${round2(singleRegMs.min)},""" +
-        s""""render_ms":${round2(renderMs)},""" +
         s""""gc_1k_ms":${round2(gcMs)}}"""
     }
 

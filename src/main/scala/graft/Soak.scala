@@ -280,10 +280,13 @@ object Soak {
           stateSamples += p.stateOperators.map(_.numRowsTotal).sum
       }
     }
+    // wall clock ends when sampling ends — q.stop() can block on the
+    // in-flight micro-batch, which would understate rows/sec against the
+    // progress counters frozen above
+    val streamWallSec = (System.nanoTime() - streamT0) / 1e9
     val progresses = q.recentProgress.toSeq
     q.stop()
     val inRows = progresses.map(_.numInputRows).sum
-    val streamWallSec = (System.nanoTime() - streamT0) / 1e9
     val streamRate = inRows / streamWallSec
     // flat state = eviction works: last sample within 2x of the mid sample
     val stateFlat = stateSamples.size >= 3 && {

@@ -87,33 +87,70 @@ final case class RollupMeta(
     // incremental-extension shortcut is poisoned.
     staleForExtension: Boolean = false)
 
-/** The unified catalog document: {version, chunks, time_index} — reference
-  * src/metadata/s3.rs:104-116. time_index buckets chunks by hour of minTimestamp.
+/** The catalog: {version, chunks, time_index} semantics of the reference's
+  * unified document (src/metadata/s3.rs:104-116), persisted SHARDED.
   *
-  * Persistence is a single JSON file committed by atomic rename (single-writer Spark
-  * driver stands in for the reference's ETag compare-and-swap, s3.rs:181-339). Reads
-  * go through a TTL cache (reference uses 60 s, s3.rs:427-450).
+  * The reference keeps one JSON document committed by ETag compare-and-swap
+  * (s3.rs:181-339). That design rewrites the whole document on every flush:
+  * self-measured at 10⁶ chunks (100 TB ÷ ~100-500 MB chunks) a single
+  * registration rewrote ~780 MB in ~30 s — the metadata write path became the
+  * bottleneck of every flush/compaction/retention sweep. Here the chunk set is
+  * split into hour-range shards (key = hourBucket(minTimestamp) / spanHours)
+  * under a small `manifest.json`:
+  *
+  *   manifest.json                 — commit point: shard list {key, ver, count}
+  *                                   + the small fields (active splits, pending
+  *                                   deletes, rollups, table stats)
+  *   shards/chunks-<key>.<ver>.json — the chunks owned by one hour range
+  *
+  * A mutation writes only the touched shard files (under NEW versioned names)
+  * and then atomically renames the manifest — the rename is the single commit
+  * point, preserving the reference's all-or-nothing document semantics: a
+  * crash after shard writes but before the manifest rename leaves unreferenced
+  * orphan files and a fully consistent old catalog. Superseded shard files are
+  * deleted after the commit (best-effort; orphans are never read because loads
+  * resolve files strictly through the manifest).
+  *
+  * The global hour-bucket time_index is derived in memory from the chunk set
+  * (it is no longer persisted — it cannot diverge). Reads go through a TTL
+  * cache (reference uses 60 s, s3.rs:427-450); revalidation compares the
+  * manifest version and re-parses only shards whose version changed, so a
+  * foreign writer costs proportional-to-delta, not proportional-to-catalog.
+  * A legacy single-document `catalog.json` is read transparently and migrated
+  * to the sharded layout on the first mutation.
   */
-final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
+final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
+    val shardSpanHours: Int = 24) {
 
   import ChunkCatalog._
 
-  private val catalogFile = root.resolve("catalog.json")
-  @volatile private var cache: Option[(Long, CatalogState)] = None
+  private val manifestFile = root.resolve("manifest.json")
+  private val legacyFile = root.resolve("catalog.json")
+  private val shardDir = root.resolve("shards")
   private val lock = new Object
 
+  /** In-memory store: per-shard chunk maps + the assembled global view.
+    * Single-writer authoritative between revalidations.
+    */
+  private final case class Store(
+      spanHours: Int,
+      shardVers: Map[Long, Long],
+      shards: Map[Long, Map[String, ChunkMeta]],
+      assembled: CatalogState,
+      legacy: Boolean)
+
+  @volatile private var cached: Option[(Long, Store)] = None
+
   Files.createDirectories(root)
+  Files.createDirectories(shardDir)
 
   // --- reads ---------------------------------------------------------------
 
   def state: CatalogState = {
     val now = System.currentTimeMillis()
-    cache match {
-      case Some((ts, st)) if now - ts < cacheTtlMs => st
-      case _ =>
-        val st = load()
-        cache = Some((now, st))
-        st
+    cached match {
+      case Some((ts, st)) if now - ts < cacheTtlMs => st.assembled
+      case _ => revalidate().assembled
     }
   }
 
@@ -139,14 +176,11 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     */
   def hasActiveSplit: Boolean = state.activeSplits.nonEmpty
 
-  // --- writes (all single-writer, atomic-rename committed) -----------------
+  // --- writes (all single-writer, manifest-rename committed) ---------------
 
   def register(chunk: ChunkMeta): Unit = registerAll(Seq(chunk))
 
-  def registerAll(chunks: Seq[ChunkMeta]): Unit = mutate { st =>
-    val added = chunks.foldLeft(st) { (s, c) =>
-      s.copy(chunks = s.chunks + (c.path -> c), timeIndex = addToIndex(s.timeIndex, c))
-    }
+  def registerAll(chunks: Seq[ChunkMeta]): Unit = lock.synchronized {
     // Write-invalidation: NEW raw data overlapping a rollup's covered range
     // makes it stale — drop it (re-materialize later). Chunk REWRITES
     // (compaction/split/promotion) go through replaceChunks and keep rollups.
@@ -156,35 +190,31 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     // (maxTs < buildCutoffNs) so it would NEVER be picked up as newly aged —
     // when coverage later advances past it, the rollup would silently
     // undercount those buckets. Dropping forces a full rebuild that sees it.
-    added.copy(rollups = added.rollups.filterNot(r =>
-      chunks.exists(c =>
-        c.minTimestampNs < math.max(r.maxCoveredNsExclusive, r.buildCutoffNs) &&
-        c.maxTimestampNs >= r.minBucketNs)))
+    commit(freshStore(), Nil, chunks, st =>
+      st.copy(rollups = st.rollups.filterNot(r =>
+        chunks.exists(c =>
+          c.minTimestampNs < math.max(r.maxCoveredNsExclusive, r.buildCutoffNs) &&
+          c.maxTimestampNs >= r.minBucketNs))))
   }
 
   def rollups: Seq[RollupMeta] = state.rollups
 
   /** Register a materialized rollup (replaces any previous one at the same path). */
-  def registerRollup(r: RollupMeta): Unit = mutate { st =>
-    st.copy(rollups = st.rollups.filterNot(_.path == r.path) :+ r)
+  def registerRollup(r: RollupMeta): Unit = lock.synchronized {
+    commit(freshStore(), Nil, Nil, st =>
+      st.copy(rollups = st.rollups.filterNot(_.path == r.path) :+ r))
   }
 
-  def dropRollup(path: String): Unit = mutate { st =>
-    st.copy(rollups = st.rollups.filterNot(_.path == path))
+  def dropRollup(path: String): Unit = lock.synchronized {
+    commit(freshStore(), Nil, Nil, st =>
+      st.copy(rollups = st.rollups.filterNot(_.path == path)))
   }
-
-  /** Chunk-map + time-index with `removed` pruned — shared by the rewrite and
-    * delete paths so the index semantics cannot silently diverge.
-    */
-  private def pruneChunks(st: CatalogState, removed: Set[String]) =
-    (st.chunks -- removed,
-      st.timeIndex.map { case (k, v) => k -> v.filterNot(removed.contains) }
-        .filter(_._2.nonEmpty))
 
   /** Atomically remove source chunks and add the compacted chunk — mirrors the
     * reference's single-CAS compaction swap (src/metadata/s3.rs:1277-1332).
     */
-  def replaceChunks(removePaths: Seq[String], add: Seq[ChunkMeta]): Unit = mutate { st =>
+  def replaceChunks(removePaths: Seq[String], add: Seq[ChunkMeta]): Unit = lock.synchronized {
+    val s = freshStore()
     val removed = removePaths.toSet
     // Rewrites keep rollups (rows move, data doesn't) — but they can poison
     // the INCREMENTAL extension, which classifies chunks purely by
@@ -200,8 +230,8 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     // next coverage extension must be a full rebuild over all aged chunks.
     // The test is conservative (chunk bounds, not row provenance); a false
     // positive costs one full rebuild, never correctness.
-    val removedMetas = st.chunks.view.filterKeys(removed).values.toList
-    val patchedRollups = st.rollups.map { r =>
+    val removedMetas = s.assembled.chunks.view.filterKeys(removed).values.toList
+    commit(s, removePaths, add, st => st.copy(rollups = st.rollups.map { r =>
       val cut = r.buildCutoffNs
       def stale: Boolean = {
         val (rolledSrc, unrolledSrc) = removedMetas.partition(_.maxTimestampNs < cut)
@@ -211,42 +241,40 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
       if (cut != Long.MaxValue && !r.staleForExtension && stale)
         r.copy(staleForExtension = true)
       else r
-    }
-    val (keptChunks, prunedIndex) = pruneChunks(st, removed)
-    val withAdds = add.foldLeft((keptChunks, prunedIndex)) { case ((cs, ti), c) =>
-      (cs + (c.path -> c), addToIndex(ti, c))
-    }
-    st.copy(chunks = withAdds._1, timeIndex = withAdds._2, rollups = patchedRollups)
+    }))
   }
 
   /** Remove chunks (retention/GC path). Unlike compaction/split rewrites this
     * DELETES rows, so any rollup whose coverage overlaps a removed chunk is
     * dropped — it would otherwise keep serving the deleted data.
     */
-  def remove(paths: Seq[String]): Unit = mutate { st =>
-    // ONE atomic swap, and the removed metas come from the freshly-loaded
+  def remove(paths: Seq[String]): Unit = lock.synchronized {
+    // ONE atomic commit, and the removed metas come from the freshly-validated
     // state INSIDE the lock — reading the TTL-cached snapshot outside it
     // could miss a chunk another writer registered, leaving a rollup serving
     // deleted rows; and a crash between two separate mutations must not
     // strand the catalog with chunks gone but the overlapping rollup kept.
+    val s = freshStore()
     val removed = paths.toSet
-    val removedMetas = st.chunks.view.filterKeys(removed).values.toList
-    val (keptChunks, prunedIndex) = pruneChunks(st, removed)
-    st.copy(chunks = keptChunks, timeIndex = prunedIndex,
-      rollups = st.rollups.filterNot(r =>
+    val removedMetas = s.assembled.chunks.view.filterKeys(removed).values.toList
+    commit(s, paths, Nil, st =>
+      st.copy(rollups = st.rollups.filterNot(r =>
         removedMetas.exists(c => c.minTimestampNs < r.maxCoveredNsExclusive &&
-          c.maxTimestampNs >= r.minBucketNs)))
+          c.maxTimestampNs >= r.minBucketNs))))
   }
 
-  def setActiveSplits(splits: Seq[String]): Unit = mutate(_.copy(activeSplits = splits.toList))
+  def setActiveSplits(splits: Seq[String]): Unit = lock.synchronized {
+    commit(freshStore(), Nil, Nil, _.copy(activeSplits = splits.toList))
+  }
 
   /** Named numeric table statistics (e.g. the range-join median interval
     * length, derived once at write/compact time instead of per-query — see
     * Operators.rangeJoinAuto). Stats are advisory: a stale value can only
     * change performance, never results, so writes are cheap overwrite.
     */
-  def setTableStat(name: String, value: Long): Unit = mutate { st =>
-    st.copy(tableStats = st.tableStats + (name -> value))
+  def setTableStat(name: String, value: Long): Unit = lock.synchronized {
+    commit(freshStore(), Nil, Nil, st =>
+      st.copy(tableStats = st.tableStats + (name -> value)))
   }
 
   def tableStat(name: String): Option[Long] = state.tableStats.get(name)
@@ -255,40 +283,187 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L) {
     * src/compactor/mod.rs:816-918). Entries are (path, deletableAfterMs).
     */
   def deferDelete(paths: Seq[String], nowMs: Long, graceMs: Long = 300000L): Unit =
-    mutate { st =>
-      st.copy(pendingDeletes = st.pendingDeletes ++ paths.map(p => p -> (nowMs + graceMs)))
+    lock.synchronized {
+      commit(freshStore(), Nil, Nil, st =>
+        st.copy(pendingDeletes = st.pendingDeletes ++ paths.map(p => p -> (nowMs + graceMs))))
     }
 
-  /** Physically delete files whose grace period elapsed; returns deleted paths. */
+  /** Physically delete files whose grace period elapsed; returns deleted paths.
+    * Manifest-only mutation: the pending list lives in the manifest, so GC cost
+    * no longer scales with catalog size.
+    */
   def gc(nowMs: Long): Seq[String] = lock.synchronized {
-    val st = load()
-    val (ripe, keep) = st.pendingDeletes.partition(_._2 <= nowMs)
+    val s = freshStore()
+    val (ripe, keep) = s.assembled.pendingDeletes.partition(_._2 <= nowMs)
     ripe.foreach { case (p, _) =>
       val f = Paths.get(p)
       if (Files.exists(f)) Files.delete(f)
     }
-    persist(st.copy(pendingDeletes = keep))
+    commit(s, Nil, Nil, _.copy(pendingDeletes = keep))
     ripe.map(_._1)
   }
 
-  private def mutate(f: CatalogState => CatalogState): Unit = lock.synchronized {
-    persist(f(load()))
+  /** Force the next read to revalidate against disk. The in-memory store is
+    * kept so revalidation stays proportional to what actually changed.
+    */
+  def invalidateCache(): Unit =
+    // MinValue/2, not MinValue: `now - ts` must not overflow back into "fresh"
+    cached = cached.map { case (_, st) => (Long.MinValue / 2, st) }
+
+  // --- internals -----------------------------------------------------------
+
+  private def shardKeyOf(span: Int, c: ChunkMeta): Long =
+    Math.floorDiv(hourBucket(c.minTimestampNs), span.toLong)
+
+  /** Freshest store for a mutation: always consults the on-disk manifest (the
+    * single-doc design reloaded the whole document here; the sharded design
+    * pays one small manifest read plus changed shards only).
+    */
+  private def freshStore(): Store = {
+    val st = loadOrDiff(cached.map(_._2))
+    cached = Some((System.currentTimeMillis(), st))
+    st
   }
 
-  private def persist(st: CatalogState): Unit = {
-    val tmp = root.resolve(s"catalog.json.tmp.${Thread.currentThread().getId}")
-    Files.write(tmp, render(st).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, catalogFile, StandardCopyOption.ATOMIC_MOVE,
+  private def revalidate(): Store = lock.synchronized {
+    val now = System.currentTimeMillis()
+    cached match {
+      case Some((ts, st)) if now - ts < cacheTtlMs => st
+      case prior =>
+        val st = loadOrDiff(prior.map(_._2))
+        cached = Some((now, st))
+        st
+    }
+  }
+
+  private def loadOrDiff(prior: Option[Store]): Store =
+    if (Files.exists(manifestFile)) {
+      val m = parseManifest(readUtf8(manifestFile))
+      prior match {
+        case Some(s) if !s.legacy && s.assembled.version == m.version => s
+        case p => loadFromManifest(m, p.filterNot(_.legacy))
+      }
+    } else if (Files.exists(legacyFile)) {
+      val st = parse(readUtf8(legacyFile))
+      val shards = st.chunks.values.toSeq.groupBy(shardKeyOf(shardSpanHours, _))
+        .map { case (k, cs) => k -> cs.map(c => c.path -> c).toMap }
+      Store(shardSpanHours, shards.keys.map(_ -> 0L).toMap, shards, st, legacy = true)
+    } else Store(shardSpanHours, Map.empty, Map.empty, CatalogState.empty, legacy = false)
+
+  private def loadFromManifest(m: Manifest, prior: Option[Store]): Store = {
+    val reusable: Map[Long, Map[String, ChunkMeta]] = prior match {
+      case Some(s) => m.shards.collect {
+        case e if s.shardVers.get(e.key).contains(e.ver) && s.shards.contains(e.key) =>
+          e.key -> s.shards(e.key)
+      }.toMap
+      case None => Map.empty
+    }
+    val toLoad = m.shards.filterNot(e => reusable.contains(e.key))
+    // Cold load of a large catalog parses shards in parallel (a 10⁶-chunk
+    // catalog is ~700 day-shards); revalidation after one foreign flush
+    // parses exactly one.
+    val loaded: Seq[(Long, Map[String, ChunkMeta])] =
+      if (toLoad.size <= 1) toLoad.map(e => e.key -> parseShard(readUtf8(shardDir.resolve(e.file))))
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.traverse(toLoad)(e =>
+          Future(e.key -> parseShard(readUtf8(shardDir.resolve(e.file))))), Duration.Inf)
+      }
+    val shards = reusable ++ loaded
+    Store(m.spanHours, m.shards.map(e => e.key -> e.ver).toMap, shards,
+      assemble(m, shards), legacy = false)
+  }
+
+  private def assemble(m: Manifest, shards: Map[Long, Map[String, ChunkMeta]]): CatalogState = {
+    val all = Map.newBuilder[String, ChunkMeta]
+    shards.valuesIterator.foreach(all ++= _)
+    val chunks = all.result()
+    val idx = scala.collection.mutable.HashMap.empty[Long, List[String]]
+    chunks.valuesIterator.foreach { c =>
+      var b = hourBucket(c.minTimestampNs)
+      val end = hourBucket(c.maxTimestampNs)
+      while (b <= end) { idx(b) = c.path :: idx.getOrElse(b, Nil); b += 1 }
+    }
+    CatalogState(m.version, chunks, scala.collection.immutable.TreeMap.from(idx),
+      m.activeSplits, m.pendingDeletes, m.rollups, m.tableStats)
+  }
+
+  /** Apply one mutation delta and commit it: write dirty shard files under new
+    * versioned names, then atomically rename the manifest (the commit point),
+    * then best-effort delete superseded files.
+    */
+  private def commit(s: Store, removePaths: Seq[String], add: Seq[ChunkMeta],
+      smallPatch: CatalogState => CatalogState): Unit = {
+    val span = s.spanHours
+    // Re-registering an existing path OVERWRITES it (reference semantics,
+    // tests/error_path_tests.rs:457-499) — the old meta may live in a
+    // different shard and different index buckets, so it is removed first.
+    val removedMetas = (removePaths ++ add.map(_.path)).distinct
+      .flatMap(s.assembled.chunks.get)
+
+    var shards = s.shards
+    removedMetas.foreach { c =>
+      val k = shardKeyOf(span, c)
+      shards = shards.updated(k, shards.getOrElse(k, Map.empty) - c.path)
+    }
+    add.foreach { c =>
+      val k = shardKeyOf(span, c)
+      shards = shards.updated(k, shards.getOrElse(k, Map.empty) + (c.path -> c))
+    }
+
+    var chunks = s.assembled.chunks -- removedMetas.map(_.path)
+    var idx = removedMetas.foldLeft(s.assembled.timeIndex)(removeFromIndex)
+    add.foreach { c => chunks += (c.path -> c); idx = addToIndex(idx, c) }
+
+    val version = s.assembled.version + 1
+    val assembled = smallPatch(
+      s.assembled.copy(version = version, chunks = chunks, timeIndex = idx))
+    // Legacy migration rewrites every shard once; steady state touches only
+    // the shards the delta landed in.
+    val dirty =
+      if (s.legacy) shards.keySet ++ s.shards.keySet
+      else (removedMetas.map(shardKeyOf(span, _)) ++ add.map(shardKeyOf(span, _))).toSet
+
+    val (dropped, kept) = dirty.partition(k => shards.getOrElse(k, Map.empty).isEmpty)
+    val nextShards = shards -- dropped
+    val nextVers = (s.shardVers -- dropped) ++ kept.map(_ -> version)
+
+    kept.foreach { k =>
+      Files.write(shardDir.resolve(shardFileName(k, version)),
+        renderShard(nextShards(k)).getBytes(StandardCharsets.UTF_8))
+    }
+    val manifest = Manifest(version, span,
+      nextVers.toSeq.sortBy(_._1).map { case (k, v) =>
+        ShardEntry(k, v, shardFileName(k, v), nextShards(k).size)
+      },
+      assembled.activeSplits, assembled.pendingDeletes, assembled.rollups,
+      assembled.tableStats)
+    val tmp = root.resolve(s"manifest.json.tmp.${Thread.currentThread().getId}")
+    Files.write(tmp, renderManifest(manifest).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    cache = Some((System.currentTimeMillis(), st))
+
+    // Post-commit cleanup: superseded shard versions, emptied shards, and the
+    // legacy document. Failures leave orphans that are never read (loads
+    // resolve strictly through the manifest).
+    try {
+      kept.foreach { k =>
+        s.shardVers.get(k).filterNot(_ == version).foreach(old =>
+          Files.deleteIfExists(shardDir.resolve(shardFileName(k, old))))
+      }
+      dropped.foreach(k => s.shardVers.get(k).foreach(old =>
+        Files.deleteIfExists(shardDir.resolve(shardFileName(k, old)))))
+      if (s.legacy) Files.deleteIfExists(legacyFile)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+    cached = Some((System.currentTimeMillis(),
+      Store(span, nextVers, nextShards, assembled, legacy = false)))
   }
 
-  private def load(): CatalogState =
-    if (Files.exists(catalogFile))
-      parse(new String(Files.readAllBytes(catalogFile), StandardCharsets.UTF_8))
-    else CatalogState.empty
-
-  def invalidateCache(): Unit = cache = None
+  private def readUtf8(p: Path): String =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
 }
 
 object ChunkCatalog {
@@ -306,6 +481,20 @@ object ChunkCatalog {
     val empty: CatalogState = CatalogState(1L, Map.empty,
       scala.collection.immutable.TreeMap.empty, Nil, Nil)
   }
+
+  private[catalog] final case class ShardEntry(key: Long, ver: Long, file: String, count: Int)
+
+  private[catalog] final case class Manifest(
+      version: Long,
+      spanHours: Int,
+      shards: Seq[ShardEntry],
+      activeSplits: List[String],
+      pendingDeletes: List[(String, Long)],
+      rollups: List[RollupMeta],
+      tableStats: Map[String, Long])
+
+  private[catalog] def shardFileName(key: Long, ver: Long): String =
+    s"chunks-$key.$ver.json"
 
   /** Hour bucket of an ns timestamp (reference src/metadata/s3.rs:341-344). */
   def hourBucket(tsNs: Long): Long = Math.floorDiv(tsNs, 3600L * 1000000000L)
@@ -346,6 +535,23 @@ object ChunkCatalog {
     }
   }
 
+  /** Inverse of addToIndex, touching only the buckets the chunk spans — the
+    * full-index sweep the single-doc design used would make every mutation
+    * O(total buckets).
+    */
+  private def removeFromIndex(idx: scala.collection.immutable.TreeMap[Long, List[String]],
+                              c: ChunkMeta): scala.collection.immutable.TreeMap[Long, List[String]] = {
+    val buckets = hourBucket(c.minTimestampNs) to hourBucket(c.maxTimestampNs)
+    buckets.foldLeft(idx) { (i, b) =>
+      i.get(b) match {
+        case None => i
+        case Some(cur) =>
+          val kept = cur.filterNot(_ == c.path)
+          if (kept.isEmpty) i - b else if (kept eq cur) i else i.updated(b, kept)
+      }
+    }
+  }
+
   // --- JSON (json4s ships with Spark) --------------------------------------
 
   private def statsToJson(s: ColumnStats): JObject = {
@@ -374,33 +580,60 @@ object ChunkCatalog {
       case (k, v) => k -> (statsToJson(v): JValue)
     }))
 
+  private def rollupToJson(r: RollupMeta): JObject = JObject(
+    "path" -> JString(r.path),
+    "resolution_seconds" -> JLong(r.resolutionSeconds),
+    "label_cols" -> JArray(r.labelCols.map(JString(_): JValue).toList),
+    "min_bucket" -> JLong(r.minBucketNs),
+    "max_covered_exclusive" -> JLong(r.maxCoveredNsExclusive),
+    "row_count" -> JLong(r.rowCount),
+    "build_cutoff" -> JLong(r.buildCutoffNs),
+    "stale_extension" -> JBool(r.staleForExtension))
+
+  private def smallFieldsJson(activeSplits: List[String],
+      pendingDeletes: List[(String, Long)], rollups: List[RollupMeta],
+      tableStats: Map[String, Long]): List[(String, JValue)] = List(
+    "active_splits" -> JArray(activeSplits.map(JString(_): JValue)),
+    "pending_deletes" -> JArray(pendingDeletes.map { case (p, t) =>
+      JObject("path" -> JString(p), "after" -> JLong(t)): JValue
+    }),
+    "rollups" -> JArray(rollups.map(rollupToJson(_): JValue)),
+    "table_stats" -> JObject(tableStats.toList.sortBy(_._1).map {
+      case (k, v) => k -> (JLong(v): JValue)
+    }))
+
+  /** Legacy single-document codec — still the migration read path, and a
+    * convenient whole-state serialization for tests.
+    */
   def render(st: CatalogState): String = {
-    val doc = JObject(
+    val doc = JObject(List[(String, JValue)](
       "version" -> JLong(st.version),
       "chunks" -> JObject(st.chunks.toList.sortBy(_._1).map {
         case (k, v) => k -> (chunkToJson(v): JValue)
       }),
       "time_index" -> JObject(st.timeIndex.toList.map {
         case (k, v) => k.toString -> (JArray(v.sorted.map(JString(_): JValue)): JValue)
-      }),
-      "active_splits" -> JArray(st.activeSplits.map(JString(_): JValue)),
-      "pending_deletes" -> JArray(st.pendingDeletes.map { case (p, t) =>
-        JObject("path" -> JString(p), "after" -> JLong(t)): JValue
-      }),
-      "rollups" -> JArray(st.rollups.map(r => JObject(
-        "path" -> JString(r.path),
-        "resolution_seconds" -> JLong(r.resolutionSeconds),
-        "label_cols" -> JArray(r.labelCols.map(JString(_): JValue).toList),
-        "min_bucket" -> JLong(r.minBucketNs),
-        "max_covered_exclusive" -> JLong(r.maxCoveredNsExclusive),
-        "row_count" -> JLong(r.rowCount),
-        "build_cutoff" -> JLong(r.buildCutoffNs),
-        "stale_extension" -> JBool(r.staleForExtension)): JValue)),
-      "table_stats" -> JObject(st.tableStats.toList.sortBy(_._1).map {
-        case (k, v) => k -> (JLong(v): JValue)
-      }))
+      })) ++ smallFieldsJson(st.activeSplits, st.pendingDeletes, st.rollups, st.tableStats))
     JsonMethods.pretty(JsonMethods.render(doc))
   }
+
+  def renderShard(chunks: Map[String, ChunkMeta]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "chunks" -> JObject(chunks.toList.sortBy(_._1).map {
+        case (k, v) => k -> (chunkToJson(v): JValue)
+      }))))
+
+  private[catalog] def renderManifest(m: Manifest): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List[(String, JValue)](
+      "format" -> JString("sharded-v1"),
+      "version" -> JLong(m.version),
+      "span_hours" -> JInt(m.spanHours),
+      "shards" -> JArray(m.shards.map(e => JObject(
+        "key" -> JLong(e.key),
+        "ver" -> JLong(e.ver),
+        "file" -> JString(e.file),
+        "count" -> JInt(e.count)): JValue).toList)) ++
+      smallFieldsJson(m.activeSplits, m.pendingDeletes, m.rollups, m.tableStats))))
 
   private def statsFromJson(j: JValue): ColumnStats = {
     def typed(v: JValue): (Option[String], Option[Long], Option[Double]) = v match {
@@ -424,29 +657,75 @@ object ChunkCatalog {
     case _ => 0L
   }
 
+  private def chunkFromJson(path: String, j: JValue): ChunkMeta = {
+    val stats = (j \ "column_stats") match {
+      case JObject(sf) => sf.map { case (k, v) => k -> statsFromJson(v) }.toMap
+      case _ => Map.empty[String, ColumnStats]
+    }
+    ChunkMeta(
+      path = path,
+      minTimestampNs = long(j \ "min_timestamp"),
+      maxTimestampNs = long(j \ "max_timestamp"),
+      rowCount = long(j \ "row_count"),
+      sizeBytes = long(j \ "size_bytes"),
+      level = long(j \ "level").toInt,
+      shardId = (j \ "shard_id") match { case JString(s) => Some(s); case _ => None },
+      columnStats = stats,
+      schemaDdl = (j \ "schema_ddl") match { case JString(s) => Some(s); case _ => None },
+      sourcePaths = (j \ "source_paths") match {
+        case JArray(a) => a.collect { case JString(s) => s }
+        case _ => Nil // catalogs written before provenance existed
+      })
+  }
+
+  private def rollupsFromJson(doc: JValue): List[RollupMeta] = (doc \ "rollups") match {
+    case JArray(a) => a.collect { case o: JObject =>
+      RollupMeta(
+        path = (o \ "path") match { case JString(s) => s; case _ => "" },
+        resolutionSeconds = long(o \ "resolution_seconds"),
+        labelCols = (o \ "label_cols") match {
+          case JArray(ls) => ls.collect { case JString(s) => s }
+          case _ => Nil
+        },
+        minBucketNs = long(o \ "min_bucket"),
+        maxCoveredNsExclusive = long(o \ "max_covered_exclusive"),
+        rowCount = long(o \ "row_count"),
+        buildCutoffNs = (o \ "build_cutoff") match {
+          case JNothing | JNull => Long.MaxValue // pre-field records
+          case v => long(v)
+        },
+        staleForExtension = (o \ "stale_extension") match {
+          case JBool(b) => b
+          case _ => false // pre-field records
+        })
+    }
+    case _ => Nil
+  }
+
+  private def smallFieldsFromJson(doc: JValue): (List[String], List[(String, Long)],
+      List[RollupMeta], Map[String, Long]) = {
+    val splits = (doc \ "active_splits") match {
+      case JArray(a) => a.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val pending = (doc \ "pending_deletes") match {
+      case JArray(a) => a.collect { case o: JObject =>
+        ((o \ "path") match { case JString(s) => s; case _ => "" }) -> long(o \ "after")
+      }
+      case _ => Nil
+    }
+    val tableStats = (doc \ "table_stats") match {
+      case JObject(fields) => fields.map { case (k, v) => k -> long(v) }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    (splits, pending, rollupsFromJson(doc), tableStats)
+  }
+
+  /** Legacy single-document parse (also the migration read path). */
   def parse(json: String): CatalogState = {
     val doc = JsonMethods.parse(json)
     val chunks = (doc \ "chunks") match {
-      case JObject(fields) => fields.map { case (path, j) =>
-        val stats = (j \ "column_stats") match {
-          case JObject(sf) => sf.map { case (k, v) => k -> statsFromJson(v) }.toMap
-          case _ => Map.empty[String, ColumnStats]
-        }
-        path -> ChunkMeta(
-          path = path,
-          minTimestampNs = long(j \ "min_timestamp"),
-          maxTimestampNs = long(j \ "max_timestamp"),
-          rowCount = long(j \ "row_count"),
-          sizeBytes = long(j \ "size_bytes"),
-          level = long(j \ "level").toInt,
-          shardId = (j \ "shard_id") match { case JString(s) => Some(s); case _ => None },
-          columnStats = stats,
-          schemaDdl = (j \ "schema_ddl") match { case JString(s) => Some(s); case _ => None },
-          sourcePaths = (j \ "source_paths") match {
-            case JArray(a) => a.collect { case JString(s) => s }
-            case _ => Nil // catalogs written before provenance existed
-          })
-      }.toMap
+      case JObject(fields) => fields.map { case (path, j) => path -> chunkFromJson(path, j) }.toMap
       case _ => Map.empty[String, ChunkMeta]
     }
     val timeIndex = (doc \ "time_index") match {
@@ -459,44 +738,29 @@ object ChunkCatalog {
         })
       case _ => scala.collection.immutable.TreeMap.empty[Long, List[String]]
     }
-    val splits = (doc \ "active_splits") match {
-      case JArray(a) => a.collect { case JString(s) => s }
-      case _ => Nil
-    }
-    val pending = (doc \ "pending_deletes") match {
-      case JArray(a) => a.collect { case o: JObject =>
-        ((o \ "path") match { case JString(s) => s; case _ => "" }) -> long(o \ "after")
-      }
-      case _ => Nil
-    }
-    val rollups = (doc \ "rollups") match {
-      case JArray(a) => a.collect { case o: JObject =>
-        RollupMeta(
-          path = (o \ "path") match { case JString(s) => s; case _ => "" },
-          resolutionSeconds = long(o \ "resolution_seconds"),
-          labelCols = (o \ "label_cols") match {
-            case JArray(ls) => ls.collect { case JString(s) => s }
-            case _ => Nil
-          },
-          minBucketNs = long(o \ "min_bucket"),
-          maxCoveredNsExclusive = long(o \ "max_covered_exclusive"),
-          rowCount = long(o \ "row_count"),
-          buildCutoffNs = (o \ "build_cutoff") match {
-            case JNothing | JNull => Long.MaxValue // pre-field records
-            case v => long(v)
-          },
-          staleForExtension = (o \ "stale_extension") match {
-            case JBool(b) => b
-            case _ => false // pre-field records
-          })
-      }
-      case _ => Nil
-    }
-    val tableStats = (doc \ "table_stats") match {
-      case JObject(fields) => fields.map { case (k, v) => k -> long(v) }.toMap
-      case _ => Map.empty[String, Long]
-    }
+    val (splits, pending, rollups, tableStats) = smallFieldsFromJson(doc)
     CatalogState(long(doc \ "version"), chunks, timeIndex, splits, pending, rollups,
       tableStats)
+  }
+
+  def parseShard(json: String): Map[String, ChunkMeta] =
+    (JsonMethods.parse(json) \ "chunks") match {
+      case JObject(fields) => fields.map { case (path, j) => path -> chunkFromJson(path, j) }.toMap
+      case _ => Map.empty
+    }
+
+  private[catalog] def parseManifest(json: String): Manifest = {
+    val doc = JsonMethods.parse(json)
+    val shards = (doc \ "shards") match {
+      case JArray(a) => a.collect { case o: JObject =>
+        ShardEntry(long(o \ "key"), long(o \ "ver"),
+          (o \ "file") match { case JString(s) => s; case _ => "" },
+          long(o \ "count").toInt)
+      }
+      case _ => Nil
+    }
+    val (splits, pending, rollups, tableStats) = smallFieldsFromJson(doc)
+    Manifest(long(doc \ "version"), long(doc \ "span_hours").toInt, shards,
+      splits, pending, rollups, tableStats)
   }
 }

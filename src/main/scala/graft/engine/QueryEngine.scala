@@ -260,9 +260,14 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     // topK-rewrite toggle likewise (a cached naive plan must not be served
     // while the rewrite is on, nor the reverse)
     val rollups = if (rollupRoutingEnabled && !split) catalog.rollups else Nil
+    // the marker is scoped to queries that could possibly match the rewrite
+    // (TopKRouting only ever matches a row_number() window), so flipping the
+    // toggle doesn't double-key every unrelated cached plan
+    val topKMarker = topKRoutingEnabled && !split &&
+      query.toLowerCase(java.util.Locale.ROOT).contains("row_number")
     val key = (query,
       paths ++ rollups.map("rollup:" + _.path) ++
-        (if (topKRoutingEnabled && !split) Seq("topk:on") else Nil),
+        (if (topKMarker) Seq("topk:on") else Nil),
       split)
     var toLocalize: DataFrame = null
     planCache.synchronized {

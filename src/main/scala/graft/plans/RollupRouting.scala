@@ -346,7 +346,11 @@ object RollupRouting {
     def micros(e: Expression): Option[Long] = e match {
       case _ if e.foldable && e.dataType == TimestampType =>
         e.eval(null) match {
-          case l: java.lang.Long => Some(l)
+          // reject magnitudes where (v+1)*1000 could overflow (beyond ~year
+          // 2262): a wrapped product can pass aligned() and silently route to
+          // an empty rollup slice instead of falling back to raw
+          case l: java.lang.Long if math.abs(l.longValue) < Long.MaxValue / 1000L - 1L =>
+            Some(l)
           case _ => None
         }
       case _ => None

@@ -150,6 +150,95 @@ class CatalogSpec extends AnyFunSuite {
       "gap backfill must invalidate, else extended coverage undercounts")
   }
 
+  test("sharded layout: commit writes shards under a manifest, readable by a fresh instance") {
+    val dir = Files.createTempDirectory("graft_cat_")
+    val cat = new ChunkCatalog(dir, cacheTtlMs = 0L, shardSpanHours = 24)
+    // hours 0 and 1000 land in different 24-h shards
+    cat.registerAll(Seq(chunk("a", 0, 0), chunk("b", 1000, 1000)))
+    cat.setTableStat("stat", 7L)
+    assert(Files.exists(dir.resolve("manifest.json")))
+    assert(!Files.exists(dir.resolve("catalog.json")), "sharded layout has no legacy doc")
+    val shardFiles = { val s = Files.list(dir.resolve("shards")); try s.count() finally s.close() }
+    assert(shardFiles == 2, s"expected one file per touched 24-h shard, got $shardFiles")
+    // a fresh instance reassembles the identical state from manifest + shards
+    val fresh = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    assert(fresh.allChunks.map(_.path) == Seq("a", "b"))
+    assert(fresh.tableStat("stat").contains(7L))
+    assert(fresh.chunksInRange(1000 * hourNs, 1001 * hourNs).map(_.path) == Seq("b"))
+  }
+
+  test("sharded layout: legacy catalog.json is read and migrated on first mutation") {
+    val dir = Files.createTempDirectory("graft_cat_")
+    // hand-write a legacy single-document catalog (the pre-shard format)
+    val legacy = ChunkCatalog.CatalogState(1L,
+      Map("old1" -> chunk("old1", 0, 0), "old2" -> chunk("old2", 30, 30)),
+      scala.collection.immutable.TreeMap(0L -> List("old1"), 30L -> List("old2")),
+      Nil, Nil)
+    Files.write(dir.resolve("catalog.json"),
+      ChunkCatalog.render(legacy).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cat = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    // read path works before any mutation
+    assert(cat.allChunks.map(_.path) == Seq("old1", "old2"))
+    // first mutation migrates: shards + manifest written, legacy doc removed
+    cat.register(chunk("new", 50, 50))
+    assert(Files.exists(dir.resolve("manifest.json")))
+    assert(!Files.exists(dir.resolve("catalog.json")))
+    val fresh = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    assert(fresh.allChunks.map(_.path) == Seq("new", "old1", "old2"))
+    assert(fresh.chunksInRange(30 * hourNs, 31 * hourNs).map(_.path) == Seq("old2"))
+  }
+
+  test("sharded layout: manifest rename is the commit point — orphan shard files are never read") {
+    val dir = Files.createTempDirectory("graft_cat_")
+    val cat = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    cat.register(chunk("committed", 0, 0))
+    // simulate a crash AFTER shard writes but BEFORE the manifest rename:
+    // a newer-version shard file exists that no manifest references
+    Files.write(dir.resolve("shards").resolve("chunks-0.999.json"),
+      ChunkCatalog.renderShard(Map("phantom" -> chunk("phantom", 0, 0)))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(dir.resolve("shards").resolve("chunks-42.999.json"),
+      ChunkCatalog.renderShard(Map("phantom2" -> chunk("phantom2", 1008, 1008)))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fresh = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    assert(fresh.allChunks.map(_.path) == Seq("committed"),
+      "loads must resolve files strictly through the manifest")
+  }
+
+  test("sharded layout: re-registering a path in a different hour moves it across shards") {
+    val dir = Files.createTempDirectory("graft_cat_")
+    val cat = new ChunkCatalog(dir, cacheTtlMs = 0L, shardSpanHours = 24)
+    cat.register(chunk("mover", 0, 0))
+    cat.register(chunk("mover", 1000, 1000)) // same path, different shard
+    assert(cat.allChunks.map(_.path) == Seq("mover"))
+    assert(cat.chunksInRange(0, hourNs - 1).isEmpty, "old-shard copy must be gone")
+    assert(cat.chunksInRange(1000 * hourNs, 1001 * hourNs).map(_.path) == Seq("mover"))
+    // fresh reload must agree — a stale copy left in the old shard would make
+    // assembly order-dependent
+    val fresh = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    assert(fresh.allChunks.map(_.path) == Seq("mover"))
+    assert(fresh.chunksInRange(0, hourNs - 1).isEmpty)
+    // the emptied shard's file is dropped from disk and manifest
+    val files = { val s = Files.list(dir.resolve("shards")); try s.count() finally s.close() }
+    assert(files == 1)
+  }
+
+  test("sharded layout: a foreign writer's commit is visible after cache revalidation") {
+    val dir = Files.createTempDirectory("graft_cat_")
+    val writer = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    val reader = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    writer.register(chunk("w1", 0, 0))
+    assert(reader.allChunks.map(_.path) == Seq("w1"))
+    writer.register(chunk("w2", 48, 48))
+    writer.deferDelete(Seq("/gone"), nowMs = 0L)
+    assert(reader.allChunks.map(_.path) == Seq("w1", "w2"))
+    assert(reader.state.pendingDeletes.map(_._1) == List("/gone"))
+    // and a reader-side mutation starts from the freshest on-disk state
+    reader.register(chunk("r1", 72, 72))
+    writer.invalidateCache()
+    assert(writer.allChunks.map(_.path) == Seq("r1", "w1", "w2"))
+  }
+
   test("replaceChunks flags a rollup stale when a rewrite crosses its age boundary") {
     import graft.catalog.RollupMeta
     val cat = freshCatalog()
