@@ -499,10 +499,38 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     ("__name__" +: cols.filterNot(MetricSchema.internalColumns.contains)).distinct.sorted
   }
 
-  def labelValues(label: String): DataFrame = planLock.synchronized {
-    register(catalog.allChunks.map(_.path))
+  /** `/api/v1/label/<name>/values`, optionally matcher- and time-filtered
+    * (reference prometheus_api.rs:330-470 filters values by `match[]` and
+    * start/end). The filtered path is served over the ZoneMapFileIndex table,
+    * so a time bound or an equality matcher prunes chunks at scan planning —
+    * an unfiltered dropdown refresh is the only shape that scans everything.
+    */
+  def labelValues(label: String,
+                  matchers: Seq[graft.promql.LabelMatcher] = Nil,
+                  startNs: Option[Long] = None,
+                  endNs: Option[Long] = None): DataFrame = {
+    require(graft.promql.PromQL.isValidIdentifier(label),
+      s"invalid label identifier: $label")
     val c = if (label == "__name__") MetricSchema.MetricNameCol else label
-    spark.table("metrics").select(col(c)).where(col(c).isNotNull).distinct()
+    if (matchers.isEmpty && startNs.isEmpty && endNs.isEmpty)
+      planLock.synchronized {
+        register(catalog.allChunks.map(_.path))
+        spark.table("metrics").select(col(c)).where(col(c).isNotNull).distinct()
+      }
+    else {
+      val base = graft.plans.ZoneMapFileIndex.table(spark, catalog)
+      val timed = (startNs, endNs) match {
+        case (Some(s), Some(e)) =>
+          base.where(col(MetricSchema.TimestampNsCol).between(s, e))
+        case (Some(s), None) => base.where(col(MetricSchema.TimestampNsCol) >= s)
+        case (None, Some(e)) => base.where(col(MetricSchema.TimestampNsCol) <= e)
+        case (None, None) => base
+      }
+      val matched = matchers.foldLeft(timed) { (df, m) =>
+        df.filter(org.apache.spark.sql.functions.expr(graft.promql.PromQL.matcherToSql(m)))
+      }
+      matched.select(col(c)).where(col(c).isNotNull).distinct()
+    }
   }
 
   /** `/api/v1/series`: DISTINCT over (metric_name + every label column), optionally

@@ -122,8 +122,10 @@ object PromQL {
   def matcherToSql(m: LabelMatcher): String = {
     // Escape the IDENTIFIER too, not just the value: a backtick inside a parsed
     // label name would otherwise break out of the identifier quoting (same
-    // injection class as the value escaping below).
-    val col = s"`${m.label.replace("`", "``")}`"
+    // injection class as the value escaping below). `__name__` addresses the
+    // metric-name column (reference prometheus_api.rs label mapping).
+    val name = if (m.label == "__name__") "metric_name" else m.label
+    val col = s"`${name.replace("`", "``")}`"
     // Escape backslashes BEFORE quote-doubling: Spark SQL string literals eat
     // `\d` → `d` (so `=~"\d+"` would silently match "d+"), and a value ending
     // in `\` would escape the closing quote — an injection surface.

@@ -242,12 +242,18 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
     respondJson(ex, 200, promListPayload(engine.labels()))
   })
 
-  // /api/v1/label/<name>/values
+  // /api/v1/label/<name>/values?match[]=<selector>&start=<s>&end=<s>
+  // (reference prometheus_api.rs:330-470: label values are filtered by the
+  // optional series matchers and time window — Grafana's dependent dropdowns)
   server.createContext("/api/v1/label", handler { ex =>
     val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
     // ("api","v1","label","<name>","values")
     if (path.length == 5 && path(4) == "values") {
-      val values = engine.labelValues(path(3)).collect()
+      val p = params(ex)
+      val matchers = p.getOrElse("match[]", Nil).flatMap(PromQL.parseMatchers)
+      val startNs = p.get("start").flatMap(_.headOption).map(secToNs)
+      val endNs = p.get("end").flatMap(_.headOption).map(secToNs)
+      val values = engine.labelValues(path(3), matchers, startNs, endNs).collect()
         .map(r => String.valueOf(r.get(0))).toSeq.sorted
       respondJson(ex, 200, promListPayload(values))
     } else error(ex, 404, "not found")

@@ -135,6 +135,60 @@ class EngineSpec extends AnyFunSuite {
     assert(vals == Seq("server1", "server2"))
   }
 
+  test("filtered label values: matchers and time bounds narrow values AND prune the scan") {
+    // host is hour-distinct here (serverH in hour H) so filters change results
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_eng_lv_"), cacheTtlMs = 0L)
+    val points = for {
+      h <- 0 until 3
+      m <- Seq("cpu_usage", "mem_usage")
+      i <- 0 until 6
+    } yield MetricPoint(t0 + h * hourNs + i * 600L * 1000000000L,
+      m, i / 10.0 + h, Map("host" -> s"server$h"))
+    new ChunkWriter(cat).write(Converters.pointsToDf(spark, points))
+    val eng = new QueryEngine(spark, cat)
+
+    // distinct adds an exchange → AQE wraps the plan and hides the scan
+    // inside query stages; descend through both wrapper kinds
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      allScans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+
+    // time-bounded: only hour 1's host, and only hour 1's chunk scanned
+    val hour1 = eng.labelValues("host",
+      startNs = Some(t0 + hourNs), endNs = Some(t0 + 2 * hourNs - 1))
+    assert(hour1.collect().map(_.getString(0)).toSeq == Seq("server1"))
+    val nBounded = scannedFiles(hour1)
+    val nAll = scannedFiles(eng.labelValues("host",
+      startNs = Some(Long.MinValue), endNs = Some(Long.MaxValue)))
+    assert(nBounded < nAll, "time-bounded label values must prune chunks at planning")
+
+    // matcher-filtered: __name__ selector applies; zone maps can't split the
+    // two metrics (same chunk) but value filtering must still apply
+    val matched = eng.labelValues("host",
+      matchers = graft.promql.PromQL.parseMatchers("""{__name__="cpu_usage"}"""))
+    assert(matched.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("server0", "server1", "server2"))
+    val none = eng.labelValues("host",
+      matchers = graft.promql.PromQL.parseMatchers("""{__name__="no_such_metric"}"""))
+    assert(none.collect().isEmpty)
+    // matcher + bound compose
+    val both = eng.labelValues("host",
+      matchers = graft.promql.PromQL.parseMatchers("""{__name__="cpu_usage"}"""),
+      startNs = Some(t0 + 2 * hourNs), endNs = None)
+    assert(both.collect().map(_.getString(0)).toSeq == Seq("server2"))
+    // injection guard carries over
+    intercept[IllegalArgumentException](eng.labelValues("host; DROP TABLE metrics"))
+  }
+
   test("foldable time expressions prune via the optimized plan (now()-interval path)") {
     val (eng, _) = freshEngine()
     // arithmetic bound: parse-only extraction can't see it; the optimizer folds it

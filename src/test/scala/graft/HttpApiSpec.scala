@@ -117,6 +117,26 @@ class HttpApiSpec extends AnyFunSuite {
     result.foreach(s => assert((s \ "host") == JString("server1")))
   }
 
+  test("label values accept match[] and start/end (reference prometheus_api.rs:330-470)") {
+    import org.json4s._
+    def values(qs: String): JValue =
+      org.json4s.jackson.JsonMethods.parse(get(s"/api/v1/label/host/values$qs").body()) \ "data"
+    val sel = java.net.URLEncoder.encode("""{__name__="cpu_usage"}""", "UTF-8")
+    // matcher present and satisfiable → values survive
+    assert(values(s"?match%5B%5D=$sel") ==
+      JArray(List(JString("server1"), JString("server2"))))
+    // unsatisfiable matcher → empty (proves match[] actually reaches the engine)
+    val noSel = java.net.URLEncoder.encode("""{__name__="no_such_metric"}""", "UTF-8")
+    assert(values(s"?match%5B%5D=$noSel") == JArray(Nil))
+    // time window outside the data → empty (proves start/end reach the engine)
+    val farStart = (t0 / 1000000000L) + 30L * 86400L
+    assert(values(s"?start=$farStart&end=${farStart + 3600}") == JArray(Nil))
+    // window covering the data + matcher → values
+    assert(values(s"?match%5B%5D=$sel&start=${t0 / 1000000000L}" +
+      s"&end=${t0 / 1000000000L + 7200}") ==
+      JArray(List(JString("server1"), JString("server2"))))
+  }
+
   test("POST /api/v1/write: snappy remote-write protobuf ingests through the chunk path") {
     // hand-rolled proto3 encoder (WriteRequest/TimeSeries/Label/Sample wire format)
     val out = new java.io.ByteArrayOutputStream()
