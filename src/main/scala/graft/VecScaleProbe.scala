@@ -82,6 +82,20 @@ object VecScaleProbe {
       d.count(); d
     }
     recall("IVF-indexed", ivfIdx)
+
+    // bulk re-scoring leg: ≥10⁵ queries through the DISTRIBUTED probe — the
+    // driver never materializes the panel (only the ≤ nCentroids probed-cell
+    // union); per-query work is identical to the driver path
+    val bulkQueries = corpus.filter(col("vec_id") % 8 === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val nBulk = bulkQueries.count()
+    val bulkRows = time(s"IVF indexed BULK probe ($nBulk queries, probe 16)") {
+      graft.sim.IvfIndex.topKBulk(spark, idxRoot, bulkQueries, k, nProbe = 16).count()
+    }
+    println(f"[vecs] bulk probe: $nBulk queries -> $bulkRows result rows " +
+      f"(${bulkRows.toDouble / nBulk}%.1f rows/query; " +
+      (if (bulkRows == nBulk * k) "OK" else "SUSPECT") + ")")
+
     val filesRead = graft.sim.IvfIndex
       .probedScan(spark, idxRoot, Seq(0)).select(input_file_name()).distinct().count()
     val filesAll = spark.read.parquet(s"$idxRoot/data")

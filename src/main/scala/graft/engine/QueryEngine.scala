@@ -418,8 +418,14 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   private def analyzeOptimized(query: String, nowNs: Long): Option[(TimeRange, Seq[ColumnPredicate])] =
     try planLock.synchronized {
       register(catalog.allChunks.map(_.path))
-      val optimized = org.apache.spark.sql.GraftBridge.ofRows(spark, parsedPlan(query))
-        .queryExecution.optimizedPlan
+      // Optimize the ANALYZED plan directly — queryExecution.optimizedPlan
+      // first substitutes any cached (persisted) result as an
+      // InMemoryRelation, which erases the Filter nodes: a repeat of a
+      // result-cached query would re-extract NO bounds, fall to the default
+      // window, and prune to the wrong chunk set.
+      val analyzed = org.apache.spark.sql.GraftBridge.ofRows(spark, parsedPlan(query))
+        .queryExecution.analyzed
+      val optimized = spark.sessionState.optimizer.execute(analyzed)
       val extracted = PredicateExtraction.extract(optimized, nowNs)
       Some(extracted)
     } catch { case scala.util.control.NonFatal(_) => None }

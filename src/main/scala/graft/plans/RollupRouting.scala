@@ -374,6 +374,15 @@ object RollupRouting {
         micros(l).filter(v => aligned(v + 1)).map(v => (Some((v + 1) * 1000L), None))
       case GreaterThanOrEqual(l, r) if attrNamed(r, tsMicrosCol) =>
         micros(l).filter(v => aligned(v + 1)).map(v => (None, Some((v + 1) * 1000L)))
+      // closed-closed BETWEEN (see timeBound): lower at a bucket start, upper
+      // at a bucket end − 1 µs — the Grafana range shape
+      case b: Between if attrNamed(b.input, tsMicrosCol) =>
+        (micros(b.lower), micros(b.upper)) match {
+          case (Some(lo), Some(hi))
+            if lo <= hi && aligned(lo) && aligned(hi + 1) =>
+            Some((Some(lo * 1000L), Some((hi + 1) * 1000L)))
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -446,6 +455,17 @@ object RollupRouting {
         longLit(l).filter(aligned).map(v => (None, Some(v)))
       case GreaterThanOrEqual(l, r) if attrNamed(r, tsCol) =>
         longLit(l).filter(v => aligned(v + 1)).map(v => (None, Some(v + 1)))
+      // closed-closed BETWEEN survives analysis as a RuntimeReplaceable node
+      // (the >=/<= split happens in the optimizer, after this matcher runs):
+      // exact iff the lower edge is a bucket start and the upper edge is a
+      // bucket end − 1 ns
+      case b: Between if attrNamed(b.input, tsCol) =>
+        (longLit(b.lower), longLit(b.upper)) match {
+          case (Some(lo), Some(hi))
+            if hi < Long.MaxValue && lo <= hi && aligned(lo) && aligned(hi + 1) =>
+            Some((Some(lo), Some(hi + 1)))
+          case _ => None
+        }
       case _ => None
     }
   }

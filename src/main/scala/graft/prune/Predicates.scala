@@ -169,6 +169,11 @@ object PredicateExtraction {
       val (llo, lhi) = boundsOf(l); val (rlo, rhi) = boundsOf(r)
       (for { a <- llo; b <- rlo } yield math.min(a, b),
        for { a <- lhi; b <- rhi } yield math.max(a, b))
+    // BETWEEN survives parsing/analysis as its own node (the >=/<= split is
+    // an optimizer rewrite): closed-closed → both bounds inclusive
+    case b: cx.Between if isTime(b.input) =>
+      val rawNs = colName(b.input).contains("timestamp_ns")
+      (literalNs(b.lower, rawNs), literalNs(b.upper, rawNs))
     case other => timeBound(other) match {
       case Some((isLower, isUpper, ns)) =>
         (if (isLower) Some(ns) else None, if (isUpper) Some(ns) else None)

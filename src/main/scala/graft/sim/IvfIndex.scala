@@ -80,14 +80,33 @@ object IvfIndex {
   def probedScan(spark: SparkSession, indexRoot: String, cells: Seq[Int]): DataFrame =
     spark.read.parquet(dataPath(indexRoot)).filter(col("cell").isin(cells: _*))
 
+  /** Probe strategy the last `topK` call chose — observability for specs. */
+  @volatile var lastProbeMode: String = ""
+
   /** ANN top-k over a materialized index: probe each query's `nProbe` nearest
     * cells, re-rank exactly inside them. Output schema matches the other ANN
     * paths: (query_id, id, cosine, rank).
+    *
+    * Two probe strategies behind one API, split on panel size:
+    *  - ≤ `bulkThreshold` queries (the dashboard shape): collect the panel and
+    *    rank centroids on the driver — lowest latency, no extra Spark jobs.
+    *  - larger panels (bulk re-scoring): fully distributed probe ([[topKBulk]])
+    *    — the driver never materializes the query set, only the ≤ nCentroids
+    *    probed-cell union that feeds partition pruning.
     */
   def topK(spark: SparkSession, indexRoot: String, queries: DataFrame, k: Int,
            nProbe: Int = 8,
            idCol: String = "vec_id", vecCol: String = "embedding",
-           queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+           queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+           bulkThreshold: Int = 4096): DataFrame = {
+    // limit+count reads at most threshold+1 rows — never a full panel scan
+    val small = queries.limit(bulkThreshold + 1).count() <= bulkThreshold
+    if (!small) {
+      lastProbeMode = "bulk"
+      return topKBulk(spark, indexRoot, queries, k, nProbe, idCol, vecCol,
+        queryIdCol, queryVecCol)
+    }
+    lastProbeMode = "driver"
     val centroids = spark.read.parquet(centroidsPath(indexRoot)).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect()
@@ -114,6 +133,38 @@ object IvfIndex {
     val rerank = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
     probedScan(spark, indexRoot, allCells)
       .join(broadcast(probeDf), "cell")
+      .withColumn("cosine", Similarity.cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Fully distributed probe for bulk query panels (10⁵–10⁷ queries re-scored
+    * against the index): the cell ranking runs as a broadcast crossJoin with
+    * the centroid table (the [[Similarity.ivfTopK]] `nearestCells` form) and
+    * the probed corpus joins the probe set on `cell` — a shuffle join whose
+    * skewed cells AQE splits. The only driver-side materialization is the
+    * probed-cell UNION (≤ nCentroids ints), which feeds planning-time
+    * partition pruning of the index read. Same tie order as the driver path
+    * (centroid cosine desc, cell asc), so results are identical.
+    */
+  def topKBulk(spark: SparkSession, indexRoot: String, queries: DataFrame, k: Int,
+               nProbe: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val centDf = spark.read.parquet(centroidsPath(indexRoot))
+    val ww = Window.partitionBy(queryIdCol).orderBy(col("__csim").desc, col("cell"))
+    val probes = queries.select(col(queryIdCol), col(queryVecCol))
+      .crossJoin(broadcast(centDf))
+      .withColumn("__csim", Similarity.cosine(col(queryVecCol), col("centroid")))
+      .withColumn("__crank", row_number().over(ww))
+      .filter(col("__crank") <= nProbe)
+      .select(col(queryIdCol), col(queryVecCol), col("cell"))
+    // bounded by the centroid count, NOT the query count — safe to collect
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val rerank = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+    probedScan(spark, indexRoot, cells)
+      .join(probes, "cell")
       .withColumn("cosine", Similarity.cosine(col(vecCol), col(queryVecCol)))
       .withColumn("rank", row_number().over(rerank))
       .filter(col("rank") <= k)

@@ -205,6 +205,22 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.lastPrunedPaths.isEmpty)
   }
 
+  test("repeat of a result-cached foldable query keeps its pruned set (no InMemoryRelation poisoning)") {
+    val (eng, _) = freshEngine()
+    // arithmetic bound → parse-only extraction can't memoize → RE-extracted
+    // per call through the optimizer. The first call persists its small
+    // result; the repeat's re-extraction must not see the cached
+    // InMemoryRelation (whose plan has no Filter) or it collapses to the
+    // default window and prunes everything away.
+    val q = s"SELECT COUNT(*) AS cnt FROM metrics " +
+      s"WHERE timestamp_ns >= $t0 + $hourNs AND timestamp_ns < $t0 + 2 * $hourNs"
+    assert(eng.sql(q).collect()(0).getLong(0) == 24L)
+    assert(eng.lastPrunedPaths.size == 1)
+    assert(eng.sql(q).collect()(0).getLong(0) == 24L, "repeat must return the same rows")
+    assert(eng.lastPrunedPaths.size == 1,
+      "repeat must re-prune to the same chunk, not the default window")
+  }
+
   test("schema drift across chunks: label-set union, null-fill, NULL-keeping !~") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_drift_"), cacheTtlMs = 0L)
     val writer = new ChunkWriter(cat)

@@ -82,6 +82,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(cellsOnDisk <= nCells)
   }
 
+  test("bulk probe: distributed probe equals the driver path exactly, no driver RDD in plan") {
+    val corpus = clustered(120).repartition(6)
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx5_").toString
+    val nCells = IvfIndex.build(corpus, root, nCentroids = 6)
+    val queries = corpus.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // small panel routes to the driver probe
+    val driver = IvfIndex.topK(spark, root, queries, k = 5, nProbe = 2)
+    val driverRows = rows(driver)
+    assert(IvfIndex.lastProbeMode == "driver")
+    // forced-bulk panel routes to the distributed probe; results identical
+    // (same centroid tie order), including cosines bit-for-bit
+    val bulk = IvfIndex.topK(spark, root, queries, k = 5, nProbe = 2, bulkThreshold = 8)
+    assert(IvfIndex.lastProbeMode == "bulk")
+    assert(rows(bulk) == driverRows)
+    // the bulk plan's probe side is a broadcast join over the centroid table —
+    // no driver-materialized probe RDD anywhere in the plan
+    assert(!bulk.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "bulk path must not collect the query panel onto the driver")
+    // probe-all bulk is exact (= brute force)
+    val want = rows(Similarity.bruteForceTopK(corpus, queries, 5))
+    assert(rows(IvfIndex.topKBulk(spark, root, queries, 5, nProbe = nCells)) == want)
+  }
+
   test("needsRebuild: balanced index no, drifted (appended-skew) index yes") {
     import spark.implicits._
     val corpus = clustered(120)

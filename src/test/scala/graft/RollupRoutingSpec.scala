@@ -177,6 +177,46 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(eng2.lastServedFromRollup, "minute truncation is zone-safe and must route")
   }
 
+  test("BETWEEN and ns-column bounds route (closed-closed +1 edge absorbed)") {
+    val (eng, cat, _) = freshEngine()
+    Downsampler.materializeRollup(spark, cat, resolutionSeconds = 3600L,
+      labelCols = Seq("host"))
+    val step = hourNs
+    // BETWEEN on timestamp_ns: closed-closed, upper edge at bucket-end−1 ns
+    val q1 = s"SELECT (timestamp_ns div $step) * $step AS b, metric_name, " +
+      "sum(value_f64) AS s FROM metrics " +
+      s"WHERE timestamp_ns BETWEEN $t0 AND ${t0 + 4 * hourNs - 1} " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+    // date_trunc leg bounded on the ns column instead of the µs timestamp
+    val q2 = "SELECT date_trunc('hour', timestamp) AS b, metric_name, " +
+      "sum(value_f64) AS s FROM metrics " +
+      s"WHERE timestamp_ns >= $t0 AND timestamp_ns < ${t0 + 4 * hourNs} " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+    // BETWEEN on the µs timestamp column (closed-closed Grafana range shape)
+    val q3 = "SELECT date_trunc('hour', timestamp) AS b, metric_name, " +
+      "sum(value_f64) AS s FROM metrics " +
+      "WHERE timestamp BETWEEN TIMESTAMP '2024-01-01 00:00:00+00:00' " +
+      "AND TIMESTAMP '2024-01-01 03:59:59.999999+00:00' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+    for ((q, name) <- Seq((q1, "ns BETWEEN"), (q2, "trunc + ns bounds"),
+        (q3, "µs BETWEEN"))) {
+      eng.rollupRoutingEnabled = false
+      val raw = eng.sql(q).collect().map(_.toSeq).toSeq
+      assert(raw.nonEmpty)
+      eng.rollupRoutingEnabled = true
+      val routed = eng.sql(q)
+      assert(eng.lastServedFromRollup, s"$name must route")
+      assert(routed.collect().map(_.toSeq).toSeq == raw, s"$name routed == raw")
+    }
+    // misaligned BETWEEN upper edge (mid-bucket) must stay on raw — absorbing
+    // it would add the rest of the bucket's rows
+    eng.rollupRoutingEnabled = true
+    eng.sql(s"SELECT (timestamp_ns div $step) * $step AS b, sum(value_f64) AS s " +
+      s"FROM metrics WHERE timestamp_ns BETWEEN $t0 AND ${t0 + hourNs + 5} " +
+      "GROUP BY 1").collect()
+    assert(!eng.lastServedFromRollup, "mid-bucket BETWEEN upper bound must not route")
+  }
+
   test("catalog JSON roundtrips rollup registrations") {
     val (_, cat, _) = freshEngine()
     val meta = Downsampler.materializeRollup(spark, cat, resolutionSeconds = 3600L,
