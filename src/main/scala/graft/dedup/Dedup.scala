@@ -422,15 +422,18 @@ object Dedup {
 
   /** Connected components over near-duplicate PAIRS — the step that turns
     * pairwise matches into dedup groups (keep one representative per group,
-    * drop the rest). Min-label propagation: every vertex starts as its own
-    * label; each round joins labels across edges and keeps the minimum;
-    * converges in O(component diameter) rounds — near-dup clusters are
-    * shallow (dup rings around a source doc), so this is 2-4 rounds in
-    * practice. Each round is one shuffle join + one aggregation;
-    * `localCheckpoint` truncates the growing lineage. For adversarial
-    * long-chain graphs swap in large-star/small-star (Kiveris et al.) — same
-    * API, fewer rounds; the propagation loop is deliberately the simple,
-    * auditable variant.
+    * drop the rest). Min-label propagation with POINTER JUMPING: every vertex
+    * starts as its own label; each round (a) joins labels across edges and
+    * keeps the minimum, then (b) shortcuts label := label(label). Labels are
+    * monotone non-increasing and stay inside the component, and the shortcut
+    * roughly squares the distance a label has travelled, so convergence is
+    * O(log diameter) rounds — 2-3 for the shallow dup-ring graphs near-dup
+    * clusters form, and ~15 even for an adversarial 10⁴-vertex path graph
+    * (spec-proven) where plain propagation would need 10⁴ rounds. Each round
+    * is two shuffle joins + one aggregation; `localCheckpoint` truncates the
+    * growing lineage. At the propagation fixpoint labels are constant per
+    * component (edges are symmetric), so the shortcut is the identity there —
+    * the converged result is exactly the plain-propagation answer.
     *
     * Input: two id columns (undirected edges). Output: (idCol, component) for
     * every vertex that appears in at least one edge, where component = the
@@ -471,8 +474,18 @@ object Dedup {
       // empty vertex set aggregates to no rows → SUM is null → converged
       val changed = Option(obs.get.getOrElse("changed", null))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = next
       converged = changed == 0
+      labels =
+        if (converged) next
+        else {
+          // pointer jumping: label := label(label). Sound because labels are
+          // monotone (label(v) ≤ v by induction) and component-local; left
+          // join + coalesce keeps vertices whose label row is themselves.
+          val jump = next.select(col("v").as("__jv"), col("label").as("__jl"))
+          next.join(jump, col("label") === col("__jv"), "left")
+            .select(col("v"), coalesce(col("__jl"), col("label")).as("label"))
+            .localCheckpoint(true)
+        }
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")

@@ -550,6 +550,22 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(pairs.limit(0)).count() == 0L)
   }
 
+  test("connectedComponents: 10k-vertex path graph converges within default maxIters") {
+    // adversarial worst case for plain min-label propagation: a single path
+    // 0-1-2-...-9999 has diameter 10⁴, needing 10⁴ propagation rounds;
+    // pointer jumping must close it in O(log diameter) ≈ 15 rounds, well
+    // inside the DEFAULT maxIters (no loosened budget here — that is the
+    // point of the test). Edges deliberately shuffled across partitions.
+    val n = 10000L
+    val chain = spark.range(0L, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      .repartition(8)
+    val labels = Dedup.connectedComponents(chain)
+    // one component labeled by the minimum vertex
+    assert(labels.select("component").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(labels.count() == n)
+  }
+
   test("mediaStats over a stored table prunes the binary payload from the scan") {
     import graft.multimodal.Multimodal
     val media = Multimodal.documentsAsMedia(
