@@ -224,6 +224,39 @@ object Bench {
       medians(name) = runs.sorted.apply(runs.size / 2)
     }
 
+    // ---- segment 4: 10× leg — per-query medians for the slow cohort ---------
+    // At sf0.1 the host's ~30 ms noise floor swamps plan differences on the
+    // heavier queries (r7's two "regressions" were unreadable there). The
+    // ≥0.3 s cohort — selected from THIS run's sf0.1 medians, so the set
+    // tracks the code — re-runs on the 10× fixture where a plan change moves
+    // seconds, not milliseconds. Skipped (empty map) if the tmpfs fixture was
+    // evicted; regenerate via graft.ScaleGen + scripts/scale_events.py.
+    val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/dev/shm/graft_scale10")
+    val x10Medians = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val x10Detail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(x10Dir, "lineitem.parquet")) &&
+        !sys.env.contains("SPARK_GRAFT_SKIP_X10")) {
+      val cohort = medians.toSeq.filter(_._2 >= 0.3).sortBy(-_._2).take(12).map(_._1)
+      System.err.println(s"[bench] 10x leg over ${cohort.size} queries: ${cohort.mkString(",")}")
+      cohort.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val runs = scala.collection.mutable.ArrayBuffer[Double]()
+        var spent = 0.0
+        def spreadWild = runs.size >= 3 && runs.max / math.max(runs.min, 1e-9) > 3.0
+        while ((runs.size < 3 || (spreadWild && runs.size < 5)) &&
+            (runs.isEmpty || spent < 60.0)) {
+          val t = time {
+            try fn(spark, x10Dir).count()
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] x10 $name: ${e.getMessage}") }
+          }
+          runs += t; spent += t
+        }
+        x10Detail(name) = runs.toSeq
+        x10Medians(name) = runs.sorted.apply(runs.size / 2)
+      }
+    } else System.err.println(s"[bench] 10x leg skipped ($x10Dir missing or disabled)")
+
     val queriesTotal = medians.values.sum
     val total = queriesTotal + ingestSec + warmMedian + prunedMedian
     val gcTotalMs = gcMs - gc0
@@ -248,6 +281,10 @@ object Bench {
          |"pruned_runs_sec":[${prunedRuns.map(f3).mkString(",")}],
          |"gc_time_ms":$gcTotalMs,"peak_heap_mb":$peakHeapMb,
          |"queries_total_sec":${f3(queriesTotal)},"n_queries":${medians.size},
+         |"x10_dir":"$x10Dir","x10_queries":${x10Detail.map { case (k, runs) =>
+           "\"" + k + "\":{\"runs\":[" + runs.map(f3).mkString(",") +
+             s"""],"median":${f3(x10Medians(k))}}"""
+         }.mkString("{", ",", "}")},
          |"queries":$q}""".stripMargin.replace("\n", "")
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -270,6 +307,10 @@ object Bench {
       s""""disk_mbps":$diskMbps,""" +
       s""""pruned_query_median":${f3(prunedMedian)},"pruned_query_min":${f3(prunedRuns.head)},""" +
       s""""gc_time_ms":$gcTotalMs,"peak_heap_mb":$peakHeapMb,""" +
+      // 10× leg: slow-cohort medians, diffable round-over-round (≤12 entries
+      // at 2 decimals keeps the headline under the driver's 2000-char tail)
+      s""""x10":${x10Medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")},""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }

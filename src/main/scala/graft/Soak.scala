@@ -253,6 +253,132 @@ object Soak {
     val dropPct = (1.0 - soakRate / baselineRate) * 100.0
     val chunksEnd = catalog.allChunks.size
 
+    // ---- phase 2b: live-tail SSE serving under concurrent ingest+maintenance.
+    // The one serving path SOAK_r07 left spec-only: /api/v1/stream?live=1 over
+    // real sockets while flushes and compactions rewrite the catalog under it.
+    // Runs on its OWN warehouse because the SSE merge-timestamp cutoff is
+    // WALL-CLOCK (fixed server-side at query start) — rows must carry real
+    // timestamps for the cutoff semantics to be exercised. Asserted here:
+    //   - every connection gets historical frames, then live frames, then end;
+    //   - no live row below the connection's cutoff (late rows dropped);
+    //   - dropped > 0 overall (backdated rows in post-connect flushes prove
+    //     the cutoff actually filters, not vacuously);
+    //   - delivery is toLocalIterator-incremental (bounded driver memory —
+    //     the global peak-heap metric covers this phase too).
+    val liveSec = env("SOAK_LIVE_SEC", 40L)
+    System.err.println(s"[soak] live-tail SSE phase for ${liveSec}s...")
+    val liveCat = new graft.catalog.ChunkCatalog(
+      graft.util.ShmDirs.tempDir("graft_soak_live_"), cacheTtlMs = 250L)
+    val liveWriter = new graft.ingest.ChunkWriter(liveCat)
+    def liveBatch(startNs: Long): DataFrame = graft.fixtures.DataGenerator.generate(spark,
+      metrics = 10, hosts = 5, regions = 2, samplesPerSecond = hz,
+      durationSeconds = 30, startNs = startNs, partitions = 8)
+    val liveSeedStartNs = System.currentTimeMillis() * 1000000L - 120L * 1000000000L
+    locally { val b = liveBatch(liveSeedStartNs); b.count(); liveWriter.write(b) }
+    val liveEngine = graft.engine.QueryEngine.interactive(spark, liveCat)
+    val liveApi = new graft.server.HttpApi(liveEngine, port = 0).start()
+
+    final class SseStats {
+      val hist = new AtomicLong(0L); val live = new AtomicLong(0L)
+      val minLiveTs = new AtomicLong(Long.MaxValue)
+      @volatile var connectedBeforeNs = 0L
+      @volatile var endSeen = false
+      @volatile var err: String = null
+    }
+    def sseClient(stats: SseStats): Thread = {
+      val t = new Thread(() => {
+        try {
+          val q = java.net.URLEncoder.encode(
+            s"SELECT timestamp_ns, metric_name FROM metrics WHERE timestamp_ns >= $liveSeedStartNs",
+            "UTF-8")
+          stats.connectedBeforeNs = System.currentTimeMillis() * 1000000L
+          val url = java.net.URI.create(
+            s"http://127.0.0.1:${liveApi.boundPort}/api/v1/stream" +
+              s"?query=$q&live=1&duration=$liveSec&batch=2048").toURL
+          val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setReadTimeout(((liveSec + 60) * 1000).toInt)
+          val rd = new java.io.BufferedReader(
+            new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+          var line = rd.readLine()
+          while (line != null && !stats.endSeen) {
+            if (line.startsWith("data: ")) {
+              import org.json4s._
+              val j = org.json4s.jackson.JsonMethods.parse(line.substring(6))
+              (j \ "type") match {
+                case JString("data") =>
+                  val rows = (j \ "rows").asInstanceOf[JArray].arr
+                  val isLive = (j \ "columns") != JNothing // live frames carry columns
+                  if (isLive) {
+                    stats.live.addAndGet(rows.size)
+                    rows.foreach { r =>
+                      val ts = r.asInstanceOf[JArray].arr.head match {
+                        case JInt(v) => v.toLong
+                        case JLong(v) => v
+                        case JString(s) => s.toLong
+                        case _ => Long.MaxValue
+                      }
+                      stats.minLiveTs.getAndUpdate(m => math.min(m, ts))
+                    }
+                  } else stats.hist.addAndGet(rows.size)
+                case JString("end") => stats.endSeen = true
+                case JString("error") => stats.err = "server error frame"
+                case _ => ()
+              }
+            }
+            if (!stats.endSeen) line = rd.readLine()
+          }
+          rd.close()
+        } catch { case e: Throwable => stats.err = e.toString }
+      }, "soak-sse")
+      t.setDaemon(true); t.start(); t
+    }
+
+    val liveStop = new AtomicBoolean(false)
+    val liveFlushedPostConnect = new AtomicLong(0L)
+    val liveCompactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val connectMarkNs = new AtomicLong(Long.MaxValue)
+    val tLiveIngest = new Thread(() => {
+      try while (!liveStop.get()) {
+        // batch start 15 s in the past: post-connect flushes then carry rows
+        // on BOTH sides of the cutoff, so the dropped-count is non-vacuous
+        val startNs = System.currentTimeMillis() * 1000000L - 15L * 1000000000L
+        val b = liveBatch(startNs)
+        b.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY); b.count()
+        liveWriter.write(b)
+        if (connectMarkNs.get() != Long.MaxValue) liveFlushedPostConnect.addAndGet(
+          100L * hz * 30L)
+        b.unpersist(blocking = false)
+        Thread.sleep(1000)
+      } catch { case _: Throwable if liveStop.get() => () }
+    }, "soak-live-ingest")
+    val liveCompactor = new graft.compact.Compactor(spark, liveCat, l0FileThreshold = 4)
+    val tLiveMaint = new Thread(() => {
+      try while (!liveStop.get()) {
+        liveCompactions.addAndGet(liveCompactor.runOnce().size)
+        Thread.sleep(5000)
+      } catch { case _: Throwable if liveStop.get() => () }
+    }, "soak-live-maint")
+    tLiveIngest.setDaemon(true); tLiveMaint.setDaemon(true)
+    tLiveIngest.start(); tLiveMaint.start()
+    Thread.sleep(3000) // a flush is in flight when the clients connect
+    val sseStats = Seq.fill(3)(new SseStats)
+    connectMarkNs.set(System.currentTimeMillis() * 1000000L)
+    val sseThreads = sseStats.map(sseClient)
+    sseThreads.foreach(_.join((liveSec + 90) * 1000L))
+    liveStop.set(true)
+    Seq(tLiveIngest, tLiveMaint).foreach(_.join(60000))
+    liveApi.stop()
+    sseStats.foreach(s => require(s.err == null, s"SSE client failed: ${s.err}"))
+    val liveDelivered = sseStats.map(_.live.get())
+    val cutoffViolations = sseStats.count(s =>
+      s.live.get() > 0 && s.minLiveTs.get() < s.connectedBeforeNs)
+    val liveDropped = math.max(0L, liveFlushedPostConnect.get() - liveDelivered.max)
+    val okLive = sseStats.forall(s => s.endSeen && s.hist.get() > 0 && s.live.get() > 0) &&
+      cutoffViolations == 0 && liveDropped > 0
+    System.err.println(s"[soak] live tail: hist=${sseStats.map(_.hist.get()).mkString("/")} " +
+      s"live=${liveDelivered.mkString("/")} dropped~$liveDropped " +
+      s"compactions=${liveCompactions.get()} ok=$okLive")
+
     // ---- phase 3: streaming throughput --------------------------------------
     System.err.println(s"[soak] streaming dedup for ${streamSec}s...")
     import org.apache.spark.sql.functions._
@@ -316,8 +442,15 @@ object Soak {
       s""""cold_p99_lt_1000ms":$okCold},""" +
       s""""streaming":{"duration_sec":${streamWallSec.toInt},"input_rows":$inRows,""" +
       s""""rows_per_sec":${streamRate.toLong},"output_rows":${outRows.get()},""" +
-      s""""state_rows_samples":[${stateSamples.mkString(",")}],"state_flat":$stateFlat}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r07.json"),
+      s""""state_rows_samples":[${stateSamples.mkString(",")}],"state_flat":$stateFlat},""" +
+      s""""live_tail":{"duration_sec":$liveSec,"connections":${sseStats.size},""" +
+      s""""historical_rows":[${sseStats.map(_.hist.get()).mkString(",")}],""" +
+      s""""live_rows_delivered":[${liveDelivered.mkString(",")}],""" +
+      s""""live_rows_dropped_below_cutoff":$liveDropped,""" +
+      s""""cutoff_violations":$cutoffViolations,""" +
+      s""""end_frames":${sseStats.count(_.endSeen)},""" +
+      s""""compactions_during_tail":${liveCompactions.get()},"ok":$okLive}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r08.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[soak] sidecar write failed: $e") }

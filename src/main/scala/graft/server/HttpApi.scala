@@ -43,13 +43,17 @@ import graft.promql.PromQL
 final class HttpApi(engine: QueryEngine, port: Int = 0) {
 
   private val server = HttpServer.create(new java.net.InetSocketAddress(port), 16)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // daemon handler threads: the pool must never keep a driver JVM alive after
+  // main returns (a non-daemon default pool wedged the soak harness on exit)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
+  server.setExecutor(pool)
 
   /** Bound port (useful with port=0: pick any free port). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): HttpApi = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 
   /** Test hook: register an extra context through the standard request guard,
     * so the guard's NonFatal-vs-fatal discipline is spec-testable.
