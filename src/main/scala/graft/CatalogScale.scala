@@ -109,10 +109,13 @@ object CatalogScale {
 
       // total on-disk metadata: manifest + shard files
       val docBytes = {
-        val manifest = dir.resolve("manifest.json")
-        val base = if (Files.exists(manifest)) Files.size(manifest) else 0L
-        val shardsDir = dir.resolve("shards")
-        val stream = Files.list(shardsDir)
+        val rootStream = Files.list(dir)
+        val base =
+          try rootStream
+            .filter(p => p.getFileName.toString.matches("manifest\\.\\d+\\.json"))
+            .mapToLong(p => Files.size(p)).sum
+          finally rootStream.close()
+        val stream = Files.list(dir.resolve("shards"))
         try base + stream.mapToLong(p => Files.size(p)).sum
         finally stream.close()
       }

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.nio.charset.StandardCharsets
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -96,20 +96,26 @@ final case class RollupMeta(
   * registration rewrote ~780 MB in ~30 s — the metadata write path became the
   * bottleneck of every flush/compaction/retention sweep. Here the chunk set is
   * split into hour-range shards (key = hourBucket(minTimestamp) / spanHours)
-  * under a small `manifest.json`:
+  * under a small versioned manifest:
   *
-  *   manifest.json                 — commit point: shard list {key, ver, count}
-  *                                   + the small fields (active splits, pending
-  *                                   deletes, rollups, table stats)
-  *   shards/chunks-<key>.<ver>.json — the chunks owned by one hour range
+  *   manifest.<ver>.json            — commit point: shard list {key, ver, file,
+  *                                    count} + the small fields (active splits,
+  *                                    pending deletes, rollups, table stats)
+  *   shards/chunks-<key>.<ver>-<nonce>.json — the chunks owned by one hour range
   *
-  * A mutation writes only the touched shard files (under NEW versioned names)
-  * and then atomically renames the manifest — the rename is the single commit
-  * point, preserving the reference's all-or-nothing document semantics: a
-  * crash after shard writes but before the manifest rename leaves unreferenced
-  * orphan files and a fully consistent old catalog. Superseded shard files are
-  * deleted after the commit (best-effort; orphans are never read because loads
-  * resolve files strictly through the manifest).
+  * A mutation writes only the touched shard files (under NEW uniquely-named
+  * versions) and then COMPARE-AND-SWAP commits the manifest: the writer that
+  * loaded version N hard-links its fully-written temp manifest to
+  * `manifest.<N+1>.json` — link creation is atomic and fails with EEXIST if
+  * any other writer committed N+1 first, in which case the mutation is
+  * recomputed against the fresh state and retried with backoff. This is the
+  * reference's ETag-CAS commit loop (s3.rs:181-339) on a filesystem: safe for
+  * MULTIPLE writer processes sharing the directory (multi-driver maintenance),
+  * all-or-nothing per mutation. A crash after shard writes but before the
+  * manifest link leaves unreferenced orphan files and a fully consistent old
+  * catalog. Superseded manifest/shard files are deleted after the commit
+  * (best-effort; orphans are never read because loads resolve files strictly
+  * through the newest manifest, and a reader that races the cleanup re-lists).
   *
   * The global hour-bucket time_index is derived in memory from the chunk set
   * (it is no longer persisted — it cannot diverge). Reads go through a TTL
@@ -124,17 +130,24 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
 
   import ChunkCatalog._
 
-  private val manifestFile = root.resolve("manifest.json")
+  // pre-CAS layouts, read transparently and migrated on first mutation
+  private val legacyManifestFile = root.resolve("manifest.json")
   private val legacyFile = root.resolve("catalog.json")
   private val shardDir = root.resolve("shards")
+  // one empty file per committed version, never deleted: proof a version
+  // number was spent, so GC'd manifests can't be resurrected (see tryCommit)
+  private val versionMarkers = root.resolve(".versions")
   private val lock = new Object
 
   /** In-memory store: per-shard chunk maps + the assembled global view.
-    * Single-writer authoritative between revalidations.
+    * Authoritative only between revalidations — any writer (this instance or
+    * a foreign process) may advance the on-disk version at any time; every
+    * mutation re-validates against disk and CAS-commits.
     */
   private final case class Store(
       spanHours: Int,
       shardVers: Map[Long, Long],
+      shardFiles: Map[Long, String],
       shards: Map[Long, Map[String, ChunkMeta]],
       assembled: CatalogState,
       legacy: Boolean)
@@ -143,6 +156,7 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
 
   Files.createDirectories(root)
   Files.createDirectories(shardDir)
+  Files.createDirectories(versionMarkers)
 
   // --- reads ---------------------------------------------------------------
 
@@ -180,7 +194,7 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
 
   def register(chunk: ChunkMeta): Unit = registerAll(Seq(chunk))
 
-  def registerAll(chunks: Seq[ChunkMeta]): Unit = lock.synchronized {
+  def registerAll(chunks: Seq[ChunkMeta]): Unit =
     // Write-invalidation: NEW raw data overlapping a rollup's covered range
     // makes it stale — drop it (re-materialize later). Chunk REWRITES
     // (compaction/split/promotion) go through replaceChunks and keep rollups.
@@ -190,31 +204,27 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     // (maxTs < buildCutoffNs) so it would NEVER be picked up as newly aged —
     // when coverage later advances past it, the rollup would silently
     // undercount those buckets. Dropping forces a full rebuild that sees it.
-    commit(freshStore(), Nil, chunks, st =>
+    mutate(_ => Plan(Nil, chunks, st =>
       st.copy(rollups = st.rollups.filterNot(r =>
         chunks.exists(c =>
           c.minTimestampNs < math.max(r.maxCoveredNsExclusive, r.buildCutoffNs) &&
-          c.maxTimestampNs >= r.minBucketNs))))
-  }
+          c.maxTimestampNs >= r.minBucketNs))), ()))
 
   def rollups: Seq[RollupMeta] = state.rollups
 
   /** Register a materialized rollup (replaces any previous one at the same path). */
-  def registerRollup(r: RollupMeta): Unit = lock.synchronized {
-    commit(freshStore(), Nil, Nil, st =>
-      st.copy(rollups = st.rollups.filterNot(_.path == r.path) :+ r))
-  }
+  def registerRollup(r: RollupMeta): Unit =
+    mutate(_ => Plan(Nil, Nil, st =>
+      st.copy(rollups = st.rollups.filterNot(_.path == r.path) :+ r), ()))
 
-  def dropRollup(path: String): Unit = lock.synchronized {
-    commit(freshStore(), Nil, Nil, st =>
-      st.copy(rollups = st.rollups.filterNot(_.path == path)))
-  }
+  def dropRollup(path: String): Unit =
+    mutate(_ => Plan(Nil, Nil, st =>
+      st.copy(rollups = st.rollups.filterNot(_.path == path)), ()))
 
   /** Atomically remove source chunks and add the compacted chunk — mirrors the
     * reference's single-CAS compaction swap (src/metadata/s3.rs:1277-1332).
     */
-  def replaceChunks(removePaths: Seq[String], add: Seq[ChunkMeta]): Unit = lock.synchronized {
-    val s = freshStore()
+  def replaceChunks(removePaths: Seq[String], add: Seq[ChunkMeta]): Unit = mutate { s =>
     val removed = removePaths.toSet
     // Rewrites keep rollups (rows move, data doesn't) — but they can poison
     // the INCREMENTAL extension, which classifies chunks purely by
@@ -231,7 +241,7 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     // The test is conservative (chunk bounds, not row provenance); a false
     // positive costs one full rebuild, never correctness.
     val removedMetas = s.assembled.chunks.view.filterKeys(removed).values.toList
-    commit(s, removePaths, add, st => st.copy(rollups = st.rollups.map { r =>
+    Plan(removePaths, add, st => st.copy(rollups = st.rollups.map { r =>
       val cut = r.buildCutoffNs
       def stale: Boolean = {
         val (rolledSrc, unrolledSrc) = removedMetas.partition(_.maxTimestampNs < cut)
@@ -241,41 +251,38 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       if (cut != Long.MaxValue && !r.staleForExtension && stale)
         r.copy(staleForExtension = true)
       else r
-    }))
+    }), ())
   }
 
   /** Remove chunks (retention/GC path). Unlike compaction/split rewrites this
     * DELETES rows, so any rollup whose coverage overlaps a removed chunk is
     * dropped — it would otherwise keep serving the deleted data.
     */
-  def remove(paths: Seq[String]): Unit = lock.synchronized {
+  def remove(paths: Seq[String]): Unit = mutate { s =>
     // ONE atomic commit, and the removed metas come from the freshly-validated
-    // state INSIDE the lock — reading the TTL-cached snapshot outside it
-    // could miss a chunk another writer registered, leaving a rollup serving
-    // deleted rows; and a crash between two separate mutations must not
-    // strand the catalog with chunks gone but the overlapping rollup kept.
-    val s = freshStore()
+    // state the commit is CAS'd against — a stale snapshot could miss a chunk
+    // another writer registered, leaving a rollup serving deleted rows; and a
+    // crash between two separate mutations must not strand the catalog with
+    // chunks gone but the overlapping rollup kept.
     val removed = paths.toSet
     val removedMetas = s.assembled.chunks.view.filterKeys(removed).values.toList
-    commit(s, paths, Nil, st =>
+    Plan(paths, Nil, st =>
       st.copy(rollups = st.rollups.filterNot(r =>
         removedMetas.exists(c => c.minTimestampNs < r.maxCoveredNsExclusive &&
-          c.maxTimestampNs >= r.minBucketNs))))
+          c.maxTimestampNs >= r.minBucketNs))), ())
   }
 
-  def setActiveSplits(splits: Seq[String]): Unit = lock.synchronized {
-    commit(freshStore(), Nil, Nil, _.copy(activeSplits = splits.toList))
-  }
+  def setActiveSplits(splits: Seq[String]): Unit =
+    mutate(_ => Plan(Nil, Nil, _.copy(activeSplits = splits.toList), ()))
 
   /** Named numeric table statistics (e.g. the range-join median interval
     * length, derived once at write/compact time instead of per-query — see
     * Operators.rangeJoinAuto). Stats are advisory: a stale value can only
     * change performance, never results, so writes are cheap overwrite.
     */
-  def setTableStat(name: String, value: Long): Unit = lock.synchronized {
-    commit(freshStore(), Nil, Nil, st =>
-      st.copy(tableStats = st.tableStats + (name -> value)))
-  }
+  def setTableStat(name: String, value: Long): Unit =
+    mutate(_ => Plan(Nil, Nil, st =>
+      st.copy(tableStats = st.tableStats + (name -> value)), ()))
 
   def tableStat(name: String): Option[Long] = state.tableStats.get(name)
 
@@ -283,24 +290,22 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     * src/compactor/mod.rs:816-918). Entries are (path, deletableAfterMs).
     */
   def deferDelete(paths: Seq[String], nowMs: Long, graceMs: Long = 300000L): Unit =
-    lock.synchronized {
-      commit(freshStore(), Nil, Nil, st =>
-        st.copy(pendingDeletes = st.pendingDeletes ++ paths.map(p => p -> (nowMs + graceMs))))
-    }
+    mutate(_ => Plan(Nil, Nil, st =>
+      st.copy(pendingDeletes = st.pendingDeletes ++ paths.map(p => p -> (nowMs + graceMs))), ()))
 
   /** Physically delete files whose grace period elapsed; returns deleted paths.
     * Manifest-only mutation: the pending list lives in the manifest, so GC cost
-    * no longer scales with catalog size.
+    * no longer scales with catalog size. Physical deletion is idempotent
+    * (exists-checked), so a CAS retry that re-partitions the pending list from
+    * fresh state never double-deletes or strands a file.
     */
-  def gc(nowMs: Long): Seq[String] = lock.synchronized {
-    val s = freshStore()
+  def gc(nowMs: Long): Seq[String] = mutate { s =>
     val (ripe, keep) = s.assembled.pendingDeletes.partition(_._2 <= nowMs)
     ripe.foreach { case (p, _) =>
       val f = Paths.get(p)
       if (Files.exists(f)) Files.delete(f)
     }
-    commit(s, Nil, Nil, _.copy(pendingDeletes = keep))
-    ripe.map(_._1)
+    Plan(Nil, Nil, _.copy(pendingDeletes = keep), ripe.map(_._1))
   }
 
   /** Force the next read to revalidate against disk. The in-memory store is
@@ -314,6 +319,41 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
 
   private def shardKeyOf(span: Int, c: ChunkMeta): Long =
     Math.floorDiv(hourBucket(c.minTimestampNs), span.toLong)
+
+  /** One mutation expressed as a delta against a fresh store: chunk paths to
+    * remove, chunks to add, a patch over the small manifest fields, and the
+    * caller-visible result.
+    */
+  private final case class Plan[A](
+      removePaths: Seq[String], add: Seq[ChunkMeta],
+      smallPatch: CatalogState => CatalogState, result: A)
+
+  /** Load-mutate-commit with CAS conflict retries (the reference's
+    * atomic-update loop, s3.rs:30-60,181-339: 5 attempts, exponential backoff
+    * from 100 ms). The delta is RECOMPUTED against freshly-validated state on
+    * every attempt, so a conflicting foreign commit can never be clobbered.
+    * The in-JVM lock only serializes this instance's writers; cross-instance
+    * and cross-process safety comes from the manifest link CAS.
+    */
+  private def mutate[A](delta: Store => Plan[A]): A = lock.synchronized {
+    var attempt = 0
+    while (true) {
+      val s = freshStore()
+      val plan = delta(s)
+      if (tryCommit(s, plan.removePaths, plan.add, plan.smallPatch))
+        return plan.result
+      attempt += 1
+      if (attempt >= 10)
+        throw new IllegalStateException(s"catalog commit: too many CAS conflicts ($attempt)")
+      invalidateCache()
+      // FULL-jitter backoff: deterministic sleeps keep a herd of losers in
+      // lockstep, re-colliding every round (the reference's S3 round-trip
+      // latency jitters for free; a local FS needs it explicitly)
+      Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(25L * (1L << math.min(attempt, 6))))
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Freshest store for a mutation: always consults the on-disk manifest (the
     * single-doc design reloaded the whole document here; the sharded design
@@ -336,9 +376,46 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     }
   }
 
-  private def loadOrDiff(prior: Option[Store]): Store =
-    if (Files.exists(manifestFile)) {
-      val m = parseManifest(readUtf8(manifestFile))
+  /** Newest committed manifest version on disk, 0 when none. */
+  private def currentManifestVersion(): Long = {
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .flatMap(p => manifestVersionOf(p.getFileName.toString))
+        .foldLeft(0L)(math.max)
+    } finally s.close()
+  }
+
+  private def loadOrDiff(prior: Option[Store]): Store = {
+    // A reader can race the post-commit cleanup: the manifest (or a shard
+    // file) it resolved may be superseded and deleted before it reads it.
+    // Deletion only ever happens AFTER a newer manifest committed, so
+    // re-listing always converges on a fully-present newer version.
+    var spins = 0
+    while (true) {
+      try return loadOnce(prior)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          spins += 1
+          if (spins > 100) throw new IllegalStateException("catalog manifest unreadable")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def loadOnce(prior: Option[Store]): Store = {
+    val ver = currentManifestVersion()
+    if (ver > 0L) {
+      val m = parseManifest(readUtf8(root.resolve(manifestFileName(ver))))
+      prior match {
+        case Some(s) if !s.legacy && s.assembled.version == m.version => s
+        case p => loadFromManifest(m, p.filterNot(_.legacy))
+      }
+    } else if (Files.exists(legacyManifestFile)) {
+      // pre-CAS layout (unversioned manifest.json): read it as-is; the first
+      // mutation commits a versioned manifest and deletes it
+      val m = parseManifest(readUtf8(legacyManifestFile))
       prior match {
         case Some(s) if !s.legacy && s.assembled.version == m.version => s
         case p => loadFromManifest(m, p.filterNot(_.legacy))
@@ -347,8 +424,15 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       val st = parse(readUtf8(legacyFile))
       val shards = st.chunks.values.toSeq.groupBy(shardKeyOf(shardSpanHours, _))
         .map { case (k, cs) => k -> cs.map(c => c.path -> c).toMap }
-      Store(shardSpanHours, shards.keys.map(_ -> 0L).toMap, shards, st, legacy = true)
-    } else Store(shardSpanHours, Map.empty, Map.empty, CatalogState.empty, legacy = false)
+      Store(shardSpanHours, shards.keys.map(_ -> 0L).toMap, Map.empty, shards, st,
+        legacy = true)
+    } else if (currentManifestVersion() > 0L) {
+      // a foreign writer migrated the legacy layout between our two checks —
+      // its versioned manifest is the truth now
+      loadOnce(prior)
+    } else Store(shardSpanHours, Map.empty, Map.empty, Map.empty, CatalogState.empty,
+      legacy = false)
+  }
 
   private def loadFromManifest(m: Manifest, prior: Option[Store]): Store = {
     val reusable: Map[Long, Map[String, ChunkMeta]] = prior match {
@@ -372,7 +456,8 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
           Future(e.key -> parseShard(readUtf8(shardDir.resolve(e.file))))), Duration.Inf)
       }
     val shards = reusable ++ loaded
-    Store(m.spanHours, m.shards.map(e => e.key -> e.ver).toMap, shards,
+    Store(m.spanHours, m.shards.map(e => e.key -> e.ver).toMap,
+      m.shards.map(e => e.key -> e.file).toMap, shards,
       assemble(m, shards), legacy = false)
   }
 
@@ -390,12 +475,14 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       m.activeSplits, m.pendingDeletes, m.rollups, m.tableStats)
   }
 
-  /** Apply one mutation delta and commit it: write dirty shard files under new
-    * versioned names, then atomically rename the manifest (the commit point),
-    * then best-effort delete superseded files.
+  /** Apply one mutation delta and try to commit it: write dirty shard files
+    * under new uniquely-named versions, then hard-link the manifest to the
+    * next version number — the atomic CAS commit point. Returns false (after
+    * cleaning up its orphaned shard files) when another writer committed that
+    * version first; the caller recomputes and retries.
     */
-  private def commit(s: Store, removePaths: Seq[String], add: Seq[ChunkMeta],
-      smallPatch: CatalogState => CatalogState): Unit = {
+  private def tryCommit(s: Store, removePaths: Seq[String], add: Seq[ChunkMeta],
+      smallPatch: CatalogState => CatalogState): Boolean = {
     val span = s.spanHours
     // Re-registering an existing path OVERWRITES it (reference semantics,
     // tests/error_path_tests.rs:457-499) — the old meta may live in a
@@ -430,36 +517,78 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     val nextShards = shards -- dropped
     val nextVers = (s.shardVers -- dropped) ++ kept.map(_ -> version)
 
-    kept.foreach { k =>
-      Files.write(shardDir.resolve(shardFileName(k, version)),
+    // Shard file names carry a nonce: two writers racing the same version
+    // must never write the same file name — the loser's content would
+    // otherwise replace the winner's AFTER the winner's manifest committed.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val written = kept.map(k => k -> shardFileName(k, version, nonce)).toMap
+    written.foreach { case (k, f) =>
+      Files.write(shardDir.resolve(f),
         renderShard(nextShards(k)).getBytes(StandardCharsets.UTF_8))
     }
+    val nextFiles = (s.shardFiles -- dropped) ++ written
     val manifest = Manifest(version, span,
       nextVers.toSeq.sortBy(_._1).map { case (k, v) =>
-        ShardEntry(k, v, shardFileName(k, v), nextShards(k).size)
+        ShardEntry(k, v, nextFiles(k), nextShards(k).size)
       },
       assembled.activeSplits, assembled.pendingDeletes, assembled.rollups,
       assembled.tableStats)
-    val tmp = root.resolve(s"manifest.json.tmp.${Thread.currentThread().getId}")
+    val tmp = root.resolve(s".manifest.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, renderManifest(manifest).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-
-    // Post-commit cleanup: superseded shard versions, emptied shards, and the
-    // legacy document. Failures leave orphans that are never read (loads
-    // resolve strictly through the manifest).
-    try {
-      kept.foreach { k =>
-        s.shardVers.get(k).filterNot(_ == version).foreach(old =>
-          Files.deleteIfExists(shardDir.resolve(shardFileName(k, old))))
+    val linked =
+      try { Files.createLink(root.resolve(manifestFileName(version)), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally {
+        try Files.deleteIfExists(tmp)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
-      dropped.foreach(k => s.shardVers.get(k).foreach(old =>
-        Files.deleteIfExists(shardDir.resolve(shardFileName(k, old)))))
+
+    // The link alone is not sufficient: superseded manifests get DELETED, so
+    // a writer whose listing lagged behind several commits could re-link a
+    // version number that was already used and cleaned up — an acknowledged
+    // commit no reader would ever resolve (max version wins). The per-version
+    // marker is never deleted; recreating a spent version hits EEXIST here
+    // and the writer aborts as a plain conflict. Nobody can have read the
+    // zombie manifest: a version only gets cleaned up after a higher one
+    // committed, so the on-disk max stayed above it throughout.
+    val committed = linked && {
+      val fresh =
+        try { Files.createFile(versionMarkers.resolve(version.toString)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (!fresh) Files.deleteIfExists(root.resolve(manifestFileName(version)))
+      fresh
+    }
+
+    if (!committed) {
+      // lost the CAS: our shard files are unreferenced orphans — remove them
+      try written.valuesIterator.foreach(f => Files.deleteIfExists(shardDir.resolve(f)))
+      catch { case scala.util.control.NonFatal(_) => () }
+      return false
+    }
+
+    // Post-commit cleanup: superseded manifest versions + shard files, emptied
+    // shards, and the legacy documents. Failures leave orphans that are never
+    // read (loads resolve strictly through the newest manifest). A version is
+    // marked before deletion in case its committer crashed pre-marker, so it
+    // can never be resurrected as a zombie.
+    try {
+      var v = version - 1
+      while (v > 0L && {
+        try Files.createFile(versionMarkers.resolve(v.toString))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        Files.deleteIfExists(root.resolve(manifestFileName(v)))
+      }) v -= 1
+      (kept ++ dropped).foreach { k =>
+        s.shardFiles.get(k).filterNot(f => written.get(k).contains(f)).foreach(old =>
+          Files.deleteIfExists(shardDir.resolve(old)))
+      }
+      Files.deleteIfExists(legacyManifestFile)
       if (s.legacy) Files.deleteIfExists(legacyFile)
     } catch { case scala.util.control.NonFatal(_) => () }
 
     cached = Some((System.currentTimeMillis(),
-      Store(span, nextVers, nextShards, assembled, legacy = false)))
+      Store(span, nextVers, nextFiles, nextShards, assembled, legacy = false)))
+    true
   }
 
   private def readUtf8(p: Path): String =
@@ -493,8 +622,15 @@ object ChunkCatalog {
       rollups: List[RollupMeta],
       tableStats: Map[String, Long])
 
-  private[catalog] def shardFileName(key: Long, ver: Long): String =
-    s"chunks-$key.$ver.json"
+  private[catalog] def shardFileName(key: Long, ver: Long, nonce: String): String =
+    s"chunks-$key.$ver-$nonce.json"
+
+  private[catalog] def manifestFileName(ver: Long): String = s"manifest.$ver.json"
+
+  private[catalog] def manifestVersionOf(name: String): Option[Long] =
+    if (name.startsWith("manifest.") && name.endsWith(".json"))
+      name.stripPrefix("manifest.").stripSuffix(".json").toLongOption.filter(_ > 0L)
+    else None
 
   /** Hour bucket of an ns timestamp (reference src/metadata/s3.rs:341-344). */
   def hourBucket(tsNs: Long): Long = Math.floorDiv(tsNs, 3600L * 1000000000L)

@@ -1,7 +1,7 @@
 package graft.compact
 
 import org.apache.spark.sql.SparkSession
-import graft.catalog.{ChunkCatalog, ChunkMeta}
+import graft.catalog.{ChunkCatalog, ChunkMeta, ChunksAlreadyLeasedException, LeaseStore}
 import graft.ingest.ChunkStats
 import java.util.UUID
 
@@ -26,7 +26,13 @@ final class Compactor(
     spark: SparkSession,
     catalog: ChunkCatalog,
     l0FileThreshold: Int = 15,
-    levelTargetBytes: Int => Long = Compactor.defaultLevelTargets) {
+    levelTargetBytes: Int => Long = Compactor.defaultLevelTargets,
+    // Lease coordination for MULTIPLE compactor instances over one catalog
+    // (reference CAS leases, src/metadata/s3.rs:1602-1647 + compactor usage
+    // mod.rs:567-636). None = single-compactor deployment, no lease traffic.
+    leases: Option[LeaseStore] = None,
+    nodeId: String = "local",
+    leaseRenewIntervalMs: Long = 120000L) { // renew every 2 min, TTL 5 min
 
   /** L0: hour-bucketed groups with at least `l0FileThreshold` members. */
   def l0Candidates(): Seq[Seq[ChunkMeta]] =
@@ -156,10 +162,76 @@ final class Compactor(
     * batched sweep subsumes that concurrency inside a single Spark job.
     */
   def runOnce(maxLevels: Int = 3, concurrency: Int = 4): Seq[ChunkMeta] = {
-    val l0 = compactGroups(l0Candidates())
-    val leveled = (1 to maxLevels).flatMap(l => compactGroups(leveledCandidates(l)))
+    val l0 = compactLeased(l0Candidates(), 0)
+    val leveled = (1 to maxLevels).flatMap(l => compactLeased(leveledCandidates(l), l))
     l0 ++ leveled
   }
+
+  /** Lease-guarded sweep of one level's candidate groups. Without a lease
+    * store this is compactGroups directly. With one: each group is acquired
+    * first — a ChunksAlreadyLeased refusal means another compactor owns it,
+    * so the group is SKIPPED, not retried (reference mod.rs:567-575); a
+    * renewal thread extends every held lease each `leaseRenewIntervalMs`
+    * while the merge job runs (reference spawn_lease_renewal, mod.rs:229-245);
+    * success completes the leases, any failure marks them failed so the
+    * chunks release immediately rather than waiting out the TTL.
+    */
+  private def compactLeased(groups: Seq[Seq[ChunkMeta]], level: Int): Seq[ChunkMeta] =
+    leases match {
+      case None => compactGroups(groups)
+      case Some(ls) =>
+        val candidates = groups.flatMap { g =>
+          try Some(g -> ls.acquire(nodeId, g.map(_.path), level))
+          catch { case _: ChunksAlreadyLeasedException => None }
+        }
+        // Re-validate UNDER the lease: a group whose compaction another
+        // holder completed between our candidate selection and our acquire
+        // is already swapped out of the catalog — its lease acquire succeeded
+        // only because the finished holder released the chunk names.
+        // Merging it again would register duplicate rows. Anyone mid-merge
+        // still holds the lease (complete comes after the swap), so a group
+        // fully present here is provably not being compacted elsewhere.
+        catalog.invalidateCache()
+        val liveChunks = catalog.state.chunks
+        val (acquired, stale) = candidates.partition(_._1.forall(c =>
+          liveChunks.contains(c.path)))
+        stale.foreach { case (_, l) =>
+          try ls.fail(l.leaseId) catch { case scala.util.control.NonFatal(_) => () }
+        }
+        if (acquired.isEmpty) Nil
+        else {
+          val ids = acquired.map(_._2.leaseId)
+          val renewer = new Thread(() => {
+            try while (!Thread.currentThread().isInterrupted) {
+              Thread.sleep(leaseRenewIntervalMs)
+              ids.foreach(ls.renew)
+            } catch {
+              case _: InterruptedException => () // sweep finished
+              case scala.util.control.NonFatal(_) => () // lost the lease: stop renewing
+            }
+          }, s"lease-renew-$nodeId")
+          renewer.setDaemon(true)
+          renewer.start()
+          try {
+            val out = compactGroups(acquired.map(_._1))
+            ids.foreach(ls.complete)
+            out
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              ids.foreach(id =>
+                try ls.fail(id) catch { case scala.util.control.NonFatal(_) => () })
+              throw e
+          } finally {
+            renewer.interrupt()
+            renewer.join(10000)
+          }
+        }
+    }
+
+  /** Drop expired/terminal leases; 0 when no store configured (reference
+    * scavenges on the maintenance tick, mod.rs:464-472).
+    */
+  def scavengeLeases(): Int = leases.fold(0)(_.scavenge())
 
   /** Compaction backpressure signal for ingesters (reference
     * Compactor::backpressure, src/compactor/mod.rs:203-221): threshold = 3× the

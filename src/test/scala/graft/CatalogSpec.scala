@@ -11,6 +11,13 @@ class CatalogSpec extends AnyFunSuite {
 
   private val hourNs = 3600L * 1000000000L
 
+  /** Number of live versioned manifest files (manifest.<n>.json). */
+  private def manifestCount(dir: java.nio.file.Path): Long = {
+    val s = Files.list(dir)
+    try s.filter(p => p.getFileName.toString.matches("manifest\\.\\d+\\.json")).count()
+    finally s.close()
+  }
+
   private def chunk(path: String, minH: Long, maxH: Long, level: Int = 0) =
     ChunkMeta(path, minH * hourNs, maxH * hourNs + hourNs - 1, 1000, 1 << 20, level,
       columnStats = Map("metric_name" -> ColumnStats.ofString("cpu", "mem")))
@@ -156,7 +163,7 @@ class CatalogSpec extends AnyFunSuite {
     // hours 0 and 1000 land in different 24-h shards
     cat.registerAll(Seq(chunk("a", 0, 0), chunk("b", 1000, 1000)))
     cat.setTableStat("stat", 7L)
-    assert(Files.exists(dir.resolve("manifest.json")))
+    assert(manifestCount(dir) == 1, "exactly one live versioned manifest")
     assert(!Files.exists(dir.resolve("catalog.json")), "sharded layout has no legacy doc")
     val shardFiles = { val s = Files.list(dir.resolve("shards")); try s.count() finally s.close() }
     assert(shardFiles == 2, s"expected one file per touched 24-h shard, got $shardFiles")
@@ -181,7 +188,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.allChunks.map(_.path) == Seq("old1", "old2"))
     // first mutation migrates: shards + manifest written, legacy doc removed
     cat.register(chunk("new", 50, 50))
-    assert(Files.exists(dir.resolve("manifest.json")))
+    assert(manifestCount(dir) == 1)
     assert(!Files.exists(dir.resolve("catalog.json")))
     val fresh = new ChunkCatalog(dir, cacheTtlMs = 0L)
     assert(fresh.allChunks.map(_.path) == Seq("new", "old1", "old2"))
@@ -237,6 +244,44 @@ class CatalogSpec extends AnyFunSuite {
     reader.register(chunk("r1", 72, 72))
     writer.invalidateCache()
     assert(writer.allChunks.map(_.path) == Seq("r1", "w1", "w2"))
+  }
+
+  test("manifest CAS: concurrent writers on separate instances lose no updates") {
+    // The reference commits its document by ETag CAS (s3.rs:181-339); the
+    // sharded layout commits by hard-linking manifest.<N+1>.json. N writers —
+    // each its own instance, nothing shared in memory — race registrations
+    // into the SAME 24-h shard (max filename contention) and into distinct
+    // shards; every chunk must survive.
+    val dir = Files.createTempDirectory("graft_cat_cas_")
+    val n = 8
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => {
+        val cat = new ChunkCatalog(dir, cacheTtlMs = 0L)
+        start.await()
+        try {
+          cat.register(chunk(s"same-shard-$i", 0, 0))
+          cat.register(chunk(s"own-shard-$i", (i + 1) * 100L, (i + 1) * 100L))
+          cat.deferDelete(Seq(s"/pending-$i"), nowMs = 0L, graceMs = 3600000L)
+        } catch { case e: Throwable => errors.add(e) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"CAS retries must absorb all conflicts: $errors")
+    val fresh = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    val paths = fresh.allChunks.map(_.path).toSet
+    assert(paths == (0 until n).flatMap(i =>
+      Seq(s"same-shard-$i", s"own-shard-$i")).toSet, "no commit may be lost")
+    assert(fresh.state.pendingDeletes.map(_._1).toSet ==
+      (0 until n).map(i => s"/pending-$i").toSet)
+    assert(fresh.state.version >= 3L * n, "every mutation advanced the version")
+    assert(manifestCount(dir) == 1, "superseded manifests cleaned up")
+    // shard content must match the assembled view when re-read cold
+    assert(fresh.chunksInRange(0, hourNs - 1).map(_.path).toSet ==
+      (0 until n).map(i => s"same-shard-$i").toSet)
   }
 
   test("replaceChunks flags a rollup stale when a rewrite crosses its age boundary") {

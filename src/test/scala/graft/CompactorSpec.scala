@@ -260,4 +260,54 @@ class CompactorSpec extends AnyFunSuite {
     cat.invalidateCache()
     assert(cat.rollups.map(_.path) == Seq(second.path)) // prior retired
   }
+
+  test("lease coordination: concurrent compactors never double-compact a group") {
+    import graft.catalog.{LeaseStatus, LeaseStore}
+    // Two compactor instances, each with its OWN catalog instance over the
+    // same directory (nothing shared in memory — the multi-driver shape).
+    // Without leases both would select the same ripe L0 group before either
+    // commits, merge it twice, and register duplicate rows. The lease makes
+    // one of them skip (reference mod.rs:567-575).
+    val dir = Files.createTempDirectory("graft_cmp_lease_")
+    val seedCat = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    val writer = new ChunkWriter(seedCat)
+    val mk = (offset: Long) => (0 until 10).map(i =>
+      MetricPoint(t0 + i * 60L * 1000000000L + offset, "cpu", i.toDouble, Map("h" -> "x")))
+    (0 until 4).foreach(i => writer.write(Converters.pointsToDf(spark, mk(i * 1000L))))
+    assert(seedCat.allChunks.size == 4)
+
+    val leaseDir = Files.createTempDirectory("graft_cmp_lease_doc_")
+    def compactor(node: String) = new Compactor(spark,
+      new ChunkCatalog(dir, cacheTtlMs = 0L), l0FileThreshold = 2,
+      leases = Some(new LeaseStore(leaseDir, baseBackoffMs = 5L)), nodeId = node)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[ChunkMeta]]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq("n1", "n2").map { node =>
+      val c = compactor(node)
+      val t = new Thread(() => {
+        start.await()
+        try results.add(c.runOnce())
+        catch { case e: Throwable => errors.add(e) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"lease-guarded sweeps must not fail: $errors")
+    val merged = results.toArray(Array.empty[Seq[ChunkMeta]]).flatten
+    assert(merged.size == 1, s"the one ripe group must compact exactly once, got ${merged.size}")
+    val fresh = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    assert(fresh.allChunks.size == 1, "exactly one merged chunk in the catalog")
+    assert(fresh.allChunks.head.rowCount == 40L, "all 4 flushes' rows preserved once")
+    // every lease reached a terminal state (winner Completed; a laggard that
+    // acquired post-release re-validates and marks its lease Failed) and
+    // scavenging clears the document
+    val ls = new LeaseStore(leaseDir)
+    val terminal = ls.loadAll()
+    assert(terminal.values.forall(_.status != LeaseStatus.Active), s"leaked active: $terminal")
+    assert(terminal.values.exists(_.status == LeaseStatus.Completed))
+    assert(ls.scavenge() == terminal.size)
+    assert(ls.loadAll().isEmpty)
+  }
 }
