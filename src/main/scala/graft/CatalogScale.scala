@@ -107,6 +107,42 @@ object CatalogScale {
         nowMs = 0L, graceMs = 0L)
       val (_, gcMs) = timeMs(cold.gc(nowMs = System.currentTimeMillis()))
 
+      // ---- concurrent writers: the multi-driver maintenance shape ----------
+      // 8 independent instances (own caches, shared directory — separate
+      // processes in all but address space) race flush-shaped registrations
+      // into DISTINCT hours. Measures CAS commit throughput under contention
+      // at this metadata size and proves no acknowledged commit is lost.
+      val writers = 8
+      val commitsPerWriter = 12
+      val casErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until writers).map { w =>
+        val t = new Thread(() => {
+          val mine = new ChunkCatalog(dir, cacheTtlMs = 60000L, casMaxRetries = 100)
+          start.await()
+          try (0 until commitsPerWriter).foreach { j =>
+            val hour = 1000 + w * commitsPerWriter + j
+            mine.registerAll((0 until 50).map { i =>
+              mkChunk(i).copy(
+                path = s"s3://warehouse/default/data/concflush_${w}_${j}_$i",
+                minTimestampNs = baseNs + hour * hourNs + i * 1000000L,
+                maxTimestampNs = baseNs + hour * hourNs + i * 1000000L + hourNs / 60)
+            })
+          } catch { case e: Throwable => casErrors.add(e) }
+        }, s"catscale-w$w")
+        t.start(); t
+      }
+      val concT0 = System.nanoTime()
+      start.countDown()
+      threads.foreach(_.join(600000))
+      val concWallMs = (System.nanoTime() - concT0) / 1e6
+      require(casErrors.isEmpty, s"concurrent CAS writers failed: $casErrors")
+      val verify = new ChunkCatalog(dir, cacheTtlMs = 60000L)
+      val concCount = verify.allChunks.count(_.path.contains("/concflush_"))
+      require(concCount == writers * commitsPerWriter * 50,
+        s"lost updates: expected ${writers * commitsPerWriter * 50} chunks, found $concCount")
+      val concCommitsPerSec = writers * commitsPerWriter / (concWallMs / 1000.0)
+
       // total on-disk metadata: manifest + shard files
       val docBytes = {
         val rootStream = Files.list(dir)
@@ -125,7 +161,8 @@ object CatalogScale {
       }
       System.err.println(s"[catscale] n=$n prune p50=${round2(pruneMs(pruneMs.size / 2))} ms " +
         s"p99=${round2(pruneMs((pruneMs.size * 99) / 100))} ms singleReg=${round2(singleRegMs.min)} ms " +
-        s"flushReg=${round2(flushRegMs.min)} ms gc1k=${round2(gcMs)} ms shards=$shardCount")
+        s"flushReg=${round2(flushRegMs.min)} ms gc1k=${round2(gcMs)} ms shards=$shardCount " +
+        s"concWriters=$writers commits/s=${round2(concCommitsPerSec)}")
       s""""n_$n":{"meta_bytes":$docBytes,""" +
         s""""shard_files":$shardCount,""" +
         s""""cold_load_ms":${round2(coldLoadMs)},""" +
@@ -135,7 +172,12 @@ object CatalogScale {
         s""""register_fullspan_batch_mean_ms":${round2(batchTimes.sum / batchTimes.size)},""" +
         s""""register_flush50_min_ms":${round2(flushRegMs.min)},""" +
         s""""register_single_min_ms":${round2(singleRegMs.min)},""" +
-        s""""gc_1k_ms":${round2(gcMs)}}"""
+        s""""gc_1k_ms":${round2(gcMs)},""" +
+        s""""concurrent_writers":$writers,""" +
+        s""""concurrent_commits":${writers * commitsPerWriter},""" +
+        s""""concurrent_wall_ms":${round2(concWallMs)},""" +
+        s""""concurrent_commits_per_sec":${round2(concCommitsPerSec)},""" +
+        s""""concurrent_lost_updates":0}"""
     }
 
     val json = s"""{"metric":"catalog_scale","span_hours":17520,${sections.mkString(",")}}"""

@@ -126,7 +126,13 @@ final case class RollupMeta(
   * to the sharded layout on the first mutation.
   */
 final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
-    val shardSpanHours: Int = 24) {
+    val shardSpanHours: Int = 24,
+    // CAS conflict budget per mutation (reference uses 5, s3.rs:30). The
+    // default suits a handful of writers; a deliberately contended fleet
+    // (many concurrent maintenance drivers) should raise it — full-jitter
+    // backoff makes progress certain, but a fixed small budget can starve
+    // the unluckiest writer under sustained contention.
+    casMaxRetries: Int = 10) {
 
   import ChunkCatalog._
 
@@ -343,7 +349,7 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       if (tryCommit(s, plan.removePaths, plan.add, plan.smallPatch))
         return plan.result
       attempt += 1
-      if (attempt >= 10)
+      if (attempt >= casMaxRetries)
         throw new IllegalStateException(s"catalog commit: too many CAS conflicts ($attempt)")
       invalidateCache()
       // FULL-jitter backoff: deterministic sleeps keep a herd of losers in
