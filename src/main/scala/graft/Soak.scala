@@ -167,8 +167,22 @@ object Soak {
     // (seed + baseline chunks) so the IN-WINDOW sweeps measure incremental
     // maintenance — the shape a long-running deployment is actually in —
     // instead of one giant first merge that outlasts the window
+    // TWO lease-coordinated maintenance nodes (reference CAS leases,
+    // s3.rs:1602-2010): node m1 runs the full sweep (compaction + retention +
+    // GC + downsampling); node m2 is a second compaction-only driver with its
+    // OWN catalog instance over the same warehouse — the multi-driver shape.
+    // Leases guarantee no group is merged twice; row conservation is asserted
+    // after the window (double-compaction would inflate the catalog row sum).
+    val leaseDir = graft.util.ShmDirs.tempDir("graft_soak_lease_")
+    val compactor1 = new graft.compact.Compactor(spark, catalog, l0FileThreshold = 6,
+      leases = Some(new graft.catalog.LeaseStore(leaseDir)), nodeId = "m1",
+      leaseRenewIntervalMs = 10000L)
+    val catalog2 = new graft.catalog.ChunkCatalog(catalog.root, cacheTtlMs = 250L)
+    val compactor2 = new graft.compact.Compactor(spark, catalog2, l0FileThreshold = 6,
+      leases = Some(new graft.catalog.LeaseStore(leaseDir)), nodeId = "m2",
+      leaseRenewIntervalMs = 10000L)
     val maint = new graft.compact.Maintenance(spark, catalog,
-      compactor = new graft.compact.Compactor(spark, catalog, l0FileThreshold = 6),
+      compactor = compactor1,
       downsample = Some(graft.compact.Maintenance.Downsample(
         afterNs = 3600L * 1000000000L, resolutionSeconds = 60L,
         labelCols = Seq("host", "region"))))
@@ -214,6 +228,16 @@ object Soak {
       sweepsDone.incrementAndGet()
       Thread.sleep(5000)
     }
+    val compactions2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sweeps2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tMaint2 = loopThread("maintenance2") { () =>
+      spark.sparkContext.setJobGroup("soak-maint2", "soak second compactor",
+        interruptOnCancel = true)
+      compactions2.addAndGet(compactor2.runOnce().size)
+      compactor2.scavengeLeases()
+      sweeps2.incrementAndGet()
+      Thread.sleep(5000)
+    }
     // queries run in their own FAIR pool: with scheduler.mode=FAIR the
     // "queries" pool gets an equal share of task slots against the ingest
     // and maintenance jobs' pool, so a query burst is scheduled promptly
@@ -239,8 +263,9 @@ object Soak {
     // a maintenance merge can legitimately outlast the window — cancel it
     // rather than waiting it out (its completed-sweep counters are already in)
     spark.sparkContext.cancelJobGroupAndFutureJobs("soak-maint")
-    Seq(tIngest, tMaint, tWarm, tCold).foreach(_.join(120000))
-    val wedged = Seq(tIngest, tMaint, tWarm, tCold).filter(_.isAlive).map(_.getName)
+    spark.sparkContext.cancelJobGroupAndFutureJobs("soak-maint2")
+    Seq(tIngest, tMaint, tMaint2, tWarm, tCold).foreach(_.join(120000))
+    val wedged = Seq(tIngest, tMaint, tMaint2, tWarm, tCold).filter(_.isAlive).map(_.getName)
     if (wedged.nonEmpty)
       throw new IllegalStateException(
         s"soak threads did not stop within 120s: ${wedged.mkString(", ")}")
@@ -251,7 +276,20 @@ object Soak {
     val soakRate =
       if (soakIngest.isEmpty) 0.0 else batchRows * soakIngest.size / soakIngest.sum
     val dropPct = (1.0 - soakRate / baselineRate) * 100.0
+    catalog.invalidateCache()
     val chunksEnd = catalog.allChunks.size
+    // Row conservation across the dual-compactor window: compaction moves
+    // rows, never duplicates or drops them (the retention horizon is far
+    // beyond the synthetic span, so nothing ages out). A double-compacted
+    // group — the failure leases exist to prevent — would inflate this sum
+    // by the group's row count.
+    val rowsInCatalog = catalog.allChunks.map(_.rowCount).sum
+    val rowsExpected = ingestTick.get() * batchRows
+    val okRows = rowsInCatalog == rowsExpected
+    System.err.println(s"[soak] dual maintenance: m1 sweeps=${sweepsDone.get()} " +
+      s"m2 sweeps=${sweeps2.get()} compactions=${compactions.get()}/${compactions2.get()} " +
+      s"leaseSkips=${compactor1.leaseSkips.get()}/${compactor2.leaseSkips.get()} " +
+      s"rows=$rowsInCatalog/$rowsExpected ok=$okRows")
 
     // ---- phase 2b: live-tail SSE serving under concurrent ingest+maintenance.
     // The one serving path SOAK_r07 left spec-only: /api/v1/stream?live=1 over
@@ -438,8 +476,13 @@ object Soak {
       s""""maintenance_sweeps_completed":${sweepsDone.get()},""" +
       s""""chunks_start":$chunksStart,"chunks_end":$chunksEnd,""" +
       s""""peak_heap_mb":$peakHeapMb,"gc_time_ms":$gcMs},""" +
+      s""""dual_maintenance":{"m1_sweeps":${sweepsDone.get()},"m2_sweeps":${sweeps2.get()},""" +
+      s""""m1_compactions":${compactions.get()},"m2_compactions":${compactions2.get()},""" +
+      s""""lease_skips_m1":${compactor1.leaseSkips.get()},"lease_skips_m2":${compactor2.leaseSkips.get()},""" +
+      s""""rows_expected":$rowsExpected,"rows_in_catalog":$rowsInCatalog,""" +
+      s""""row_conservation_ok":$okRows},""" +
       s""""acceptance":{"write_drop_lt_20pct":$okDrop,"warm_p99_lt_200ms":$okWarm,""" +
-      s""""cold_p99_lt_1000ms":$okCold},""" +
+      s""""cold_p99_lt_1000ms":$okCold,"row_conservation":$okRows},""" +
       s""""streaming":{"duration_sec":${streamWallSec.toInt},"input_rows":$inRows,""" +
       s""""rows_per_sec":${streamRate.toLong},"output_rows":${outRows.get()},""" +
       s""""state_rows_samples":[${stateSamples.mkString(",")}],"state_flat":$stateFlat},""" +

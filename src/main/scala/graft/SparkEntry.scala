@@ -1205,6 +1205,12 @@ object SparkEntry {
       graft.text.TextFunctions.unigramLogProb(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // LLM ops — Okapi BM25 lexical retrieval over the corpus (training-data
+    // QA probe / retrieval-based decontamination primitive).
+    "q_doc_bm25" -> ((s, dir) =>
+      graft.text.TextFunctions.bm25TopK(t(s, dir, "documents"),
+        Seq("vector", "stream", "agg"), k = 50)),
+
     // LLM ops — multimodal: metadata-only stats over binary payload columns (the
     // scan must never decode payloads; column pruning keeps it to metadata cols).
     "q_multimodal_stats" -> ((s, dir) =>
@@ -2376,6 +2382,23 @@ object SparkEntry {
         |   / 1000000 AS mean_logprob
         |FROM dt JOIN cnt USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25 with k1=1.2, b=0.75 over the shared whitespace tokenization; both
+    // engines order by the ROUNDED score (then doc_id) so the top-k boundary
+    // is deterministic across float-sum orders.
+    "q_doc_bm25" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |            FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+        |       WHERE token IN ('vector', 'stream', 'agg') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, round(sum(
+        |   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token), corpus
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -309,7 +309,14 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     val (ripe, keep) = s.assembled.pendingDeletes.partition(_._2 <= nowMs)
     ripe.foreach { case (p, _) =>
       val f = Paths.get(p)
-      if (Files.exists(f)) Files.delete(f)
+      // chunks and rollups are parquet DIRECTORIES — delete recursively,
+      // children first
+      if (Files.exists(f)) {
+        val walk = Files.walk(f)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.deleteIfExists(x))
+        finally walk.close()
+      }
     }
     Plan(Nil, Nil, _.copy(pendingDeletes = keep), ripe.map(_._1))
   }

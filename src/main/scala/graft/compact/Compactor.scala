@@ -34,6 +34,11 @@ final class Compactor(
     nodeId: String = "local",
     leaseRenewIntervalMs: Long = 120000L) { // renew every 2 min, TTL 5 min
 
+  /** Candidate groups skipped because another holder leased them or had
+    * already compacted them (lease-mode observability, monotonic).
+    */
+  val leaseSkips = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** L0: hour-bucketed groups with at least `l0FileThreshold` members. */
   def l0Candidates(): Seq[Seq[ChunkMeta]] =
     catalog.allChunks.filter(_.level == 0)
@@ -182,7 +187,7 @@ final class Compactor(
       case Some(ls) =>
         val candidates = groups.flatMap { g =>
           try Some(g -> ls.acquire(nodeId, g.map(_.path), level))
-          catch { case _: ChunksAlreadyLeasedException => None }
+          catch { case _: ChunksAlreadyLeasedException => leaseSkips.incrementAndGet(); None }
         }
         // Re-validate UNDER the lease: a group whose compaction another
         // holder completed between our candidate selection and our acquire
@@ -196,6 +201,7 @@ final class Compactor(
         val (acquired, stale) = candidates.partition(_._1.forall(c =>
           liveChunks.contains(c.path)))
         stale.foreach { case (_, l) =>
+          leaseSkips.incrementAndGet()
           try ls.fail(l.leaseId) catch { case scala.util.control.NonFatal(_) => () }
         }
         if (acquired.isEmpty) Nil

@@ -61,13 +61,17 @@ final class Maintenance(
                 cfg.resolutionSeconds, cfg.labelCols, rollCutoffNs)
           }
           built.foreach { meta =>
-            // retire superseded matching registrations AND their files
+            // retire superseded matching registrations: dropRollup stops NEW
+            // routing immediately; the FILES go through the same grace-period
+            // GC as chunk rewrites — an immediate delete raced queries still
+            // executing against the retired rollup's parquet (found by the
+            // dual-maintenance soak: FileNotFoundException mid-scan)
             catalog.rollups
               .filter(r => matches(r) && r.path != meta.path &&
                 r.maxCoveredNsExclusive <= meta.maxCoveredNsExclusive)
               .foreach { r =>
                 catalog.dropRollup(r.path)
-                Downsampler.deleteRollupFiles(r.path)
+                catalog.deferDelete(Seq(r.path), nowMs)
               }
           }
           built

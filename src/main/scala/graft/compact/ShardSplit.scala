@@ -339,17 +339,4 @@ object Downsampler {
     }
   }
 
-  /** Recursively delete a retired rollup directory (deregistered parquet dirs
-    * otherwise accumulate one per extension sweep; catalog GC only handles
-    * single files).
-    */
-  def deleteRollupFiles(path: String): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root)) {
-      val all = java.nio.file.Files.walk(root)
-      try all.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally all.close()
-    }
-  }
 }

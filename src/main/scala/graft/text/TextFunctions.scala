@@ -208,6 +208,45 @@ object TextFunctions {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Okapi BM25 scoring of every document against a bag of query terms —
+    * the lexical-retrieval primitive of training-data QA (find what a probe
+    * query surfaces from the corpus) and of retrieval-based decontamination.
+    *
+    * score(d, q) = Σ_{t∈q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *                        · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Scale shape: one explode, hash aggregations for tf/doclen (map-side
+    * combined), the per-term document frequencies and the 1-row corpus stats
+    * joined back by BROADCAST — the only all-data shuffles are keyed
+    * aggregations; no driver materialization, no cross join over data (the
+    * crossJoin multiplies by a broadcast single row). Matches a DuckDB oracle
+    * term-for-term via the shared whitespace tokenization.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "empty BM25 query")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val dlen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = dlen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dlen, idCol)
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum("w"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** CCNet-style statistical LM quality scoring (Wenzek et al. 2020): each
     * document's mean log10 probability under an add-one-smoothed UNIGRAM model
     * estimated from `lmCorpus` (defaults to the scored corpus itself — the

@@ -207,8 +207,16 @@ class CompactorSpec extends AnyFunSuite {
     assert(merged.agg(org.apache.spark.sql.functions.sum("sum_value"),
         org.apache.spark.sql.functions.sum("sample_count"))
       .collect()(0).toSeq == Seq(135.0, 30L))
-    // the superseded rollup's directory is gone, not just deregistered
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(meta.path)))
+    // The superseded rollup's FILES survive retirement (an in-flight query
+    // may still be scanning them — immediate deletion raced exactly that in
+    // the dual-maintenance soak) and ride the same grace-period GC as chunk
+    // rewrites; after the grace the directory is deleted recursively.
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(meta.path)),
+      "retired rollup files must outlive in-flight queries")
+    assert(cat.state.pendingDeletes.map(_._1).contains(meta.path))
+    cat.gc(laterMs + 300001L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(meta.path)),
+      "grace-elapsed GC must remove the retired rollup directory")
 
     // late-arriving data INSIDE the covered past invalidates (write-invalidation)
     writer.write(Converters.pointsToDf(spark, mk(t0 + hourNs)))

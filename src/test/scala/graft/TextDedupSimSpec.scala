@@ -332,6 +332,29 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(math.abs(scored(0).getDouble(2) - want) < 1e-6)
   }
 
+  test("bm25TopK: hand-computed Okapi scores, rare term outranks common term") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // 4 docs of length 4 (avgdl=4, length normalization factor = 1):
+    // "x" appears in docs 0,1,2 (df=3), "q" only in doc 3 (df=1, twice)
+    val docs = Seq(
+      (0L, "x a b c"), (1L, "x x a b"), (2L, "x a a a"), (3L, "q q a b"))
+      .toDF("doc_id", "text")
+    val rows = graft.text.TextFunctions.bm25TopK(docs, Seq("x", "q"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def idf(df: Int) = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Int, df: Int) = idf(df) * tf * 2.2 / (tf + 1.2) // dl/avgdl = 1
+    assert(math.abs(rows(0L) - round4(w(1, 3))) < 1e-9)
+    assert(math.abs(rows(1L) - round4(w(2, 3))) < 1e-9)
+    assert(math.abs(rows(3L) - round4(w(2, 1))) < 1e-9)
+    // the rare term dominates: doc 3 (q×2, df 1) above doc 1 (x×2, df 3)
+    assert(rows(3L) > rows(1L))
+    // k bounds the output
+    assert(graft.text.TextFunctions.bm25TopK(docs, Seq("x"), k = 2).count() == 2)
+  }
+
+  private def round4(d: Double): Double = math.round(d * 10000.0) / 10000.0
+
   test("vocab top-k: frequency order with alphabetical tiebreak") {
     val spark = SparkTestBase.spark
     import spark.implicits._
