@@ -125,12 +125,159 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     scala.collection.mutable.HashSet.empty[(String, Seq[String], Boolean)]
 
   private def dropEntry(key: (String, Seq[String], Boolean), df: DataFrame): Unit = {
-    try df.unpersist(blocking = false)
-    catch { case scala.util.control.NonFatal(_) => () }
+    // MATERIALIZED entries (persisted result blocks or a driver-local
+    // LocalRelation) demote to the L2 disk tier instead of vanishing; the
+    // demote task unpersists after the file is written. Plan-only entries
+    // (including rollup/top-k routed plans, which are never persisted) have
+    // nothing materialized worth writing — recomputing the plan is cheap.
+    val materialized = cachedBytes.contains(key) || localizedKeys(key)
+    if (!(l2Enabled && materialized && demoteToL2(key, df))) {
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     cachedBytes.remove(key)
     localizedKeys.remove(key)
     rollupKeys.remove(key)
     topKKeys.remove(key)
+  }
+
+  // ---------------------------------------------------------------------------
+  // L2 disk result-cache tier — the Spark analog of the reference's foyer NVMe
+  // tier under the moka RAM tier (src/query/cached_store.rs:49-181: get checks
+  // RAM, then disk, then the object store; inserts write through to disk). Here
+  // the RAM tier holds whole RESULT SETS, so the disk tier does too: an L1
+  // eviction DEMOTES the materialized result to one local parquet file
+  // (asynchronously — eviction never blocks the query path), and an L1 miss
+  // whose key has a demoted file PROMOTES it back with one local-disk read
+  // instead of re-executing over raw chunk blocks. The key is the same
+  // (query, pruned-path-set + rollup ids + markers, split) tuple as L1, so a
+  // stale hit is impossible — any ingest/compaction/rollup change changes the
+  // key and the orphaned file simply ages out by LRU. The tier is
+  // process-lifetime (foyer's crash recovery is an opt-in mode the reference
+  // does not enable; documented divergence).
+  // ---------------------------------------------------------------------------
+
+  private val l2Enabled = limits.l2CacheDir.isDefined
+  limits.l2CacheDir.foreach(d =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+
+  /** key → (parquet dir, bytes on disk); access-ordered for LRU eviction. */
+  private val l2Entries =
+    new java.util.LinkedHashMap[(String, Seq[String], Boolean), (String, Long)](32, 0.75f, true)
+
+  /** Keys with a demote write in flight (skip duplicate demotes). */
+  private val l2Pending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[String], Boolean)]()
+
+  /** Single demote worker: L2 writes are tiny (results are ≤
+    * `maxCachedResultBytes` by construction) and strictly background —
+    * serializing them keeps demotion from ever competing with query jobs.
+    */
+  private lazy val l2Demoter = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-l2-demote"); t.setDaemon(true); t
+  })
+
+  /** Enqueue a demote; returns true iff the task now owns the unpersist. */
+  private def demoteToL2(key: (String, Seq[String], Boolean), df: DataFrame): Boolean = {
+    val already = l2Entries.synchronized(l2Entries.containsKey(key))
+    if (already || !l2Pending.add(key)) return false // file already valid / in flight
+    l2Demoter.submit(new Runnable {
+      override def run(): Unit = {
+        val dir = new java.io.File(limits.l2CacheDir.get,
+          s"l2-${java.util.UUID.randomUUID().toString.take(12)}").getAbsolutePath
+        try {
+          df.coalesce(1).write.mode("overwrite").parquet(dir)
+          val bytes = graft.ingest.ChunkStats.dirSize(java.nio.file.Paths.get(dir))
+          Telemetry.l2Demotions.increment()
+          l2Entries.synchronized {
+            l2Entries.put(key, (dir, bytes))
+            // LRU-evict until the tier fits its byte budget; physical deletion
+            // is grace-deferred so a concurrently promoted (lazily re-read)
+            // entry never loses its file mid-scan.
+            var retained = 0L
+            val it0 = l2Entries.values().iterator()
+            while (it0.hasNext) retained += it0.next()._2
+            val it = l2Entries.entrySet().iterator()
+            while (retained > limits.maxL2CacheBytes && it.hasNext) {
+              val e = it.next()
+              if (e.getKey != key) {
+                retained -= e.getValue._2
+                scheduleL2Delete(e.getValue._1, limits.l2DeleteGraceMs)
+                it.remove()
+              }
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => scheduleL2Delete(dir, 0L)
+        } finally {
+          try df.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          l2Pending.remove(key)
+        }
+      }
+    })
+    true
+  }
+
+  private def scheduleL2Delete(dir: String, afterMs: Long): Unit =
+    QueryEngine.l2Janitor.schedule(new Runnable {
+      override def run(): Unit =
+        try graft.ingest.ChunkStats.deleteDir(java.nio.file.Paths.get(dir))
+        catch { case scala.util.control.NonFatal(_) => () }
+    }, afterMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  /** L2 hit path: read the demoted file back. Small results (the dashboard
+    * shape) collect into a driver-local LocalRelation — the same terminal form
+    * a twice-hit L1 entry reaches; oversized results re-enter L1 as a
+    * persisted parquet-backed plan (materialized here, while the file is
+    * guaranteed live). An unreadable file (corruption, external cleanup) drops
+    * the entry and falls through to a plain recompute — the tier can serve
+    * wrong-shaped bytes to nobody.
+    */
+  private def promoteFromL2(key: (String, Seq[String], Boolean)): Option[DataFrame] = {
+    if (!l2Enabled) return None
+    val ent = l2Entries.synchronized(l2Entries.get(key)) // touches LRU order
+    if (ent == null) return None
+    val (dir, bytes) = ent
+    // schema inference reads the footer eagerly — a corrupt/deleted file must
+    // throw HERE, inside the fail-open guard, not out of sql(). NonFatal ONLY,
+    // same discipline as collectForLocalize: an OOM must propagate.
+    val read: Option[(Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] =
+      try {
+        val pdf = spark.read.parquet(dir)
+        Some((pdf.limit(maxLocalRows + 1).collect(), pdf.schema))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    read match {
+      case None => // unreadable → forget the entry, recompute
+        l2Entries.synchronized(l2Entries.remove(key))
+        scheduleL2Delete(dir, 0L)
+        None
+      case Some((rows, schema)) => promoteRows(key, dir, bytes, rows, schema)
+    }
+  }
+
+  private def promoteRows(key: (String, Seq[String], Boolean), dir: String, bytes: Long,
+                          rows: Array[org.apache.spark.sql.Row],
+                          schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    if (rows.length > maxLocalRows) {
+      val df = spark.read.parquet(dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counted = collectForLocalize(() => { df.count(); Array.empty })
+      if (counted == null) { // materialization failed → recompute path
+        try df.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        None
+      } else {
+        Telemetry.l2Hits.increment()
+        planCache.synchronized { planCache.put(key, df); cachedBytes(key) = bytes }
+        Some(df)
+      }
+    } else {
+      Telemetry.l2Hits.increment()
+      val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      planCache.synchronized { planCache.put(key, local); localizedKeys += key }
+      Some(local)
+    }
   }
 
   /** RAM result-cache tier, the Spark analog of the reference's L1 moka cache
@@ -284,6 +431,13 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     }
     if (toLocalize != null) return localizeHit(key, toLocalize)
     Telemetry.cacheMisses.increment()
+    // L1 miss → probe the L2 disk tier before recomputing (only plain
+    // materialized results ever demote, so routing flags are per-force false).
+    promoteFromL2(key).foreach { df =>
+      lastServedFromRollup = false
+      lastTopKRouted = false
+      return df
+    }
     val raw = planLock.synchronized {
       register(paths)
       // Reuse the cached PARSED tree — analysis resolves a fresh copy against
@@ -568,10 +722,20 @@ object QueryEngine {
     * off while timing 70+ queries) can't silently change engines built later
     * on OTHER sessions in the same JVM.
     */
+  /** `l2CacheDir = Some(dir)` enables the L2 disk result-cache tier (the
+    * reference's foyer NVMe layer, cached_store.rs:49-181) rooted at `dir`;
+    * `maxL2CacheBytes` bounds its on-disk footprint (foyer's fixed-capacity
+    * disk cache), and evicted files are physically deleted only after
+    * `l2DeleteGraceMs` so a concurrently promoted entry never loses its file
+    * mid-read (same grace idiom as chunk/rollup GC).
+    */
   final case class QueryLimits(maxConcurrent: Int = 100, timeoutMs: Long = 300000L,
                                maxCachedResultBytes: Long = 64L << 20,
                                maxRetainedCacheBytes: Long = 1L << 30,
-                               resultCacheEnabled: Option[Boolean] = None)
+                               resultCacheEnabled: Option[Boolean] = None,
+                               l2CacheDir: Option[String] = None,
+                               maxL2CacheBytes: Long = 256L << 20,
+                               l2DeleteGraceMs: Long = 300000L)
 
   final class QueryTimeoutException(timeoutMs: Long, cause: Throwable)
     extends RuntimeException(s"query exceeded ${timeoutMs} ms timeout and was cancelled", cause)
@@ -599,6 +763,14 @@ object QueryEngine {
   private val watchdog: java.util.concurrent.ScheduledExecutorService =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-query-watchdog")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Shared daemon scheduler for grace-deferred L2 cache file deletions. */
+  private val l2Janitor: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-l2-janitor")
       t.setDaemon(true)
       t
     })

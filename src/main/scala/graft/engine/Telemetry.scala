@@ -23,6 +23,8 @@ object Telemetry {
   private val queryLatencyNsMaxA = new AtomicLong(0L)
   val cacheHits = new LongAdder
   val cacheMisses = new LongAdder
+  val l2Hits = new LongAdder
+  val l2Demotions = new LongAdder
   val rollupRouted = new LongAdder
   val ingestRows = new LongAdder
   val ingestBytes = new LongAdder
@@ -61,6 +63,10 @@ object Telemetry {
         queryLatencyNsMax / 1e9) +
       c("graft_query_cache_hits_total", "Result/plan cache hits", cacheHits.sum()) +
       c("graft_query_cache_misses_total", "Result/plan cache misses", cacheMisses.sum()) +
+      c("graft_query_l2_cache_hits_total",
+        "L1 misses served from the L2 disk result-cache tier", l2Hits.sum()) +
+      c("graft_query_l2_cache_demotions_total",
+        "L1 evictions demoted to the L2 disk tier", l2Demotions.sum()) +
       c("graft_query_rollup_routed_total",
         "Queries answered from a registered rollup instead of raw chunks",
         rollupRouted.sum()) +
