@@ -602,6 +602,24 @@ object SparkEntry {
         .orderBy("timestamp_ns")
     }),
 
+    // §2.1 Arrow-native ingest (Flight DoPut analog, flight_ingest.rs:25-45):
+    // a full wire round-trip — the query-side Arrow IPC writer's exact bytes
+    // decoded back into routed points, proving the two ends speak the same
+    // stream format (required columns, value routing, label nullability).
+    "q_ingest_arrow" -> ((s, dir) => {
+      import graft.ingest.{ArrowIngest, Converters, MetricPoint}
+      val points = Seq(
+        MetricPoint(1000000000L, "cpu_usage", 0.85, Map("host" -> "server1")),
+        MetricPoint(2000000000L, "cpu_usage", 0.90, Map("host" -> "server2")),
+        MetricPoint(3000000000L, "requests", 17.0, Map("service" -> "api")))
+      val wire = graft.engine.ResultFormat.toArrow(
+        Converters.pointsToDf(s, points)
+          .select("metric_name", "timestamp_ns", "host", "service", "value_f64"))
+      Converters.routedToDf(s, ArrowIngest.toRoutedPoints(wire))
+        .select("metric_name", "timestamp_ns", "host", "service", "value_f64")
+        .orderBy("timestamp_ns")
+    }),
+
     // §2.10 downsampling (extension; reference configures but never implements it):
     // 6 h rollup of the metrics view per (metric, host) — min/max/count are exact.
     "q_downsample" -> ((s, dir) =>
@@ -1744,6 +1762,15 @@ object SparkEntry {
         |ORDER BY timestamp_ns""".stripMargin,
 
     "q_ingest_otlp" ->
+      """SELECT * FROM (VALUES
+        | ('cpu_usage', CAST(1000000000 AS BIGINT), 'server1', CAST(NULL AS VARCHAR), CAST(0.85 AS DOUBLE)),
+        | ('cpu_usage', CAST(2000000000 AS BIGINT), 'server2', CAST(NULL AS VARCHAR), CAST(0.90 AS DOUBLE)),
+        | ('requests', CAST(3000000000 AS BIGINT), CAST(NULL AS VARCHAR), 'api', CAST(17.0 AS DOUBLE))
+        |) t(metric_name, timestamp_ns, host, service, value_f64)
+        |ORDER BY timestamp_ns""".stripMargin,
+
+    // identical fixture to q_ingest_otlp: the Arrow wire round-trip must be lossless
+    "q_ingest_arrow" ->
       """SELECT * FROM (VALUES
         | ('cpu_usage', CAST(1000000000 AS BIGINT), 'server1', CAST(NULL AS VARCHAR), CAST(0.85 AS DOUBLE)),
         | ('cpu_usage', CAST(2000000000 AS BIGINT), 'server2', CAST(NULL AS VARCHAR), CAST(0.90 AS DOUBLE)),

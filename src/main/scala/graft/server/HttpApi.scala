@@ -297,6 +297,36 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
     }
   })
 
+  /** Arrow-native bulk ingest — the Flight DoPut analog
+    * (src/api/ingest/flight_ingest.rs:25-45) over the Arrow IPC STREAM format
+    * instead of gRPC framing: the body is exactly what `format=arrow` query
+    * responses emit, decoded and appended through the same ChunkWriter path as
+    * remote-write. Responds with the accepted row/chunk counts (the DoPut
+    * PutResult analog).
+    */
+  server.createContext("/api/v1/ingest/arrow", handler { ex =>
+    if (ex.getRequestMethod != "POST") error(ex, 405, "POST only")
+    else {
+      val points =
+        try graft.ingest.ArrowIngest.toRoutedPoints(readBody(ex))
+        catch {
+          case e: HttpApi.HttpError => throw e
+          case e: IllegalArgumentException => throw HttpApi.HttpError(400, e.getMessage)
+          case scala.util.control.NonFatal(e) =>
+            throw HttpApi.HttpError(400, s"not an Arrow IPC stream: ${e.getMessage}")
+        }
+      val chunks =
+        if (points.isEmpty) Nil
+        else {
+          val metas = ingestWriter.write(
+            graft.ingest.Converters.routedToDf(engine.spark, points))
+          engine.catalog.invalidateCache()
+          metas
+        }
+      respondJson(ex, 200, s"""{"rows":${points.size},"chunks":${chunks.size}}""")
+    }
+  })
+
   server.createContext("/api/v1/stream", handler { ex =>
     val p = params(ex)
     val query = p.get("query").flatMap(_.headOption)

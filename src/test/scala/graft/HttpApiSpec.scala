@@ -197,6 +197,40 @@ class HttpApiSpec extends AnyFunSuite {
       JArray(List(JString("web2"), JInt(1), JDouble(4.25)))))
   }
 
+  test("POST /api/v1/ingest/arrow: Arrow IPC stream round-trips through the chunk path") {
+    def postBytes(path: String, body: Array[Byte]): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        .header("Content-Type", "application/vnd.apache.arrow.stream").build(),
+        HttpResponse.BodyHandlers.ofString())
+    val ts = t0 + 20 * hourNs
+    val pts = Seq(
+      MetricPoint(ts, "arrow_metric", 1.5, Map("host" -> "a1")),
+      MetricPoint(ts + 1000L, "arrow_metric", 2.5, Map("host" -> "a2")))
+    // the wire bytes are EXACTLY what the query side emits for format=arrow
+    val wire = graft.engine.ResultFormat.toArrow(
+      Converters.pointsToDf(spark, pts)
+        .select("metric_name", "timestamp_ns", "host", "value_f64"))
+    val resp = postBytes("/api/v1/ingest/arrow", wire)
+    assert(resp.statusCode() == 200)
+    assert(resp.body().contains("\"rows\":2"))
+    val q = s"SELECT host, value_f64 FROM metrics WHERE metric_name = 'arrow_metric' " +
+      s"AND timestamp_ns >= $ts ORDER BY host"
+    val read = post("/api/v1/sql", s"""{"query":"${q.replace("\"", "\\\"")}"}""")
+    import org.json4s._
+    val data = (org.json4s.jackson.JsonMethods.parse(read.body()) \ "data")
+      .asInstanceOf[JArray].arr
+    assert(data == List(
+      JArray(List(JString("a1"), JDouble(1.5))),
+      JArray(List(JString("a2"), JDouble(2.5)))))
+    // non-Arrow garbage and a payload missing timestamp_ns are both 400s
+    assert(postBytes("/api/v1/ingest/arrow", Array[Byte](1, 2, 3)).statusCode() == 400)
+    val noTs = graft.engine.ResultFormat.toArrow(
+      Converters.pointsToDf(spark, pts).select("metric_name", "value_f64"))
+    val badResp = postBytes("/api/v1/ingest/arrow", noTs)
+    assert(badResp.statusCode() == 400 && badResp.body().contains("timestamp_ns"))
+  }
+
   test("GET /api/v1/stream: SSE data/end frames, incremental batches, error frame") {
     // scoped to the seeded metrics: the remote-write test (runs earlier) adds
     // its own http_requests rows to this warehouse
@@ -285,7 +319,9 @@ class HttpApiSpec extends AnyFunSuite {
       body.contains("graft_query_latency_seconds_sum"))
     // exposition parses: every non-comment line is `name[{labels}] value`
     body.split("\n").filterNot(l => l.startsWith("#") || l.isEmpty).foreach { l =>
-      assert(l.matches("""[a-z_]+(\{[^}]*\})? [-0-9.eE]+"""), s"bad line: $l")
+      // Prometheus name grammar: [a-zA-Z_:][a-zA-Z0-9_:]* (digits legal after
+      // the first char — e.g. the l2 cache-tier counters)
+      assert(l.matches("""[a-z_][a-z0-9_]*(\{[^}]*\})? [-0-9.eE]+"""), s"bad line: $l")
     }
   }
 
