@@ -40,7 +40,43 @@ import graft.promql.PromQL
   *        the client disconnects or `duration` seconds pass; the WS route in
   *        [[WsApi]] supports the same via {"live":true}.
   */
-final class HttpApi(engine: QueryEngine, port: Int = 0) {
+final class HttpApi(engine: QueryEngine, port: Int = 0,
+                    quota: RateLimiter.TenantQuota = RateLimiter.TenantQuota()) {
+
+  /** Per-tenant admission control (reference src/rate_limit.rs — defined there
+    * but never wired; here the query routes consume a query-RPS token + a
+    * concurrent slot and the ingest routes consume write-RPS + byte tokens,
+    * with denials as 429 + Retry-After). Tenant = `X-Graft-Tenant` header,
+    * defaulting like the ingest path's tenant does.
+    */
+  val rateLimiter = new RateLimiter(quota)
+
+  private def tenantOf(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("X-Graft-Tenant")).getOrElse("default")
+
+  private def deny(ex: HttpExchange, d: RateLimiter.Denial): Unit = {
+    ex.getResponseHeaders.set("Retry-After",
+      math.max(1L, (d.retryAfterMs + 999) / 1000).toString)
+    respondJson(ex, 429, s"""{"error":"${d.message}"}""")
+  }
+
+  /** Admission wrapper for query routes: RPS token + concurrent slot held for
+    * the handler's whole duration (streams hold theirs until the tail ends,
+    * which is exactly what a concurrency quota should count).
+    */
+  private def queryAdmitted(ex: HttpExchange)(body: => Unit): Unit =
+    rateLimiter.checkQuery(tenantOf(ex)) match {
+      case RateLimiter.Denied(d) => deny(ex, d)
+      case RateLimiter.Allowed =>
+        try body finally rateLimiter.queryCompleted(tenantOf(ex))
+    }
+
+  /** Admission check for ingest routes, sized by the on-the-wire body. */
+  private def writeAdmitted(ex: HttpExchange, bytes: Long)(body: => Unit): Unit =
+    rateLimiter.checkWrite(tenantOf(ex), bytes) match {
+      case RateLimiter.Denied(d) => deny(ex, d)
+      case RateLimiter.Allowed => body
+    }
 
   private val server = HttpServer.create(new java.net.InetSocketAddress(port), 16)
   // daemon handler threads: the pool must never keep a driver JVM alive after
@@ -187,7 +223,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
     respond(ex, 200, graft.engine.Telemetry.prometheusText().getBytes("UTF-8"),
       "text/plain; version=0.0.4")))
 
-  server.createContext("/api/v1/sql", handler { ex =>
+  server.createContext("/api/v1/sql", handler { ex => queryAdmitted(ex) {
     val (query, format) =
       if (ex.getRequestMethod == "POST") {
         val body = new String(readBody(ex), "UTF-8")
@@ -222,25 +258,25 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
         case other => error(ex, 400, s"Invalid format '$other'. Use: json, arrow, or csv")
       }
     }
-  })
+  }})
 
-  server.createContext("/api/v1/query_range", handler { ex =>
+  server.createContext("/api/v1/query_range", handler { ex => queryAdmitted(ex) {
     val p = params(ex)
     def req(k: String) = p.get(k).flatMap(_.headOption)
       .getOrElse(throw new IllegalArgumentException(s"missing $k param"))
     val sql = PromQL.transpileRange(req("query"),
       secToNs(req("start")), secToNs(req("end")), req("step").toLong)
     engine.execute(sql)(df => respondJson(ex, 200, ResultFormat.toPromMatrix(df)))
-  })
+  }})
 
-  server.createContext("/api/v1/query", handler { ex =>
+  server.createContext("/api/v1/query", handler { ex => queryAdmitted(ex) {
     val p = params(ex)
     val q = p.get("query").flatMap(_.headOption)
       .getOrElse(throw new IllegalArgumentException("missing query param"))
     val timeNs = p.get("time").flatMap(_.headOption).map(secToNs)
     engine.execute(PromQL.transpileInstant(q, timeNs))(
       df => respondJson(ex, 200, ResultFormat.toPromVector(df)))
-  })
+  }})
 
   server.createContext("/api/v1/labels", handler { ex =>
     respondJson(ex, 200, promListPayload(engine.labels()))
@@ -276,6 +312,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
     if (ex.getRequestMethod != "POST") error(ex, 405, "POST only")
     else {
       val raw = readBody(ex)
+      writeAdmitted(ex, raw.length.toLong) {
       // bound the DECOMPRESSED size too before allocating — snappy's header
       // declares it, so a decompression bomb is rejected without inflating
       val proto =
@@ -294,6 +331,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
         engine.catalog.invalidateCache()
       }
       respond(ex, 204, Array.emptyByteArray, "text/plain")
+      }
     }
   })
 
@@ -307,8 +345,10 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
   server.createContext("/api/v1/ingest/arrow", handler { ex =>
     if (ex.getRequestMethod != "POST") error(ex, 405, "POST only")
     else {
+      val raw = readBody(ex)
+      writeAdmitted(ex, raw.length.toLong) {
       val points =
-        try graft.ingest.ArrowIngest.toRoutedPoints(readBody(ex))
+        try graft.ingest.ArrowIngest.toRoutedPoints(raw)
         catch {
           case e: HttpApi.HttpError => throw e
           case e: IllegalArgumentException => throw HttpApi.HttpError(400, e.getMessage)
@@ -324,10 +364,11 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
           metas
         }
       respondJson(ex, 200, s"""{"rows":${points.size},"chunks":${chunks.size}}""")
+      }
     }
   })
 
-  server.createContext("/api/v1/stream", handler { ex =>
+  server.createContext("/api/v1/stream", handler { ex => queryAdmitted(ex) {
     val p = params(ex)
     val query = p.get("query").flatMap(_.headOption)
       .getOrElse(throw new IllegalArgumentException("missing query param"))
@@ -404,7 +445,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
           "message" -> JString(Option(e.getMessage).getOrElse(e.toString))))
         catch { case scala.util.control.NonFatal(_) => () }
     } finally os.close()
-  })
+  }})
 
   server.createContext("/api/v1/series", handler { ex =>
     val matchers = params(ex).getOrElse("match[]", Nil).flatMap(PromQL.parseMatchers)
