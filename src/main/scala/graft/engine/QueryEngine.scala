@@ -186,7 +186,23 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
         val dir = new java.io.File(limits.l2CacheDir.get,
           s"l2-${java.util.UUID.randomUUID().toString.take(12)}").getAbsolutePath
         try {
-          df.coalesce(1).write.mode("overwrite").parquet(dir)
+          // Small (localizable) results — the dashboard shape, and the only
+          // shape that ever serves as a LocalRelation — demote as
+          // driver-serialized rows: both the write here and the later promote
+          // are pure local I/O, no Spark job on either side (the reference's
+          // foyer tier likewise moves raw bytes, not queries). Oversized
+          // results keep the parquet form so promote can re-persist them
+          // distributed.
+          val rows0 = collectForLocalize(() => df.limit(maxLocalRows + 1).collect())
+          if (rows0 != null && rows0.length <= maxLocalRows) {
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+            val oos = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(new java.io.File(dir, "rows.bin"))))
+            try { oos.writeObject(df.schema); oos.writeObject(rows0) }
+            finally oos.close()
+          } else {
+            df.coalesce(1).write.mode("overwrite").parquet(dir)
+          }
           val bytes = graft.ingest.ChunkStats.dirSize(java.nio.file.Paths.get(dir))
           Telemetry.l2Demotions.increment()
           l2Entries.synchronized {
@@ -239,13 +255,25 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     val ent = l2Entries.synchronized(l2Entries.get(key)) // touches LRU order
     if (ent == null) return None
     val (dir, bytes) = ent
-    // schema inference reads the footer eagerly — a corrupt/deleted file must
-    // throw HERE, inside the fail-open guard, not out of sql(). NonFatal ONLY,
-    // same discipline as collectForLocalize: an OOM must propagate.
+    // Everything that touches the file sits inside the fail-open guard — a
+    // corrupt/deleted file must fall through to a recompute, never out of
+    // sql(). NonFatal ONLY, same discipline as collectForLocalize: an OOM must
+    // propagate.
+    val rowsFile = new java.io.File(dir, "rows.bin")
     val read: Option[(Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] =
       try {
-        val pdf = spark.read.parquet(dir)
-        Some((pdf.limit(maxLocalRows + 1).collect(), pdf.schema))
+        if (rowsFile.isFile) { // serialized small result: pure driver-side read
+          val ois = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(rowsFile)))
+          try {
+            val schema = ois.readObject().asInstanceOf[org.apache.spark.sql.types.StructType]
+            val rows = ois.readObject().asInstanceOf[Array[org.apache.spark.sql.Row]]
+            Some((rows, schema))
+          } finally ois.close()
+        } else {
+          val pdf = spark.read.parquet(dir)
+          Some((pdf.limit(maxLocalRows + 1).collect(), pdf.schema))
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     read match {
       case None => // unreadable → forget the entry, recompute
@@ -529,6 +557,19 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   def isResultCached(query: String): Boolean = planCache.synchronized {
     cachedBytes.keysIterator.exists(_._1 == query) ||
       localizedKeys.exists(_._1 == query)
+  }
+
+  /** Probe/test hook: evict a query's L1 entries through the normal dropEntry
+    * path (materialized entries demote to L2 when the tier is enabled). Lets
+    * the bench measure the L2-hit latency deterministically — production code
+    * never needs this; eviction is budget-driven.
+    */
+  private[graft] def evictL1(query: String): Unit = planCache.synchronized {
+    val it = planCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == query) { dropEntry(e.getKey, e.getValue); it.remove() }
+    }
   }
 
   /** A repeated warm hit gets served the way the reference's L1 serves cached

@@ -61,7 +61,10 @@ class L2CacheSpec extends AnyFunSuite {
     val expected = eng.sql(qA).collect().map(_.toSeq).toSeq
     eng.sql(qB).count() // 1-byte retained budget → evicts qA → demote
     eventually() { Telemetry.l2Demotions.sum() > d0 }
-    assert(l2Dirs(dir).nonEmpty, "demoted parquet dir must exist")
+    assert(l2Dirs(dir).nonEmpty, "demoted entry dir must exist")
+    // small results demote as driver-serialized rows (no Spark job on promote)
+    assert(l2Dirs(dir).exists(d => new java.io.File(d, "rows.bin").isFile),
+      "localizable result must use the serialized-rows form")
     val h0 = Telemetry.l2Hits.sum()
     val served = eng.sql(qA)
     assert(Telemetry.l2Hits.sum() == h0 + 1, "repeat must be an L2 hit")
@@ -112,9 +115,10 @@ class L2CacheSpec extends AnyFunSuite {
     val expected = eng.sql(qA).collect().map(_.toSeq).toSeq
     eng.sql(qB).count()
     eventually() { Telemetry.l2Demotions.sum() > d0 }
-    // corrupt every demoted file: truncate the parquet payloads
+    // corrupt every demoted payload (serialized-rows or parquet form alike)
     l2Dirs(dir).foreach { d =>
-      Option(d.listFiles()).getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") || f.getName == "rows.bin")
         .foreach { f => val w = new java.io.FileOutputStream(f); w.write(1); w.close() }
     }
     val h0 = Telemetry.l2Hits.sum()
