@@ -159,9 +159,16 @@ object CatalogScale {
         val stream = Files.list(dir.resolve("shards"))
         try stream.count() finally stream.close()
       }
+      // spent-version ledger size after ~n/batch + concurrent commits: must
+      // stay bounded by SpentVersions floor compaction, not grow per-commit
+      val ledgerFiles = {
+        val stream = Files.list(dir.resolve(".versions"))
+        try stream.count() finally stream.close()
+      }
       System.err.println(s"[catscale] n=$n prune p50=${round2(pruneMs(pruneMs.size / 2))} ms " +
         s"p99=${round2(pruneMs((pruneMs.size * 99) / 100))} ms singleReg=${round2(singleRegMs.min)} ms " +
         s"flushReg=${round2(flushRegMs.min)} ms gc1k=${round2(gcMs)} ms shards=$shardCount " +
+        s"ledger=$ledgerFiles " +
         s"concWriters=$writers commits/s=${round2(concCommitsPerSec)}")
       s""""n_$n":{"meta_bytes":$docBytes,""" +
         s""""shard_files":$shardCount,""" +
@@ -173,6 +180,7 @@ object CatalogScale {
         s""""register_flush50_min_ms":${round2(flushRegMs.min)},""" +
         s""""register_single_min_ms":${round2(singleRegMs.min)},""" +
         s""""gc_1k_ms":${round2(gcMs)},""" +
+        s""""spent_ledger_files":$ledgerFiles,""" +
         s""""concurrent_writers":$writers,""" +
         s""""concurrent_commits":${writers * commitsPerWriter},""" +
         s""""concurrent_wall_ms":${round2(concWallMs)},""" +

@@ -140,8 +140,9 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
   private val legacyManifestFile = root.resolve("manifest.json")
   private val legacyFile = root.resolve("catalog.json")
   private val shardDir = root.resolve("shards")
-  // one empty file per committed version, never deleted: proof a version
-  // number was spent, so GC'd manifests can't be resurrected (see tryCommit)
+  // spent-version ledger: proof a version number was used, so GC'd manifests
+  // can't be resurrected (see tryCommit). Kept bounded by SpentVersions floor
+  // compaction — a floor file subsumes every marker at or below it.
   private val versionMarkers = root.resolve(".versions")
   private val lock = new Object
 
@@ -565,9 +566,7 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     // zombie manifest: a version only gets cleaned up after a higher one
     // committed, so the on-disk max stayed above it throughout.
     val committed = linked && {
-      val fresh =
-        try { Files.createFile(versionMarkers.resolve(version.toString)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      val fresh = SpentVersions.mark(versionMarkers, version)
       if (!fresh) Files.deleteIfExists(root.resolve(manifestFileName(version)))
       fresh
     }
@@ -587,10 +586,10 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     try {
       var v = version - 1
       while (v > 0L && {
-        try Files.createFile(versionMarkers.resolve(v.toString))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        SpentVersions.markSpent(versionMarkers, v)
         Files.deleteIfExists(root.resolve(manifestFileName(v)))
       }) v -= 1
+      SpentVersions.compact(versionMarkers, version)
       (kept ++ dropped).foreach { k =>
         s.shardFiles.get(k).filterNot(f => written.get(k).contains(f)).foreach(old =>
           Files.deleteIfExists(shardDir.resolve(old)))

@@ -66,7 +66,8 @@ final class LeaseStore(
 
   import LeaseStore._
 
-  // spent-version markers, never deleted (see tryCommit)
+  // spent-version ledger (bounded by SpentVersions floor compaction — see
+  // tryCommit and SpentVersions)
   private val markers = root.resolve(".versions")
 
   Files.createDirectories(root)
@@ -230,9 +231,7 @@ final class LeaseStore(
         try { Files.createLink(target, tmp); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       val committed = linked && {
-        val fresh =
-          try { Files.createFile(markers.resolve((loadedVer + 1).toString)); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        val fresh = SpentVersions.mark(markers, loadedVer + 1)
         if (!fresh) Files.deleteIfExists(target)
         fresh
       }
@@ -242,10 +241,10 @@ final class LeaseStore(
         // raced it re-list and find this newer one
         var v = loadedVer
         while (v > 0L && {
-          try Files.createFile(markers.resolve(v.toString))
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          SpentVersions.markSpent(markers, v)
           Files.deleteIfExists(root.resolve(fileName(v)))
         }) v -= 1
+        SpentVersions.compact(markers, loadedVer + 1)
       }
       committed
     } finally {
