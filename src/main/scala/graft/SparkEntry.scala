@@ -572,6 +572,21 @@ object SparkEntry {
            |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
     }),
 
+    // §2.10 extension — Z-order clustered compaction (Delta OPTIMIZE ZORDER
+    // analog): the same 12 h warehouse compacted with clusterBy (metric_name,
+    // host); merges z-sort and range-split into z-bucket chunks whose zone
+    // maps are tight in BOTH columns, so the host predicate here prunes
+    // chunks at planning time. Data must remain byte-identical to raw.
+    "q_compact_zorder" -> ((s, dir) => {
+      val half = Jan1Ns + 43200L * 1000000000L
+      val eng = zorderedEngine(s, dir, half)
+      eng.sql(
+        s"""SELECT metric_name, COUNT(*) AS cnt, ROUND(SUM(value_f64), 4) AS sum_v
+           |FROM metrics WHERE timestamp_ns >= $Jan1Ns AND timestamp_ns <= $half
+           | AND host = 'h3'
+           |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
+    }),
+
     // §2.1 Prometheus remote-write value routing: integral≥0 → value_u64, integral<0
     // → value_i64, fractional/huge → value_f64; ms→ns; __name__→metric_name
     // (prometheus.rs:356-485).
@@ -1321,6 +1336,33 @@ object SparkEntry {
       new graft.engine.QueryEngine(s, catalog)
     })
 
+  /** Memoized Z-ORDER-compacted warehouse for q_compact_zorder: same build as
+    * compactedEngine but the sweep clusters by (metric_name, host) and
+    * range-splits into z-bucket chunks (small target so the fixture actually
+    * splits), so the query's host predicate prunes via zone maps.
+    */
+  private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.engine.QueryEngine]()
+
+  private def zorderedEngine(s: SparkSession, dir: String,
+                             maxTsExclusiveNs: Long): graft.engine.QueryEngine =
+    zorderCache.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_q_")
+      val catalog = new graft.catalog.ChunkCatalog(tmp)
+      val writer = new graft.ingest.ChunkWriter(catalog)
+      val m = eventsAsMetrics(s, dir).filter(col("timestamp_ns") < maxTsExclusiveNs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      writer.write(m.filter(col("timestamp_ns") % 2 === 0))
+      writer.write(m.filter(col("timestamp_ns") % 2 =!= 0))
+      m.unpersist(blocking = false)
+      new graft.compact.Compactor(s, catalog, l0FileThreshold = 2,
+        clusterBy = Seq("metric_name", "host"),
+        clusterTargetBytes = 32L << 10,
+        clusterMinLevel = 1).runOnce()
+      new graft.engine.QueryEngine(s, catalog)
+    })
+
   /** Memoized post-split warehouse for q_split_shard: 12 h ingested then split
     * at hour 6, built once per (session, dir).
     */
@@ -1749,6 +1791,13 @@ object SparkEntry {
       """SELECT event_type AS metric_name, count(*) AS cnt, round(sum(value), 4) AS sum_v
         |FROM events
         |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704110400000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_compact_zorder" ->
+      """SELECT event_type AS metric_name, count(*) AS cnt, round(sum(value), 4) AS sum_v
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704110400000000000
+        | AND 'h' || CAST(user_id % 10 AS VARCHAR) = 'h3'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ingest_prom_route" ->

@@ -32,7 +32,18 @@ final class Compactor(
     // mod.rs:567-636). None = single-compactor deployment, no lease traffic.
     leases: Option[LeaseStore] = None,
     nodeId: String = "local",
-    leaseRenewIntervalMs: Long = 120000L) { // renew every 2 min, TTL 5 min
+    leaseRenewIntervalMs: Long = 120000L, // renew every 2 min, TTL 5 min
+    // Z-order clustering of COLD output (Delta OPTIMIZE ZORDER analog): merges
+    // landing at level >= clusterMinLevel sort by the Morton key of these
+    // columns and range-split into ~clusterTargetBytes chunks, so zone maps
+    // become tight rectangles in EVERY clustered column — a `host = ...`
+    // predicate then prunes chunks/row-groups instead of reading the whole
+    // time window. Default OFF: hot levels stay timestamp-sorted (live-merge
+    // and rollup scans are time-ordered; clustering there would cost more in
+    // re-sorts than it saves).
+    clusterBy: Seq[String] = Nil,
+    clusterTargetBytes: Long = 256L << 20,
+    clusterMinLevel: Int = 2) {
 
   /** Candidate groups skipped because another holder leased them or had
     * already compacted them (lease-mode observability, monotonic).
@@ -122,6 +133,8 @@ final class Compactor(
     */
   def compactGroups(groups: Seq[Seq[ChunkMeta]]): Seq[ChunkMeta] = {
     if (groups.isEmpty) return Nil
+    if (clusterBy.nonEmpty && groups.exists(clusterEligible))
+      return compactGroupsClustered(groups)
     if (groups.size == 1) return Seq(compactGroup(groups.head))
     import org.apache.spark.sql.functions.{col, lit}
     val batchDir = catalog.root.resolve(
@@ -154,6 +167,136 @@ final class Compactor(
         sizeBytes = ChunkStats.dirSize(java.nio.file.Paths.get(path)),
         schemaDdl = Some(org.apache.spark.sql.types.StructType(
           union.schema.fields.filterNot(_.name == "__grp")).toDDL))
+    }
+    val oldPaths = groups.flatten.map(_.path)
+    catalog.replaceChunks(oldPaths, newMetas)
+    catalog.deferDelete(oldPaths, System.currentTimeMillis())
+    newMetas
+  }
+
+  /** A group's merge output lands at level >= clusterMinLevel — cold data
+    * worth paying the clustering sort for.
+    */
+  private def clusterEligible(g: Seq[ChunkMeta]): Boolean =
+    g.map(_.level).max + 1 >= clusterMinLevel
+
+  /** Per-cluster-column code normalization derived from the CATALOG zone maps
+    * of the groups being merged — zero extra data passes: the stats were
+    * collected when the sources were written. Missing stats fall back to the
+    * full-domain default code (clustering quality degrades, correctness
+    * can't — zone maps of the OUTPUT always store true raw min/max).
+    */
+  private def zNorms(groups: Seq[Seq[ChunkMeta]],
+                     schema: org.apache.spark.sql.types.StructType)
+      : Seq[graft.functions.ZOrderExpressions.ColumnNorm] = {
+    import graft.functions.ZOrderExpressions._
+    import org.apache.spark.sql.types.{StringType, LongType, IntegerType, DoubleType}
+    val stats = groups.flatten.map(_.columnStats)
+    clusterBy.map { c =>
+      val s = stats.flatMap(_.get(c))
+      schema.find(_.name == c).map(_.dataType) match {
+        case Some(StringType) =>
+          val mins = s.flatMap(_.minString)
+          val maxs = s.flatMap(_.maxString)
+          if (mins.isEmpty || maxs.isEmpty) Default
+          else {
+            val skip = commonPrefixBytes(mins.min, maxs.max)
+            StringPrefix(skip, stringCode(mins.min, skip), stringCode(maxs.max, skip))
+          }
+        case Some(LongType | IntegerType) =>
+          val mins = s.flatMap(_.minLong)
+          val maxs = s.flatMap(_.maxLong)
+          if (mins.isEmpty || maxs.isEmpty) Default else LongRange(mins.min, maxs.max)
+        case Some(DoubleType) =>
+          val mins = s.flatMap(_.minDouble)
+          val maxs = s.flatMap(_.maxDouble)
+          if (mins.isEmpty || maxs.isEmpty) Default else DoubleRange(mins.min, maxs.max)
+        case _ => Default
+      }
+    }
+  }
+
+  /** Clustered variant of the batched sweep: eligible groups sort by the
+    * Z-order key of `clusterBy` and range-split (by z-prefix bucket) into
+    * ~clusterTargetBytes chunks; ineligible groups in the same sweep keep the
+    * plain single-chunk timestamp sort. Still 2 Spark jobs for the whole sweep
+    * and one atomic catalog swap — the clustering adds a shuffle column and a
+    * different sort key, not extra passes (code norms come from catalog
+    * stats). Each (group, z-bucket) cell becomes one chunk whose zone maps are
+    * a tight rectangle in every clustered column, so equality/range predicates
+    * on those columns prune at the CATALOG level, and the z-sort inside each
+    * chunk tightens parquet row-group stats the same way.
+    */
+  private def compactGroupsClustered(groups: Seq[Seq[ChunkMeta]]): Seq[ChunkMeta] = {
+    import org.apache.spark.sql.functions.{col, lit, when, shiftrightunsigned}
+    import org.apache.spark.sql.GraftBridge
+    val batchDir = catalog.root.resolve(
+      s"default/data/compacted/sweep=${UUID.randomUUID()}")
+    val tagged = groups.zipWithIndex.map { case (g, i) =>
+      val df = ChunkCatalog.mergedSchema(g) match {
+        case Some(schema) => spark.read.schema(schema).parquet(g.map(_.path): _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(g.map(_.path): _*)
+      }
+      df.withColumn("__grp", lit(i))
+    }
+    val union = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    val haveCols = clusterBy.forall(c => union.schema.fieldNames.contains(c))
+    val eligible = groups.zipWithIndex.collect {
+      case (g, i) if haveCols && clusterEligible(g) => i
+    }.toSet
+    // z-prefix bucket count per group: enough ~clusterTargetBytes chunks to
+    // cover the group's bytes, capped at 64 (2^6) buckets
+    val bucketBits: Map[Int, Int] = groups.zipWithIndex.collect {
+      case (g, i) if eligible(i) =>
+        val n = math.max(1L, g.map(_.sizeBytes).sum / clusterTargetBytes)
+        i -> math.min(6, 64 - java.lang.Long.numberOfLeadingZeros(n - 1) max 0)
+    }.toMap
+    val zCol =
+      if (eligible.isEmpty) lit(0L)
+      else GraftBridge.column(graft.functions.ZOrderExpressions.ZOrder64(
+        clusterBy.map(c => GraftBridge.expression(col(c))),
+        zNorms(eligible.toSeq.sorted.map(groups), union.schema)))
+    // bucket = top b bits of the UNSIGNED curve position (the key is
+    // sign-flipped for signed ORDER BY semantics — undo that first)
+    val zUnsigned = zCol.bitwiseXOR(lit(Long.MinValue))
+    val zbCol = bucketBits.foldLeft(lit(0L)) { case (acc, (i, b)) =>
+      if (b == 0) acc
+      else when(col("__grp") === i, shiftrightunsigned(zUnsigned, 64 - b)).otherwise(acc)
+    }
+    // clustered groups sort by z (then time); plain groups keep time order
+    val zSort =
+      if (eligible.isEmpty) col("timestamp_ns")
+      else {
+        val isEligible = eligible.foldLeft(lit(false)) {
+          (acc, i) => acc || (col("__grp") === i)
+        }
+        when(isEligible, zCol).otherwise(col("timestamp_ns"))
+      }
+    val withZb = union.withColumn("__zb", zbCol)
+    withZb
+      .repartition(col("__grp"), col("__zb"))
+      .sortWithinPartitions(col("__grp"), col("__zb"), zSort,
+        col("timestamp_ns"), col("metric_name"))
+      .write
+      .partitionBy("__grp", "__zb")
+      .option("compression", "zstd")
+      .parquet(batchDir.toString)
+    val statsMetas = ChunkStats.computePartitionedFromDf(
+      withZb, batchDir.toString, Seq("__grp", "__zb"))
+    val byGrp = statsMetas.groupBy { m =>
+      // path …/__grp=<i>/__zb=<j>
+      m.path.split("/__grp=")(1).split("/")(0).toInt
+    }
+    val newMetas = groups.zipWithIndex.flatMap { case (g, i) =>
+      val cells = byGrp.getOrElse(i,
+        throw new IllegalStateException(s"missing sweep stats for group $i"))
+      cells.map(m => m.copy(
+        level = g.map(_.level).max + 1,
+        sourcePaths = Compactor.l0Provenance(g),
+        sizeBytes = ChunkStats.dirSize(java.nio.file.Paths.get(m.path)),
+        schemaDdl = Some(org.apache.spark.sql.types.StructType(
+          union.schema.fields.filterNot(f =>
+            f.name == "__grp" || f.name == "__zb")).toDDL)))
     }
     val oldPaths = groups.flatten.map(_.path)
     catalog.replaceChunks(oldPaths, newMetas)

@@ -110,5 +110,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_nfc", args, 1)
         graft.sources.DocumentSources.NfcNormalize(args.head)
+      }),
+    ("graft_zorder64",
+      info("graft_zorder64",
+        "graft_zorder64(c1, ..., ck) - 64-bit Z-order (Morton) clustering key of" +
+          " 1..8 string/long/int/double columns; ORDER BY it to co-locate rows" +
+          " close in every dimension."),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.size <= 8,
+          s"graft_zorder64 expects 1..8 arguments, got ${args.size}")
+        ZOrderExpressions.ZOrder64(args,
+          args.map(_ => ZOrderExpressions.Default))
       }))
 }
