@@ -1244,6 +1244,15 @@ object SparkEntry {
       graft.text.TextFunctions.bm25TopK(t(s, dir, "documents"),
         Seq("vector", "stream", "agg"), k = 50)),
 
+    // LLM ops — hybrid retrieval: BM25 list + dense cosine list fused by
+    // Reciprocal Rank Fusion (the standard hybrid-search combiner). doc_id and
+    // vec_id are aligned in the fixtures, so the dense query is "documents
+    // like doc 0" and the lexical query is the same terms as q_doc_bm25.
+    "q_doc_hybrid_rrf" -> ((s, dir) =>
+      graft.text.TextFunctions.hybridRrfTopK(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        Seq("vector", "stream", "agg"), queryVecId = 0L, k = 20)),
+
     // LLM ops — multimodal: metadata-only stats over binary payload columns (the
     // scan must never decode payloads; column pruning keeps it to metadata cols).
     "q_multimodal_stats" -> ((s, dir) =>
@@ -2475,6 +2484,45 @@ object SparkEntry {
         |   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token), corpus
         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
+    // RRF fusion of the q_doc_bm25 lexical list with the exact dense top-k
+    // for query vector 0; ranks (score DESC, id ASC) are deterministic on
+    // both engines, and the fused score is a 2-term double sum in fixed order.
+    "q_doc_hybrid_rrf" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |            FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+        |       WHERE token IN ('vector', 'stream', 'agg') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |lex_scored AS (
+        | SELECT doc_id, round(sum(
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        | FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token), corpus
+        | GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |        FROM lex_scored),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |dense_scored AS (
+        | SELECT c.vec_id AS doc_id,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y) z)
+        |  / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(c.embedding) AS x) z2))
+        |   * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(q.qv) AS y) z3))) AS cos
+        | FROM embeddings c, q),
+        |dense AS (SELECT doc_id, dense_rank FROM (
+        | SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank
+        | FROM dense_scored) WHERE dense_rank <= 50)
+        |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+        |  round(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf,
+        |  lex_rank, dense_rank
+        |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -247,6 +247,45 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Hybrid lexical+dense retrieval by Reciprocal Rank Fusion (Cormack,
+    * Clarke & Büttcher 2009; the fusion Elasticsearch/OpenSearch ship):
+    *
+    *   rrf(d) = Σ_lists 1/(rrfK + rank_list(d)),  absent from a list ⇒ 0
+    *
+    * Lists here: [[bm25TopK]] over `queryTerms` and exact cosine top-k against
+    * the embedding of `queryVecId` (brute force — swap in the IVF/LSH probe
+    * for the 100 TB path; the fusion only consumes (id, rank)). Rank fusion
+    * deliberately ignores the incomparable raw scores — BM25 sums and cosines
+    * live on different scales, which is exactly why production hybrid search
+    * fuses on ranks. Both per-list ranks are deterministic (score desc, id
+    * asc) so the fused ordering is reproducible across engines; ranks are
+    * kept in the output for interpretability.
+    *
+    * Scale shape: each list is already top-`kEach` (tiny) before the fusion's
+    * full-outer join, so fusion cost is O(kEach) regardless of corpus size;
+    * everything upstream inherits the lists' own scale posture.
+    */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+                    queryTerms: Seq[String], queryVecId: Long, k: Int,
+                    kEach: Int = 50, rrfK: Double = 60.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, queryTerms, kEach)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dense = graft.sim.Similarity.bruteForceTopK(embeddings, qv, kEach)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "rrf", "lex_rank", "dense_rank")
+  }
+
   /** CCNet-style statistical LM quality scoring (Wenzek et al. 2020): each
     * document's mean log10 probability under an add-one-smoothed UNIGRAM model
     * estimated from `lmCorpus` (defaults to the scored corpus itself — the

@@ -355,6 +355,40 @@ class TextDedupSimSpec extends AnyFunSuite {
 
   private def round4(d: Double): Double = math.round(d * 10000.0) / 10000.0
 
+  test("hybridRrfTopK: rank fusion rewards presence in both lists, absent = 0 contribution") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // lexical signal: doc 0 strongest for "x" (doc length normalization);
+    // dense signal: vec 1 is the query itself, vec 2 close to it, vec 0 orthogonal
+    val docs = Seq(
+      (0L, "x x x a"), (1L, "x a b c"), (2L, "a b c d"), (3L, "x x a b"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(0f, 1f, 0f)), (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f)), (3L, Seq(0.5f, 0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.text.TextFunctions.hybridRrfTopK(
+      docs, emb, Seq("x"), queryVecId = 1L, k = 4, kEach = 3)
+      .collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getDouble(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    // lex list (k=3): 0, 3, 1 (tf-normalized, doc_id tiebreak); dense: 1, 2, 3
+    assert(byId(0L)._2.contains(1L) && byId(0L)._3.isEmpty)
+    assert(byId(1L)._2.contains(3L) && byId(1L)._3.contains(1L))
+    assert(byId(2L)._2.isEmpty && byId(2L)._3.contains(2L))
+    // fused scores are exactly 1/(60+lex) + 1/(60+dense) with absent = 0
+    def rrf(lex: Option[Long], dense: Option[Long]) = math.round((
+      lex.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+      dense.map(r => 1.0 / (60 + r)).getOrElse(0.0)) * 1e6) / 1e6
+    byId.foreach { case (_, (score, l, d)) =>
+      assert(math.abs(score - rrf(l.map(_.asInstanceOf[Long]), d.map(_.asInstanceOf[Long]))) < 1e-9)
+    }
+    // doc 1 (in BOTH lists) outranks doc 0 (top of one list only)
+    assert(byId(1L)._1 > byId(0L)._1)
+    // the fused ordering is rrf desc
+    assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).sortBy(-_).toSeq)
+  }
+
   test("vocab top-k: frequency order with alphabetical tiebreak") {
     val spark = SparkTestBase.spark
     import spark.implicits._
