@@ -71,8 +71,10 @@ object ZOrderProbe {
       val cat = new graft.catalog.ChunkCatalog(root)
       val writer = new graft.ingest.ChunkWriter(cat)
       // two interleaved flushes per hour → ripe L0 groups at threshold 2
-      writer.write(gen.filter(col("timestamp_ns") % 2 === 0))
-      writer.write(gen.filter(col("timestamp_ns") % 2 =!= 0))
+      // (parity of the SECOND — timestamps step at 1 s, so raw-ns parity
+      // would put every row in one flush)
+      writer.write(gen.filter((col("timestamp_ns") / 1000000000L) % 2 === 0))
+      writer.write(gen.filter((col("timestamp_ns") / 1000000000L) % 2 =!= 0))
       val comp =
         if (cluster) new graft.compact.Compactor(spark, cat, l0FileThreshold = 2,
           clusterBy = Seq("metric_name", "host"),
@@ -85,6 +87,14 @@ object ZOrderProbe {
     val (plainEng, plainCat, plainSweep) = build(cluster = false)
     val (zEng, zCat, zSweep) = build(cluster = true)
     println(s"[zorder] chunks: plain=${plainCat.allChunks.size} z=${zCat.allChunks.size}")
+    // both layouts must hold every generated row, and clustering must have
+    // actually range-split (otherwise the probe is measuring nothing)
+    require(plainCat.allChunks.map(_.rowCount).sum == nRows &&
+      zCat.allChunks.map(_.rowCount).sum == nRows,
+      s"row loss: plain=${plainCat.allChunks.map(_.rowCount).sum} " +
+        s"z=${zCat.allChunks.map(_.rowCount).sum} want=$nRows")
+    require(zCat.allChunks.size > plainCat.allChunks.size,
+      "clustered sweep did not range-split — no z-buckets were produced")
 
     val endNs = t0 + hours * hourNs
     val queries = Seq(
@@ -100,25 +110,38 @@ object ZOrderProbe {
            |  AND value_f64 > ${-100000 - i}
            |GROUP BY metric_name ORDER BY metric_name""".stripMargin
 
-      def drive(eng: graft.engine.QueryEngine): (Seq[String], Double, Seq[Double], Long) = {
-        var rows: Seq[String] = Nil
-        val runs = (1 to 5).map { i =>
-          val (r, sec) = time(s"$name run$i")(eng.sql(q(i)).collect())
-          rows = r.map(_.toString).toSeq
-          sec
-        }
-        val pruned = eng.lastPrunedPaths
-        val byPath = (plainCat.allChunks ++ zCat.allChunks).map(c => c.path -> c.sizeBytes).toMap
-        val bytes = pruned.flatMap(byPath.get).sum
-        (rows, medianOf(runs), runs, bytes)
-      }
-
-      val (pRows, pMed, _, pBytes) = drive(plainEng)
-      val pChunks = plainEng.lastPrunedPaths.size
-      val (zRows, zMed, _, zBytes) = drive(zEng)
-      val zChunks = zEng.lastPrunedPaths.size
-      require(pRows == zRows,
-        s"$name: clustered result diverged from plain (${pRows.size} vs ${zRows.size} rows)")
+      // INTERLEAVED plain/z runs: back-to-back pairs see the same JIT and
+      // page-cache state, so the median ratio measures the layout, not which
+      // engine ran first
+      var pRows: Seq[(String, Long, Double)] = Nil
+      var zRows: Seq[(String, Long, Double)] = Nil
+      var pChunksPaths: Seq[String] = Nil
+      var zChunksPaths: Seq[String] = Nil
+      def typed(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val (pRuns, zRuns) = (1 to 5).map { i =>
+        val (pr, pSec) = time(s"$name plain run$i")(plainEng.sql(q(i)).collect())
+        pRows = typed(pr)
+        pChunksPaths = plainEng.lastPrunedPaths
+        val (zr, zSec) = time(s"$name z run$i")(zEng.sql(q(i)).collect())
+        zRows = typed(zr)
+        zChunksPaths = zEng.lastPrunedPaths
+        (pSec, zSec)
+      }.unzip
+      val byPath = (plainCat.allChunks ++ zCat.allChunks).map(c => c.path -> c.sizeBytes).toMap
+      val pMed = medianOf(pRuns); val zMed = medianOf(zRuns)
+      val pBytes = pChunksPaths.flatMap(byPath.get).sum
+      val zBytes = zChunksPaths.flatMap(byPath.get).sum
+      val pChunks = pChunksPaths.size
+      val zChunks = zChunksPaths.size
+      // groups and counts must match exactly; the double SUM is order-sensitive
+      // (different layout ⇒ different summation order), so compare within 1e-9
+      // relative — layout must not change WHICH rows aggregate, only their order
+      require(pRows.size == zRows.size &&
+        pRows.zip(zRows).forall { case ((gp, cp, sp), (gz, cz, sz)) =>
+          gp == gz && cp == cz && math.abs(sp - sz) <= 1e-9 * math.max(math.abs(sp), 1.0)
+        },
+        s"$name: clustered result diverged from plain:\n p=$pRows\n z=$zRows")
       println(f"[zorder] $name: plain ${pMed}%.2f s / $pChunks chunks / ${pBytes / 1e6}%.0f MB" +
         f"  vs z ${zMed}%.2f s / $zChunks chunks / ${zBytes / 1e6}%.0f MB")
       name -> Map(
