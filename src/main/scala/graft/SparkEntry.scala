@@ -235,7 +235,13 @@ object SparkEntry {
         .join(nation, customer("c_nationkey") === nation("n_nationkey"))
         .join(region, nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        // sum in DECIMAL: double-sum order differs with partitioning, and at
+        // 100x fixtures the reordered low bits cross round(,2) boundaries —
+        // decimal accumulation is exact and order-independent (same idiom as
+        // q_agg_groupby)
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -1581,7 +1587,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_broadcast" ->
-      """SELECT r_name, n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      """SELECT r_name, n_name, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
