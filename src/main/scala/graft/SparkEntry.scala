@@ -1250,6 +1250,11 @@ object SparkEntry {
       graft.text.TextFunctions.bm25TopK(t(s, dir, "documents"),
         Seq("vector", "stream", "agg"), k = 50)),
 
+    // LLM ops — BPE/WordPiece merge-pair counting (tokenizer-training stage 1):
+    // top-k adjacent-token-pair frequencies over the corpus.
+    "q_doc_bpe_pairs" -> ((s, dir) =>
+      graft.text.TextFunctions.bpePairTopK(t(s, dir, "documents"), k = 40)),
+
     // LLM ops — hybrid retrieval: BM25 list + dense cosine list fused by
     // Reciprocal Rank Fusion (the standard hybrid-search combiner). doc_id and
     // vec_id are aligned in the fixtures, so the dense query is "documents
@@ -2491,6 +2496,14 @@ object SparkEntry {
         |   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token), corpus
         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_doc_bpe_pairs" ->
+      """WITH tk AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |            FROM documents WHERE length(trim(text)) > 0),
+        |p AS (SELECT toks[i] || ' ' || toks[i+1] AS pair
+        |      FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS u(i))
+        |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
 
     // RRF fusion of the q_doc_bm25 lexical list with the exact dense top-k
     // for query vector 0; ranks (score DESC, id ASC) are deterministic on

@@ -208,6 +208,33 @@ object TextFunctions {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Top-k adjacent-token-pair frequencies over the corpus — the counting
+    * stage of BPE/WordPiece tokenizer training (Sennrich et al. 2016: each
+    * merge round selects the most frequent adjacent pair; at corpus scale the
+    * count is the expensive part and it is exactly this operator). Pairs come
+    * from the shared whitespace tokenization; documents contribute their
+    * |d|−1 adjacent pairs.
+    *
+    * Scale shape: zip-shifted slices build the pair array map-side (no join,
+    * no window), one explode, one map-side-combined hash aggregation — the
+    * same linear shape as [[vocabTopK]]. Ties break lexicographically so the
+    * top-k boundary is engine-deterministic.
+    */
+  def bpePairTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val pairs = zip_with(
+      slice(toks, lit(1), n - 1),
+      slice(toks, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Okapi BM25 scoring of every document against a bag of query terms —
     * the lexical-retrieval primitive of training-data QA (find what a probe
     * query surfaces from the corpus) and of retrieval-based decontamination.

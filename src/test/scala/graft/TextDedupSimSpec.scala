@@ -355,6 +355,25 @@ class TextDedupSimSpec extends AnyFunSuite {
 
   private def round4(d: Double): Double = math.round(d * 10000.0) / 10000.0
 
+  test("bpePairTopK: adjacent-pair counts with deterministic tie-break, degenerate docs contribute nothing") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b c"),   // pairs: "a b"×2? no — a b, b a, a b, b c
+      (1L, "a b"),         // a b
+      (2L, "x"),           // single token → no pairs
+      (3L, ""),            // empty → filtered
+      (4L, "  A  b  ")     // lowercased + trimmed → a b
+      ).toDF("doc_id", "text")
+    val rows = graft.text.TextFunctions.bpePairTopK(docs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a b", 4L), ("b a", 1L), ("b c", 1L)),
+      s"got ${rows.toSeq}")
+    // k bounds the output, ordering cnt desc then pair asc
+    assert(graft.text.TextFunctions.bpePairTopK(docs, k = 1)
+      .collect().map(_.getString(0)).toSeq == Seq("a b"))
+  }
+
   test("hybridRrfTopK: rank fusion rewards presence in both lists, absent = 0 contribution") {
     val spark = SparkTestBase.spark
     import spark.implicits._
