@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -101,7 +102,7 @@ object ZOrderExpressions {
     * stay total.
     */
   case class ZOrder64(children: Seq[Expression], norms: Seq[ColumnNorm])
-      extends Expression with CodegenFallback {
+      extends Expression {
     require(children.nonEmpty && children.size <= 8,
       s"zorder64 takes 1..8 columns, got ${children.size}")
     require(norms.size == children.size, "one norm per child")
@@ -160,14 +161,23 @@ object ZOrderExpressions {
       }
     }
 
-    override def eval(input: InternalRow): Any = {
-      val k = children.size
-      val codes = new Array[Long](k)
-      var i = 0
-      while (i < k) {
-        codes(i) = code(i, children(i).eval(input)) & MaxCode
-        i += 1
-      }
+    // type-specialized code entry points for the generated Java (no boxing;
+    // the boxing of `Any` happens once here in compiled Scala, not per call
+    // site in Janino, which does not autobox)
+    def codeString(i: Int, v: UTF8String): Long = code(i, v) & MaxCode
+    def codeLong(i: Int, v: Long): Long = code(i, v) & MaxCode
+    def codeInt(i: Int, v: Int): Long = code(i, v) & MaxCode
+    def codeDouble(i: Int, v: Double): Long = code(i, v) & MaxCode
+
+    /** MSB-first round-robin interleave of the 32-bit codes, left-aligned (so
+      * top-bits bucketing is child-count independent), then SIGN-BIT FLIPPED:
+      * the raw interleave is an unsigned quantity, but Spark sorts LongType
+      * signed — without the flip, keys with child 0's top code bit set would
+      * sort BEFORE the low half and the curve order would tear in the middle.
+      * With it, signed ORDER BY == z order. Shared by eval and codegen.
+      */
+    def interleave(codes: Array[Long]): Long = {
+      val k = codes.length
       var out = 0L
       var b = 0
       while (b < bitsPer) {
@@ -178,12 +188,48 @@ object ZOrderExpressions {
         }
         b += 1
       }
-      // left-align (so top-bits bucketing is child-count independent), then
-      // FLIP THE SIGN BIT: the raw interleave is an unsigned quantity, but
-      // Spark sorts LongType signed — without the flip, keys with child 0's
-      // top code bit set would sort BEFORE the low half and the curve order
-      // would tear in the middle. With it, signed ORDER BY == z order.
       (out << (64 - bitsPer * k)) ^ Long.MinValue
+    }
+
+    override def eval(input: InternalRow): Any = {
+      val k = children.size
+      val codes = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        codes(i) = code(i, children(i).eval(input)) & MaxCode
+        i += 1
+      }
+      interleave(codes)
+    }
+
+    /** Real codegen (not CodegenFallback): children stay inside whole-stage
+      * codegen; per child one static-shaped call into this expression object
+      * (added as a reference object) computes the 32-bit code, then one call
+      * interleaves. Matters because the z-key is evaluated once per ROW of
+      * every clustered compaction merge (tens of millions of rows per sweep).
+      */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("zorder", this, classOf[ZOrder64].getName)
+      val evals = children.map(_.genCode(ctx))
+      val codes = ctx.freshName("zcodes")
+      val assigns = children.zip(evals).zipWithIndex.map { case ((c, e), i) =>
+        val m = c.dataType match {
+          case StringType => "codeString"
+          case LongType => "codeLong"
+          case IntegerType => "codeInt"
+          case DoubleType => "codeDouble"
+          case dt => throw new IllegalStateException(s"zorder64 codegen: $dt")
+        }
+        code"""
+          ${e.code}
+          $codes[$i] = ${e.isNull} ? 0L : $ref.$m($i, ${e.value});"""
+      }.reduce(_ + _)
+      ev.copy(
+        code = code"""
+          long[] $codes = new long[${children.size}];
+          $assigns
+          final long ${ev.value} = $ref.interleave($codes);""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     }
 
     override protected def withNewChildrenInternal(

@@ -91,6 +91,39 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z == zEval(norms, "", "x"), "null clusters with the low end")
   }
 
+  test("codegen path equals interpreted eval bit-for-bit") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val s = if (i % 17 == 0) null else s"host-${rnd.nextInt(1000)}"
+      val l = rnd.nextLong()
+      val d = if (i % 13 == 0) Double.NaN else rnd.nextDouble() * 2e6 - 1e6
+      (s, l, d)
+    }
+    val norms = Seq[ColumnNorm](
+      StringPrefix(5, stringCode("0", 0), stringCode("999", 0)),
+      LongRange(-1000L, 1000L), DoubleRange(-1e6, 1e6))
+    val df = rows.toDF("s", "l", "d")
+    import org.apache.spark.sql.GraftBridge
+    val expr = ZOrder64(Seq(
+      GraftBridge.expression(col("s")),
+      GraftBridge.expression(col("l")),
+      GraftBridge.expression(col("d"))), norms)
+    // DataFrame execution takes the doGenCode path — and with fallback OFF a
+    // Janino compile error fails the test instead of silently degrading to
+    // the interpreted path (which would make this equivalence check vacuous)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val fromCodegen =
+      try df.select(GraftBridge.column(expr).as("z")).collect().map(_.getLong(0))
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // direct eval is the interpreted path
+    val fromEval = rows.map { case (s, l, d) =>
+      zEval(norms, s, l, d)
+    }
+    assert(fromCodegen.toSeq == fromEval, "codegen and interpreted keys diverge")
+  }
+
   test("graft_zorder64 SQL function is registered and deterministic") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
