@@ -1373,13 +1373,28 @@ object SparkEntry {
       val writer = new graft.ingest.ChunkWriter(catalog)
       val m = eventsAsMetrics(s, dir).filter(col("timestamp_ns") < maxTsExclusiveNs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      writer.write(m.filter(col("timestamp_ns") % 2 === 0))
-      writer.write(m.filter(col("timestamp_ns") % 2 =!= 0))
+      // interleave the two flushes by a HASH of the timestamp: the fixture's
+      // ns values carry only µs precision, so raw ns parity is degenerate
+      // (all even → one empty flush → L0 never ripens → the sweep would
+      // silently never exercise the clustered path)
+      val side = pmod(xxhash64(col("timestamp_ns")), lit(2))
+      writer.write(m.filter(side === 0))
+      writer.write(m.filter(side === 1))
       m.unpersist(blocking = false)
-      new graft.compact.Compactor(s, catalog, l0FileThreshold = 2,
+      val targetBytes = 32L << 10
+      // splitting is only possible when some hour group carries >= 2 buckets
+      // of data — at sf0.001 the whole window is a few KB and the sweep
+      // legitimately emits one chunk per hour (still clustered WITHIN)
+      val splittable = catalog.allChunks
+        .groupBy(_.minTimestampNs / 3600000000000L)
+        .values.exists(_.map(_.sizeBytes).sum >= 2 * targetBytes)
+      val out = new graft.compact.Compactor(s, catalog, l0FileThreshold = 2,
         clusterBy = Seq("metric_name", "host"),
-        clusterTargetBytes = 32L << 10,
+        clusterTargetBytes = targetBytes,
         clusterMinLevel = 1).runOnce()
+      val hours = catalog.allChunks.map(_.minTimestampNs / 3600000000000L).distinct.size
+      require(!splittable || out.size > hours,
+        s"zorder warehouse did not range-split (${out.size} merged chunks, $hours hours)")
       new graft.engine.QueryEngine(s, catalog)
     })
 
