@@ -201,6 +201,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got == 2000L, s"h3 rows via pruned scan: $got")
   }
 
+  test("numeric cluster columns: DoubleRange/LongRange norms from catalog stats, value predicates prune") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_zorder_num_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    val df = mkMetrics(20000) // value_f64 = row index → wide observed range
+    writer.write(df.filter(col("value_f64") % 2 === 0))
+    writer.write(df.filter(col("value_f64") % 2 =!= 0))
+    val comp = new Compactor(spark, cat, l0FileThreshold = 2,
+      clusterBy = Seq("host", "value_f64"), // string + DOUBLE → DoubleRange norm
+      clusterTargetBytes = 16L << 10, clusterMinLevel = 1)
+    val out = comp.runOnce()
+    assert(out.size > 2, "numeric clustering must still range-split")
+    // data preserved exactly
+    assert(spark.read.parquet(cat.allChunks.map(_.path): _*).count() === 20000L)
+    // a narrow value_f64 band must prune chunks via the tightened zone maps
+    val total = cat.allChunks.size
+    val hits = cat.chunksInRange(t0, t0 + 2 * hourNs).count(c =>
+      c.columnStats.get("value_f64").forall(s =>
+        s.minDouble.forall(_ <= 100.0) && s.maxDouble.forall(_ >= 0.0)))
+    assert(hits < total, s"value zone maps must prune ($hits of $total)")
+    // and the pruned set still contains every matching row
+    val hit = cat.chunksInRange(t0, t0 + 2 * hourNs).filter(c =>
+      c.columnStats.get("value_f64").forall(s =>
+        s.minDouble.forall(_ <= 100.0) && s.maxDouble.forall(_ >= 0.0)))
+    val got = spark.read.parquet(hit.map(_.path): _*)
+      .filter(col("value_f64") >= 0.0 && col("value_f64") <= 100.0).count()
+    assert(got === 101L, s"rows in [0,100] via pruned scan: $got")
+  }
+
   test("sweep mixing eligible and ineligible groups clusters only the cold ones") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_zorder_mix_"), cacheTtlMs = 0L)
     val writer = new ChunkWriter(cat)
