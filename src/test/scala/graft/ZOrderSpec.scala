@@ -229,6 +229,50 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got === 101L, s"rows in [0,100] via pruned scan: $got")
   }
 
+  test("clustered compactor composes with the maintenance sweep: downsample and retention stay exact") {
+    import graft.compact.{Compactor, Maintenance}
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_zorder_mnt_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    val df = mkMetrics(20000) // hours 0 and 1, value_f64 = 0..19999
+    writer.write(df.filter(col("value_f64") % 2 === 0))
+    writer.write(df.filter(col("value_f64") % 2 =!= 0))
+    val comp = new Compactor(spark, cat, l0FileThreshold = 2,
+      clusterBy = Seq("metric_name", "host"),
+      clusterTargetBytes = 16L << 10, clusterMinLevel = 1)
+    val maint = new Maintenance(spark, cat,
+      retentionNs = 365L * 86400 * 1000000000L,
+      compactor = comp,
+      downsample = Some(Maintenance.Downsample(
+        afterNs = 24 * hourNs, resolutionSeconds = 3600L, labelCols = Seq("host"))))
+    // now = t0+30h → age cutoff t0+6h: both ingested hours are fully aged
+    val rep = maint.runOnce((t0 + 30 * hourNs) / 1000000L)
+    // the sweep's compaction leg range-split into z-buckets (several chunks
+    // per hour group), and the downsample leg built a rollup OVER those
+    // clustered multi-file hours — z chunks span their full hour in time, so
+    // the aged-coverage math must still see both hours
+    assert(rep.compacted.size > 2, s"expected z-split, got ${rep.compacted.size} chunks")
+    assert(rep.rolledUp.isDefined)
+    val roll = spark.read.parquet(rep.rolledUp.get.path)
+    val sums = roll.agg(sum("sum_value"), sum("sample_count")).collect()(0)
+    assert(sums.getDouble(0) === (0 until 20000).map(_.toDouble).sum)
+    assert(sums.getLong(1) === 20000L)
+    // raw data is intact under the clustered layout
+    assert(spark.read.parquet(cat.allChunks.map(_.path): _*).count() === 20000L)
+    // the sweep's LEVELED stage merged both hours into one clustered group
+    // (size-based leveled merges cross hour boundaries, exactly like the
+    // plain path) — so z chunks span both hours with HONEST min/max ts.
+    // Retention granularity is therefore the leveled-chunk span, not the
+    // hour: a cutoff inside the span removes nothing...
+    assert(cat.allChunks.forall(c =>
+      c.minTimestampNs < t0 + hourNs && c.maxTimestampNs >= t0 + hourNs))
+    assert(comp.applyRetention(t0 + hourNs).isEmpty,
+      "mid-span cutoff must not remove partially-live chunks")
+    // ...and a cutoff past the whole span removes every chunk
+    val removed = comp.applyRetention(t0 + 3 * hourNs)
+    cat.invalidateCache()
+    assert(removed.nonEmpty && cat.allChunks.isEmpty)
+  }
+
   test("sweep mixing eligible and ineligible groups clusters only the cold ones") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_zorder_mix_"), cacheTtlMs = 0L)
     val writer = new ChunkWriter(cat)
