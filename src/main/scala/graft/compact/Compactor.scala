@@ -43,7 +43,11 @@ final class Compactor(
     // re-sorts than it saves).
     clusterBy: Seq[String] = Nil,
     clusterTargetBytes: Long = 256L << 20,
-    clusterMinLevel: Int = 2) {
+    clusterMinLevel: Int = 2,
+    // Cap the TIME span a leveled merge may cover (None = size-only greedy,
+    // the reference behavior). Retention reclaims at this granularity — see
+    // leveledCandidates.
+    maxMergeSpanNs: Option[Long] = None) {
 
   /** Candidate groups skipped because another holder leased them or had
     * already compacted them (lease-mode observability, monotonic).
@@ -59,7 +63,15 @@ final class Compactor(
       .map(_.sortBy(_.minTimestampNs))
       .sortBy(_.head.minTimestampNs)
 
-  /** Level N≥1: greedy size-bounded grouping of time-sorted chunks. */
+  /** Level N≥1: greedy size-bounded grouping of time-sorted chunks. With
+    * [[maxMergeSpanNs]] set, a group also never grows past that TIME span —
+    * leveled merges otherwise coalesce arbitrarily distant hours into one
+    * chunk, and since retention only drops WHOLLY-expired chunks, merged
+    * spans are the retention granularity: a chunk straddling the cutoff
+    * lingers until its newest row expires. Bounding the span keeps expired
+    * data reclaimable at the configured resolution (most valuable with
+    * clusterBy, where the z-sort spreads time across the whole chunk).
+    */
   def leveledCandidates(level: Int): Seq[Seq[ChunkMeta]] = {
     val target = levelTargetBytes(level)
     val sorted = catalog.allChunks.filter(_.level == level).sortBy(_.minTimestampNs)
@@ -67,7 +79,9 @@ final class Compactor(
     var cur = Vector.empty[ChunkMeta]
     var curBytes = 0L
     sorted.foreach { c =>
-      if (cur.nonEmpty && curBytes + c.sizeBytes > target) {
+      val spanExceeded = maxMergeSpanNs.exists(span =>
+        cur.nonEmpty && c.maxTimestampNs - cur.head.minTimestampNs > span)
+      if (cur.nonEmpty && (curBytes + c.sizeBytes > target || spanExceeded)) {
         if (cur.size >= 2) groups += cur
         cur = Vector.empty; curBytes = 0L
       }

@@ -273,6 +273,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(removed.nonEmpty && cat.allChunks.isEmpty)
   }
 
+  test("maxMergeSpanNs bounds leveled merges so retention reclaims at the configured granularity") {
+    import graft.compact.Compactor
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_zorder_span_"), cacheTtlMs = 0L)
+    val writer = new ChunkWriter(cat)
+    val df = mkMetrics(20000) // hours 0 and 1
+    writer.write(df.filter(col("value_f64") % 2 === 0))
+    writer.write(df.filter(col("value_f64") % 2 =!= 0))
+    val comp = new Compactor(spark, cat, l0FileThreshold = 2,
+      clusterBy = Seq("metric_name", "host"),
+      clusterTargetBytes = 16L << 10, clusterMinLevel = 1,
+      maxMergeSpanNs = Some(hourNs)) // leveled merges never cross an hour
+    comp.runOnce()
+    cat.invalidateCache()
+    // no chunk spans both hours: hour 0 is independently reclaimable
+    assert(cat.allChunks.forall(c =>
+      c.maxTimestampNs - c.minTimestampNs < hourNs), "span cap violated")
+    val hour0 = cat.allChunks.count(_.maxTimestampNs < t0 + hourNs)
+    assert(hour0 > 1, "hour 0 should be several z-bucket chunks")
+    // cutoff between the hours: hour 0 wholly expired (its rows live in the
+    // first seconds of the hour), hour 1 not — plus the 30 s skew margin
+    val removed = comp.applyRetention(t0 + hourNs)
+    cat.invalidateCache()
+    assert(removed.size == hour0, s"removed ${removed.size}, want $hour0")
+    assert(spark.read.parquet(cat.allChunks.map(_.path): _*).count() == 10000L)
+  }
+
   test("sweep mixing eligible and ineligible groups clusters only the cold ones") {
     val cat = new ChunkCatalog(Files.createTempDirectory("graft_zorder_mix_"), cacheTtlMs = 0L)
     val writer = new ChunkWriter(cat)
