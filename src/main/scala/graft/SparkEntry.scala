@@ -985,6 +985,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — canonical selection over the dedup clusters: keep the
+    // best-quality member of each near-dup group (ties → smallest doc_id) —
+    // the "which copy do we keep" endpoint of the dedup pipeline.
+    "q_doc_dedup_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val sh = d.select(col("doc_id"), graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) >= 2)
+        .select("id_a", "id_b")
+      val clusters = graft.dedup.Dedup.connectedComponents(pairs)
+      val scored = d.select(col("doc_id"),
+        graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.dedup.Dedup.keepBestPerCluster(clusters, scored)
+    }),
+
     // LLM ops — MinHash+LSH near-dup candidates with exact Jaccard verify.
     // ORACLE-GATED (VERDICT r4 #5): at threshold 0.5 with the scale-tuned
     // 32-hash/16-band config, every qualifying pair on these fixtures has
@@ -2344,6 +2361,47 @@ object SparkEntry {
         | SELECT v, w FROM r)
         |SELECT v AS doc_id, least(v, min(w)) AS component
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    // same clusters CTE as q_doc_dedup_groups + the q_doc_quality formula;
+    // per-cluster argmax by (quality DESC, doc_id) via row_number on both
+    // engines so ties resolve identically
+    "q_doc_dedup_canonical" ->
+      s"""WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+        |  END AS shingles
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        |       FROM documents WHERE doc_id < 40)),
+        |edges AS (
+        | SELECT a.doc_id AS s, b.doc_id AS d FROM sh a, sh b
+        | WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.shingles, b.shingles)) >= 2),
+        |undirected AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+        |reach AS (
+        | WITH RECURSIVE r(v, w) AS (
+        |  SELECT s, d FROM undirected
+        |  UNION
+        |  SELECT r.v, u.d FROM r JOIN undirected u ON r.w = u.s)
+        | SELECT v, w FROM r),
+        |clusters AS (SELECT v AS doc_id, least(v, min(w)) AS component
+        |             FROM reach GROUP BY v),
+        |q AS (SELECT doc_id, floor((
+        |  0.35 * least(CAST($duckTokens AS DOUBLE) / 64.0, 1.0)
+        |  + 0.25 * (CASE WHEN $duckTokens = 0 THEN 0.0
+        |      ELSE least(CAST(${duckHitsSum(graft.text.TextFunctions.EnglishStopwords)} AS DOUBLE)
+        |                 / CAST($duckTokens AS DOUBLE) * 4.0, 1.0) END)
+        |  + 0.2 * greatest(0.0, 1.0 - ${duckRatio("[^A-Za-z0-9\\s]")} * 4.0)
+        |  + 0.2 * greatest(0.0, 1.0 - ${duckRatio("[0-9]")} * 4.0)) * 1000000.0 + 0.5)
+        |  / 1000000.0 AS quality
+        | FROM documents WHERE doc_id < 40),
+        |ranked AS (
+        | SELECT component, doc_id, quality,
+        |  row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY component) AS cluster_size
+        | FROM clusters JOIN q USING (doc_id))
+        |SELECT component, doc_id AS kept_doc_id, cluster_size, quality AS kept_quality
+        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "q_doc_token_stats" ->
       s"""SELECT doc_id,

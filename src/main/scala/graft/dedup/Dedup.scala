@@ -492,6 +492,33 @@ object Dedup {
     labels.select(col("v").as(outCol), col("label").as("component"))
   }
 
+  /** Canonical-document selection — the "which copy do we KEEP" endpoint of a
+    * dedup pipeline: given near-dup clusters ([[connectedComponents]] output)
+    * and a per-document score (e.g. TextFunctions.qualityScore), keep the
+    * best-scoring member of each cluster, ties broken by smallest id so the
+    * choice is deterministic. One row per cluster: representative id, size,
+    * and the kept score.
+    *
+    * Scale shape: one shuffle keyed on component for the per-cluster window;
+    * near-dup clusters are small by construction (bounded by duplication
+    * multiplicity, never corpus size), so no group outgrows a task.
+    */
+  def keepBestPerCluster(clusters: DataFrame, scored: DataFrame,
+                         scoreCol: String = "quality",
+                         idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy("component")
+    val joined = clusters.join(scored, idCol)
+    joined
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col(scoreCol).desc, col(idCol))))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col(idCol).as(s"kept_$idCol"),
+        col("cluster_size"), col(scoreCol).as(s"kept_$scoreCol"))
+      .orderBy("component")
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003, "Winnowing:
     * Local Algorithms for Document Fingerprinting" — the MOSS algorithm):
     * hash every word k-gram, slide a window of `w` consecutive hashes, and

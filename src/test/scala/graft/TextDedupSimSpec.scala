@@ -355,6 +355,20 @@ class TextDedupSimSpec extends AnyFunSuite {
 
   private def round4(d: Double): Double = math.round(d * 10000.0) / 10000.0
 
+  test("keepBestPerCluster: per-cluster argmax with deterministic tie-break") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // clusters: {1,2,3} (component 1) and {7,8} (component 7)
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "component")
+    // doc 2 best in cluster 1; docs 7 and 8 TIE → smaller id 7 wins
+    val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (7L, 0.4), (8L, 0.4))
+      .toDF("doc_id", "quality")
+    val rows = graft.dedup.Dedup.keepBestPerCluster(clusters, scored)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 2L, 3L, 0.9), (7L, 7L, 2L, 0.4)))
+  }
+
   test("bpePairTopK: adjacent-pair counts with deterministic tie-break, degenerate docs contribute nothing") {
     val spark = SparkTestBase.spark
     import spark.implicits._
