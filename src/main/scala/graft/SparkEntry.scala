@@ -572,8 +572,11 @@ object SparkEntry {
       // repeated call measures the post-compaction QUERY, not the build — the
       // build cost shows up once, in the first run (bench reports runs separately).
       val eng = compactedEngine(s, dir, half)
+      // DECIMAL accumulation (q_agg_groupby idiom): a double sum re-ordered by
+      // the compacted layout can cross the ROUND boundary at larger scales.
       eng.sql(
-        s"""SELECT metric_name, COUNT(*) AS cnt, ROUND(SUM(value_f64), 4) AS sum_v
+        s"""SELECT metric_name, COUNT(*) AS cnt,
+           | ROUND(CAST(SUM(CAST(value_f64 AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
            |FROM metrics WHERE timestamp_ns >= $Jan1Ns AND timestamp_ns <= $half
            |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
     }),
@@ -586,8 +589,11 @@ object SparkEntry {
     "q_compact_zorder" -> ((s, dir) => {
       val half = Jan1Ns + 43200L * 1000000000L
       val eng = zorderedEngine(s, dir, half)
+      // DECIMAL accumulation: the z-reordered scan order differs from DuckDB's,
+      // so a rounded double sum is summation-order-sensitive (ADVICE r8).
       eng.sql(
-        s"""SELECT metric_name, COUNT(*) AS cnt, ROUND(SUM(value_f64), 4) AS sum_v
+        s"""SELECT metric_name, COUNT(*) AS cnt,
+           | ROUND(CAST(SUM(CAST(value_f64 AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
            |FROM metrics WHERE timestamp_ns >= $Jan1Ns AND timestamp_ns <= $half
            | AND host = 'h3'
            |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
@@ -1841,13 +1847,15 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_compact_merge" ->
-      """SELECT event_type AS metric_name, count(*) AS cnt, round(sum(value), 4) AS sum_v
+      """SELECT event_type AS metric_name, count(*) AS cnt,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
         |FROM events
         |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704110400000000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_compact_zorder" ->
-      """SELECT event_type AS metric_name, count(*) AS cnt, round(sum(value), 4) AS sum_v
+      """SELECT event_type AS metric_name, count(*) AS cnt,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
         |FROM events
         |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704110400000000000
         | AND 'h' || CAST(user_id % 10 AS VARCHAR) = 'h3'

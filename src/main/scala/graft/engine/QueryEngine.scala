@@ -158,8 +158,17 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   // ---------------------------------------------------------------------------
 
   private val l2Enabled = limits.l2CacheDir.isDefined
-  limits.l2CacheDir.foreach(d =>
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+  limits.l2CacheDir.foreach { d =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    // Orphan sweep (ADVICE r8): the index is process-lifetime, so any l2-*
+    // directory already on disk belongs to a dead process and can never be
+    // served again — without this, a long-lived cache dir grows without
+    // bound across restarts.
+    Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("l2-"))
+      .foreach(f => scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(f)))
+  }
 
   /** key → (parquet dir, bytes on disk); access-ordered for LRU eviction. */
   private val l2Entries =

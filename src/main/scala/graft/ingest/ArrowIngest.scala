@@ -19,6 +19,14 @@ import scala.jdk.CollectionConverters._
   * `value_i64`/`value_u64` int64 are the routed value columns; every other
   * utf8 column is a label. Unknown field types are rejected with a 400-able
   * error, never silently dropped — a writer must learn its column vanished.
+  *
+  * ONE documented exception to "never silently dropped": a utf8 column
+  * literally named `timestamp` is skipped as a label. `format=arrow` query
+  * responses carry a µs-precision `timestamp` shadow column alongside
+  * `timestamp_ns` for Arrow-native consumers; on re-ingest it is redundant
+  * with (and lower-precision than) `timestamp_ns`, and treating it as a
+  * label would explode cardinality. Writers who genuinely want a label
+  * called `timestamp` must rename it.
   */
 object ArrowIngest {
 
@@ -29,7 +37,12 @@ object ArrowIngest {
     */
   def toRoutedPoints(bytes: Array[Byte]): Seq[RoutedPoint] = {
     val allocator = new RootAllocator()
-    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
+    // The reader ctor itself parses the stream header and can throw; at that
+    // point the finally below has not been entered, so close the allocator on
+    // that path explicitly or it leaks (ADVICE r8).
+    val reader =
+      try new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
+      catch { case e: Throwable => allocator.close(); throw e }
     try {
       val root = reader.getVectorSchemaRoot
       val names = root.getSchema.getFields.asScala.map(_.getName).toSeq

@@ -78,6 +78,28 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
       case RateLimiter.Allowed => body
     }
 
+  /** Ingest admission + body read, ordered so a denied tenant costs nothing:
+    * when the client declares Content-Length (the JDK server bounds the request
+    * stream to it, so declared == readable) the rate check runs BEFORE the body
+    * is buffered — a 429 consumes neither heap nor read bandwidth. Without the
+    * header we must buffer first and check the actual size (the only honest
+    * byte count available). Declared-over-cap still 413s before any charge.
+    */
+  private def ingestAdmitted(ex: HttpExchange)(handle: Array[Byte] => Unit): Unit = {
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ >= 0L)
+    declared match {
+      case Some(n) =>
+        if (n > HttpApi.MaxBodyBytes)
+          throw HttpApi.HttpError(413,
+            s"request body $n bytes exceeds ${HttpApi.MaxBodyBytes}")
+        writeAdmitted(ex, n)(handle(readBody(ex)))
+      case None =>
+        val raw = readBody(ex)
+        writeAdmitted(ex, raw.length.toLong)(handle(raw))
+    }
+  }
+
   private val server = HttpServer.create(new java.net.InetSocketAddress(port), 16)
   // daemon handler threads: the pool must never keep a driver JVM alive after
   // main returns (a non-daemon default pool wedged the soak harness on exit)
@@ -311,8 +333,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
   server.createContext("/api/v1/write", handler { ex =>
     if (ex.getRequestMethod != "POST") error(ex, 405, "POST only")
     else {
-      val raw = readBody(ex)
-      writeAdmitted(ex, raw.length.toLong) {
+      ingestAdmitted(ex) { raw =>
       // bound the DECOMPRESSED size too before allocating — snappy's header
       // declares it, so a decompression bomb is rejected without inflating
       val proto =
@@ -345,8 +366,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
   server.createContext("/api/v1/ingest/arrow", handler { ex =>
     if (ex.getRequestMethod != "POST") error(ex, 405, "POST only")
     else {
-      val raw = readBody(ex)
-      writeAdmitted(ex, raw.length.toLong) {
+      ingestAdmitted(ex) { raw =>
       val points =
         try graft.ingest.ArrowIngest.toRoutedPoints(raw)
         catch {
