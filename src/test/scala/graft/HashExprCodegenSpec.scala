@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import graft.functions.HashExpressions
+import graft.functions.HashExpressions._
+
+/** The sketch expressions carry real `doGenCode` (r8 directive #2): each test
+  * runs the SAME rows through (a) DataFrame execution with
+  * `spark.sql.codegen.fallback=false` — so a Janino failure fails the test
+  * instead of silently degrading to the interpreted path, which would make
+  * the equivalence vacuous — and (b) direct interpreted `eval`, and asserts
+  * bit-for-bit equality. Also pins that the generated plan actually contains
+  * a WholeStageCodegen span over the sketch projection (the point of the
+  * port: CodegenFallback broke fusion for the enclosing stage).
+  */
+class HashExprCodegenSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  /** Run `df.select(col)` with codegen fallback OFF (Janino failure = test
+    * failure), returning the collected single-column rows.
+    */
+  private def collectCodegen(df: org.apache.spark.sql.DataFrame,
+                             c: org.apache.spark.sql.Column): Array[Any] =
+    withCodegenOnly(df.select(c.as("out")).collect().map(_.get(0)))
+
+  /** Force the REAL codegen path: fallback off (Janino failure = test failure),
+    * CODEGEN_ONLY factory, and ConvertToLocalRelation excluded — without the
+    * exclusion a projection over a local Seq is constant-folded by the
+    * optimizer's INTERPRETED eval and the whole equivalence check is vacuous.
+    */
+  private def withCodegenOnly[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
+  private val rnd = new scala.util.Random(1234)
+  private val texts: Seq[String] = (0 until 300).map { i =>
+    if (i % 23 == 0) ""
+    else (0 until (1 + rnd.nextInt(30))).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+  } ++ Seq(null)
+  private val vectors: Seq[Array[Float]] = (0 until 200).map { i =>
+    if (i % 31 == 0) Array.fill(8)(0.0f)
+    else Array.fill(8)(rnd.nextFloat() * 2 - 1)
+  }
+
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def utf8Arr(tokens: Seq[String]): ArrayData =
+    new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+  private def dblArr(v: Array[Float]): ArrayData =
+    new GenericArrayData(v.map(_.toDouble).toArray[Any])
+
+  test("word_shingles + minhash_sig: codegen == interpreted, stage stays fused") {
+    import spark.implicits._
+    val df = texts.toDF("text").where(col("text").isNotNull)
+    val colExpr = minhash_sig(word_shingles(col("text"), 3), 16)
+    val fromCodegen = collectCodegen(df, colExpr)
+      .map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq)
+    val fromEval = texts.filter(_ != null).map { t =>
+      val sh = WordShingles(GraftBridge.expression(lit(t)), 3)
+        .compute(UTF8String.fromString(t))
+      MinHashSig(GraftBridge.expression(lit(t)), 16).compute(sh)
+        .toLongArray().toSeq
+    }
+    assert(fromCodegen.toSeq == fromEval, "minhash codegen and interpreted diverge")
+
+    // the projection must be INSIDE a WholeStageCodegen span — with
+    // CodegenFallback it sat in a separate Project outside any span
+    val plan = withCodegenOnly(
+      df.select(colExpr.as("sig")).queryExecution.executedPlan.toString)
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen span in the
+    // compact plan string; the sketch Project must carry one
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"sketch projection not fused:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"fallback leaked into plan:\n$plan")
+  }
+
+  test("simhash64 + simhash_md5: codegen == interpreted bit-for-bit") {
+    import spark.implicits._
+    val tokenRows = texts.filter(_ != null).map(_.split("\\s+").toSeq)
+    val df = tokenRows.toDF("tokens")
+    val c64 = collectCodegen(df, simhash64(col("tokens"))).map(_.asInstanceOf[Long])
+    val e64 = tokenRows.map(t => SimHash64(GraftBridge.expression(lit(1)))
+      .compute(utf8Arr(t)))
+    assert(c64.toSeq == e64, "simhash64 diverges")
+
+    val cMd5 = collectCodegen(df, simhash_md5(col("tokens"))).map(_.asInstanceOf[Long])
+    val eMd5 = tokenRows.map(t => SimHashMd5(GraftBridge.expression(lit(1)))
+      .compute(utf8Arr(t)))
+    assert(cMd5.toSeq == eMd5, "simhash_md5 diverges")
+  }
+
+  test("hyperplane_sig / cosine_sim / nearest_centroid: codegen == interpreted") {
+    import spark.implicits._
+    val pairs = vectors.zip(vectors.reverse)
+    val df = pairs.toDF("a", "b")
+
+    val cHp = collectCodegen(df, hyperplane_sig(col("a"), 16, 7)).map(_.asInstanceOf[Long])
+    // eval path: build the expression against a resolved double-array literal
+    val eHp = vectors.map { v =>
+      val e = HyperplaneSig(GraftBridge.expression(
+        lit(v.map(_.toDouble))), 16, 7)
+      e.compute(dblArr(v))
+    }
+    assert(cHp.toSeq == eHp, "hyperplane_sig diverges")
+
+    val cCos = collectCodegen(df, HashExpressions.cosine_sim(col("a"), col("b")))
+      .map(_.asInstanceOf[Double])
+    val eCos = pairs.map { case (a, b) =>
+      CosineSim(GraftBridge.expression(lit(a.map(_.toDouble))),
+        GraftBridge.expression(lit(b.map(_.toDouble))))
+        .compute(dblArr(a), dblArr(b))
+    }
+    assert(cCos.toSeq == eCos, "cosine_sim diverges")
+
+    val cents = Array(Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0, 0, 0),
+      Array(-1.0, 0, 0, 0, 0, 0, 0, 1))
+    val cNc = collectCodegen(df, nearest_centroid(col("a"), cents)).map(_.asInstanceOf[Int])
+    val eNc = vectors.map { v =>
+      NearestCentroid(GraftBridge.expression(lit(v.map(_.toDouble))), cents)
+        .compute(dblArr(v))
+    }
+    assert(cNc.toSeq == eNc, "nearest_centroid diverges")
+  }
+
+  test("bloom_might_contain_long: codegen == interpreted, no false negatives") {
+    import spark.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    val members = (0L until 500L).map(_ * 7919L)
+    members.foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    val probes = members ++ (0L until 500L).map(_ * 7919L + 3L)
+    val df = probes.toDF("h")
+    val fromCodegen = collectCodegen(df, bloom_might_contain_long(col("h"), bytes))
+      .map(_.asInstanceOf[Boolean])
+    val expr = BloomMightContainLong(GraftBridge.expression(lit(0L)), bytes)
+    val fromEval = probes.map(expr.compute)
+    assert(fromCodegen.toSeq == fromEval, "bloom probe diverges")
+    // invariant: every member answers true on BOTH paths
+    assert(fromCodegen.take(500).forall(identity), "false negative")
+  }
+}
