@@ -599,6 +599,22 @@ object SparkEntry {
            |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
     }),
 
+    // §2.2 extension — per-tenant query scoping (query_for_tenant analog,
+    // src/query/mod.rs:158-241): two tenants ingest disjoint halves of the
+    // same window into ONE catalog (then a compaction sweep runs over both);
+    // the scoped query must see ONLY tenant-a's chunks — the oracle recomputes
+    // tenant-a's slice from the raw table by the split predicate.
+    "q_tenant_scope" -> ((s, dir) => {
+      val half = Jan1Ns + 43200L * 1000000000L
+      val eng = tenantEngine(s, dir, half)
+      eng.sqlForTenant(
+        s"""SELECT metric_name, COUNT(*) AS cnt,
+           | ROUND(CAST(SUM(CAST(value_f64 AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
+           |FROM metrics WHERE timestamp_ns >= $Jan1Ns AND timestamp_ns <= $half
+           |GROUP BY metric_name ORDER BY metric_name""".stripMargin,
+        Some("tenant-a"))
+    }),
+
     // §2.1 Prometheus remote-write value routing: integral≥0 → value_u64, integral<0
     // → value_i64, fractional/huge → value_f64; ms→ns; __name__→metric_name
     // (prometheus.rs:356-485).
@@ -1379,6 +1395,46 @@ object SparkEntry {
       new graft.engine.QueryEngine(s, catalog)
     })
 
+  /** Memoized TWO-TENANT warehouse for q_tenant_scope: tenant-a ingests the
+    * even-user_id rows, tenant-b the odd ones (two flushes each so L0 ripens),
+    * then a compaction sweep runs over the mixed catalog — proving both that
+    * sqlForTenant scopes reads to the tenant's chunk paths AND that merges
+    * never coalesce two tenants' rows (Compactor groups per tenant).
+    */
+  private val tenantCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.engine.QueryEngine]()
+
+  private def tenantEngine(s: SparkSession, dir: String,
+                           maxTsExclusiveNs: Long): graft.engine.QueryEngine =
+    tenantCache.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tenant_")
+      val catalog = new graft.catalog.ChunkCatalog(tmp)
+      val wa = new graft.ingest.ChunkWriter(catalog, "tenant-a")
+      val wb = new graft.ingest.ChunkWriter(catalog, "tenant-b")
+      val m = eventsAsMetrics(s, dir).filter(col("timestamp_ns") < maxTsExclusiveNs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // host = 'h' || user_id%10, so host-digit parity == user_id parity
+      val parity = pmod(substring(col("host"), 2, 2).cast("int"), lit(2))
+      val interleave = pmod(xxhash64(col("timestamp_ns")), lit(2))
+      wa.write(m.filter(parity === 0 && interleave === 0))
+      wa.write(m.filter(parity === 0 && interleave === 1))
+      wb.write(m.filter(parity === 1 && interleave === 0))
+      wb.write(m.filter(parity === 1 && interleave === 1))
+      m.unpersist(blocking = false)
+      new graft.compact.Compactor(s, catalog, l0FileThreshold = 2).runOnce()
+      // self-check (FIXTURES.md rule): the machinery under test actually fired —
+      // both tenants own chunks, compaction produced level>0 output, and no
+      // merged chunk crosses the tenant boundary
+      val byTenant = catalog.allChunks
+        .groupBy(c => graft.catalog.ChunkCatalog.tenantOf(catalog.root, c.path))
+      require(byTenant.keySet == Set("tenant-a", "tenant-b"),
+        s"tenant fixture: unexpected tenants ${byTenant.keySet}")
+      require(catalog.allChunks.exists(_.level > 0),
+        "tenant fixture: compaction never ripened")
+      new graft.engine.QueryEngine(s, catalog)
+    })
+
   /** Memoized Z-ORDER-compacted warehouse for q_compact_zorder: same build as
     * compactedEngine but the sweep clusters by (metric_name, host) and
     * range-splits into z-bucket chunks (small target so the fixture actually
@@ -1859,6 +1915,14 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704110400000000000
         | AND 'h' || CAST(user_id % 10 AS VARCHAR) = 'h3'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tenant_scope" ->
+      """SELECT event_type AS metric_name, count(*) AS cnt,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1704110400000000000
+        | AND user_id % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ingest_prom_route" ->

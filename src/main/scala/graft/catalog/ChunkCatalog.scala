@@ -647,6 +647,21 @@ object ChunkCatalog {
   /** Hour bucket of an ns timestamp (reference src/metadata/s3.rs:341-344). */
   def hourBucket(tsNs: Long): Long = Math.floorDiv(tsNs, 3600L * 1000000000L)
 
+  /** Tenant that owns a chunk, from its path layout: every write path is
+    * `{root}/{tenant}/data/...` (ChunkWriter, Compactor, ShardSplit). Chunks
+    * not under root or not following the layout belong to "default" — the
+    * reference's implicit tenant (query() = query_for_tenant(sql, "default"),
+    * src/query/mod.rs:153-156).
+    */
+  def tenantOf(root: Path, chunkPath: String): String =
+    try {
+      val rel = root.toAbsolutePath.normalize
+        .relativize(Paths.get(chunkPath).toAbsolutePath.normalize)
+      if (rel.getNameCount >= 2 && !rel.getName(0).toString.startsWith(".."))
+        rel.getName(0).toString
+      else "default"
+    } catch { case scala.util.control.NonFatal(_) => "default" }
+
   /** Union schema of a chunk set from catalog-held DDL — None when any chunk
     * lacks a stored schema or two chunks disagree on a column's type (caller
     * falls back to mergeSchema footer inference). Field order: first seen.

@@ -54,10 +54,19 @@ final class Compactor(
     */
   val leaseSkips = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** L0: hour-bucketed groups with at least `l0FileThreshold` members. */
+  /** Tenant of a chunk group (groups never span tenants by construction). */
+  private def tenantOfGroup(group: Seq[ChunkMeta]): String =
+    ChunkCatalog.tenantOf(catalog.root, group.head.path)
+
+  /** L0: hour-bucketed groups with at least `l0FileThreshold` members.
+    * Grouped per TENANT first: a merge must never coalesce two tenants'
+    * rows into one chunk, or per-tenant query scoping (which is path-based)
+    * would silently leak data across the boundary.
+    */
   def l0Candidates(): Seq[Seq[ChunkMeta]] =
     catalog.allChunks.filter(_.level == 0)
-      .groupBy(c => ChunkCatalog.hourBucket(c.minTimestampNs))
+      .groupBy(c => (ChunkCatalog.tenantOf(catalog.root, c.path),
+        ChunkCatalog.hourBucket(c.minTimestampNs)))
       .values.toSeq
       .filter(_.size >= l0FileThreshold)
       .map(_.sortBy(_.minTimestampNs))
@@ -74,21 +83,26 @@ final class Compactor(
     */
   def leveledCandidates(level: Int): Seq[Seq[ChunkMeta]] = {
     val target = levelTargetBytes(level)
-    val sorted = catalog.allChunks.filter(_.level == level).sortBy(_.minTimestampNs)
-    val groups = Seq.newBuilder[Seq[ChunkMeta]]
-    var cur = Vector.empty[ChunkMeta]
-    var curBytes = 0L
-    sorted.foreach { c =>
-      val spanExceeded = maxMergeSpanNs.exists(span =>
-        cur.nonEmpty && c.maxTimestampNs - cur.head.minTimestampNs > span)
-      if (cur.nonEmpty && (curBytes + c.sizeBytes > target || spanExceeded)) {
+    // per-tenant greedy packing (same cross-tenant-merge ban as l0Candidates)
+    catalog.allChunks.filter(_.level == level)
+      .groupBy(c => ChunkCatalog.tenantOf(catalog.root, c.path))
+      .toSeq.sortBy(_._1).flatMap { case (_, chunks) =>
+        val sorted = chunks.sortBy(_.minTimestampNs)
+        val groups = Seq.newBuilder[Seq[ChunkMeta]]
+        var cur = Vector.empty[ChunkMeta]
+        var curBytes = 0L
+        sorted.foreach { c =>
+          val spanExceeded = maxMergeSpanNs.exists(span =>
+            cur.nonEmpty && c.maxTimestampNs - cur.head.minTimestampNs > span)
+          if (cur.nonEmpty && (curBytes + c.sizeBytes > target || spanExceeded)) {
+            if (cur.size >= 2) groups += cur
+            cur = Vector.empty; curBytes = 0L
+          }
+          cur :+= c; curBytes += c.sizeBytes
+        }
         if (cur.size >= 2) groups += cur
-        cur = Vector.empty; curBytes = 0L
+        groups.result()
       }
-      cur :+= c; curBytes += c.sizeBytes
-    }
-    if (cur.size >= 2) groups += cur
-    groups.result()
   }
 
   /** Merge one candidate group into a single sorted chunk and swap it into the
@@ -98,7 +112,7 @@ final class Compactor(
     require(group.nonEmpty, "empty compaction group")
     val newLevel = group.map(_.level).max + 1
     val target = catalog.root.resolve(
-      s"default/data/compacted/level=$newLevel/chunk_${UUID.randomUUID()}")
+      s"${tenantOfGroup(group)}/data/compacted/level=$newLevel/chunk_${UUID.randomUUID()}")
     // Catalog-held schema skips the distributed footer-inference job; falls
     // back to mergeSchema only for chunks registered without one.
     val df = ChunkCatalog.mergedSchema(group) match {
@@ -147,12 +161,18 @@ final class Compactor(
     */
   def compactGroups(groups: Seq[Seq[ChunkMeta]]): Seq[ChunkMeta] = {
     if (groups.isEmpty) return Nil
+    // one batched sweep PER TENANT: the sweep dir (and so every output chunk
+    // path) carries the owning tenant — a single mixed sweep would stamp all
+    // outputs "default" and break path-based tenant scoping
+    val byTenant = groups.groupBy(tenantOfGroup)
+    if (byTenant.size > 1)
+      return byTenant.toSeq.sortBy(_._1).flatMap { case (_, gs) => compactGroups(gs) }
     if (clusterBy.nonEmpty && groups.exists(clusterEligible))
       return compactGroupsClustered(groups)
     if (groups.size == 1) return Seq(compactGroup(groups.head))
     import org.apache.spark.sql.functions.{col, lit}
     val batchDir = catalog.root.resolve(
-      s"default/data/compacted/sweep=${UUID.randomUUID()}")
+      s"${tenantOfGroup(groups.head)}/data/compacted/sweep=${UUID.randomUUID()}")
     val tagged = groups.zipWithIndex.map { case (g, i) =>
       val df = ChunkCatalog.mergedSchema(g) match {
         case Some(schema) => spark.read.schema(schema).parquet(g.map(_.path): _*)
@@ -244,8 +264,9 @@ final class Compactor(
   private def compactGroupsClustered(groups: Seq[Seq[ChunkMeta]]): Seq[ChunkMeta] = {
     import org.apache.spark.sql.functions.{col, lit, when, shiftrightunsigned}
     import org.apache.spark.sql.GraftBridge
+    // callers (compactGroups) have already split by tenant
     val batchDir = catalog.root.resolve(
-      s"default/data/compacted/sweep=${UUID.randomUUID()}")
+      s"${tenantOfGroup(groups.head)}/data/compacted/sweep=${UUID.randomUUID()}")
     val tagged = groups.zipWithIndex.map { case (g, i) =>
       val df = ChunkCatalog.mergedSchema(g) match {
         case Some(schema) => spark.read.schema(schema).parquet(g.map(_.path): _*)

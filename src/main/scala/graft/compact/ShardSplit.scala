@@ -42,7 +42,8 @@ final class ShardSplitter(spark: SparkSession, catalog: ChunkCatalog) {
         val aggs = ChunkStats.statAggs(fields)
         def half(cond: org.apache.spark.sql.Column, shard: String): Option[ChunkMeta] = {
           val target = catalog.root.resolve(
-            s"default/data/shard=$shard/chunk_${UUID.randomUUID()}")
+            s"${graft.catalog.ChunkCatalog.tenantOf(catalog.root, c.path)}" +
+              s"/data/shard=$shard/chunk_${UUID.randomUUID()}")
           val obs = org.apache.spark.sql.Observation(s"split_${UUID.randomUUID()}")
           // repartition(1)+sortWithinPartitions: a global sort's range-sampling
           // pass would run the observe subtree twice (doubled stats)
@@ -84,7 +85,8 @@ final class ColumnPromoter(spark: SparkSession, catalog: ChunkCatalog) {
       val df = spark.read.parquet(c.path)
         .withColumn(columnName, org.apache.spark.sql.functions.expr(fromExpr))
       val target = catalog.root.resolve(
-        s"default/data/promoted/chunk_${UUID.randomUUID()}")
+        s"${graft.catalog.ChunkCatalog.tenantOf(catalog.root, c.path)}" +
+          s"/data/promoted/chunk_${UUID.randomUUID()}")
       // stats fused into the rewrite via observe — one pass per chunk
       val fields = ChunkStats.statFields(df.schema, Set.empty)
       val aggs = ChunkStats.statAggs(fields)

@@ -40,7 +40,8 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * cancelled when the timeout fires; the caller sees QueryTimeoutException.
     */
   def execute[T](query: String,
-                 nowNs: Long = System.currentTimeMillis() * 1000000L)
+                 nowNs: Long = System.currentTimeMillis() * 1000000L,
+                 tenant: Option[String] = None)
                 (action: DataFrame => T): T = {
     querySlots.acquire()
     val sc = spark.sparkContext
@@ -58,7 +59,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       sc.setJobGroup(tag, s"graft query: ${query.replaceAll("\\s+", " ").take(120)}",
         interruptOnCancel = true)
       try {
-        val out = action(sql(query, nowNs))
+        val out = action(sqlScoped(query, nowNs, tenant))
         ok = true
         out
       } catch {
@@ -416,7 +417,24 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       case found => found
     }
 
-  def sql(query: String, nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
+  /** Per-tenant query scoping — the engine-side completion of the reference's
+    * `query_for_tenant(sql, tenant)` (src/query/mod.rs:158-241): the chunk set
+    * a query may see is restricted to the tenant's own write paths
+    * (`{root}/{tenant}/data/...` — ChunkWriter/Compactor/ShardSplit all
+    * preserve the prefix). `None` = unscoped (every chunk, the single-tenant
+    * deployment shape and the default for embedded/API callers); rollup
+    * routing is disabled under a scope because rollups are built over the
+    * whole warehouse. Cache-safe for free: the pruned PATH SET is part of
+    * both the plan-cache and L2 keys, so two tenants can never share an entry.
+    */
+  def sqlForTenant(query: String, tenant: Option[String],
+                   nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame =
+    sqlScoped(query, nowNs, tenant)
+
+  def sql(query: String, nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame =
+    sqlScoped(query, nowNs, None)
+
+  private def sqlScoped(query: String, nowNs: Long, tenant: Option[String]): DataFrame = {
     val (range, preds) = analyzeMemo.get(query) match {
       case Some(memo) => memo
       case None => // marked nowNs-dependent: recompute (parse once per call)
@@ -436,14 +454,19 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
         analyzeMemo.put(query, if (independent) Some(full) else None)
         full
     }
-    val paths = prune(range, preds)
+    val paths = tenant match {
+      case Some(t) => prune(range, preds)
+        .filter(p => graft.catalog.ChunkCatalog.tenantOf(catalog.root, p) == t)
+      case None => prune(range, preds)
+    }
     lastPrunedPaths = paths
     val split = catalog.hasActiveSplit
     // rollup identity is part of the cache key: (de)registering a rollup must
     // never serve a stale cached plan built against the other source; the
     // topK-rewrite toggle likewise (a cached naive plan must not be served
     // while the rewrite is on, nor the reverse)
-    val rollups = if (rollupRoutingEnabled && !split) catalog.rollups else Nil
+    val rollups =
+      if (rollupRoutingEnabled && !split && tenant.isEmpty) catalog.rollups else Nil
     // the marker is scoped to queries that could possibly match the rewrite
     // (TopKRouting only ever matches a row_number() window), so flipping the
     // toggle doesn't double-key every unrelated cached plan

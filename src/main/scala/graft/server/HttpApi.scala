@@ -262,7 +262,12 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
           p.get("format").flatMap(_.headOption).getOrElse("json"))
       }
     val t0 = System.nanoTime()
-    engine.execute(query) { df =>
+    // Per-tenant scoping (query_for_tenant analog): an EXPLICIT X-Graft-Tenant
+    // header restricts the chunk set to that tenant's write paths; absent
+    // header = unscoped (single-tenant deployments see the whole warehouse,
+    // and rollup routing stays available).
+    val tenantScope = Option(ex.getRequestHeaders.getFirst("X-Graft-Tenant"))
+    engine.execute(query, tenant = tenantScope) { df =>
       // Driver-safety cap: the buffered formats collect() — a planned LIMIT
       // bounds both executor work and driver heap, so `SELECT * FROM metrics`
       // over a big warehouse clips (json marks stats.truncated) instead of
@@ -328,7 +333,15 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
     * 204 like a Prometheus-compatible receiver. Uncompressed bodies are
     * accepted too (the snappy sniff falls through) for curl-ability.
     */
-  private lazy val ingestWriter = new graft.ingest.ChunkWriter(engine.catalog)
+  /** One ChunkWriter per tenant (X-Graft-Tenant, default "default"): writes
+    * land under `{root}/{tenant}/data/...`, which is the path prefix
+    * per-tenant query scoping keys on.
+    */
+  private val ingestWriters =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ingest.ChunkWriter]()
+  private def ingestWriter(ex: HttpExchange): graft.ingest.ChunkWriter =
+    ingestWriters.computeIfAbsent(tenantOf(ex),
+      t => new graft.ingest.ChunkWriter(engine.catalog, t))
 
   server.createContext("/api/v1/write", handler { ex =>
     if (ex.getRequestMethod != "POST") error(ex, 405, "POST only")
@@ -348,7 +361,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
         }
       val points = graft.ingest.PromWire.toRoutedPoints(proto)
       if (points.nonEmpty) {
-        ingestWriter.write(graft.ingest.Converters.routedToDf(engine.spark, points))
+        ingestWriter(ex).write(graft.ingest.Converters.routedToDf(engine.spark, points))
         engine.catalog.invalidateCache()
       }
       respond(ex, 204, Array.emptyByteArray, "text/plain")
@@ -378,7 +391,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
       val chunks =
         if (points.isEmpty) Nil
         else {
-          val metas = ingestWriter.write(
+          val metas = ingestWriter(ex).write(
             graft.ingest.Converters.routedToDf(engine.spark, points))
           engine.catalog.invalidateCache()
           metas

@@ -231,6 +231,48 @@ class HttpApiSpec extends AnyFunSuite {
     assert(badResp.statusCode() == 400 && badResp.body().contains("timestamp_ns"))
   }
 
+  test("per-tenant scoping: X-Graft-Tenant routes writes and restricts reads") {
+    def postArrow(body: Array[Byte], tenant: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/ingest/arrow"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        .header("Content-Type", "application/vnd.apache.arrow.stream")
+        .header("X-Graft-Tenant", tenant).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def sqlAs(q: String, tenant: Option[String]): List[org.json4s.JValue] = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/sql"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"query":"${q.replace("\"", "\\\"")}"}"""))
+        .header("Content-Type", "application/json")
+      tenant.foreach(b.header("X-Graft-Tenant", _))
+      val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+      (org.json4s.jackson.JsonMethods.parse(r.body()) \ "data")
+        .asInstanceOf[org.json4s.JArray].arr
+    }
+    val ts = t0 + 30 * hourNs
+    def wire(host: String, vs: Seq[Double]): Array[Byte] =
+      graft.engine.ResultFormat.toArrow(
+        Converters.pointsToDf(spark, vs.zipWithIndex.map { case (v, i) =>
+          MetricPoint(ts + i * 1000L, "tenant_metric", v, Map("host" -> host)) })
+          .select("metric_name", "timestamp_ns", "host", "value_f64"))
+    assert(postArrow(wire("red1", Seq(1.0, 2.0)), "red").statusCode() == 200)
+    assert(postArrow(wire("blue1", Seq(5.0, 6.0, 7.0)), "blue").statusCode() == 200)
+
+    import org.json4s._
+    val q = s"SELECT host, COUNT(*) AS cnt FROM metrics " +
+      s"WHERE metric_name = 'tenant_metric' AND timestamp_ns >= $ts " +
+      s"GROUP BY host ORDER BY host"
+    // each tenant sees ONLY its own chunks
+    assert(sqlAs(q, Some("red")) == List(JArray(List(JString("red1"), JInt(2)))))
+    assert(sqlAs(q, Some("blue")) == List(JArray(List(JString("blue1"), JInt(3)))))
+    // a tenant with no data sees an empty (not failing) result
+    assert(sqlAs(q, Some("nobody")) == Nil)
+    // no header = unscoped: the whole warehouse
+    assert(sqlAs(q, None) == List(
+      JArray(List(JString("blue1"), JInt(3))),
+      JArray(List(JString("red1"), JInt(2)))))
+  }
+
   test("GET /api/v1/stream: SSE data/end frames, incremental batches, error frame") {
     // scoped to the seeded metrics: the remote-write test (runs earlier) adds
     // its own http_requests rows to this warehouse
