@@ -1294,6 +1294,12 @@ object SparkEntry {
     "q_doc_bpe_pairs" -> ((s, dir) =>
       graft.text.TextFunctions.bpePairTopK(t(s, dir, "documents"), k = 40)),
 
+    // LLM ops — BPE tokenizer TRAINING (stage 2: the Sennrich merge loop).
+    // 8 learned merges over the documents corpus; the oracle replays the
+    // identical loop in DuckDB as an unrolled materialized-CTE chain.
+    "q_doc_bpe_train" -> ((s, dir) =>
+      graft.text.TextFunctions.bpeTrain(t(s, dir, "documents"), numMerges = 8)),
+
     // LLM ops — hybrid retrieval: BM25 list + dense cosine list fused by
     // Reciprocal Rank Fusion (the standard hybrid-search combiner). doc_id and
     // vec_id are aligned in the fixtures, so the dense query is "documents
@@ -2649,6 +2655,9 @@ object SparkEntry {
         |      FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS u(i))
         |SELECT pair, count(*) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
+
+    // the full training loop replayed in DuckDB (generated unrolled CTE chain)
+    "q_doc_bpe_train" -> graft.text.TextFunctions.bpeTrainOracleSql(8),
 
     // RRF fusion of the q_doc_bm25 lexical list with the exact dense top-k
     // for query vector 0; ranks (score DESC, id ASC) are deterministic on

@@ -235,6 +235,131 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** BPE tokenizer TRAINING (stage 2 of what [[bpePairTopK]] started): the
+    * iterative merge loop of Sennrich, Haddow & Birch 2016 ("Neural Machine
+    * Translation of Rare Words with Subword Units", §3.2), word-level. Returns
+    * the learned merge table `(rank, lhs, rhs, freq)` — rank k is the k-th
+    * merge learned, freq its corpus-weighted pair count when chosen.
+    *
+    * Algorithm per round over the WORD VOCABULARY (distinct words + corpus
+    * frequencies — the one linear pass over the corpus happens once, before
+    * the loop): (1) count adjacent symbol pairs weighted by word freq
+    * (zip-shifted slices + one explode + one map-side-combined agg — the
+    * bpePairTopK shape, now over the vocab table); (2) take the argmax with a
+    * deterministic tie-break (count DESC, "lhs rhs" ASC — exact integer
+    * counts, so the choice is engine-independent); (3) apply the merge
+    * greedily left-to-right non-overlapping inside every word (an `aggregate`
+    * fold: append-or-merge against the accumulator's last element — exactly
+    * re.sub semantics on the original sequence, since a merged symbol can
+    * never equal `lhs` again within the round). localCheckpoint per round
+    * cuts the HOF lineage, like connectedComponents.
+    *
+    * Scale: rounds touch only the vocab (|distinct words| rows, << corpus);
+    * driver holds ONE row per round (the argmax). Cost = numMerges small
+    * vocab-sized jobs after one corpus pass. The interpreted-lambda fold is
+    * deliberate here — it runs per distinct WORD, not per corpus row, so
+    * codegen would buy nothing measurable.
+    *
+    * Simplification vs Sennrich: no `</w>` end-of-word marker (it matters for
+    * detokenization, not for the merge statistics the oracle checks) —
+    * symbols start as the word's codepoints.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    require(numMerges >= 1 && numMerges <= 64, s"numMerges $numMerges out of [1,64]")
+    var vocab = docs.filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", regexp_extract_all(col("word"), lit("(.)"), lit(1)))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val n = size(col("syms"))
+      val top = vocab.filter(n >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, concat(col("l"), lit(" "), col("r")))
+        .limit(1).collect() // bounded: exactly one row per round
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, cnt))
+        // greedy left-to-right merge: fold append-or-merge; the merged symbol
+        // l+r can't re-match lhs within this round (r is non-empty)
+        val applied = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        val next = vocab.withColumn("syms", applied).localCheckpoint(true)
+        vocab.unpersist(blocking = false)
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** DuckDB-executable oracle for [[bpeTrain]]: the same training loop
+    * UNROLLED as a materialized-CTE chain (one round = pair counts → argmax →
+    * gaps-and-islands greedy selection → rebuild). The greedy non-overlap
+    * rule in window form: runs of consecutive matched positions only occur
+    * when lhs == rhs (else match(i) and match(i+1) are contradictory), and
+    * greedy selects the odd-indexed members of each run — proven equivalent
+    * to the Spark-side fold against a Python re.sub reference before landing.
+    * MATERIALIZED is load-bearing: each round references the previous vocab
+    * CTE twice, so inlined CTEs would re-evaluate exponentially across rounds.
+    */
+  def bpeTrainOracleSql(numMerges: Int, table: String = "documents"): String = {
+    def round(k: Int): String =
+      s"""p$k AS (SELECT a AS l, b AS r, SUM(freq)::BIGINT AS cnt FROM (
+         |  SELECT freq, unnest(syms[:-2]) AS a, unnest(syms[2:]) AS b
+         |  FROM v${k - 1} WHERE len(syms) >= 2) GROUP BY 1,2),
+         |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k
+         |  ORDER BY cnt DESC, l || ' ' || r ASC LIMIT 1),
+         |e$k AS (SELECT word, freq, generate_subscripts(syms,1) AS i, unnest(syms) AS sym
+         |  FROM v${k - 1}),
+         |x$k AS (SELECT *, (sym = (SELECT l FROM m$k) AND
+         |  lead(sym) OVER (PARTITION BY word ORDER BY i) = (SELECT r FROM m$k)) AS matched
+         |  FROM e$k),
+         |y$k AS (SELECT *, CASE WHEN matched THEN
+         |    ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) END AS rn
+         |  FROM (SELECT *, CASE WHEN matched THEN
+         |      i - ROW_NUMBER() OVER (PARTITION BY word, matched ORDER BY i) END AS isl
+         |    FROM x$k)),
+         |z$k AS (SELECT word, freq, i,
+         |    CASE WHEN matched AND rn % 2 = 1 THEN (SELECT l || r FROM m$k) ELSE sym END AS sym2,
+         |    COALESCE(LAG(matched AND rn % 2 = 1) OVER (PARTITION BY word ORDER BY i), FALSE)
+         |      AS consumed
+         |  FROM y$k),
+         |v$k AS MATERIALIZED (SELECT word, any_value(freq) AS freq,
+         |    list(sym2 ORDER BY i) AS syms
+         |  FROM z$k WHERE NOT consumed GROUP BY word)""".stripMargin
+    val base =
+      s"""WITH w AS (
+         |  SELECT word, count(*)::BIGINT AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+         |    FROM $table WHERE length(trim(text)) > 0) t
+         |  WHERE word <> '' GROUP BY 1),
+         |v0 AS MATERIALIZED (SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM w)""".stripMargin
+    val rounds = (1 to numMerges).map(round).mkString(",\n", ",\n", "")
+    val union = (1 to numMerges)
+      .map(k => s"SELECT $k AS rank, l AS lhs, r AS rhs, cnt AS freq FROM m$k")
+      .mkString(" UNION ALL ")
+    s"$base$rounds\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
   /** Okapi BM25 scoring of every document against a bag of query terms —
     * the lexical-retrieval primitive of training-data QA (find what a probe
     * query surfaces from the corpus) and of retrieval-based decontamination.

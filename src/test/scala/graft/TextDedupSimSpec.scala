@@ -857,4 +857,34 @@ class TextDedupSimSpec extends AnyFunSuite {
     val ts = Multimodal.frameTimestampsMs(9973L, 7)
     assert(ts.head > 0 && ts.last < 9973L && ts == ts.sorted)
   }
+
+  test("bpeTrain: hand-verified Sennrich merges incl. same-symbol chains and merged-symbol re-pairs") {
+    import spark.implicits._
+    // Expected merges verified against a Python re.sub reference
+    // implementation of Sennrich §3.2 (greedy left-to-right, tie-break
+    // cnt DESC then "lhs rhs" ASC). The fixture deliberately exercises:
+    //  - case folding + multi-space runs ("The THE the   thee")
+    //  - l == r chains where greedy takes every other pair (zz/zzz/zzzz)
+    //  - a chain of MERGED symbols re-pairing in a later round (aaaa -> aa aa -> aaaaaa? no: aa,aa)
+    val docs = Seq(
+      "the cat sat on the mat", "the cats eat", "a cat a mat a hat",
+      "The THE the   thee", "", "  zz zzz zzzz aaaa aa a").toDF("text")
+    val got = graft.text.TextFunctions.bpeTrain(docs, numMerges = 8)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1, "a", "t", 8L),   // at: cat(3) sat mat(2) eat hat
+      (2, "h", "e", 7L),   // the(5: 3+the+THE... counts words) thee
+      (3, "t", "he", 7L),
+      (4, "z", "z", 6L),   // zz(1) + zzz(1) + zzzz(2 greedy) + ... chains
+      (5, "a", "a", 4L),   // aaaa(2 greedy) + aa(1) + ...
+      (6, "c", "at", 3L),
+      (7, "m", "at", 2L),
+      (8, "aa", "aa", 1L)  // merged symbols re-pair: aaaa -> [aa,aa] -> aaaa
+    ), s"got $got")
+    // early exhaustion: a corpus whose pairs run out stops short, no error
+    val tiny = Seq("ab ab", "cd").toDF("text")
+    val m = graft.text.TextFunctions.bpeTrain(tiny, numMerges = 8).collect()
+    assert(m.length == 2) // (a,b) then (c,d); nothing left to merge
+  }
 }
