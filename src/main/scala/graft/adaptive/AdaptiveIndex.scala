@@ -137,4 +137,58 @@ object AdaptiveIndex {
         e.copy(state = LifecycleState.Removed)
       case _ => e
     }
+
+  /** Closes the loop from recommendation to LAYOUT (r8 directive #3): the
+    * reference scores WHERE-column candidates and this engine's Z-order
+    * clustered compaction prunes 5-10× on clustered columns — this controller
+    * connects them, turning the top recommendations into the `clusterBy` a
+    * maintenance sweep uses, with the reference's lifecycle respected: a new
+    * recommendation enters INVISIBLE (observed, never acted on), is promoted
+    * to VISIBLE only after surviving the probation window with would-have-
+    * helped evidence, and only VISIBLE columns ever reach the layout. Unused
+    * columns demote and fall out through Deprecated → Removed.
+    *
+    * One instance per maintenance process; tick it from the sweep
+    * ([[graft.compact.Maintenance]] does, behind its config gate).
+    */
+  final class ClusteringController(
+      stats: StatsCollector,
+      probationMs: Long = 48L * 3600 * 1000,
+      maxClusterColumns: Int = 2,
+      minScore: Double = 1.0,
+      // never cluster on the time axis (hot-level sorts own it) or the
+      // partition scaffolding
+      eligible: String => Boolean = c => !AdaptiveIndex.TimeAndPartitionCols(c)) {
+
+    private val registry = mutable.Map.empty[String, IndexEntry]
+
+    /** One tick: fold current recommendations into the lifecycle registry,
+      * advance states, and return the columns (score order, capped) that a
+      * sweep may cluster by — VISIBLE entries only.
+      */
+    def activeClusterColumns(cardinalities: Map[String, Long] = Map.empty,
+                             nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+      val recs = recommend(stats, cardinalities, minScore = minScore)
+        .filter(r => eligible(r.column))
+      recs.foreach { r =>
+        val e = registry.getOrElseUpdate(r.column,
+          IndexEntry(r.column, LifecycleState.Invisible, nowMs, nowMs))
+        // recommended this tick = the layout would have helped a real query,
+        // and counts as use (keeps an actively-queried column from demoting)
+        registry(r.column) =
+          e.copy(wouldHaveHelped = e.wouldHaveHelped + 1, lastUsedMs = nowMs)
+      }
+      registry.mapValuesInPlace((_, e) =>
+        advance(e, nowMs, invisibleProbationMs = probationMs))
+      registry.filterInPlace((_, e) => e.state != LifecycleState.Removed)
+      val visible =
+        registry.values.filter(_.state == LifecycleState.Visible).map(_.column).toSet
+      recs.collect { case r if visible(r.column) => r.column }.take(maxClusterColumns)
+    }
+
+    def entries: Seq[IndexEntry] = registry.values.toSeq.sortBy(_.column)
+  }
+
+  private[adaptive] val TimeAndPartitionCols: Set[String] =
+    Set("timestamp", "timestamp_ns", "year", "month", "day", "hour")
 }

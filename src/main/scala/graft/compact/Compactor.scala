@@ -49,6 +49,17 @@ final class Compactor(
     // leveledCandidates.
     maxMergeSpanNs: Option[Long] = None) {
 
+  /** Same compactor, different clustering key — used by adaptive-clustering
+    * maintenance sweeps, which derive `clusterBy` per sweep from the
+    * recommender instead of fixing it at construction. Every other knob
+    * (thresholds, leases, span cap) carries over unchanged.
+    */
+  def withClusterBy(cols: Seq[String],
+                    targetBytes: Long = clusterTargetBytes,
+                    minLevel: Int = clusterMinLevel): Compactor =
+    new Compactor(spark, catalog, l0FileThreshold, levelTargetBytes, leases,
+      nodeId, leaseRenewIntervalMs, cols, targetBytes, minLevel, maxMergeSpanNs)
+
   /** Candidate groups skipped because another holder leased them or had
     * already compacted them (lease-mode observability, monotonic).
     */

@@ -18,7 +18,12 @@ final class Maintenance(
     catalog: ChunkCatalog,
     retentionNs: Long = 90L * 86400 * 1000000000L, // 90 days, reference default
     compactor: Compactor = null,
-    downsample: Option[Maintenance.Downsample] = None) {
+    downsample: Option[Maintenance.Downsample] = None,
+    // Config gate for recommendation-driven Z-order layout (r8 directive #3):
+    // when set, each sweep asks the controller for the VISIBLE top-scored
+    // WHERE columns and clusters that sweep's cold merges by them. None =
+    // layout untouched (the fixed clusterBy of `compactor`, or none).
+    adaptiveClustering: Option[graft.adaptive.AdaptiveIndex.ClusteringController] = None) {
 
   private val comp = Option(compactor).getOrElse(new Compactor(spark, catalog))
 
@@ -26,10 +31,19 @@ final class Maintenance(
       compacted: Seq[ChunkMeta],
       retentionRemoved: Seq[String],
       gcDeleted: Seq[String],
-      rolledUp: Option[RollupMeta])
+      rolledUp: Option[RollupMeta],
+      clusteredBy: Seq[String] = Nil)
 
   def runOnce(nowMs: Long = System.currentTimeMillis()): SweepReport = {
-    val compacted = comp.runOnce()
+    val clusterCols = adaptiveClustering.map { ctrl =>
+      // only columns the warehouse actually carries: a recommendation for a
+      // column absent from every chunk would z-code to a constant (wasted key
+      // bits), so it never reaches the layout
+      val known = catalog.allChunks.flatMap(_.columnStats.keys).toSet
+      ctrl.activeClusterColumns(nowMs = nowMs).filter(known)
+    }.getOrElse(Nil)
+    val sweepComp = if (clusterCols.nonEmpty) comp.withClusterBy(clusterCols) else comp
+    val compacted = sweepComp.runOnce()
     val cutoffNs = nowMs * 1000000L - retentionNs
     val removed = comp.applyRetention(cutoffNs)
     val deleted = catalog.gc(nowMs)
@@ -78,7 +92,7 @@ final class Maintenance(
         }
       }
     }
-    SweepReport(compacted, removed, deleted, rolledUp)
+    SweepReport(compacted, removed, deleted, rolledUp, clusterCols)
   }
 }
 

@@ -110,4 +110,66 @@ class OpsControlSpec extends AnyFunSuite {
     threads.foreach(_.start()); threads.foreach(_.join(30000))
     assert(maxSeen.get() == 1) // permit=1 → never two queries in flight
   }
+
+  test("adaptive clustering: query log → recommendation → lifecycle → clustered sweep prunes the column") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestBase.spark
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_ac_"), cacheTtlMs = 0L)
+    val writer = new graft.ingest.ChunkWriter(cat)
+    val t0ns = 1704067200L * 1000000000L
+    // 1 h of 8-host data, two interleaved flushes (L0 ripens at threshold 2);
+    // timestamp-sorted chunks → every chunk's host zone map spans h0..h7
+    val df = graft.fixtures.DataGenerator.generate(spark, metrics = 4, hosts = 8,
+      regions = 1, samplesPerSecond = 20, durationSeconds = 300, startNs = t0ns)
+      .persist()
+    val side = pmod(xxhash64(col("timestamp_ns")), lit(2))
+    writer.write(df.filter(side === 0))
+    writer.write(df.filter(side === 1))
+    val totalRows = df.count()
+    df.unpersist(blocking = false)
+
+    // a synthetic query log: the engine's stats hook records WHERE columns
+    val eng = new QueryEngine(spark, cat)
+    val q = s"SELECT COUNT(*) AS c FROM metrics WHERE timestamp_ns >= $t0ns " +
+      s"AND timestamp_ns < ${t0ns + 3600L * 1000000000L} AND host = 'host-3'"
+    (1 to 3).foreach(_ => eng.sql(q).collect())
+
+    val now = System.currentTimeMillis()
+    val ctrl = new graft.adaptive.AdaptiveIndex.ClusteringController(
+      eng.adaptiveStats, probationMs = 1000L, maxClusterColumns = 2)
+    // lifecycle respected: a fresh recommendation is INVISIBLE — no layout
+    // change on the first tick, even though host scores above threshold
+    assert(ctrl.activeClusterColumns(nowMs = now).isEmpty)
+    assert(ctrl.entries.exists(e => e.column == "host" &&
+      e.state == graft.adaptive.AdaptiveIndex.LifecycleState.Invisible))
+    // the time axis never reaches the layout
+    assert(!ctrl.entries.exists(_.column == "timestamp_ns"))
+
+    // past probation with would-have-helped evidence → VISIBLE → the sweep
+    // consumes it as clusterBy (gate on via Maintenance config)
+    val maint = new graft.compact.Maintenance(spark, cat,
+      retentionNs = 100L * 365 * 86400 * 1000000000L, // fixture is 2024-dated
+      compactor = new Compactor(spark, cat, l0FileThreshold = 2,
+        clusterTargetBytes = 64L << 10, clusterMinLevel = 1),
+      adaptiveClustering = Some(ctrl))
+    val before = cat.allChunks
+    assert(before.forall(c => c.columnStats.get("host").exists(s =>
+      s.minString.get <= "host-3" && s.maxString.get >= "host-3")),
+      "precondition: unclustered zone maps cannot prune the host predicate")
+    val report = maint.runOnce(nowMs = now + 2000L)
+    assert(report.clusteredBy == Seq("host"), s"sweep saw ${report.clusteredBy}")
+    assert(report.compacted.nonEmpty)
+
+    // measured improvement: the clustered layout's zone maps now exclude
+    // most chunks for host-3, and the data survived byte-identically
+    val after = cat.allChunks
+    val kept = after.count(c => c.columnStats.get("host").exists(s =>
+      s.minString.get <= "host-3" && s.maxString.get >= "host-3"))
+    assert(after.size >= 2, "fixture must range-split for the prune check to mean anything")
+    assert(kept < after.size,
+      s"clustered sweep should prune: $kept of ${after.size} chunks still match")
+    assert(after.map(_.rowCount).sum == totalRows)
+    val viaEngine = eng.sql(q).collect()(0).getLong(0)
+    assert(viaEngine == totalRows / 8) // uniform hosts: exactly 1/8 of rows
+  }
 }
