@@ -62,4 +62,69 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(ids == Set(2L))
     } finally q.stop()
   }
+
+  test("nearDupIngestStream: stream == batch-incremental replay; index grows; replay is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    import graft.dedup.MinHashIndex
+
+    // 20-word docs: one trailing-word change → J = 15/21 ≈ 0.714 ≥ 0.7 (near,
+    // not exact); a mid-doc rewrite is far below threshold
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val nearBase = (1 to 19).map(i => s"w$i").mkString(" ") + " CHANGED"
+    val other = (1 to 20).map(i => s"x$i").mkString(" ")
+    val nearOther = (1 to 19).map(i => s"x$i").mkString(" ") + " ALSO"
+    val fresh3 = (1 to 20).map(i => s"y$i").mkString(" ")
+
+    def setup(tag: String): (String, String) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_sni_$tag").toString
+      val corpusPath = s"$root/corpus"
+      val indexRoot = s"$root/index"
+      val corpus0 = Seq((100L, 0L, base)).toDF("doc_id", "ts_us", "text")
+      corpus0.write.parquet(corpusPath)
+      MinHashIndex.build(corpus0, indexRoot, k = 3, numHashes = 64, bands = 16,
+        nParts = 16)
+      (corpusPath, indexRoot)
+    }
+
+    // batch 1: 1 = near-dup of indexed corpus doc (drop), 2 = fresh,
+    //          3 = exact dup of 2 within the batch (drop, first-wins by id)
+    val batch1 = Seq(Doc(1L, 1L, nearBase), Doc(2L, 2L, other), Doc(3L, 3L, other))
+    // batch 2: 4 = near-dup of batch-1 SURVIVOR 2 (drop — proves the index
+    //          grew), 5 = fresh
+    val batch2 = Seq(Doc(4L, 4L, nearOther), Doc(5L, 5L, fresh3))
+
+    // ---- stream path ----
+    val (sCorpus, sIndex) = setup("s")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sni_ckpt").toString
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupIngestStream(
+      input.toDF().withColumnRenamed("id", "doc_id"), sIndex, sCorpus, ckpt)
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamIds = spark2.read.parquet(sCorpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // ---- batch-incremental reference on the same splits ----
+    val (bCorpus, bIndex) = setup("b")
+    def asDf(b: Seq[Doc]) = b.toDF().withColumnRenamed("id", "doc_id")
+    val n1 = StreamingDedup.nearDupIngestBatch(asDf(batch1), bIndex, bCorpus)
+    val n2 = StreamingDedup.nearDupIngestBatch(asDf(batch2), bIndex, bCorpus)
+    val batchIds = spark2.read.parquet(bCorpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(streamIds == Set(100L, 2L, 5L), s"stream accepted $streamIds")
+    assert(batchIds == streamIds, "stream and batch-incremental outputs diverge")
+    assert((n1, n2) == (1L, 1L))
+    // the index grew with the survivors: its signature table covers them
+    val sigIds = spark2.read.parquet(s"$bIndex/sigs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(100L, 2L, 5L))
+    // at-least-once replay of an already-applied batch is a no-op
+    assert(StreamingDedup.nearDupIngestBatch(asDf(batch2), bIndex, bCorpus) == 0L)
+    assert(spark2.read.parquet(bCorpus).count() == 3L)
+  }
 }
