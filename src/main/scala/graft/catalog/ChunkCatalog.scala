@@ -359,12 +359,23 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       attempt += 1
       if (attempt >= casMaxRetries)
         throw new IllegalStateException(s"catalog commit: too many CAS conflicts ($attempt)")
-      invalidateCache()
+      // Do NOT invalidate the cache on a lost race: the next freshStore()
+      // diffs from the cached store — loadFromManifest reuses every shard
+      // whose (key, version) is unchanged, so the retry reads the new
+      // manifest plus O(shards the winner touched), typically one. The old
+      // invalidateCache() here forced a FULL cold load per retry (~1.6 s at
+      // 10⁶ chunks) and capped 8-writer throughput at 4.3 commits/s; with
+      // the diff it is the ~8 ms commit itself that dominates. (Orphan shard
+      // files from our failed attempt are invisible — loads only read shards
+      // the committed manifest lists.)
+      //
       // FULL-jitter backoff: deterministic sleeps keep a herd of losers in
       // lockstep, re-colliding every round (the reference's S3 round-trip
-      // latency jitters for free; a local FS needs it explicitly)
+      // latency jitters for free; a local FS needs it explicitly). The window
+      // is sized to the ~8 ms critical section, capped at 128 ms — the old
+      // 1.6 s cap was sized to the cold-load retry cost that no longer exists.
       Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom.current()
-        .nextLong(25L * (1L << math.min(attempt, 6))))
+        .nextLong(8L * (1L << math.min(attempt, 4))))
     }
     throw new IllegalStateException("unreachable")
   }
@@ -470,9 +481,57 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
           Future(e.key -> parseShard(readUtf8(shardDir.resolve(e.file))))), Duration.Inf)
       }
     val shards = reusable ++ loaded
+    // Incremental re-assembly (r9): the full assemble() walks every chunk —
+    // ~200 ms at 10⁶ — and a flush-sized commit touches ONE shard. With a
+    // prior store, patch its assembled state by the changed shards' members
+    // only: O(changed chunks), not O(catalog). Order inside timeIndex lists
+    // is immaterial (chunksInRange sets+sorts; allChunks sorts).
+    val assembled = prior match {
+      case Some(s) if !s.legacy =>
+        val newKeys = m.shards.map(_.key).toSet
+        val removedKeys = s.shards.keysIterator.filterNot(newKeys.contains)
+        val changedKeys = toLoad.iterator.map(_.key)
+        val oldMembers = (removedKeys ++ changedKeys).flatMap(s.shards.get).toSeq
+        assembleDelta(s.assembled, m, oldMembers, loaded.map(_._2))
+      case _ => assemble(m, shards)
+    }
     Store(m.spanHours, m.shards.map(e => e.key -> e.ver).toMap,
       m.shards.map(e => e.key -> e.file).toMap, shards,
-      assemble(m, shards), legacy = false)
+      assembled, legacy = false)
+  }
+
+  /** Patch a prior assembled state with the delta of changed shards: drop the
+    * old members, add the new. A chunk unchanged inside a rewritten shard is
+    * removed and re-added — same net state.
+    */
+  private def assembleDelta(prior: CatalogState, m: Manifest,
+                            oldMembers: Seq[Map[String, ChunkMeta]],
+                            newMembers: Seq[Map[String, ChunkMeta]]): CatalogState = {
+    var chunks = prior.chunks
+    oldMembers.foreach(mm => chunks = chunks -- mm.keysIterator)
+    newMembers.foreach(mm => chunks = chunks ++ mm)
+    var idx = prior.timeIndex
+    oldMembers.iterator.flatMap(_.valuesIterator).foreach { c =>
+      var b = hourBucket(c.minTimestampNs)
+      val end = hourBucket(c.maxTimestampNs)
+      while (b <= end) {
+        idx.get(b).foreach { lst =>
+          val nl = lst.filterNot(_ == c.path)
+          idx = if (nl.isEmpty) idx - b else idx.updated(b, nl)
+        }
+        b += 1
+      }
+    }
+    newMembers.iterator.flatMap(_.valuesIterator).foreach { c =>
+      var b = hourBucket(c.minTimestampNs)
+      val end = hourBucket(c.maxTimestampNs)
+      while (b <= end) {
+        idx = idx.updated(b, c.path :: idx.getOrElse(b, Nil))
+        b += 1
+      }
+    }
+    CatalogState(m.version, chunks, idx, m.activeSplits, m.pendingDeletes,
+      m.rollups, m.tableStats)
   }
 
   private def assemble(m: Manifest, shards: Map[Long, Map[String, ChunkMeta]]): CatalogState = {
@@ -534,6 +593,13 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     // Shard file names carry a nonce: two writers racing the same version
     // must never write the same file name — the loser's content would
     // otherwise replace the winner's AFTER the winner's manifest committed.
+    // Early-exit probe before the expensive part: rendering+writing shard
+    // files is the dominant attempt cost (a 10⁶-chunk catalog's hour shard is
+    // ~700 KB of JSON), and in an 8-writer herd 7 of 8 attempts lose. If the
+    // manifest at our target version already exists, the race is decided —
+    // one stat call instead of the full render. (Not a correctness gate: the
+    // link + spent-marker below remain the authoritative CAS.)
+    if (Files.exists(root.resolve(manifestFileName(version)))) return false
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val written = kept.map(k => k -> shardFileName(k, version, nonce)).toMap
     written.foreach { case (k, f) =>

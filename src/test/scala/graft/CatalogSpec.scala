@@ -318,4 +318,35 @@ class CatalogSpec extends AnyFunSuite {
     cat2.invalidateCache()
     assert(cat2.rollups.head.staleForExtension)
   }
+
+  test("incremental diff assembly == cold load after every mutation kind") {
+    val dir = Files.createTempDirectory("graft_cat_diff_")
+    val writer = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    // reader with a long TTL BUT explicit revalidation via the writer's own
+    // mutations is what exercises the diff path (ttl=0 re-diffs every read)
+    val reader = new ChunkCatalog(dir, cacheTtlMs = 0L)
+    def check(): Unit = {
+      val cold = new ChunkCatalog(dir, cacheTtlMs = 0L).state // fresh: full assemble
+      val inc = reader.state // diff from reader's prior cached store
+      assert(inc.version == cold.version)
+      assert(inc.chunks == cold.chunks, "chunks diverge from cold load")
+      assert(inc.timeIndex.keySet == cold.timeIndex.keySet, "hour keys diverge")
+      inc.timeIndex.foreach { case (h, paths) =>
+        assert(paths.toSet == cold.timeIndex(h).toSet, s"hour $h members diverge")
+      }
+      assert(inc.pendingDeletes.toSet == cold.pendingDeletes.toSet)
+      assert(inc.rollups == cold.rollups)
+    }
+    writer.register(chunk("w_a", 0, 0)); check()
+    writer.registerAll(Seq(chunk("w_b", 1, 2), chunk("w_c", 50, 52))); check()
+    // multi-hour spanning chunk in a far shard
+    writer.register(chunk("w_span", 100, 130)); check()
+    // replace across shards (compaction shape)
+    writer.replaceChunks(Seq("w_a", "w_b"), Seq(chunk("w_m", 0, 2, level = 1))); check()
+    writer.deferDelete(Seq("w_a", "w_b"), nowMs = 0L, graceMs = 0L); check()
+    writer.gc(nowMs = 1L); check()
+    writer.remove(Seq("w_span")); check()
+    // re-register same path in a DIFFERENT hour (cross-shard move)
+    writer.register(chunk("w_c", 200, 201)); check()
+  }
 }
