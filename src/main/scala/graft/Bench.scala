@@ -214,6 +214,7 @@ object Bench {
         engL2.evictL1(qa) // file already demoted: eviction is synchronous
         time { engL2.sql(qa).collect() }
       }.sorted
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(l2Dir.toFile))
       runs(3)
     }
 
@@ -339,5 +340,10 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
+    // tmpfs hygiene: the per-run warehouses are ~100 MB each and /dev/shm is
+    // shared with the scale fixtures — leaked dirs from 10 bench runs were
+    // found squatting 1 GB of the fixture budget (r9)
+    Seq(warehouse, latWarehouse).foreach(d =>
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)))
   }
 }
