@@ -1300,6 +1300,11 @@ object SparkEntry {
     "q_doc_bpe_train" -> ((s, dir) =>
       graft.text.TextFunctions.bpeTrain(t(s, dir, "documents"), numMerges = 8)),
 
+    // LLM ops — BPE ENCODING (stage 3): the learned merges applied back to
+    // the corpus (word-vocab broadcast, one doc-keyed reassembly shuffle).
+    "q_doc_bpe_encode" -> ((s, dir) =>
+      graft.text.TextFunctions.bpeEncode(t(s, dir, "documents"), numMerges = 8)),
+
     // LLM ops — hybrid retrieval: BM25 list + dense cosine list fused by
     // Reciprocal Rank Fusion (the standard hybrid-search combiner). doc_id and
     // vec_id are aligned in the fixtures, so the dense query is "documents
@@ -2658,6 +2663,9 @@ object SparkEntry {
 
     // the full training loop replayed in DuckDB (generated unrolled CTE chain)
     "q_doc_bpe_train" -> graft.text.TextFunctions.bpeTrainOracleSql(8),
+
+    // training chain + final-vocab join = the encoded corpus
+    "q_doc_bpe_encode" -> graft.text.TextFunctions.bpeEncodeOracleSql(8),
 
     // RRF fusion of the q_doc_bm25 lexical list with the exact dense top-k
     // for query vector 0; ranks (score DESC, id ASC) are deterministic on

@@ -266,6 +266,18 @@ object TextFunctions {
     */
   def bpeTrain(docs: DataFrame, numMerges: Int, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
+    val (merges, vocab) = bpeTrainCore(docs, numMerges, textCol)
+    vocab.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** The training loop itself: returns (merges, final vocab (word, freq,
+    * syms)) — the final vocab IS the encoding of every corpus word under the
+    * learned merges, which is what [[bpeEncode]] serves per document.
+    */
+  private def bpeTrainCore(docs: DataFrame, numMerges: Int, textCol: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges >= 1 && numMerges <= 64, s"numMerges $numMerges out of [1,64]")
     var vocab = docs.filter(length(trim(col(textCol))) > 0)
       .select(explode(tokens(col(textCol))).as("word"))
@@ -306,9 +318,55 @@ object TextFunctions {
         rank += 1
       }
     }
-    vocab.unpersist(blocking = false)
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
+    (merges.toSeq, vocab)
+  }
+
+  /** BPE ENCODING (stage 3): apply the merges [[bpeTrain]] learns to every
+    * document — train and encode in one call, the way a tokenizer-training
+    * pipeline materializes its tokenized corpus. Returns
+    * `(idCol, n_tokens, bpe_text)` with `bpe_text` the space-joined token
+    * sequence (a plain string so the cross-engine hash compare is
+    * representation-independent).
+    *
+    * Scale shape: the encoding is computed once per DISTINCT word (the
+    * training loop's final vocab state is exactly word → token sequence),
+    * then documents join that map BROADCAST on the exploded words and
+    * re-assemble per doc — one corpus-sized shuffle keyed on the doc id,
+    * never a per-occurrence re-derivation.
+    */
+  def bpeEncode(docs: DataFrame, numMerges: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (_, vocab) = bpeTrainCore(docs, numMerges, textCol)
+    val words = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    words
+      .join(broadcast(vocab.select(col("word"), col("syms"))), "word")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("syms")))).as("ps"))
+      .select(col(idCol),
+        size(flatten(transform(col("ps"), x => x.getField("syms"))))
+          .cast("long").as("n_tokens"),
+        array_join(flatten(transform(col("ps"), x => x.getField("syms"))), " ")
+          .as("bpe_text"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: the [[bpeTrainOracleSql]] CTE chain's
+    * FINAL vocab state joined back to each document's word sequence.
+    */
+  def bpeEncodeOracleSql(numMerges: Int, table: String = "documents"): String = {
+    val train = bpeTrainOracleSql(numMerges, table)
+    val upToRounds = train.substring(0, train.lastIndexOf("\nSELECT * FROM ("))
+    s"""$upToRounds,
+       |d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+       |     FROM $table WHERE length(trim(text)) > 0),
+       |dw AS (SELECT doc_id, generate_subscripts(words,1) AS pos, unnest(words) AS word FROM d),
+       |dwj AS (SELECT dw.doc_id, dw.pos, v$numMerges.syms
+       |        FROM dw JOIN v$numMerges ON dw.word = v$numMerges.word),
+       |enc AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS toks FROM dwj GROUP BY doc_id)
+       |SELECT doc_id, len(toks)::BIGINT AS n_tokens, array_to_string(toks, ' ') AS bpe_text
+       |FROM enc ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB-executable oracle for [[bpeTrain]]: the same training loop

@@ -886,5 +886,14 @@ class TextDedupSimSpec extends AnyFunSuite {
     val tiny = Seq("ab ab", "cd").toDF("text")
     val m = graft.text.TextFunctions.bpeTrain(tiny, numMerges = 8).collect()
     assert(m.length == 2) // (a,b) then (c,d); nothing left to merge
+
+    // stage 3: encoding applies the same merges back to the corpus —
+    // expected strings verified against the Python reference's final vocab
+    val enc = graft.text.TextFunctions.bpeEncode(
+        docs.withColumn("doc_id", monotonically_increasing_id()), numMerges = 8)
+      .collect().map(r => r.getString(2)).toSeq
+    assert(enc.contains("the cat s at o n the mat")) // sat = s+at, on = o+n
+    assert(enc.contains("the the the the e"))        // thee = the+e
+    assert(enc.contains("zz zz z zz zz aaaa aa a"))  // zzz = zz+z; aaaa one token
   }
 }
