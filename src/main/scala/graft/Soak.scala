@@ -458,6 +458,91 @@ object Soak {
       mid > 0 && stateSamples.last <= mid * 2.0
     }
 
+    // ---- phase 4: streaming NEAR-dup ingest (r9) -----------------------------
+    // The end-to-end LLM-ingest shape: micro-batches probe the materialized
+    // MinHash index, survivors append to corpus + index, so later batches
+    // dedup against earlier batches' survivors. Verifies under sustained
+    // load: only-fresh docs accepted, index growth == accepted docs, and a
+    // processing rate record. (The query is stateless — state is the index.)
+    val nearDupSec = sys.env.get("SOAK_NEARDUP_SEC").map(_.toInt).getOrElse(30)
+    System.err.println(s"[soak] streaming near-dup ingest for ${nearDupSec}s...")
+    val sniRoot = graft.util.ShmDirs.tempDir("graft_soak_sni_").toString
+    val sniCorpus = s"$sniRoot/corpus"
+    val sniIndex = s"$sniRoot/index"
+    val nBase = 200
+    // base docs: 20 words each, all words doc-keyed
+    val baseDocs = spark.range(0, nBase).select(
+      (col("id") + 1000000L).as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(20)),
+        j => concat(lit("b"), col("id"), lit("_"), j))).as("text"))
+    baseDocs.write.parquet(sniCorpus)
+    graft.dedup.MinHashIndex.build(baseDocs, sniIndex, k = 3, numHashes = 64,
+      bands = 16, nParts = 32)
+    val sigs0 = spark.read.parquet(s"$sniIndex/sigs").count()
+    // stream: ~30% near-dups of a base doc (19 shared words + 1 mutation →
+    // J = 15/21 ≥ 0.7), ~70% fresh docs whose words are all value-keyed
+    val sniCkpt = java.nio.file.Files.createTempDirectory("graft_soak_snick_").toString
+    val sniStream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 2000).option("numPartitions", 4).load()
+      .withColumn("doc_id", col("value"))
+      .withColumn("text",
+        when(pmod(col("value"), lit(10)) < 3,
+          concat(
+            concat_ws(" ", transform(sequence(lit(1), lit(19)),
+              j => concat(lit("b"), pmod(col("value"), lit(nBase.toLong)), lit("_"), j))),
+            lit(" mut"), col("value")))
+        .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(20)),
+          j => concat(lit("f"), col("value"), lit("_"), j)))))
+      .select("doc_id", "text")
+    val sniAccepted = new AtomicLong(0L)
+    val sniInput = new AtomicLong(0L)
+    // Drain instead of kill: stop() aborts the in-flight micro-batch, which
+    // (a) booked its rows as input-but-never-accepted (the first smoke run
+    // read 35% acceptance instead of the true 70% because a ~12k-row
+    // backlogged tail was cut), and (b) can die between the corpus append
+    // and the index append, breaking the growth==accepted invariant the
+    // gate checks. The flag makes post-deadline batches no-ops; the busy
+    // latch lets the current batch finish before stop().
+    val sniDraining = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sniBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sniQ = sniStream.writeStream
+      .option("checkpointLocation", sniCkpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        sniBusy.set(true)
+        try {
+          if (!sniDraining.get()) {
+            val rows = b.localCheckpoint(true)
+            val cnt = rows.count()
+            val acc = graft.streaming.StreamingDedup
+              .nearDupIngestBatch(rows, sniIndex, sniCorpus)
+            sniInput.addAndGet(cnt)
+            sniAccepted.addAndGet(acc)
+          }
+        } finally sniBusy.set(false)
+        ()
+      }
+      .start()
+    val sniT0 = System.nanoTime()
+    while ((System.nanoTime() - sniT0) / 1e9 < nearDupSec) Thread.sleep(2000)
+    sniDraining.set(true)
+    Thread.sleep(300)
+    while (sniBusy.get()) Thread.sleep(200)
+    val sniWall = (System.nanoTime() - sniT0) / 1e9
+    sniQ.stop()
+    val sigs1 = spark.read.parquet(s"$sniIndex/sigs").count()
+    val sniCorpusRows = spark.read.parquet(sniCorpus).count()
+    // every accepted doc (and only those) is in the corpus and the index
+    val sniGrowthOk = (sigs1 - sigs0) == sniAccepted.get() &&
+      sniCorpusRows == nBase + sniAccepted.get()
+    // exactly the near-dup fraction (30% of values, modulo batch-boundary
+    // rounding) must have been dropped — an over- OR under-dropping path
+    // fails the gate
+    val sniDropped = sniInput.get() - sniAccepted.get()
+    val sniDropFrac = if (sniInput.get() == 0) 0.0
+      else sniDropped.toDouble / sniInput.get()
+    val sniOk = sniGrowthOk && sniInput.get() > 0 &&
+      sniDropFrac >= 0.25 && sniDropFrac <= 0.35
+
     // acceptance requires a real sample base — an empty hammer must FAIL the
     // gate, not pass it vacuously through the p99 sentinel
     val okDrop = soakIngest.nonEmpty && dropPct < 20.0
@@ -492,8 +577,13 @@ object Soak {
       s""""live_rows_dropped_below_cutoff":$liveDropped,""" +
       s""""cutoff_violations":$cutoffViolations,""" +
       s""""end_frames":${sseStats.count(_.endSeen)},""" +
-      s""""compactions_during_tail":${liveCompactions.get()},"ok":$okLive}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r08.json"),
+      s""""compactions_during_tail":${liveCompactions.get()},"ok":$okLive},""" +
+      s""""near_dup_ingest":{"duration_sec":${sniWall.toInt},""" +
+      s""""input_docs":${sniInput.get()},"accepted":${sniAccepted.get()},""" +
+      s""""dropped":$sniDropped,"docs_per_sec":${(sniInput.get() / sniWall).toLong},""" +
+      s""""index_sigs_start":$sigs0,"index_sigs_end":$sigs1,""" +
+      s""""growth_matches_accepted":$sniGrowthOk,"ok":$sniOk}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r09.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[soak] sidecar write failed: $e") }
