@@ -202,6 +202,53 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // §2.7 analytic offsets: lead/lag over each customer's order sequence
+    // (exact value copies — no float arithmetic to drift).
+    "q_window_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // §2.7 ntile bucketing per order priority; the (price, key) order is a
+    // total order so bucket boundaries are engine-deterministic.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile")) // DuckDB ntile is BIGINT
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // §2.7 rank-statistics frame: percent_rank + cume_dist — integer-ratio
+    // doubles, bit-identical across engines under a total order.
+    "q_window_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // §2.5 GROUPING SETS (the general form ROLLUP/CUBE specialize; Spark 4
+    // Dataset.groupingSets) with DECIMAL sums and grouping() markers.
+    "q_agg_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_qty"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("g_ls"))),
+
     // §2.5 COUNT(DISTINCT) + plain count per group.
     "q_count_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
@@ -1679,6 +1726,35 @@ object SparkEntry {
         |   ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | ntile(4) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_window_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        | CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_ls""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS cnt

@@ -293,7 +293,9 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
       .getOrElse(throw new IllegalArgumentException(s"missing $k param"))
     val sql = PromQL.transpileRange(req("query"),
       secToNs(req("start")), secToNs(req("end")), req("step").toLong)
-    engine.execute(sql)(df => respondJson(ex, 200, ResultFormat.toPromMatrix(df)))
+    // same explicit-header tenant scoping as the SQL route
+    engine.execute(sql, tenant = Option(ex.getRequestHeaders.getFirst("X-Graft-Tenant")))(
+      df => respondJson(ex, 200, ResultFormat.toPromMatrix(df)))
   }})
 
   server.createContext("/api/v1/query", handler { ex => queryAdmitted(ex) {
@@ -301,7 +303,8 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
     val q = p.get("query").flatMap(_.headOption)
       .getOrElse(throw new IllegalArgumentException("missing query param"))
     val timeNs = p.get("time").flatMap(_.headOption).map(secToNs)
-    engine.execute(PromQL.transpileInstant(q, timeNs))(
+    engine.execute(PromQL.transpileInstant(q, timeNs),
+      tenant = Option(ex.getRequestHeaders.getFirst("X-Graft-Tenant")))(
       df => respondJson(ex, 200, ResultFormat.toPromVector(df)))
   }})
 
@@ -448,7 +451,9 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
         engine.spark, engine.catalog, System.currentTimeMillis() * 1000000L))
     else None
     try {
-      engine.execute(query)(df => streamRows(df, withColumns = false))
+      engine.execute(query,
+        tenant = Option(ex.getRequestHeaders.getFirst("X-Graft-Tenant")))(
+        df => streamRows(df, withColumns = false))
       tail.foreach { t =>
         val deadline = durationMs.map(System.currentTimeMillis() + _)
         // SSE comment keepalive: with no new chunks nothing else is ever
