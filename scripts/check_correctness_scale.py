@@ -95,6 +95,14 @@ def main():
             prior = {}
         done = {k: v for k, v in prior.items()
                 if v.get("status") in ("ok", "rows_only")}
+        # a query marked in_progress by a prior run means that PROCESS died on
+        # it (hard OOM/segfault the except clauses never saw) — record it
+        # rows-only so the retry loop progresses instead of re-crashing forever
+        for k, v in prior.items():
+            if v.get("status") == "in_progress":
+                done[k] = {"status": "rows_only", "rows": v.get("rows", -1),
+                           "why": "oracle crashed the process in a prior run "
+                                  "(hard OOM/segfault)"}
         print(f"resuming: {len(done)} queries carried over from {resume_from}")
     # outputs too big to canonicalize through pandas (astype(str) on a 50M-row
     # frame exhausts the address space) are compared as a DuckDB-internal
@@ -165,6 +173,12 @@ def main():
             n_fail += 1
             continue
         n_spark_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        # crash marker: if this process dies inside the oracle below, the next
+        # resume converts the marker to a rows-only record instead of retrying
+        # the same crash indefinitely
+        results[name] = {"status": "in_progress", "rows": n_spark_rows}
+        flush()
+        del results[name]
         if n_spark_rows > BIG_ROWS and name in oracles:
             t0 = time.time()
             timed_out = [False]
@@ -316,6 +330,20 @@ def main():
                                              "why": f"oracle OOM then digest "
                                                     f"timeout >{timeout:.0f}s"}
                             n_timeout += 1
+                            continue
+                        if "Out of Memory" in str(e2):
+                            # both the .df() and the engine-internal digest
+                            # paths exceeded the cap: this oracle cannot run
+                            # single-node at this scale — the same recorded
+                            # fact as a timeout, not an engine failure
+                            print(f"ROWS {name}: rows={len(got)} (oracle OOM "
+                                  f"on both paths)")
+                            results[name] = {"status": "rows_only",
+                                             "rows": len(got),
+                                             "why": "oracle OOM on both .df() "
+                                                    "and digest paths"}
+                            n_timeout += 1
+                            con = reconnect(con)
                             continue
                         print(f"FAIL {name}: oracle error: {e}; "
                               f"digest retry: {e2}")

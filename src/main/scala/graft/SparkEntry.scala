@@ -1352,6 +1352,16 @@ object SparkEntry {
     "q_doc_bpe_encode" -> ((s, dir) =>
       graft.text.TextFunctions.bpeEncode(t(s, dir, "documents"), numMerges = 8)),
 
+    // bounded-slice variant (the _s pattern): the full-corpus encode's DuckDB
+    // oracle is an ordered per-doc reassembly whose state does not spill —
+    // at 100× it exceeds any single-node cap (recorded rows-only there, like
+    // the all-pairs near-dup oracle), so this 1/50 slice stays HASH-gated at
+    // every scale. Self-contained: trains AND encodes on the slice.
+    "q_doc_bpe_encode_s" -> ((s, dir) =>
+      graft.text.TextFunctions.bpeEncode(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(50)) === 0),
+        numMerges = 8)),
+
     // LLM ops — hybrid retrieval: BM25 list + dense cosine list fused by
     // Reciprocal Rank Fusion (the standard hybrid-search combiner). doc_id and
     // vec_id are aligned in the fixtures, so the dense query is "documents
@@ -2742,6 +2752,9 @@ object SparkEntry {
 
     // training chain + final-vocab join = the encoded corpus
     "q_doc_bpe_encode" -> graft.text.TextFunctions.bpeEncodeOracleSql(8),
+
+    "q_doc_bpe_encode_s" -> graft.text.TextFunctions.bpeEncodeOracleSql(8,
+      table = "(SELECT * FROM documents WHERE doc_id % 50 = 0)"),
 
     // RRF fusion of the q_doc_bm25 lexical list with the exact dense top-k
     // for query vector 0; ranks (score DESC, id ASC) are deterministic on
