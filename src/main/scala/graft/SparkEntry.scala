@@ -249,6 +249,31 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first, col("g_ls"))),
 
+    // §2.5 PIVOT (wide conditional aggregation — Spark groupBy().pivot(); the
+    // oracle is the portable CASE-WHEN form). Explicit value list so the plan
+    // needs no extra distinct-values scan; DECIMAL sums (order-independent).
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+        .select(col("l_returnflag"),
+          col("F").cast("double").as("qty_f"),
+          col("O").cast("double").as("qty_o"))
+        .orderBy("l_returnflag")),
+
+    // §2.3 correlated scalar subquery (Catalyst decorrelates to an aggregate
+    // + join — no per-row re-execution; the delegated-depth check that the
+    // rewrite engine handles correlation, not just top-level predicates).
+    "q_subquery_scalar" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer_sq c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sq c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // §2.5 COUNT(DISTINCT) + plain count per group.
     "q_count_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
@@ -1284,6 +1309,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // LLM ops — spherical k-means TRAINING (Lloyd's, cosine assignment):
+    // trained cluster structure for IVF/SemDeDup/cluster-balanced sampling.
+    // Map-side argmax assignment per round; the oracle replays the identical
+    // µ-rounded loop as an unrolled DuckDB CTE chain (the bpe_train pattern).
+    "q_emb_kmeans" -> ((s, dir) =>
+      graft.sim.Similarity.kmeansTrain(t(s, dir, "embeddings"), k = 8, iters = 2)
+        .orderBy("vec_id")),
+
     // LLM ops — INCREMENTAL dedup: a new batch (doc_id % 5 == 0) deduped
     // against the already-ingested corpus (the rest) — survivors are new docs
     // whose fingerprint is unseen, first-wins within the batch. The daily
@@ -1765,6 +1798,22 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_ls""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus = 'F'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        | CAST(sum(CASE WHEN l_linestatus = 'O'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_emb_kmeans" -> graft.sim.Similarity.kmeansOracleSql(8, 2),
 
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS cnt

@@ -244,6 +244,118 @@ object Similarity {
           / lit(100000.0)).as("centroid_v"),
         count(lit(1)).as("n"))
 
+  /** Spherical k-means TRAINING (Lloyd's iterations with cosine assignment —
+    * the algorithm that produces real IVF centroids and the cluster structure
+    * SemDeDup / cluster-balanced sampling consume; until now centroids were
+    * deterministic SAMPLES, never trained).
+    *
+    * Deterministic end to end, both engines:
+    *  - init: the `k` smallest-id vectors, cluster = 0-based id rank;
+    *  - assign: max-cosine centroid, ties to the LOWEST cluster index — the
+    *    [[graft.functions.HashExpressions.NearestCentroid]] strict-`>` argmax,
+    *    ONE imperative map-side pass inside the scan stage (the crossJoin +
+    *    window argmax alternative shuffles |corpus|·k rows — that shape is
+    *    exactly what the DuckDB oracle replays, which is the contrast the
+    *    oracle exists to verify);
+    *  - update: per-dimension mean of the assigned vectors, µ-rounded
+    *    (floor(x·1e6+0.5)/1e6) so both engines feed bit-identical centroids
+    *    into the next round — without the rounding, cross-engine low-bit sum
+    *    drift compounds per iteration. Clusters that lose every point carry
+    *    their previous centroid forward.
+    *
+    * Scale shape: each iteration is one linear corpus scan (map-side argmax)
+    * + one (cluster,dim)-keyed aggregation; only k·dim means ever reach the
+    * driver (they must — next round's assignment expression ships them).
+    * Nothing is quadratic; iterations are a small constant.
+    *
+    * Output: (idCol, cluster: long, cosine: double@4dp) — final assignment
+    * against the post-`iters` centroids, with the point→centroid cosine.
+    */
+  def kmeansTrain(embeddings: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val spark = embeddings.sparkSession
+    val pts = embeddings.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val initRows = pts.orderBy(col(idCol)).limit(k).collect()
+    require(initRows.length == k, s"k=$k exceeds corpus size ${initRows.length}")
+    var cents: Array[Array[Double]] = initRows.map(_.getSeq[Double](1).toArray)
+    val micro6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    var it = 0
+    while (it < iters) {
+      val means = pts
+        .withColumn("__c", graft.functions.HashExpressions.nearest_centroid(col("__v"), cents))
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__c", "__pos").agg(avg("__x").as("__m"))
+        .collect() // bounded: k·dim rows — the next round's expression needs them
+      val next = cents.map(_.clone()) // empty clusters carry forward
+      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = micro6(r.getDouble(2)) }
+      cents = next
+      it += 1
+    }
+    import spark.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cluster", "__cv")
+    pts
+      .withColumn("cluster", graft.functions.HashExpressions.nearest_centroid(col("__v"), cents))
+      .join(broadcast(centDf), "cluster")
+      .withColumn("cosine",
+        floor(graft.functions.HashExpressions.cosine_sim(col("__v"), col("__cv")) * 1e4 + lit(0.5)) / 1e4)
+      .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cosine"))
+  }
+
+  /** DuckDB oracle for [[kmeansTrain]]: the identical Lloyd loop unrolled as a
+    * materialized-CTE chain (the bpeTrainOracleSql pattern) — per round one
+    * |pts|·k grouped-cosine assignment (the shuffle-heavy shape the engine
+    * side deliberately avoids) and one µ-rounded per-dimension mean with
+    * empty-cluster carry-forward. MATERIALIZED is load-bearing: each round
+    * reads the previous centroids twice, and inlined CTEs re-evaluate the
+    * whole chain exponentially.
+    */
+  def kmeansOracleSql(k: Int, iters: Int, table: String = "embeddings",
+                      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    def assignBody(prev: String): String =
+      s"""SELECT $idCol, cluster, cos FROM (
+         |  SELECT $idCol, cluster, cos,
+         |    row_number() OVER (PARTITION BY $idCol ORDER BY cos DESC, cluster) AS rn
+         |  FROM (
+         |    SELECT p.$idCol, c.cluster,
+         |      sum(p.val * c.cval) / (min(n.pn) * sqrt(sum(c.cval * c.cval))) AS cos
+         |    FROM pts p JOIN $prev c ON c.pos = p.pos
+         |    JOIN pnorm n ON n.$idCol = p.$idCol
+         |    GROUP BY p.$idCol, c.cluster)) WHERE rn = 1""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS MATERIALIZED (${assignBody(prev)}
+         |),
+         |c$i AS MATERIALIZED (
+         |  SELECT a.cluster, p.pos, floor(avg(p.val) * 1e6 + 0.5) / 1e6 AS cval
+         |  FROM a$i a JOIN pts p ON p.$idCol = a.$idCol
+         |  GROUP BY a.cluster, p.pos
+         |  UNION ALL
+         |  SELECT cluster, pos, cval FROM $prev
+         |  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM a$i))""".stripMargin
+    }
+    val roundsSql = if (rounds.isEmpty) "" else rounds.mkString(",\n") + ","
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT $idCol, unnest(range(0, len($vecCol))) AS pos,
+       |         CAST(unnest($vecCol) AS DOUBLE) AS val
+       |  FROM $table),
+       |pnorm AS MATERIALIZED (
+       |  SELECT $idCol, sqrt(sum(val * val)) AS pn FROM pts GROUP BY $idCol),
+       |init AS (
+       |  SELECT $idCol, row_number() OVER (ORDER BY $idCol) - 1 AS cluster
+       |  FROM (SELECT DISTINCT $idCol FROM pts ORDER BY $idCol LIMIT $k)),
+       |c0 AS MATERIALIZED (
+       |  SELECT i.cluster, p.pos, p.val AS cval
+       |  FROM init i JOIN pts p ON p.$idCol = i.$idCol),
+       |$roundsSql
+       |final_assign AS (${assignBody(s"c$iters")})
+       |SELECT $idCol, CAST(cluster AS BIGINT) AS cluster,
+       |       floor(cos * 1e4 + 0.5) / 1e4 AS cosine
+       |FROM final_assign ORDER BY $idCol""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join then exact cosine filter.
     * Same shuffle shape as MinHash-LSH dedup — proportional to collisions, not n².
     */

@@ -896,4 +896,56 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(enc.contains("the the the the e"))        // thee = the+e
     assert(enc.contains("zz zz z zz zz aaaa aa a"))  // zzz = zz+z; aaaa one token
   }
+
+  test("kmeansTrain: two obvious directions separate; assignments are hand-checkable") {
+    // Two tight cosine bundles around e0 and e1. Init = two smallest ids,
+    // one from each bundle (ids 0 and 1), so after any number of rounds the
+    // bundles must map to their own cluster.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.05f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)), (4L, Seq(1.1f, 0f, 0.05f)),
+      (1L, Seq(0.05f, 1.0f, 0f)), (3L, Seq(0f, 0.95f, 0.1f)), (5L, Seq(0.1f, 1.2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansTrain(rows, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 0L && out(2L) == 0L && out(4L) == 0L)
+    assert(out(1L) == 1L && out(3L) == 1L && out(5L) == 1L)
+  }
+
+  test("kmeansTrain: iters=0 assigns against the raw init centroids") {
+    val rows = Seq(
+      (10L, Seq(1.0f, 0f)), (11L, Seq(0f, 1.0f)),
+      (12L, Seq(0.9f, 0.1f)), (13L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansTrain(rows, k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // init: cluster 0 = vec 10 (e0), cluster 1 = vec 11 (e1)
+    assert(out == Map(10L -> 0L, 11L -> 1L, 12L -> 0L, 13L -> 1L))
+  }
+
+  test("kmeansTrain: duplicate init vectors — round 1 starves cluster 1 (ties go " +
+    "to the lower index), whose carried-forward centroid then wins its points back") {
+    // Init: c0 = c1 = (1,0). Round 1: every point → cluster 0 (strict->),
+    // cluster 1 carries (1,0) forward. But cluster 0's mean drifts toward
+    // vec 2's y-component, so round 2 the exact-(1,0) points RE-ACQUIRE
+    // cluster 1 (their cosine to the carried centroid is exactly 1) while
+    // vec 2 stays with the drifted mean — the carry-forward centroid is a
+    // live competitor, not a tombstone. Final (pass 3) is the fixpoint.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0f)), (1L, Seq(1.0f, 0f)), (2L, Seq(0.9f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansTrain(rows, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("kmeansTrain: point-to-centroid cosine column is 4dp-rounded and sane") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0f)), (1L, Seq(0f, 1.0f)), (2L, Seq(1.0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansTrain(rows, k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // exact members sit ON their centroid → cosine exactly 1.0 after rounding
+    assert(out.forall { case (_, c) => c >= -1.0 && c <= 1.0 })
+    assert(out.count(_._2 == 1.0) == 3)
+  }
 }
