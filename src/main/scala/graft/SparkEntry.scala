@@ -1317,6 +1317,15 @@ object SparkEntry {
       graft.sim.Similarity.kmeansTrain(t(s, dir, "embeddings"), k = 8, iters = 2)
         .orderBy("vec_id")),
 
+    // LLM ops — cluster-balanced sampling: cap each trained k-means cluster
+    // at 20 members by portable md5-of-id order — caps over-represented
+    // regions of EMBEDDING SPACE (the per-source-cap operator's blind spot).
+    "q_emb_cluster_sample" -> ((s, dir) =>
+      graft.sim.Similarity.clusterBalancedSample(
+          graft.sim.Similarity.kmeansTrain(t(s, dir, "embeddings"), k = 8, iters = 2),
+          perCluster = 20)
+        .orderBy("cluster", "samp_rank")),
+
     // LLM ops — INCREMENTAL dedup: a new batch (doc_id % 5 == 0) deduped
     // against the already-ingested corpus (the rest) — survivors are new docs
     // whose fingerprint is unseen, first-wins within the batch. The daily
@@ -1814,6 +1823,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_emb_kmeans" -> graft.sim.Similarity.kmeansOracleSql(8, 2),
+
+    "q_emb_cluster_sample" -> graft.sim.Similarity.kmeansSampleOracleSql(8, 2, 20),
 
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS cnt

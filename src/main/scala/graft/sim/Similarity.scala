@@ -356,6 +356,44 @@ object Similarity {
        |FROM final_assign ORDER BY $idCol""".stripMargin
   }
 
+  /** Cluster-balanced deterministic sample over [[kmeansTrain]] assignments:
+    * at most `perCluster` members per cluster, chosen by engine-portable
+    * md5-of-id order (the q_doc_split_hash idiom — reproducible across runs,
+    * engines, and partitionings; xxhash64 would be Spark-only). The curation
+    * step trained clusters exist for: caps over-represented regions of the
+    * embedding space instead of over-represented SOURCES (the per-source-cap
+    * operator's blind spot). One window per cluster — a per-cluster sort of
+    * cluster-sized groups, never a global sort.
+    */
+  def clusterBalancedSample(assignments: DataFrame, perCluster: Int,
+                            idCol: String = "vec_id"): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assignments
+      .withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter(col("samp_rank") <= perCluster)
+      .select(col(idCol), col("cluster"), col("samp_rank"))
+  }
+
+  /** DuckDB oracle for [[kmeansTrain]] ∘ [[clusterBalancedSample]]: the kmeans
+    * CTE chain with the sampling window as the final select.
+    */
+  def kmeansSampleOracleSql(k: Int, iters: Int, perCluster: Int,
+                            table: String = "embeddings", idCol: String = "vec_id",
+                            vecCol: String = "embedding"): String = {
+    val base = kmeansOracleSql(k, iters, table, idCol, vecCol)
+    val marker = s"SELECT $idCol, CAST(cluster AS BIGINT) AS cluster"
+    require(base.contains(marker), "kmeansOracleSql final-select shape changed")
+    base.substring(0, base.indexOf(marker)) +
+      s"""SELECT $idCol, cluster, samp_rank FROM (
+         |  SELECT $idCol, CAST(cluster AS BIGINT) AS cluster,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS samp_rank
+         |  FROM final_assign)
+         |WHERE samp_rank <= $perCluster
+         |ORDER BY cluster, samp_rank""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join then exact cosine filter.
     * Same shuffle shape as MinHash-LSH dedup — proportional to collisions, not n².
     */

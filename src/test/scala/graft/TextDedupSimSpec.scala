@@ -938,6 +938,22 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("clusterBalancedSample: caps big clusters, keeps small ones whole, " +
+    "rank order is the portable md5 hash") {
+    val assigns = ((0L until 10L).map(i => (i, 0L)) ++ Seq((100L, 1L), (101L, 1L)))
+      .toDF("vec_id", "cluster")
+    val out = Similarity.clusterBalancedSample(assigns, perCluster = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster(0L).length == 3 && byCluster(1L).length == 2)
+    // expected order: md5 of the decimal id string, ties by id
+    val expected0 = (0L until 10L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString, i))
+      .take(3)
+    assert(byCluster(0L).sortBy(_._3).map(_._1).toSeq == expected0)
+  }
+
   test("kmeansTrain: point-to-centroid cosine column is 4dp-rounded and sane") {
     val rows = Seq(
       (0L, Seq(1.0f, 0f)), (1L, Seq(0f, 1.0f)), (2L, Seq(1.0f, 0f)))
