@@ -36,7 +36,7 @@ object IvfIndex {
     */
   def build(corpus: DataFrame, indexRoot: String, nCentroids: Int = 256,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            maxRecordsPerFile: Long = 4000000L): Int = {
+            maxRecordsPerFile: Long = 4000000L, trainIters: Int = 0): Int = {
     val spark = corpus.sparkSession
     // deterministic hash-stride centroid sample (distributed TakeOrdered; no
     // global row_number) with a first-ids fallback for degenerate corpora
@@ -49,7 +49,23 @@ object IvfIndex {
       if (sampled.nonEmpty) sampled
       else corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nCentroids).collect()
     require(cents.nonEmpty, "cannot build an IVF index over an empty corpus")
-    val cvecs = cents.map(decodeVec)
+    // optional Lloyd refinement of the sample (trainIters × one linear corpus
+    // pass): trained centroids cut quantization error — cells align with the
+    // corpus's direction clusters, so a query's true neighbors concentrate in
+    // its top cells and the same recall needs fewer probes. NOT a population
+    // balancer (Lloyd's objective is quantization error): near-duplicate
+    // directions genuinely belong in one cell, and a tight mega-blob can
+    // even collapse several centroids together, starving some cells empty —
+    // maxRecordsPerFile re-splits hot cells for the read path. Exactness of
+    // full-probe reads is unchanged (every vector still lands in SOME cell),
+    // so q_emb_ivf_indexed stays hash-gated regardless of trainIters.
+    val cvecs0 = cents.map(decodeVec)
+    val cvecs =
+      if (trainIters <= 0) cvecs0
+      else Similarity.lloydRefine(
+        corpus.select(col(idCol),
+          org.apache.spark.sql.functions.transform(col(vecCol), x => x.cast("double")).as("__v")),
+        cvecs0, trainIters)
 
     spark.createDataFrame(
         spark.sparkContext.parallelize(cvecs.zipWithIndex.map { case (v, i) =>

@@ -279,20 +279,7 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val initRows = pts.orderBy(col(idCol)).limit(k).collect()
     require(initRows.length == k, s"k=$k exceeds corpus size ${initRows.length}")
-    var cents: Array[Array[Double]] = initRows.map(_.getSeq[Double](1).toArray)
-    val micro6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
-    var it = 0
-    while (it < iters) {
-      val means = pts
-        .withColumn("__c", graft.functions.HashExpressions.nearest_centroid(col("__v"), cents))
-        .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__c", "__pos").agg(avg("__x").as("__m"))
-        .collect() // bounded: k·dim rows — the next round's expression needs them
-      val next = cents.map(_.clone()) // empty clusters carry forward
-      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = micro6(r.getDouble(2)) }
-      cents = next
-      it += 1
-    }
+    val cents = lloydRefine(pts, initRows.map(_.getSeq[Double](1).toArray), iters)
     import spark.implicits._
     val centDf = cents.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cluster", "__cv")
@@ -302,6 +289,31 @@ object Similarity {
       .withColumn("cosine",
         floor(graft.functions.HashExpressions.cosine_sim(col("__v"), col("__cv")) * 1e4 + lit(0.5)) / 1e4)
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cosine"))
+  }
+
+  /** The Lloyd iteration loop shared by [[kmeansTrain]] and
+    * [[IvfIndex.build]]'s centroid refinement: assign map-side (max-cosine
+    * argmax), update as µ-rounded per-dimension means, carry empty clusters
+    * forward. `pts` must be (id, array<double>) with the vector at ordinal 1.
+    */
+  private[sim] def lloydRefine(pts: DataFrame, init: Array[Array[Double]],
+                               iters: Int): Array[Array[Double]] = {
+    val micro6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val means = pts
+        .withColumn("__c",
+          graft.functions.HashExpressions.nearest_centroid(col(pts.columns(1)), cents))
+        .select(col("__c"), posexplode(col(pts.columns(1))).as(Seq("__pos", "__x")))
+        .groupBy("__c", "__pos").agg(avg("__x").as("__m"))
+        .collect() // bounded: k·dim rows — the next round's expression needs them
+      val next = cents.map(_.clone()) // empty clusters carry forward
+      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = micro6(r.getDouble(2)) }
+      cents = next
+      it += 1
+    }
+    cents
   }
 
   /** DuckDB oracle for [[kmeansTrain]]: the identical Lloyd loop unrolled as a

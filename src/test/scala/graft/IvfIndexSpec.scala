@@ -160,4 +160,44 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(oneCellFiles.nonEmpty && oneCellFiles.length < all)
     assert(oneCellFiles.forall(_.contains(s"cell=${cells.head}")))
   }
+
+  test("trainIters: Lloyd refinement cuts quantization error (mean assigned " +
+    "cosine rises) on a skewed corpus; probe-all stays exact") {
+    import spark.implicits._
+    // 90% of the corpus in ONE tight direction blob, 10% spread across two
+    // others — a hash-stride id sample lands most centroids inside the blob
+    // (splitting identical directions) while the sparse clusters share a
+    // badly-placed cell. Training pulls centroids onto the true clusters.
+    val rows = (0 until 200).map { i =>
+      val cluster = if (i % 10 < 9) 0 else 1 + i % 2
+      val base = Array.tabulate(8)(d => if (d % 3 == cluster) 10.0f else 0.1f)
+      val v = base.zipWithIndex.map { case (x, d) => x + ((i * 31 + d * 17) % 7) * 0.01f }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    def meanAssignedCos(root: String): Double = {
+      val cents = spark.read.parquet(s"$root/centroids").collect()
+        .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      val centDf = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toSeq.toDF("cell", "cvec")
+      spark.read.parquet(s"$root/data").join(broadcast(centDf), "cell")
+        .select(avg(graft.functions.HashExpressions.cosine_sim(
+          col("embedding"), col("cvec"))).as("m"))
+        .collect()(0).getDouble(0)
+    }
+    val rootS = java.nio.file.Files.createTempDirectory("ivf_samp_").toString
+    val rootT = java.nio.file.Files.createTempDirectory("ivf_train_").toString
+    val nS = IvfIndex.build(rows, rootS, nCentroids = 4)
+    val nT = IvfIndex.build(rows, rootT, nCentroids = 4, trainIters = 3)
+    assert(nT == nS)
+    val (qS, qT) = (meanAssignedCos(rootS), meanAssignedCos(rootT))
+    assert(qT >= qS, s"trained mean assigned cosine $qT below sampled $qS")
+    // exactness under full probe is layout-independent
+    val queries = rows.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = IvfIndex.topK(spark, rootT, queries, k = 5, nProbe = nT)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = Similarity.bruteForceTopK(rows, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+  }
 }
