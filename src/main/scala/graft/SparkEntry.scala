@@ -1317,6 +1317,14 @@ object SparkEntry {
       graft.sim.Similarity.kmeansTrain(t(s, dir, "embeddings"), k = 8, iters = 2)
         .orderBy("vec_id")),
 
+    // LLM ops — DSIR data selection (Xie et al. 2023): rank the raw pool by
+    // hashed-n-gram importance ratio against a target distribution (probe set
+    // doc_id % 50 == 0 — the contamination fixture reused as the "domain we
+    // want more of") and keep the deterministic top 40.
+    "q_doc_dsir_select" -> ((s, dir) =>
+      graft.pipeline.Pipeline.dsirSelect(
+        t(s, dir, "documents"), col("doc_id") % 50 === 0, selectK = 40)),
+
     // LLM ops — cluster-balanced sampling: cap each trained k-means cluster
     // at 20 members by portable md5-of-id order — caps over-represented
     // regions of EMBEDDING SPACE (the per-source-cap operator's blind spot).
@@ -1825,6 +1833,9 @@ object SparkEntry {
     "q_emb_kmeans" -> graft.sim.Similarity.kmeansOracleSql(8, 2),
 
     "q_emb_cluster_sample" -> graft.sim.Similarity.kmeansSampleOracleSql(8, 2, 20),
+
+    "q_doc_dsir_select" ->
+      graft.pipeline.Pipeline.dsirOracleSql("doc_id % 50 = 0", selectK = 40),
 
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS cnt

@@ -244,4 +244,109 @@ object Pipeline {
       else math.floor((k - 1).toDouble * 1152921504606846976.0 /* 2^60 */ / kthHash.toDouble).toLong
     Seq((k.toLong, kthHash, est)).toDF("k", "kth_hash", "est_distinct")
   }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): score raw-pool documents by how much more
+    * likely their hashed n-gram profile is under a TARGET distribution (the
+    * high-quality domain you want more of) than under the raw pool itself,
+    * then keep the top-k.
+    *
+    * Features are unigrams + bigrams of the shared whitespace tokenization,
+    * hashed into `buckets` buckets via the portable [[hex60]] (md5) hash — the
+    * paper's hashed-n-gram estimator. Per-bucket importance ratio with +1
+    * additive smoothing:
+    *   lr(b) = ln((t_b+1)/(T+B)) − ln((q_b+1)/(Q+B))
+    * and a document's score is Σ lr(bucket(gram)) over its gram INSTANCES
+    * (repeats count — this is a log-likelihood ratio under unigram/bigram
+    * independence), µ-rounded at 1e-4 for cross-engine float determinism.
+    * Selection ranks by (rounded score DESC, id) so the cut boundary is
+    * deterministic; paper's Gumbel noise is replaced by the deterministic
+    * rank — reproducibility is the property every other sampler here pins.
+    *
+    * Scale shape: one gram explode (O(total tokens)); bucket-count aggregates
+    * are ≤`buckets` rows and BROADCAST back onto the gram stream; one
+    * doc-keyed sum; selection is a TakeOrdered top-k, never a global sort.
+    * The only driver materialization is the 1-row gram-total aggregate.
+    *
+    * Output: (idCol, n_grams, dsir_score, sel_rank) — the selected top-k.
+    */
+  def dsirSelect(docs: DataFrame, targetFilter: Column, selectK: Int,
+                 buckets: Int = 1024, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val toksArr = filter(graft.text.TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
+    val n = size(col("__toks"))
+    val bigrams = when(n >= 2,
+      zip_with(slice(col("__toks"), lit(1), n - 1), slice(col("__toks"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    val grams = docs
+      .select(col(idCol), targetFilter.as("__t"), toksArr.as("__toks"))
+      .select(col(idCol), col("__t"),
+        explode(concat(col("__toks"), bigrams)).as("gram"))
+      .select(col(idCol), col("__t"), hashBucket(col("gram"), buckets).as("bucket"))
+    val totals = grams.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tt"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("qq")).collect()(0)
+    val (tt, qq) = (totals.getLong(0), totals.getLong(1))
+    val tc = grams.filter(col("__t")).groupBy("bucket").agg(count(lit(1)).as("t"))
+    val qc = grams.filter(!col("__t")).groupBy("bucket").agg(count(lit(1)).as("q"))
+    val ratio = tc.join(qc, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (log((coalesce(col("t"), lit(0L)).cast("double") + 1.0) / (tt + buckets.toDouble))
+          - log((coalesce(col("q"), lit(0L)).cast("double") + 1.0) / (qq + buckets.toDouble)))
+          .as("lr"))
+    val scored = grams.filter(!col("__t"))
+      .join(broadcast(ratio), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        (floor(sum("lr") * 1e4 + lit(0.5)) / 1e4).as("dsir_score"))
+    val top = scored.orderBy(col("dsir_score").desc, col(idCol)).limit(selectK)
+    // rank the k survivors (tiny — the window runs on ≤ selectK rows)
+    top.withColumn("sel_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("dsir_score").desc, col(idCol))).cast("long"))
+  }
+
+  /** DuckDB oracle for [[dsirSelect]]: identical grams (list_filter'd split +
+    * lead-window bigrams), identical md5 buckets, identical smoothed ln-ratio
+    * and rounding.
+    */
+  def dsirOracleSql(targetSql: String, selectK: Int, buckets: Int = 1024,
+                    table: String = "documents", textCol: String = "text",
+                    idCol: String = "doc_id"): String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT $idCol, ($targetSql) AS is_t,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim($textCol)), '\\s+'),
+       |                       x -> x <> '')) AS tok,
+       |    unnest(range(1, len(list_filter(regexp_split_to_array(lower(trim($textCol)), '\\s+'),
+       |                                    x -> x <> '')) + 1)) AS pos
+       |  FROM $table),
+       |grams AS MATERIALIZED (
+       |  SELECT $idCol, is_t,
+       |    ('0x' || substring(md5(gram), 1, 15))::BIGINT % $buckets AS bucket
+       |  FROM (
+       |    SELECT $idCol, is_t, tok AS gram FROM toks
+       |    UNION ALL
+       |    SELECT $idCol, is_t, gram FROM (
+       |      SELECT $idCol, is_t,
+       |        tok || ' ' || lead(tok) OVER (PARTITION BY $idCol ORDER BY pos) AS gram
+       |      FROM toks) WHERE gram IS NOT NULL)),
+       |tot AS (SELECT
+       |  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tt,
+       |  sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS qq FROM grams),
+       |tc AS (SELECT bucket, count(*) AS t FROM grams WHERE is_t GROUP BY bucket),
+       |qc AS (SELECT bucket, count(*) AS q FROM grams WHERE NOT is_t GROUP BY bucket),
+       |ratio AS (
+       |  SELECT coalesce(tc.bucket, qc.bucket) AS bucket,
+       |    ln((coalesce(t, 0) + 1.0) / (tt + $buckets.0))
+       |      - ln((coalesce(q, 0) + 1.0) / (qq + $buckets.0)) AS lr
+       |  FROM tc FULL JOIN qc ON tc.bucket = qc.bucket CROSS JOIN tot),
+       |scored AS (
+       |  SELECT g.$idCol, count(*) AS n_grams,
+       |    floor(sum(r.lr) * 1e4 + 0.5) / 1e4 AS dsir_score
+       |  FROM grams g JOIN ratio r USING (bucket) WHERE NOT g.is_t
+       |  GROUP BY g.$idCol)
+       |SELECT $idCol, n_grams, dsir_score,
+       |  row_number() OVER (ORDER BY dsir_score DESC, $idCol) AS sel_rank
+       |FROM scored ORDER BY dsir_score DESC, $idCol LIMIT $selectK""".stripMargin
 }

@@ -195,4 +195,29 @@ class PipelineSpec extends AnyFunSuite {
       .agg(max(col("start_tok") + col("n_tok"))).collect()(0).getLong(0)
     assert(rows == 42L)
   }
+
+  test("dsirSelect: target-like docs outrank disjoint ones; targets excluded; " +
+    "gram count = unigrams + bigrams") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple banana cherry"), // TARGET (id % 2 == 0 filter below picks 0,2,4)
+      (2L, "banana cherry apple"),              // TARGET
+      (4L, "apple cherry"),                     // TARGET
+      (1L, "apple banana cherry apple"),        // raw, target-like
+      (3L, "zebra yak xylophone quokka"),       // raw, disjoint
+      (5L, "banana apple"))                     // raw, target-like
+      .toDF("doc_id", "text")
+    val out = Pipeline.dsirSelect(docs, col("doc_id") % 2 === 0, selectK = 3,
+        buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // only raw docs can be selected
+    assert(out.map(_._1).toSet.subsetOf(Set(1L, 3L, 5L)))
+    val byId = out.map(o => o._1 -> o).toMap
+    // n_grams: doc 1 has 4 tokens -> 4 + 3 = 7; doc 3 -> 7; doc 5 -> 3
+    assert(byId(1L)._2 == 7L && byId(3L)._2 == 7L && byId(5L)._2 == 3L)
+    // target-overlapping docs must outscore the disjoint doc
+    assert(byId(1L)._3 > byId(3L)._3 && byId(5L)._3 > byId(3L)._3)
+    // ranks are dense 1..3 following (score desc, id)
+    assert(out.sortBy(_._4).map(_._4).toSeq == Seq(1L, 2L, 3L))
+  }
 }
