@@ -1325,6 +1325,13 @@ object SparkEntry {
       graft.pipeline.Pipeline.dsirSelect(
         t(s, dir, "documents"), col("doc_id") % 50 === 0, selectK = 40)),
 
+    // LLM ops — fastText-style quality classifier trained IN the engine
+    // (hashed-BoW logistic regression, 3 GD rounds, exact integer-micro
+    // weights): label = "is this an English doc", then score the whole pool.
+    "q_doc_quality_classifier" -> ((s, dir) =>
+      graft.pipeline.Pipeline.qualityClassifierTrain(
+        t(s, dir, "documents"), col("lang") === "en", iters = 3)),
+
     // LLM ops — cluster-balanced sampling: cap each trained k-means cluster
     // at 20 members by portable md5-of-id order — caps over-represented
     // regions of EMBEDDING SPACE (the per-source-cap operator's blind spot).
@@ -1836,6 +1843,9 @@ object SparkEntry {
 
     "q_doc_dsir_select" ->
       graft.pipeline.Pipeline.dsirOracleSql("doc_id % 50 = 0", selectK = 40),
+
+    "q_doc_quality_classifier" ->
+      graft.pipeline.Pipeline.qualityClassifierOracleSql("lang = 'en'", iters = 3),
 
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS cnt

@@ -349,4 +349,159 @@ object Pipeline {
        |SELECT $idCol, n_grams, dsir_score,
        |  row_number() OVER (ORDER BY dsir_score DESC, $idCol) AS sel_rank
        |FROM scored ORDER BY dsir_score DESC, $idCol LIMIT $selectK""".stripMargin
+
+  /** In-engine quality-classifier TRAINING — the fastText-style curation
+    * classifier every large LLM data pipeline runs (GPT-3's WebText-vs-
+    * CommonCrawl LR filter, LLaMA's Wikipedia-reference classifier): hashed
+    * bag-of-words logistic regression, trained by full-batch gradient descent
+    * INSIDE the engine and scored back over the corpus. No MLlib, no UDFs —
+    * every round is two linear shuffles over a cached presence table.
+    *
+    * Determinism is the hard part and is solved EXACTLY, not by rounding
+    * doubles and hoping: features are binary presence of hashed unigram
+    * buckets ([[hashBucket]] — portable md5), weights live in integer MICRO
+    * units (BIGINT), so a doc's logit Σ w_b + bias is an exact integer sum —
+    * order-independent at any partitioning. The only float op per round is
+    * the sigmoid, immediately re-quantized to micro units
+    * (floor(1e6·σ(s/1e6)+0.5)); gradients are exact BIGINT sums of those
+    * micro residuals, and the weight update floor(lr·Σr/N+0.5) is one IEEE
+    * double expression over exact integers — bit-identical in Spark and
+    * DuckDB. (Contrast kmeans' µ-rounded MEANS, which round an order-
+    * sensitive double sum; here nothing order-sensitive is ever summed.)
+    * Use a binary-exact `lr` (0.5, 0.25, …) so the SQL literal parses to the
+    * identical double.
+    *
+    * Scale shape: the presence table (doc, bucket) is built once (one corpus
+    * scan, localCheckpoint'd); each round = one broadcast join with the
+    * ≤`buckets`-row weight table + a doc-keyed exact sum + a bucket-keyed
+    * exact sum. Only the weight vector (≤ buckets longs) reaches the driver.
+    * At 100 TB: rounds never rescan text, broadcast side is KBs, both
+    * shuffles are map-side-combinable integer sums.
+    *
+    * Output: one row per doc — (idCol, y, prob, pred) with prob = final-round
+    * µ6 sigmoid and pred = prob ≥ 0.5.
+    */
+  def qualityClassifierTrain(docs: DataFrame, labelFilter: Column, iters: Int,
+                             lr: Double = 0.5, buckets: Int = 256,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val toksArr = filter(graft.text.TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
+    val labels = docs
+      .select(col(idCol), labelFilter.cast("int").cast("long").as("y"))
+      .localCheckpoint()
+    val feats = docs
+      .select(col(idCol), explode(toksArr).as("__tok"))
+      .select(col(idCol), hashBucket(col("__tok"), buckets).as("bucket"))
+      .distinct()
+      .localCheckpoint()
+    val nDocs = labels.count()
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // residual micro-units for a logit in micro-units: floor(1e6·σ(s)+0.5) − 1e6·y
+    def residual(s: Column, y: Column): Column =
+      (floor(lit(1e6) / (lit(1.0) + exp(-s.cast("double") / 1e6)) + 0.5)).cast("long") -
+        y * 1000000L
+
+    var w = Map.empty[Long, Long] // bucket → weight in micro units
+    var bias = 0L
+    var it = 0
+    while (it < iters) {
+      // exact integer logit per doc: bias + Σ_{b∈doc} w_b
+      val rDf =
+        if (w.isEmpty) labels.select(col(idCol), residual(lit(bias), col("y")).as("r"))
+        else {
+          val wDf = w.toSeq.toDF("bucket", "wm")
+          val sums = feats.join(broadcast(wDf), "bucket")
+            .groupBy(idCol).agg(sum("wm").as("__sw"))
+          labels.join(sums, Seq(idCol), "left")
+            .select(col(idCol),
+              residual(lit(bias) + coalesce(col("__sw"), lit(0L)), col("y")).as("r"))
+        }
+      // exact BIGINT gradient sums; ≤ buckets+1 rows reach the driver
+      val gradB = feats.join(rDf, idCol).groupBy("bucket")
+        .agg(sum("r").as("g")).collect()
+      val gradBias = rDf.agg(sum("r")).collect()(0).getLong(0)
+      val step = (g: Long) => math.floor(lr * g / nDocs + 0.5).toLong
+      val next = scala.collection.mutable.Map[Long, Long]() ++ w
+      gradB.foreach { row =>
+        val b = row.getLong(0)
+        next(b) = next.getOrElse(b, 0L) - step(row.getLong(1))
+      }
+      w = next.toMap
+      bias -= step(gradBias)
+      it += 1
+    }
+
+    // final scoring pass with the trained weights
+    val wDf = w.toSeq.toDF("bucket", "wm")
+    val sums = feats.join(broadcast(wDf), "bucket")
+      .groupBy(idCol).agg(sum("wm").as("__sw"))
+    labels.join(sums, Seq(idCol), "left")
+      .withColumn("__s", lit(bias) + coalesce(col("__sw"), lit(0L)))
+      .select(col(idCol), col("y"),
+        (floor(lit(1e6) / (lit(1.0) + exp(-col("__s").cast("double") / 1e6)) + 0.5) / 1e6)
+          .as("prob"))
+      .withColumn("pred", (col("prob") >= 0.5).cast("int").cast("long"))
+  }
+
+  /** DuckDB oracle for [[qualityClassifierTrain]]: the identical GD loop
+    * unrolled as a materialized-CTE chain (the bpeTrain/kmeans pattern) —
+    * identical md5 buckets, identical integer-micro weights, identical
+    * µ-quantized sigmoid and floor-rounded updates. MATERIALIZED is
+    * load-bearing: round i's weights are read by both round i+1's logits and
+    * its own update, and inlined CTEs re-evaluate the chain exponentially.
+    */
+  def qualityClassifierOracleSql(labelSql: String, iters: Int,
+                                 lr: Double = 0.5, buckets: Int = 256,
+                                 table: String = "documents",
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id"): String = {
+    require(iters >= 1, "iters >= 1")
+    // residual CTE body for a logit expression in micro units
+    def resid(s: String) =
+      s"CAST(floor(1e6 / (1.0 + exp(-($s) / 1e6)) + 0.5) AS BIGINT) - 1000000 * y"
+    def stepExpr(g: String) = s"CAST(floor($lr * ($g) / (SELECT c FROM n) + 0.5) AS BIGINT)"
+    val rounds = (1 to iters).map { i =>
+      val logit =
+        if (i == 1) s"(SELECT bm FROM b0)"
+        else
+          s"""(SELECT bm FROM b${i - 1}) + coalesce(
+             |    (SELECT sum(w.wm) FROM feats f JOIN w${i - 1} w ON w.bucket = f.bucket
+             |     WHERE f.$idCol = l.$idCol), 0)""".stripMargin
+      val (prevJoin, prevW) =
+        if (i == 1) ("", s"0 - ${stepExpr("sum(r.r)")}")
+        else (s"LEFT JOIN w${i - 1} p ON p.bucket = f.bucket",
+          s"coalesce(max(p.wm), 0) - ${stepExpr("sum(r.r)")}")
+      s"""r$i AS MATERIALIZED (
+         |  SELECT l.$idCol, ${resid(logit)} AS r FROM labels l),
+         |w$i AS MATERIALIZED (
+         |  SELECT f.bucket, $prevW AS wm
+         |  FROM feats f JOIN r$i r ON r.$idCol = f.$idCol $prevJoin
+         |  GROUP BY f.bucket),
+         |b$i AS MATERIALIZED (
+         |  SELECT (SELECT bm FROM b${i - 1}) - ${stepExpr("sum(r.r)")} AS bm FROM r$i r)""".stripMargin
+    }
+    s"""WITH labels AS MATERIALIZED (
+       |  SELECT $idCol, CASE WHEN $labelSql THEN 1 ELSE 0 END::BIGINT AS y FROM $table),
+       |feats AS MATERIALIZED (
+       |  SELECT DISTINCT $idCol,
+       |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % $buckets AS bucket
+       |  FROM (SELECT $idCol,
+       |          unnest(list_filter(regexp_split_to_array(lower(trim($textCol)), '\\s+'),
+       |                             x -> x <> '')) AS tok
+       |        FROM $table)),
+       |n AS (SELECT count(*) AS c FROM labels),
+       |b0 AS (SELECT 0::BIGINT AS bm),
+       |${rounds.mkString(",\n")}
+       |SELECT l.$idCol, l.y,
+       |  floor(1e6 / (1.0 + exp(-((SELECT bm FROM b$iters) + coalesce(
+       |    (SELECT sum(w.wm) FROM feats f JOIN w$iters w ON w.bucket = f.bucket
+       |     WHERE f.$idCol = l.$idCol), 0)) / 1e6)) + 0.5) / 1e6 AS prob,
+       |  (floor(1e6 / (1.0 + exp(-((SELECT bm FROM b$iters) + coalesce(
+       |    (SELECT sum(w.wm) FROM feats f JOIN w$iters w ON w.bucket = f.bucket
+       |     WHERE f.$idCol = l.$idCol), 0)) / 1e6)) + 0.5) / 1e6 >= 0.5)::BIGINT AS pred
+       |FROM labels l""".stripMargin
+  }
 }

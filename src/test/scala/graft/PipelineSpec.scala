@@ -220,4 +220,37 @@ class PipelineSpec extends AnyFunSuite {
     // ranks are dense 1..3 following (score desc, id)
     assert(out.sortBy(_._4).map(_._4).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("qualityClassifierTrain: learns the separating vocabulary, exact " +
+    "integer weights make reruns bit-identical, token-less docs score bias-only") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "good clean prose text", true),
+      (1L, "good helpful clean text", true),
+      (2L, "clean prose helpful good", true),
+      (3L, "spam junk garbage noise", false),
+      (4L, "junk spam noise garbage", false),
+      (5L, "garbage noise spam junk", false),
+      (6L, "good clean helpful prose", true), // held-in positive
+      (7L, "   ", false))                     // token-less → bias-only logit
+      .toDF("doc_id", "text", "is_good")
+    val out = Pipeline.qualityClassifierTrain(docs, col("is_good"), iters = 8,
+        lr = 0.5, buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // positives all outscore negatives after 8 rounds
+    val posMin = Seq(0L, 1L, 2L, 6L).map(out(_)._2).min
+    val negMax = Seq(3L, 4L, 5L).map(out(_)._2).max
+    assert(posMin > negMax, s"no separation: posMin=$posMin negMax=$negMax")
+    assert(Seq(0L, 1L, 2L, 6L).forall(out(_)._3 == 1L))
+    assert(Seq(3L, 4L, 5L).forall(out(_)._3 == 0L))
+    // token-less doc: logit = bias only → prob strictly between the classes
+    assert(out(7L)._2 < posMin && out(7L)._2 > negMax)
+    // exact integer-micro weights: a rerun is bit-identical, not just close
+    val again = Pipeline.qualityClassifierTrain(docs, col("is_good"), iters = 8,
+        lr = 0.5, buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(again == out)
+  }
 }
