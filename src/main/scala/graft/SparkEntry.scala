@@ -972,6 +972,13 @@ object SparkEntry {
       graft.pipeline.Pipeline.mixtureWeights(t(s, dir, "documents"), "source")
         .orderBy("source")),
 
+    // LLM ops — temperature-scaled mixture (XLM-R / mT5 α-smoothing, α=0.5):
+    // boost low-resource languages without hard-uniform's tiny-group blowup.
+    "q_corpus_mix_temperature" -> ((s, dir) =>
+      graft.pipeline.Pipeline
+        .mixtureWeightsTemperature(t(s, dir, "documents"), "lang", alpha = 0.5)
+        .orderBy("lang")),
+
     // LLM ops — APPLY the mixture: deterministic repetition by weight
     // (floor(w) copies + one more iff the id-hash fraction < frac(w)), so the
     // rebalanced corpus is reproducible row-for-row.
@@ -1846,6 +1853,9 @@ object SparkEntry {
 
     "q_doc_quality_classifier" ->
       graft.pipeline.Pipeline.qualityClassifierOracleSql("lang = 'en'", iters = 3),
+
+    "q_corpus_mix_temperature" ->
+      graft.pipeline.Pipeline.mixtureTemperatureOracleSql("lang", alpha = 0.5),
 
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS cnt

@@ -69,6 +69,59 @@ object Pipeline {
       .drop("__total", "__n_groups")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-pretraining sampler
+    * (XLM-R / mT5 α-smoothing): target share p_g ∝ share_g^α with α ∈ (0,1].
+    * α = 1 keeps the natural mixture; α → 0 approaches uniform; the usual
+    * 0.3–0.7 band boosts low-resource groups without letting a tiny group
+    * dominate the way a hard-uniform target does.
+    *
+    * Cross-engine determinism: shares are exact integer ratios; pow() output
+    * is immediately quantized to integer micro units, and the normalizer is
+    * an exact BIGINT sum of those micros — no order-sensitive double sum
+    * anywhere (the quality-classifier discipline, not µ-rounded-mean hope).
+    *
+    * Output per group: cnt, share, temp_share (normalized p_g), weight =
+    * temp_share/share — feed straight into [[repeatByWeight]]. Group-count
+    * rows only; scale-free.
+    */
+  def mixtureWeightsTemperature(df: DataFrame, byCol: String,
+                                alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val counts = df.groupBy(byCol).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("__total"))
+    val micro = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val withPow = counts.crossJoin(broadcast(totals))
+      .withColumn("__pm",
+        floor(pow(col("cnt").cast("double") / col("__total"), alpha) * 1e6 + 0.5)
+          .cast("long"))
+    val powTotal = withPow.agg(sum("__pm").as("__pt")) // exact BIGINT sum
+    withPow.crossJoin(broadcast(powTotal))
+      .withColumn("share", micro(col("cnt").cast("double") / col("__total")))
+      .withColumn("temp_share",
+        micro(col("__pm").cast("double") / col("__pt").cast("double")))
+      .withColumn("weight",
+        micro((col("__pm").cast("double") / col("__pt").cast("double")) /
+          (col("cnt").cast("double") / col("__total"))))
+      .drop("__total", "__pm", "__pt")
+  }
+
+  /** DuckDB oracle for [[mixtureWeightsTemperature]]: identical micro-quantized
+    * pow and exact BIGINT normalizer. */
+  def mixtureTemperatureOracleSql(byCol: String, alpha: Double,
+                                  table: String = "documents"): String =
+    s"""WITH c AS (SELECT $byCol, count(*) AS cnt FROM $table GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+       |p AS (SELECT c.$byCol, c.cnt, t.total,
+       |  CAST(floor(pow(CAST(c.cnt AS DOUBLE) / t.total, $alpha) * 1e6 + 0.5) AS BIGINT) AS pm
+       |  FROM c, t),
+       |pt AS (SELECT sum(pm) AS pt FROM p)
+       |SELECT p.$byCol, p.cnt,
+       |  floor(CAST(p.cnt AS DOUBLE) / p.total * 1e6 + 0.5) / 1e6 AS share,
+       |  floor(CAST(p.pm AS DOUBLE) / pt.pt * 1e6 + 0.5) / 1e6 AS temp_share,
+       |  floor((CAST(p.pm AS DOUBLE) / pt.pt) / (CAST(p.cnt AS DOUBLE) / p.total)
+       |        * 1e6 + 0.5) / 1e6 AS weight
+       |FROM p, pt ORDER BY p.$byCol""".stripMargin
+
   /** Fixed-size token chunking — the training-sequence preparation step: split
     * each document into consecutive `chunkTokens`-token chunks (last chunk may
     * be short). Output: (idCol, chunk_idx, n_tok, chunk_hash) where chunk_hash

@@ -221,6 +221,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sortBy(_._4).map(_._4).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mixtureWeightsTemperature: alpha=1 is the natural mixture; alpha<1 " +
+    "boosts rare groups; temp shares normalize") {
+    import spark.implicits._
+    val df = ((1 to 90).map(i => (i.toLong, "en")) ++
+      (1 to 9).map(i => (100L + i, "fr")) ++ Seq((200L, "is")))
+      .toDF("doc_id", "lang")
+    val nat = Pipeline.mixtureWeightsTemperature(df, "lang", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // alpha=1: temp_share == share, weight == 1 (up to micro quantization)
+    nat.values.foreach { case (share, ts, w) =>
+      assert(math.abs(ts - share) <= 2e-6 && math.abs(w - 1.0) <= 2e-5)
+    }
+    val t5 = Pipeline.mixtureWeightsTemperature(df, "lang", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // sqrt smoothing: rare groups upweighted, dominant group downweighted,
+    // but rarest stays BELOW hard-uniform's 1/3 target
+    assert(t5("is")._3 > 1.0 && t5("fr")._3 > 1.0 && t5("en")._3 < 1.0)
+    assert(t5("is")._2 < 1.0 / 3)
+    // temp shares normalize to 1
+    assert(math.abs(t5.values.map(_._2).sum - 1.0) < 1e-5)
+    // more smoothing for the rarer group: is (1%) gains more than fr (9%)
+    assert(t5("is")._3 > t5("fr")._3)
+  }
+
   test("qualityClassifierTrain: learns the separating vocabulary, exact " +
     "integer weights make reruns bit-identical, token-less docs score bias-only") {
     import spark.implicits._
