@@ -1302,6 +1302,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // LLM ops — product quantization: per-subspace L2 codebooks (m=4, k=8,
+    // one Lloyd round), map-side encode, ADC top-5 with an integer-micro LUT
+    // (exact BIGINT doc scores). Hash-gated against the identical per-subspace
+    // Lloyd chains + LUT replayed in DuckDB.
+    "q_emb_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbs = graft.sim.Quantize.pqTrain(emb, m = 4, k = 8, iters = 1)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Quantize.pqTopK(emb, queries, cbs, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // LLM ops — MATERIALIZED IVF ANN: corpus written cell-partitioned once,
     // queries read only probed cells (partition pruning). Probing ALL cells is
     // exact, so unlike the rows-only q_emb_ivf_ann this one is hash-gated
@@ -1856,6 +1869,10 @@ object SparkEntry {
 
     "q_corpus_mix_temperature" ->
       graft.pipeline.Pipeline.mixtureTemperatureOracleSql("lang", alpha = 0.5),
+
+    "q_emb_pq_topk" ->
+      graft.sim.Quantize.pqOracleSql(m = 4, k = 8, iters = 1, topK = 5,
+        queryPredSql = "p.vec_id < 3"),
 
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS cnt

@@ -354,6 +354,55 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Index of the EUCLIDEAN-nearest centroid (argmin squared L2, ties → lowest
+    * index) — the product-quantization assignment metric. Cosine
+    * ([[NearestCentroid]]) is wrong for PQ subvectors: it normalizes away the
+    * magnitude the codebook must reconstruct. Distances accumulate in one
+    * sequential flat loop (deterministic summation order).
+    */
+  case class NearestCentroidL2(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with UnarySketchCodegen {
+    override def dataType: DataType = IntegerType
+    override protected def refName: String = "nearestCentroidL2"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid_l2 needs array<float|double>, got $other")
+      }
+    @transient private lazy val isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    def compute(a: ArrayData): Int = {
+      val n = a.numElements()
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        i += 1
+      }
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        val m = math.min(n, cv.length)
+        var d = 0.0
+        var j = 0
+        while (j < m) { val t = v(j) - cv(j); d += t * t; j += 1 }
+        if (d < bestDist) { bestDist = d; best = c }
+        c += 1
+      }
+      best
+    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
+    override protected def withNewChildInternal(c: Expression): NearestCentroidL2 =
+      copy(child = c)
+  }
+
   /** `mightContainLong` probe against a serialized
     * `org.apache.spark.util.sketch.BloomFilter`. The filter bytes ride in the
     * serialized plan (shipped to each executor once per stage via the task
@@ -399,6 +448,8 @@ object HashExpressions {
     GraftBridge.column(CosineSim(ex(a), ex(b)))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroid(ex(vec), centroids))
+  def nearest_centroid_l2(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(NearestCentroidL2(ex(vec), centroids))
   def bloom_might_contain_long(hash: Column, bloomBytes: Array[Byte]): Column =
     GraftBridge.column(BloomMightContainLong(ex(hash), bloomBytes))
 }

@@ -83,4 +83,205 @@ object Quantize {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
+
+  // ---------------------------------------------------------------- PQ ----
+
+  /** Product quantization (Jégou et al. 2011) — the memory-scaling path past
+    * int8: split each vector into `m` subvectors, train a k-entry EUCLIDEAN
+    * codebook per subspace (Lloyd, µ6-rounded means, deterministic init = the
+    * k smallest ids — the [[Similarity.kmeansTrain]] discipline), and store
+    * one byte-sized code per subspace. A 64-dim float32 vector becomes m
+    * codes: 256 B → 4-8 B, the difference between "embeddings fit in RAM
+    * across the cluster" and "they don't" at 10⁹+ vectors.
+    *
+    * Scoring is ADC (asymmetric distance computation): the query stays full
+    * precision; per (subspace, code) the query·centroid dot is precomputed
+    * into a lookup table, quantized to integer MICRO units, so a document's
+    * approximate dot is an EXACT BIGINT sum of m table entries —
+    * order-independent under any partitioning (the quality-classifier
+    * discipline). Ranking ties break on id.
+    *
+    * Scale shape: training touches only k·dim driver-side doubles per round;
+    * encoding is map-side (one codegen'd argmin per subspace); scoring joins
+    * the exploded code column against a BROADCAST LUT (|queries|·m·k rows)
+    * and reduces with one map-side-combinable integer sum. Compose with
+    * [[IvfIndex]] cell probing to bound the scored corpus at 100 TB.
+    */
+  def pqTrain(embeddings: org.apache.spark.sql.DataFrame, m: Int, k: Int,
+              iters: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val d = dim / m
+    val pts = embeddings
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .localCheckpoint()
+    val initRows = pts.orderBy(col(idCol)).limit(k).collect()
+    require(initRows.length == k, s"k=$k exceeds corpus size ${initRows.length}")
+    (0 until m).map { s =>
+      val sub = pts.select(col(idCol), slice(col("__v"), s * d + 1, d).as("__sv"))
+      val init = initRows.map(_.getSeq[Double](1).slice(s * d, s * d + d).toArray)
+      lloydL2(sub, init, iters)
+    }.toArray
+  }
+
+  /** Euclidean Lloyd rounds (the PQ codebook metric — cosine would normalize
+    * away the magnitudes the codebook must reconstruct): map-side L2 argmin,
+    * µ6-rounded per-dimension means, empty clusters carry forward. `pts` must
+    * be (id, array<double>) with the vector at ordinal 1.
+    */
+  private def lloydL2(pts: org.apache.spark.sql.DataFrame,
+                      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val micro6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val means = pts
+        .withColumn("__c",
+          graft.functions.HashExpressions.nearest_centroid_l2(col(pts.columns(1)), cents))
+        .select(col("__c"), posexplode(col(pts.columns(1))).as(Seq("__pos", "__x")))
+        .groupBy("__c", "__pos").agg(avg("__x").as("__m"))
+        .collect() // bounded: k·subdim rows
+      val next = cents.map(_.clone())
+      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = micro6(r.getDouble(2)) }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Map-side PQ encoding: (idCol, pq_codes array<int>) — one codegen'd L2
+    * argmin per subspace, zero shuffle. */
+  def pqEncode(embeddings: org.apache.spark.sql.DataFrame,
+               codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    embeddings.select(col(idCol),
+      array((0 until m).map(s =>
+        graft.functions.HashExpressions.nearest_centroid_l2(
+          slice(vd, s * d + 1, d), codebooks(s))): _*).as("pq_codes"))
+  }
+
+  /** ADC top-k: approximate dot(query, doc) = Σ_m LUT[sub][code_m], with LUT
+    * entries quantized to integer micros (exact BIGINT doc scores). Output:
+    * (query_id, id, adc, rank). Queries are assumed a bounded panel (the LUT
+    * is broadcast); bound the corpus side with IVF cell probing at scale.
+    */
+  def pqTopK(corpus: org.apache.spark.sql.DataFrame,
+             queries: org.apache.spark.sql.DataFrame,
+             codebooks: Array[Array[Array[Double]]], k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "query_id",
+             queryVecCol: String = "query_vec"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbDf = (for (s <- 0 until m; c <- codebooks(s).indices)
+      yield (s, c, codebooks(s)(c).toSeq)).toDF("__sub", "__code", "__cvec")
+    val qd = transform(col(queryVecCol), x => x.cast("double"))
+    val lut = queries.crossJoin(broadcast(cbDf))
+      .withColumn("__qsub", slice(qd, col("__sub") * d + 1, lit(d)))
+      .withColumn("__lut",
+        floor(aggregate(zip_with(col("__qsub"), col("__cvec"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long"))
+      .select(col(queryIdCol), col("__sub"), col("__code"), col("__lut"))
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
+      .select(col(idCol), posexplode(col("pq_codes")).as(Seq("__sub", "__code")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("__sm").desc, col(idCol))
+    codes.join(broadcast(lut), Seq("__sub", "__code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("__lut").as("__sm")) // exact: BIGINT sum of m micro entries
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol),
+        (col("__sm").cast("double") / 1e6).as("adc"), col("rank"))
+  }
+
+  /** DuckDB oracle for train→encode→ADC-top-k: the identical per-subspace
+    * Lloyd chains (L2 argmin with (dist, cluster) tie order, µ6 means,
+    * empty-cluster carry-forward), identical micro-quantized LUT and exact
+    * BIGINT ADC sums, unrolled as materialized CTEs (the kmeansOracleSql
+    * pattern, one chain per subspace).
+    */
+  def pqOracleSql(m: Int, k: Int, iters: Int, topK: Int, queryPredSql: String,
+                  table: String = "embeddings", idCol: String = "vec_id",
+                  vecCol: String = "embedding"): String = {
+    val subCtes = (0 until m).map { s =>
+      val lo = s"((SELECT __d FROM dd) * $s)"
+      val hi = s"((SELECT __d FROM dd) * ${s + 1})"
+      val c0 =
+        s"""c0_$s AS MATERIALIZED (
+           |  SELECT i.cl AS cluster, p.pos - $lo AS pos, p.val
+           |  FROM pts p JOIN init i USING ($idCol)
+           |  WHERE p.pos >= $lo AND p.pos < $hi)""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        s"""a${r}_$s AS MATERIALIZED (
+           |  SELECT $idCol, cluster FROM (
+           |    SELECT $idCol, cluster,
+           |      row_number() OVER (PARTITION BY $idCol ORDER BY dist, cluster) AS rn
+           |    FROM (
+           |      SELECT p.$idCol, c.cluster,
+           |        sum((p.val - c.cval) * (p.val - c.cval)) AS dist
+           |      FROM pts p JOIN (SELECT cluster, pos, val AS cval FROM c${r - 1}_$s) c
+           |        ON c.pos = p.pos - $lo
+           |      WHERE p.pos >= $lo AND p.pos < $hi
+           |      GROUP BY p.$idCol, c.cluster)) WHERE rn = 1),
+           |c${r}_$s AS MATERIALIZED (
+           |  SELECT a.cluster, p.pos - $lo AS pos,
+           |         floor(avg(p.val) * 1e6 + 0.5) / 1e6 AS val
+           |  FROM a${r}_$s a JOIN pts p USING ($idCol)
+           |  WHERE p.pos >= $lo AND p.pos < $hi
+           |  GROUP BY a.cluster, p.pos
+           |  UNION ALL
+           |  SELECT cluster, pos, val FROM c${r - 1}_$s
+           |  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM a${r}_$s))""".stripMargin
+      }
+      val codes =
+        s"""codes_$s AS MATERIALIZED (
+           |  SELECT $idCol, cluster FROM (
+           |    SELECT $idCol, cluster,
+           |      row_number() OVER (PARTITION BY $idCol ORDER BY dist, cluster) AS rn
+           |    FROM (
+           |      SELECT p.$idCol, c.cluster,
+           |        sum((p.val - c.val) * (p.val - c.val)) AS dist
+           |      FROM pts p JOIN c${iters}_$s c ON c.pos = p.pos - $lo
+           |      WHERE p.pos >= $lo AND p.pos < $hi
+           |      GROUP BY p.$idCol, c.cluster)) WHERE rn = 1)""".stripMargin
+      val lut =
+        s"""lut_$s AS MATERIALIZED (
+           |  SELECT p.$idCol AS query_id, c.cluster,
+           |    CAST(floor(sum(p.val * c.val) * 1e6 + 0.5) AS BIGINT) AS lut
+           |  FROM pts p JOIN c${iters}_$s c ON c.pos = p.pos - $lo
+           |  WHERE p.pos >= $lo AND p.pos < $hi AND ($queryPredSql)
+           |  GROUP BY p.$idCol, c.cluster)""".stripMargin
+      (Seq(c0) ++ rounds ++ Seq(codes, lut)).mkString(",\n")
+    }
+    val scoreUnion = (0 until m).map { s =>
+      s"""SELECT l.query_id, cd.$idCol, l.lut
+         |FROM codes_$s cd JOIN lut_$s l ON l.cluster = cd.cluster""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dd AS (SELECT len($vecCol) // $m AS __d FROM $table LIMIT 1),
+       |pts AS MATERIALIZED (
+       |  SELECT $idCol, unnest(range(0, len($vecCol))) AS pos,
+       |         CAST(unnest($vecCol) AS DOUBLE) AS val FROM $table),
+       |init AS MATERIALIZED (
+       |  SELECT $idCol, CAST(row_number() OVER (ORDER BY $idCol) - 1 AS INT) AS cl
+       |  FROM (SELECT $idCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |${subCtes.mkString(",\n")},
+       |scores AS MATERIALIZED (
+       |  SELECT query_id, $idCol, sum(lut) AS sm FROM (
+       |$scoreUnion
+       |  ) GROUP BY query_id, $idCol)
+       |SELECT query_id, $idCol, CAST(sm AS DOUBLE) / 1e6 AS adc, rank FROM (
+       |  SELECT query_id, $idCol, sm,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sm DESC, $idCol) AS rank
+       |  FROM scores) WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -133,6 +133,20 @@ class HashExprCodegenSpec extends AnyFunSuite {
         .compute(dblArr(v))
     }
     assert(cNc.toSeq == eNc, "nearest_centroid diverges")
+
+    val cNcL2 = collectCodegen(df, nearest_centroid_l2(col("a"), cents)).map(_.asInstanceOf[Int])
+    val eNcL2 = vectors.map { v =>
+      NearestCentroidL2(GraftBridge.expression(lit(v.map(_.toDouble))), cents)
+        .compute(dblArr(v))
+    }
+    assert(cNcL2.toSeq == eNcL2, "nearest_centroid_l2 diverges")
+    // the metrics genuinely differ: same DIRECTION far away loses under L2
+    // ([10,0,...] is cosine-closest to centroid 0 but L2-closer to centroid 1)
+    val probe = Array(10.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val pdf = Seq(Tuple1(probe)).toDF("a")
+    val far = Array(Array(100.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0, 0, 0))
+    assert(collectCodegen(pdf, nearest_centroid(col("a"), far)).head == 0)
+    assert(collectCodegen(pdf, nearest_centroid_l2(col("a"), far)).head == 1)
   }
 
   test("bloom_might_contain_long: codegen == interpreted, no false negatives") {

@@ -146,6 +146,31 @@ class IvfIndexSpec extends AnyFunSuite {
     trueCos.foreach { case (key, v) => assert(cosines(key) == v) }
   }
 
+  test("PQ: codes bounded by k, encode deterministic, ADC top-k recovers the " +
+    "true neighbors on a separated corpus, reruns bit-identical") {
+    import graft.sim.Quantize
+    val corpus = clustered(120)
+    val cbs = Quantize.pqTrain(corpus, m = 4, k = 4, iters = 2)
+    assert(cbs.length == 4 && cbs.forall(_.length == 4) && cbs.forall(_.forall(_.length == 2)))
+    val codes = Quantize.pqEncode(corpus, cbs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 120 && codes.values.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 4)))
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = Quantize.pqTopK(corpus, queries, cbs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // ADC ranks same-cluster docs above other-cluster docs: the top-10 for
+    // query i must all come from cluster i (ids ≡ i mod 3)
+    got.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.length == 10)
+      assert(rs.forall { case (_, docId, _, _) => docId % 3 == qid % 3 },
+        s"query $qid leaked other-cluster docs: ${rs.mkString(",")}")
+    }
+    val again = Quantize.pqTopK(corpus, queries, cbs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == again.toSeq) // exact integer-micro ADC: bit-identical
+  }
+
   test("probed read touches only the probed cell partitions (pruned scan)") {
     val corpus = clustered(120)
     val root = java.nio.file.Files.createTempDirectory("ivf_idx2_").toString
