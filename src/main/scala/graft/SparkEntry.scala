@@ -1319,6 +1319,22 @@ object SparkEntry {
     // queries read only probed cells (partition pruning). Probing ALL cells is
     // exact, so unlike the rows-only q_emb_ivf_ann this one is hash-gated
     // against the brute-force oracle.
+    // LLM ops — IVF-PQ (FAISS IndexIVFPQ shape): cell-partitioned index with
+    // stored per-row PQ code words; the ADC stage scans ONLY the m-byte codes
+    // column of the probed cells, the exact re-rank touches true vectors for
+    // the shortlist alone. Probe-all + generous rerank ⇒ exact (hash-gated vs
+    // the brute-force oracle, like the other probe-all ANN gates).
+    "q_emb_ivfpq_ann" -> ((s, dir) => {
+      val root = ivfPqIndex(s, dir)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.IvfIndex.topKPq(s, root, queries, k = 5, nProbe = 8,
+          rerankFactor = 40)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_emb_ivf_indexed" -> ((s, dir) => {
       val root = ivfIndex(s, dir)
       val queries = t(s, dir, "embeddings").filter(col("vec_id") < 3)
@@ -1471,6 +1487,9 @@ object SparkEntry {
     * dir); the build is the write-path cost a production deployment pays once.
     */
   private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private val ivfPqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   /** Materialized MinHash-LSH index over `dir`'s corpus-side documents
@@ -1646,6 +1665,15 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
       graft.sim.IvfIndex.build(
         s.read.parquet(s"$dir/embeddings.parquet"), root, nCentroids = 8)
+      root
+    })
+
+  private def ivfPqIndex(s: SparkSession, dir: String): String =
+    ivfPqIndexCache.computeIfAbsent((s, dir), _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      graft.sim.IvfIndex.build(
+        s.read.parquet(s"$dir/embeddings.parquet"), root, nCentroids = 8,
+        pqM = 4, pqK = 16, pqIters = 1)
       root
     })
 
@@ -2764,6 +2792,8 @@ object SparkEntry {
 
     // probe-all IVF over the MATERIALIZED index is exact too
     "q_emb_ivf_indexed" -> bruteForceAnnOracle,
+
+    "q_emb_ivfpq_ann" -> bruteForceAnnOracle,
 
     // SemDeDup at nClusters=1 is exact all-pairs: dropped = any vector with a
     // smaller-id neighbor at rounded cosine >= threshold

@@ -29,6 +29,7 @@ object IvfIndex {
 
   private def dataPath(root: String) = s"$root/data"
   private def centroidsPath(root: String) = s"$root/centroids"
+  private def pqCodebooksPath(root: String) = s"$root/pq_codebooks"
 
   /** Assign every corpus vector to its nearest centroid and materialize the
     * corpus partitioned by cell. Returns the number of centroids actually used
@@ -36,7 +37,8 @@ object IvfIndex {
     */
   def build(corpus: DataFrame, indexRoot: String, nCentroids: Int = 256,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            maxRecordsPerFile: Long = 4000000L, trainIters: Int = 0): Int = {
+            maxRecordsPerFile: Long = 4000000L, trainIters: Int = 0,
+            pqM: Int = 0, pqK: Int = 16, pqIters: Int = 1): Int = {
     val spark = corpus.sparkSession
     // deterministic hash-stride centroid sample (distributed TakeOrdered; no
     // global row_number) with a first-ids fallback for degenerate corpora
@@ -75,19 +77,103 @@ object IvfIndex {
           StructField("centroid", ArrayType(DoubleType, containsNull = false)))))
       .write.mode("overwrite").parquet(centroidsPath(indexRoot))
 
+    // IVF-PQ (FAISS IndexIVFPQ shape): train per-subspace product-quantization
+    // codebooks once at build and store each row's m-byte code word alongside
+    // — the ADC read path then scans pq_codes INSTEAD of the fat embedding
+    // column (column pruning on top of cell pruning; see [[topKPq]]).
+    // Codebooks and codes are over L2-NORMALIZED vectors (the FAISS cosine
+    // recipe): the ADC dot then ranks like the cosine this surface serves,
+    // instead of biasing toward large-norm rows.
+    val pqCbs: Option[Array[Array[Array[Double]]]] =
+      if (pqM <= 0) None
+      else {
+        val normed = corpus.select(col(idCol),
+          Quantize.l2Normalize(col(vecCol)).as(vecCol))
+        val cbs = Quantize.pqTrain(normed, pqM, pqK, pqIters, idCol, vecCol)
+        Quantize.codebookDf(spark, cbs)
+          .write.mode("overwrite").parquet(pqCodebooksPath(indexRoot))
+        Some(cbs)
+      }
+
     // repartition on cell BEFORE the partitioned write: without it every write
     // task emits a file into every cell dir (tasks × cells tiny files — measured
     // 15 744 files for 1 M rows × 256 cells, and the probed read paid the
     // per-file open cost). Hash-clustering on cell yields one file per cell;
     // maxRecordsPerFile re-splits pathological hot cells.
-    corpus
+    val withCell = corpus
       .withColumn("cell",
         graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs))
+    pqCbs.fold(withCell)(cbs =>
+        withCell.withColumn("pq_codes",
+          Quantize.pqCodesCol(Quantize.l2Normalize(col(vecCol)), cbs)))
       .repartition(cvecs.length, col("cell"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cell").parquet(dataPath(indexRoot))
     cvecs.length
+  }
+
+  /** IVF-PQ read path: probe each query's `nProbe` nearest cells, ADC-score the
+    * probed rows from their stored PQ codes (the scan reads the m-byte
+    * `pq_codes` column, NOT the embedding column — column pruning on top of
+    * cell pruning), keep the top `k·rerankFactor` per query by exact-integer
+    * ADC score, then re-rank only that shortlist on the true float vectors.
+    * At 100 TB this reads nProbe/nCentroids of the corpus × ~1/30 of the
+    * bytes, and touches full vectors for k·rerankFactor rows per query.
+    * Output schema matches the other ANN paths: (query_id, id, cosine, rank).
+    */
+  def topKPq(spark: SparkSession, indexRoot: String, queries: DataFrame, k: Int,
+             nProbe: Int = 8, rerankFactor: Int = 8,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val cbDf = spark.read.parquet(pqCodebooksPath(indexRoot))
+    val d = cbDf.select(size(col("__cvec"))).first().getInt(0)
+    val centroids = spark.read.parquet(centroidsPath(indexRoot)).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect()
+    // driver-side probe, same tie order as topK: |queries| × |centroids| cosines
+    val probes: Seq[(Any, Seq[Int])] = qRows.toSeq.map { r =>
+      val qv = decodeVec(r)
+      val ranked = centroids
+        .map { case (cell, cv) => (cell, cosineScala(qv, cv)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }
+        .take(math.min(nProbe, centroids.length)).map(_._1).toSeq
+      (r.get(0), ranked)
+    }
+    val allCells = probes.flatMap(_._2).distinct.sorted
+    val qSchema = queries.select(col(queryIdCol), col(queryVecCol)).schema
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        probes.zip(qRows).flatMap { case ((qid, cells), qr) =>
+          cells.map(c => Row(qid, qr.get(1), c))
+        }, 1),
+      StructType(qSchema.fields :+ StructField("cell", IntegerType, nullable = false)))
+
+    val lut = Quantize.adcLut(probeDf.select(col(queryIdCol), col(queryVecCol)).distinct(),
+      cbDf, d, queryIdCol, queryVecCol)
+    // ADC stage: codes-only scan of the probed cells (embedding never read)
+    val adc = probedScan(spark, indexRoot, allCells)
+      .select(col(idCol), col("cell"), col("pq_codes"))
+      .join(broadcast(probeDf.select(col(queryIdCol), col("cell"))), "cell")
+      .select(col(queryIdCol), col(idCol), posexplode(col("pq_codes")).as(Seq("__sub", "__code")))
+      .join(broadcast(lut), Seq(queryIdCol, "__sub", "__code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("__lut").as("__sm")) // exact BIGINT ADC score
+    val coarse = Window.partitionBy(queryIdCol).orderBy(col("__sm").desc, col(idCol))
+    val shortlist = adc
+      .withColumn("__crank", row_number().over(coarse))
+      .filter(col("__crank") <= k.toLong * rerankFactor)
+      .select(col(queryIdCol), col(idCol))
+    // exact re-rank of the shortlist on true vectors (vectors read only here)
+    val rerank = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+    probedScan(spark, indexRoot, allCells)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .join(broadcast(shortlist), idCol)
+      .join(broadcast(probeDf.select(col(queryIdCol), col(queryVecCol)).distinct()), queryIdCol)
+      .withColumn("cosine", Similarity.cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
   /** The cell-filtered corpus scan for a probed cell set — exposed so specs can
@@ -199,13 +285,31 @@ object IvfIndex {
     val spark = newVectors.sparkSession
     val cvecs = spark.read.parquet(centroidsPath(indexRoot)).collect()
       .sortBy(_.getInt(0)).map(r => r.getSeq[Double](1).toArray)
-    newVectors
+    val withCell = newVectors
       .withColumn("cell",
         graft.functions.HashExpressions.nearest_centroid(col(vecCol), cvecs))
+    // a PQ index encodes appended rows with the SAME frozen codebooks —
+    // otherwise the ADC scan would silently drop them (null codes)
+    loadCodebooks(spark, indexRoot)
+      .fold(withCell)(cbs =>
+        withCell.withColumn("pq_codes",
+          Quantize.pqCodesCol(Quantize.l2Normalize(col(vecCol)), cbs)))
       .repartition(cvecs.length, col("cell"))
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cell").parquet(dataPath(indexRoot))
+  }
+
+  /** The index's frozen PQ codebooks, if it was built with pqM > 0. */
+  def loadCodebooks(spark: SparkSession,
+                    indexRoot: String): Option[Array[Array[Array[Double]]]] = {
+    val p = java.nio.file.Paths.get(pqCodebooksPath(indexRoot))
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(
+      spark.read.parquet(pqCodebooksPath(indexRoot)).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toArray).toArray)
   }
 
   /** Per-cell row counts — the monitoring input for rebuild decisions. */

@@ -40,6 +40,17 @@ object Quantize {
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, q => q.cast("double") * scale)
 
+  /** L2-normalized copy of the vector (array<double>; all-zero stays all-zero).
+    * PQ-for-cosine encodes NORMALIZED vectors so the ADC dot ranks like the
+    * cosine the ANN surface serves — raw dots would bias toward large-norm
+    * rows. Sequential fold for the norm (deterministic summation order).
+    */
+  def l2Normalize(vec: Column): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    when(n === 0.0, d).otherwise(transform(d, x => x / n))
+  }
+
   /** Mean squared reconstruction error of int8 quantization, sequential fold
     * (deterministic summation order).
     */
@@ -151,20 +162,22 @@ object Quantize {
     cents
   }
 
-  /** Map-side PQ encoding: (idCol, pq_codes array<int>) — one codegen'd L2
+  /** The PQ code word of a vector column as array<int> — one codegen'd L2
     * argmin per subspace, zero shuffle. */
+  def pqCodesCol(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val d = codebooks(0)(0).length
+    val vd = transform(vec, x => x.cast("double"))
+    array(codebooks.indices.map(s =>
+      graft.functions.HashExpressions.nearest_centroid_l2(
+        slice(vd, s * d + 1, d), codebooks(s))): _*)
+  }
+
+  /** Map-side PQ encoding: (idCol, pq_codes array<int>). */
   def pqEncode(embeddings: org.apache.spark.sql.DataFrame,
                codebooks: Array[Array[Array[Double]]],
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
-    val m = codebooks.length
-    val d = codebooks(0)(0).length
-    val vd = transform(col(vecCol), x => x.cast("double"))
-    embeddings.select(col(idCol),
-      array((0 until m).map(s =>
-        graft.functions.HashExpressions.nearest_centroid_l2(
-          slice(vd, s * d + 1, d), codebooks(s))): _*).as("pq_codes"))
-  }
+               vecCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    embeddings.select(col(idCol), pqCodesCol(col(vecCol), codebooks).as("pq_codes"))
 
   /** ADC top-k: approximate dot(query, doc) = Σ_m LUT[sub][code_m], with LUT
     * entries quantized to integer micros (exact BIGINT doc scores). Output:
@@ -178,19 +191,9 @@ object Quantize {
              queryIdCol: String = "query_id",
              queryVecCol: String = "query_vec"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = codebooks.length
     val d = codebooks(0)(0).length
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cbDf = (for (s <- 0 until m; c <- codebooks(s).indices)
-      yield (s, c, codebooks(s)(c).toSeq)).toDF("__sub", "__code", "__cvec")
-    val qd = transform(col(queryVecCol), x => x.cast("double"))
-    val lut = queries.crossJoin(broadcast(cbDf))
-      .withColumn("__qsub", slice(qd, col("__sub") * d + 1, lit(d)))
-      .withColumn("__lut",
-        floor(aggregate(zip_with(col("__qsub"), col("__cvec"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long"))
-      .select(col(queryIdCol), col("__sub"), col("__code"), col("__lut"))
+    val lut = adcLut(queries, codebookDf(corpus.sparkSession, codebooks), d,
+      queryIdCol, queryVecCol)
     val codes = pqEncode(corpus, codebooks, idCol, vecCol)
       .select(col(idCol), posexplode(col("pq_codes")).as(Seq("__sub", "__code")))
     val w = Window.partitionBy(queryIdCol).orderBy(col("__sm").desc, col(idCol))
@@ -201,6 +204,31 @@ object Quantize {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol),
         (col("__sm").cast("double") / 1e6).as("adc"), col("rank"))
+  }
+
+  /** (sub, code, cvec) rows for the codebooks — the broadcastable LUT source
+    * (also the on-disk codebook layout of [[IvfIndex]] PQ indexes). */
+  def codebookDf(spark: org.apache.spark.sql.SparkSession,
+                 codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (for (s <- codebooks.indices; c <- codebooks(s).indices)
+      yield (s, c, codebooks(s)(c).toSeq)).toDF("__sub", "__code", "__cvec")
+  }
+
+  /** Per-query ADC lookup table, micro-quantized: (queryIdCol, __sub, __code,
+    * __lut BIGINT) — broadcast it and a doc's approximate dot is an exact
+    * integer sum of m entries. */
+  def adcLut(queries: org.apache.spark.sql.DataFrame,
+             cbDf: org.apache.spark.sql.DataFrame, d: Int,
+             queryIdCol: String = "query_id",
+             queryVecCol: String = "query_vec"): org.apache.spark.sql.DataFrame = {
+    val qd = transform(col(queryVecCol), x => x.cast("double"))
+    queries.crossJoin(broadcast(cbDf))
+      .withColumn("__qsub", slice(qd, col("__sub") * d + 1, lit(d)))
+      .withColumn("__lut",
+        floor(aggregate(zip_with(col("__qsub"), col("__cvec"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long"))
+      .select(col(queryIdCol), col("__sub"), col("__code"), col("__lut"))
   }
 
   /** DuckDB oracle for train→encode→ADC-top-k: the identical per-subspace

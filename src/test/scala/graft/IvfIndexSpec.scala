@@ -171,6 +171,41 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq) // exact integer-micro ADC: bit-identical
   }
 
+  test("IVF-PQ: probe-all + rerank equals brute force; ADC stage scans codes " +
+    "without the embedding column; append encodes with the frozen codebooks") {
+    import graft.sim.Quantize
+    val corpus = clustered(120)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_").toString
+    val nCells = IvfIndex.build(corpus, root, nCentroids = 6, pqM = 4, pqK = 8)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = IvfIndex.topKPq(spark, root, queries, k = 5, nProbe = nCells,
+      rerankFactor = 8)
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(got) == rows(Similarity.bruteForceTopK(corpus, queries, 5)))
+    // the ADC stage reads pq_codes, and SOME scan omits the embedding column
+    // entirely (column pruning on top of cell pruning — the point of storing
+    // code words in the index)
+    val scans = got.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(s => s.contains("pq_codes") && !s.contains("embedding")),
+      s"no codes-only scan in:\n${scans.mkString("\n")}")
+    // append: new vectors get code words from the FROZEN codebooks and are
+    // findable (a null-codes append would be silently invisible to ADC)
+    import spark.implicits._
+    // in-distribution direction (cluster 1) with a jitter no corpus member has:
+    // cosine(q, 999) = 1.0 strictly beats every pre-existing row, so top-1 must
+    // be the appended id — which requires its stored pq_codes to be real
+    val novel = Array.tabulate(8)(d => (if (d % 3 == 1) 10.0f else 0.1f) + d * 0.003f).toSeq
+    IvfIndex.append(Seq((999L, novel)).toDF("vec_id", "embedding"), root)
+    val q2 = Seq((999L, novel)).toDF("query_id", "query_vec")
+    val got2 = IvfIndex.topKPq(spark, root, q2, k = 1, nProbe = nCells,
+      rerankFactor = 8).collect()
+    assert(got2.length == 1 && got2(0).getLong(1) == 999L,
+      s"appended vector invisible to the PQ read path: ${got2.mkString(",")}")
+  }
+
   test("probed read touches only the probed cell partitions (pruned scan)") {
     val corpus = clustered(120)
     val root = java.nio.file.Files.createTempDirectory("ivf_idx2_").toString
