@@ -1319,6 +1319,19 @@ object SparkEntry {
     // queries read only probed cells (partition pruning). Probing ALL cells is
     // exact, so unlike the rows-only q_emb_ivf_ann this one is hash-gated
     // against the brute-force oracle.
+    // LLM ops — Johnson-Lindenstrauss ±1 random projection (Achlioptas) to 16
+    // dims: md5-parity sign matrix + exact integer-micro signed sums — the
+    // cheap dimensionality cut upstream of clustering/ANN. Dim content is
+    // verified via an ordered md5 over the micro values.
+    "q_emb_rp_project" -> ((s, dir) =>
+      graft.sim.Similarity.rpProject(t(s, dir, "embeddings"), outDim = 16)
+        .select(col("vec_id"),
+          substring(md5(concat_ws("|",
+            transform(col("rp_micro"), x => x.cast("string")))), 1, 16).as("rp_hash"),
+          element_at(col("rp"), 1).as("rp0"),
+          element_at(col("rp"), 2).as("rp1"))
+        .orderBy("vec_id")),
+
     // LLM ops — IVF-PQ (FAISS IndexIVFPQ shape): cell-partitioned index with
     // stored per-row PQ code words; the ADC stage scans ONLY the m-byte codes
     // column of the probed cells, the exact re-rank touches true vectors for
@@ -2794,6 +2807,8 @@ object SparkEntry {
     "q_emb_ivf_indexed" -> bruteForceAnnOracle,
 
     "q_emb_ivfpq_ann" -> bruteForceAnnOracle,
+
+    "q_emb_rp_project" -> graft.sim.Similarity.rpOracleSql(outDim = 16),
 
     // SemDeDup at nClusters=1 is exact all-pairs: dropped = any vector with a
     // smaller-id neighbor at rounded cosine >= threshold

@@ -426,4 +426,64 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Deterministic ±1 Johnson-Lindenstrauss sign matrix [outDim][inDim]:
+    * sign(j→i) = parity of the 60-bit md5 prefix of "j_i" — the same md5 the
+    * portable-hash samplers use, so a SQL oracle regenerates the identical
+    * matrix with string md5 alone (no RNG, no engine-private seed).
+    */
+  def rpSigns(inDim: Int, outDim: Int): Array[Array[Int]] =
+    Array.tabulate(outDim) { i =>
+      Array.tabulate(inDim) { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(md.take(15), 16) % 2 == 0) 1 else -1
+      }
+    }
+
+  /** Random projection (Achlioptas ±1 JL transform) to `outDim` dims — the
+    * cheap dimensionality cut upstream of clustering/ANN when 64-768-dim
+    * vectors are too fat to shuffle: inputs are quantized to integer MICRO
+    * units and each output dim is an EXACT BIGINT signed sum (zip_with over
+    * the literal sign row — order-independent, bit-identical in any engine).
+    * Output: (idCol, rp_micro array<long>, rp array<double> = micro/1e6).
+    * Map-side only — zero shuffle at any scale.
+    */
+  def rpProject(embeddings: DataFrame, outDim: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val inDim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    val signs = rpSigns(inDim, outDim)
+    val qv = transform(col(vecCol), x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    val micro = array(signs.map { row =>
+      aggregate(zip_with(qv, lit(row), (x, s) => x * s.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    }.toIndexedSeq: _*)
+    embeddings.select(col(idCol), micro.as("rp_micro"),
+      transform(micro, x => x.cast("double") / 1e6).as("rp"))
+  }
+
+  /** DuckDB oracle for [[rpProject]] fingerprint form: identical md5-parity
+    * signs, micro quantization, and exact signed sums; dims content-verified
+    * via an ordered md5 over the micro values.
+    */
+  def rpOracleSql(outDim: Int, table: String = "embeddings",
+                  idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT $idCol, unnest(range(0, len($vecCol))) AS j,
+       |    CAST(floor(CAST(unnest($vecCol) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qv
+       |  FROM $table),
+       |signs AS MATERIALIZED (
+       |  SELECT j, i,
+       |    CASE WHEN ('0x' || substring(md5(j || '_' || i), 1, 15))::BIGINT % 2 = 0
+       |         THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT DISTINCT j FROM pts), (SELECT unnest(range(0, $outDim)) AS i)),
+       |proj AS (
+       |  SELECT p.$idCol, g.i, sum(p.qv * g.s) AS sm
+       |  FROM pts p JOIN signs g USING (j)
+       |  GROUP BY p.$idCol, g.i)
+       |SELECT $idCol,
+       |  substring(md5(string_agg(sm, '|' ORDER BY i)), 1, 16) AS rp_hash,
+       |  CAST(max(CASE WHEN i = 0 THEN sm END) AS DOUBLE) / 1e6 AS rp0,
+       |  CAST(max(CASE WHEN i = 1 THEN sm END) AS DOUBLE) / 1e6 AS rp1
+       |FROM proj GROUP BY $idCol ORDER BY $idCol""".stripMargin
 }

@@ -206,6 +206,24 @@ class IvfIndexSpec extends AnyFunSuite {
       s"appended vector invisible to the PQ read path: ${got2.mkString(",")}")
   }
 
+  test("rpProject: JL projection separates the clusters it should, exact " +
+    "integer sums make reruns bit-identical") {
+    val corpus = clustered(60)
+    val rp = Similarity.rpProject(corpus, outDim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rp.size == 60 && rp.values.forall(_.size == 8))
+    def dist2(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
+    // same-cluster projected distances stay below cross-cluster ones (JL
+    // preserves the separation of this well-separated fixture)
+    val same = dist2(rp(0L), rp(3L))
+    val cross = dist2(rp(0L), rp(1L))
+    assert(same < cross, s"projection lost separation: same=$same cross=$cross")
+    val again = Similarity.rpProject(corpus, outDim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == rp)
+  }
+
   test("probed read touches only the probed cell partitions (pruned scan)") {
     val corpus = clustered(120)
     val root = java.nio.file.Files.createTempDirectory("ivf_idx2_").toString
