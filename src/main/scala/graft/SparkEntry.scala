@@ -202,6 +202,22 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // §2.7 time-RANGE trailing window (r9): per-user trailing-1h event count
+    // and value sum over the raw ns timeline — RANGE frames (all equal-ts
+    // rows in-frame in every engine), DECIMAL accumulation so the frame sum
+    // is order-independent (range frames may be evaluated segment-tree style,
+    // so even "ordered" double sums are not safe here).
+    "q_window_range_trailing" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-3600000000000L, 0L)
+      events(s, dir)
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select("user_id", "event_id", "cnt_1h", "sum_1h")
+        .orderBy("user_id", "event_id")
+    }),
+
     // §2.7 analytic offsets: lead/lag over each customer's order sequence
     // (exact value copies — no float arithmetic to drift).
     "q_window_lead_lag" -> ((s, dir) => {
@@ -1373,6 +1389,28 @@ object SparkEntry {
     "q_doc_dsir_select" -> ((s, dir) =>
       graft.pipeline.Pipeline.dsirSelect(
         t(s, dir, "documents"), col("doc_id") % 50 === 0, selectK = 40)),
+
+    // LLM ops — count-min sketch token frequencies: a depth×width integer
+    // summary (mergeable/linear — partial aggregation IS the merge) probed
+    // for 20 deterministic tokens, with the exact counts alongside so the
+    // one-sided overestimate property is visible in the gated data.
+    "q_doc_cms_tokens" -> ((s, dir) => {
+      import graft.pipeline.Pipeline
+      val docs = t(s, dir, "documents")
+      val tok = (d: org.apache.spark.sql.DataFrame) => d.select(explode(
+        filter(graft.text.TextFunctions.tokens(col("text")), t => t =!= lit("")))
+        .as("tok"))
+      val toks = tok(docs)
+      val sketch = Pipeline.cmsSketch(toks, col("tok"))
+      val probes = tok(docs.filter(col("doc_id") < 3))
+        .distinct().orderBy("tok").limit(20)
+      val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      Pipeline.cmsEstimate(sketch, probes, col("tok"))
+        .join(truth, col("probe") === col("tok"), "left")
+        .select(col("probe"), col("est"),
+          coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+        .orderBy("probe")
+    }),
 
     // LLM ops — fastText-style quality classifier trained IN the engine
     // (hashed-BoW logistic regression, 3 GD rounds, exact integer-micro
@@ -2809,6 +2847,40 @@ object SparkEntry {
     "q_emb_ivfpq_ann" -> bruteForceAnnOracle,
 
     "q_emb_rp_project" -> graft.sim.Similarity.rpOracleSql(outDim = 16),
+
+    "q_window_range_trailing" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS cnt_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_doc_cms_tokens" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> x <> '')) AS tok FROM documents),
+        |sk AS MATERIALIZED (
+        |  SELECT r, ('0x' || substring(md5(r || '|' || tok), 1, 15))::BIGINT % 1024 AS bucket,
+        |         count(*) AS cnt
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS r) GROUP BY 1, 2),
+        |probes AS MATERIALIZED (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                              x -> x <> '')) AS tok
+        |    FROM documents WHERE doc_id < 3) ORDER BY tok LIMIT 20),
+        |pe AS (
+        |  SELECT p.tok AS probe, rr.r,
+        |    ('0x' || substring(md5(rr.r || '|' || p.tok), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM probes p CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
+        |est AS (
+        |  SELECT pe.probe, min(coalesce(sk.cnt, 0)) AS est
+        |  FROM pe LEFT JOIN sk ON sk.r = pe.r AND sk.bucket = pe.bucket
+        |  GROUP BY pe.probe),
+        |tc AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok)
+        |SELECT e.probe, e.est, coalesce(tc.true_cnt, 0) AS true_cnt
+        |FROM est e LEFT JOIN tc ON tc.tok = e.probe ORDER BY e.probe""".stripMargin,
 
     // SemDeDup at nClusters=1 is exact all-pairs: dropped = any vector with a
     // smaller-id neighbor at rounded cosine >= threshold

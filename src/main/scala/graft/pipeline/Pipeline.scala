@@ -403,6 +403,44 @@ object Pipeline {
        |  row_number() OVER (ORDER BY dsir_score DESC, $idCol) AS sel_rank
        |FROM scored ORDER BY dsir_score DESC, $idCol LIMIT $selectK""".stripMargin
 
+  /** Count-min sketch (Cormode & Muthukrishnan) over a column — the
+    * fixed-size frequency summary for unbounded key domains (token counts at
+    * 100 TB without a vocabulary-sized shuffle): depth×width integer cells,
+    * cell(r, b) = #rows whose md5-derived bucket for row r is b. Estimates
+    * are min over rows — always ≥ the true count (one-sided error ≤ 2N/width
+    * with prob 1−2^-depth).
+    *
+    * The sketch is LINEAR: sketch(A ⊎ B) = sketch(A) + sketch(B) cell-wise
+    * (spec-pinned) — partial aggregation IS the merge, so it composes with
+    * any partitioning, streaming micro-batches, or per-source sketches summed
+    * later. All integer arithmetic; hash = the portable [[hex60]].
+    *
+    * Output: (r, bucket, cnt) — at most depth·width rows regardless of input.
+    */
+  def cmsSketch(df: DataFrame, c: Column, depth: Int = 4,
+                width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth, width >= 1")
+    df.select(posexplode(array((0 until depth).map(r =>
+        hashBucket(concat(lit(s"$r|"), c.cast("string")), width)): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[cmsSketch]]: min over the depth rows of the
+    * probed cells (absent cell = 0). `probes` is one row per probe value in
+    * column `c`; broadcast-joined against the ≤depth·width-row sketch.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, c: Column,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val exploded = probes.select(c.as("probe"),
+      posexplode(array((0 until depth).map(r =>
+        hashBucket(concat(lit(s"$r|"), c.cast("string")), width)): _*))
+        .as(Seq("r", "bucket")))
+    exploded.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** In-engine quality-classifier TRAINING — the fastText-style curation
     * classifier every large LLM data pipeline runs (GPT-3's WebText-vs-
     * CommonCrawl LR filter, LLaMA's Wikipedia-reference classifier): hashed

@@ -247,6 +247,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(t5("is")._3 > t5("fr")._3)
   }
 
+  test("cmsSketch: one-sided overestimate, linear merge across splits, " +
+    "bounded size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 3000).map(_ => s"t${rnd.nextInt(80)}") :+ "unique_zebra"
+    val df = vals.toDF("v")
+    val sk = Pipeline.cmsSketch(df, col("v"), depth = 4, width = 64)
+    assert(sk.count() <= 4 * 64)
+    val probes = vals.distinct.toDF("v")
+    val est = Pipeline.cmsEstimate(sk, probes, col("v"), depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // CMS never underestimates
+    truth.foreach { case (v, t) => assert(est(v) >= t, s"$v: est ${est(v)} < $t") }
+    // 80 keys over 4×64 cells: most estimates exact, all within the 2N/w bound
+    assert(truth.count { case (v, t) => est(v) == t } >= truth.size / 2)
+    truth.foreach { case (v, t) =>
+      assert(est(v) - t <= 2L * vals.size / 64, s"$v blew the CMS error bound") }
+    // linearity: sketch(A) + sketch(B) == sketch(A ⊎ B) cell-for-cell
+    val (a, b) = vals.splitAt(1000)
+    val merged = Pipeline.cmsSketch(a.toDF("v"), col("v"), 4, 64)
+      .unionAll(Pipeline.cmsSketch(b.toDF("v"), col("v"), 4, 64))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = sk.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("qualityClassifierTrain: learns the separating vocabulary, exact " +
     "integer weights make reruns bit-identical, token-less docs score bias-only") {
     import spark.implicits._
