@@ -614,6 +614,19 @@ object SparkEntry {
            |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
     }),
 
+    // Engine EXTENSION — time travel (Delta/Iceberg VERSION AS OF analog):
+    // two batches committed, the query runs AS OF the version between them
+    // and must see exactly batch 1 — while the live engine sees both.
+    "q_engine_asof" -> ((s, dir) => {
+      val (eng, v1) = asofEngine(s, dir)
+      eng.sqlAt(v1,
+        """SELECT metric_name, COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(value_f64 AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+          |FROM metrics
+          |WHERE timestamp_ns >= 0
+          |GROUP BY metric_name ORDER BY metric_name""".stripMargin)
+    }),
+
     // §2.7 EXTENSION — engine-integrated top-k ROUTING (graft.plans
     // .TopKRouting): the naive `row_number() ≤ k` SQL — the documented 25×
     // scale outlier whose window-sort parallelism is the group count — is
@@ -1726,6 +1739,24 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), root, nCentroids = 8,
         pqM = 4, pqK = 16, pqIters = 1)
       root
+    })
+
+  private val asofEngineCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (graft.engine.QueryEngine, Long)]()
+
+  /** Time-travel fixture: batch 1 (ts < Jan3) committed, version noted, then
+    * batch 2 (the rest of the month) committed over it — AS OF the noted
+    * version must see exactly batch 1. */
+  private def asofEngine(s: SparkSession, dir: String): (graft.engine.QueryEngine, Long) =
+    asofEngineCache.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_asof_")
+      val catalog = new graft.catalog.ChunkCatalog(tmp, manifestRetain = 16)
+      val writer = new graft.ingest.ChunkWriter(catalog)
+      writer.write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") < Jan3Ns))
+      val v1 = catalog.state.version
+      writer.write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") >= Jan3Ns))
+      (new graft.engine.QueryEngine(s, catalog), v1)
     })
 
   private def engineWithData(s: SparkSession, dir: String,
@@ -2847,6 +2878,12 @@ object SparkEntry {
     "q_emb_ivfpq_ann" -> bruteForceAnnOracle,
 
     "q_emb_rp_project" -> graft.sim.Similarity.rpOracleSql(outDim = 16),
+
+    "q_engine_asof" ->
+      s"""SELECT event_type AS metric_name, count(*) AS cnt,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+         |FROM events WHERE epoch_ns(ts) < $Jan3Ns
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_window_range_trailing" ->
       """SELECT user_id, event_id,

@@ -132,7 +132,14 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     // (many concurrent maintenance drivers) should raise it — full-jitter
     // backoff makes progress certain, but a fixed small budget can starve
     // the unluckiest writer under sustained contention.
-    casMaxRetries: Int = 10) {
+    casMaxRetries: Int = 10,
+    // Time travel (Delta/Iceberg AS OF analog, flagged extension): keep this
+    // many SUPERSEDED manifests on disk besides the current one; [[stateAt]]
+    // reassembles any retained version. 0 (default) = today's delete-on-
+    // supersede behavior, zero extra cost on the commit path. Data files are
+    // covered separately by the GC grace window — an AS OF read older than
+    // the grace may reference deleted parquet (documented bound).
+    val manifestRetain: Int = 0) {
 
   import ChunkCatalog._
 
@@ -180,17 +187,8 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
   /** Hour-bucket range scan + [min,max] overlap — the "eliminates 99%+ of data" time
     * pruning (reference src/metadata/s3.rs:1083-1103).
     */
-  def chunksInRange(startNs: Long, endNs: Long): Seq[ChunkMeta] = {
-    val st = state
-    val startBucket = hourBucket(startNs)
-    val endBucket = hourBucket(endNs)
-    val candidatePaths = st.timeIndex
-      .range(startBucket, endBucket + 1)
-      .valuesIterator.flatten.toSet
-    candidatePaths.toSeq.sorted
-      .flatMap(st.chunks.get)
-      .filter(_.overlaps(startNs, endNs))
-  }
+  def chunksInRange(startNs: Long, endNs: Long): Seq[ChunkMeta] =
+    ChunkCatalog.chunksInRangeOf(state, startNs, endNs)
 
   /** True if any shard split is in a phase requiring query-time dedup
     * (reference has_active_split, src/metadata/client.rs:182-188).
@@ -650,16 +648,23 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     // marked before deletion in case its committer crashed pre-marker, so it
     // can never be resurrected as a zombie.
     try {
-      var v = version - 1
+      var v = version - 1 - math.max(0, manifestRetain)
       while (v > 0L && {
         SpentVersions.markSpent(versionMarkers, v)
         Files.deleteIfExists(root.resolve(manifestFileName(v)))
       }) v -= 1
       SpentVersions.compact(versionMarkers, version)
-      (kept ++ dropped).foreach { k =>
-        s.shardFiles.get(k).filterNot(f => written.get(k).contains(f)).foreach(old =>
-          Files.deleteIfExists(shardDir.resolve(old)))
-      }
+      if (manifestRetain <= 0)
+        (kept ++ dropped).foreach { k =>
+          s.shardFiles.get(k).filterNot(f => written.get(k).contains(f)).foreach(old =>
+            Files.deleteIfExists(shardDir.resolve(old)))
+        }
+      else
+        // retained manifests may still reference the superseded shard files —
+        // sweep by reference count over the manifests on disk instead, with an
+        // age guard so a racing writer's just-written (not yet linked) shard
+        // files survive
+        sweepUnreferencedShards()
       Files.deleteIfExists(legacyManifestFile)
       if (s.legacy) Files.deleteIfExists(legacyFile)
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -667,6 +672,55 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     cached = Some((System.currentTimeMillis(),
       Store(span, nextVers, nextFiles, nextShards, assembled, legacy = false)))
     true
+  }
+
+  // --- time travel (manifestRetain > 0) -------------------------------------
+
+  /** Manifest versions currently readable on disk, ascending (the newest is
+    * the live catalog; the rest are AS OF targets). */
+  def versionsAvailable: Seq[Long] = {
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .flatMap(p => manifestVersionOf(p.getFileName.toString))
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** The catalog as of a retained manifest `version` — a full reassembly of
+    * that manifest's shard files (cold-load cost; AS OF reads are rare).
+    * Throws NoSuchFileException when the version has been evicted from the
+    * retention window. Chunk DATA files older than the GC grace window may be
+    * gone even while the manifest is retained — the documented AS OF bound.
+    */
+  def stateAt(version: Long): CatalogState = {
+    val m = parseManifest(readUtf8(root.resolve(manifestFileName(version))))
+    val shards = m.shards.map(e =>
+      e.key -> parseShard(readUtf8(shardDir.resolve(e.file)))).toMap
+    assemble(m, shards)
+  }
+
+  /** Delete shard files referenced by NO manifest on disk. The 60 s age guard
+    * protects a concurrent writer's freshly-written shard files whose
+    * manifest link has not happened yet (its commit will reference them).
+    */
+  private def sweepUnreferencedShards(): Unit = {
+    val referenced: Set[String] = versionsAvailable.flatMap { v =>
+      try parseManifest(readUtf8(root.resolve(manifestFileName(v)))).shards.map(_.file)
+      catch { case scala.util.control.NonFatal(_) => Nil } // racing eviction
+    }.toSet
+    val cutoff = System.currentTimeMillis() - 60000L
+    val s = Files.list(shardDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filterNot(p => referenced.contains(p.getFileName.toString))
+        .filter(p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case scala.util.control.NonFatal(_) => false })
+        .foreach(p => Files.deleteIfExists(p))
+    } finally s.close()
   }
 
   private def readUtf8(p: Path): String =
@@ -712,6 +766,17 @@ object ChunkCatalog {
 
   /** Hour bucket of an ns timestamp (reference src/metadata/s3.rs:341-344). */
   def hourBucket(tsNs: Long): Long = Math.floorDiv(tsNs, 3600L * 1000000000L)
+
+  /** [[ChunkCatalog.chunksInRange]] over an explicit state — shared by live
+    * reads and AS OF reads over a retained manifest version. */
+  def chunksInRangeOf(st: CatalogState, startNs: Long, endNs: Long): Seq[ChunkMeta] = {
+    val candidatePaths = st.timeIndex
+      .range(hourBucket(startNs), hourBucket(endNs) + 1)
+      .valuesIterator.flatten.toSet
+    candidatePaths.toSeq.sorted
+      .flatMap(st.chunks.get)
+      .filter(_.overlaps(startNs, endNs))
+  }
 
   /** Tenant that owns a chunk, from its path layout: every write path is
     * `{root}/{tenant}/data/...` (ChunkWriter, Compactor, ShardSplit). Chunks

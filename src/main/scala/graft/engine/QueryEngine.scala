@@ -434,7 +434,22 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   def sql(query: String, nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame =
     sqlScoped(query, nowNs, None)
 
-  private def sqlScoped(query: String, nowNs: Long, tenant: Option[String]): DataFrame = {
+  /** Time travel (Delta/Iceberg `VERSION AS OF` analog, flagged extension):
+    * run `query` against the chunk set of a RETAINED catalog manifest version
+    * (catalog built with manifestRetain > 0; see
+    * [[graft.catalog.ChunkCatalog.stateAt]]). Same time-range + zone-map
+    * pruning, evaluated against the historical state. Cache-safe for free —
+    * the historical path set keys the plan cache and L2 tier, like tenant
+    * scoping. Rollup routing is disabled (rollups may postdate the version).
+    * Readable as far back as manifests are retained AND chunk data files
+    * survive the GC grace window — the documented AS OF bound.
+    */
+  def sqlAt(version: Long, query: String,
+            nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame =
+    sqlScoped(query, nowNs, None, Some(version))
+
+  private def sqlScoped(query: String, nowNs: Long, tenant: Option[String],
+                        asOf: Option[Long] = None): DataFrame = {
     val (range, preds) = analyzeMemo.get(query) match {
       case Some(memo) => memo
       case None => // marked nowNs-dependent: recompute (parse once per call)
@@ -454,10 +469,18 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
         analyzeMemo.put(query, if (independent) Some(full) else None)
         full
     }
-    val paths = tenant match {
-      case Some(t) => prune(range, preds)
-        .filter(p => graft.catalog.ChunkCatalog.tenantOf(catalog.root, p) == t)
+    val basePaths = asOf match {
+      case Some(v) =>
+        graft.catalog.ChunkCatalog
+          .chunksInRangeOf(catalog.stateAt(v), range.startNs, range.endNs)
+          .filter(c => preds.forall(_.keepChunk(c)))
+          .map(_.path)
       case None => prune(range, preds)
+    }
+    val paths = tenant match {
+      case Some(t) => basePaths
+        .filter(p => graft.catalog.ChunkCatalog.tenantOf(catalog.root, p) == t)
+      case None => basePaths
     }
     lastPrunedPaths = paths
     val split = catalog.hasActiveSplit
@@ -466,7 +489,9 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     // topK-rewrite toggle likewise (a cached naive plan must not be served
     // while the rewrite is on, nor the reverse)
     val rollups =
-      if (rollupRoutingEnabled && !split && tenant.isEmpty) catalog.rollups else Nil
+      if (rollupRoutingEnabled && !split && tenant.isEmpty && asOf.isEmpty)
+        catalog.rollups
+      else Nil
     // the marker is scoped to queries that could possibly match the rewrite
     // (TopKRouting only ever matches a row_number() window), so flipping the
     // toggle doesn't double-key every unrelated cached plan

@@ -349,4 +349,37 @@ class CatalogSpec extends AnyFunSuite {
     // re-register same path in a DIFFERENT hour (cross-shard move)
     writer.register(chunk("w_c", 200, 201)); check()
   }
+
+  test("time travel: manifestRetain keeps a window of versions, stateAt " +
+    "reassembles each exactly, eviction past the window, shard files survive " +
+    "while referenced") {
+    val root = Files.createTempDirectory("graft_tt_")
+    val cat = new ChunkCatalog(root, cacheTtlMs = 0L, manifestRetain = 3)
+    val seen = scala.collection.mutable.Map[Long, Set[String]]()
+    (0 until 6).foreach { i =>
+      cat.register(chunk(s"tt_$i", i * 2L, i * 2L + 1))
+      seen(cat.state.version) = cat.state.chunks.keySet.toSet
+    }
+    val versions = cat.versionsAvailable
+    assert(versions.size == 4, s"retain 3 + current, got $versions") // window
+    // each retained version reassembles to exactly the chunk set it committed
+    versions.foreach { v =>
+      assert(cat.stateAt(v).chunks.keySet == seen(v), s"version $v drifted")
+      assert(cat.stateAt(v).version == v)
+    }
+    // a pre-window version is gone (NoSuchFile), not served stale
+    val evicted = seen.keys.min
+    assert(!versions.contains(evicted))
+    intercept[java.nio.file.NoSuchFileException](cat.stateAt(evicted))
+    // a remove is also time-travelable: the old version still sees the chunk
+    val before = cat.state.version
+    cat.remove(Seq("tt_5"))
+    assert(!cat.state.chunks.contains("tt_5"))
+    assert(cat.stateAt(before).chunks.contains("tt_5"))
+    // retention off (default) keeps today's single-manifest behavior
+    val plain = freshCatalog()
+    plain.register(chunk("p_a", 0, 1))
+    plain.register(chunk("p_b", 2, 3))
+    assert(plain.versionsAvailable.size == 1)
+  }
 }

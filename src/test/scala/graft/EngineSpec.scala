@@ -350,4 +350,30 @@ class EngineSpec extends AnyFunSuite {
     ts.foreach(_.start()); ts.foreach(_.join(120000))
     assert(errs.isEmpty, errs.toString)
   }
+
+  test("time travel: sqlAt a retained version sees exactly the rows committed " +
+    "by then; the live query sees everything; rollup routing stays off") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_eng_tt_"),
+      cacheTtlMs = 0L, manifestRetain = 8)
+    val writer = new ChunkWriter(cat)
+    def batch(h: Int, n: Int) = Converters.pointsToDf(spark, (0 until n).map(i =>
+      MetricPoint(t0 + h * hourNs + i * 60L * 1000000000L, "cpu_usage",
+        i.toDouble, Map("host" -> "s1"))))
+    writer.write(batch(0, 10))
+    val v1 = cat.state.version
+    writer.write(batch(1, 7))
+    val eng = new QueryEngine(spark, cat)
+    val range = s"timestamp_ns >= $t0 AND timestamp_ns < ${t0 + 3 * hourNs}"
+    val live = eng.sql(s"SELECT count(*) AS c FROM metrics WHERE $range")
+      .collect()(0).getLong(0)
+    val asof = eng.sqlAt(v1, s"SELECT count(*) AS c FROM metrics WHERE $range")
+      .collect()(0).getLong(0)
+    assert(live == 17 && asof == 10, s"live=$live asof=$asof")
+    // AS OF a version that never existed / was evicted → clean failure
+    intercept[Exception](
+      eng.sqlAt(99999L, s"SELECT count(*) FROM metrics WHERE $range").collect())
+    // live query again (cache scoping didn't leak the historical path set)
+    assert(eng.sql(s"SELECT count(*) AS c FROM metrics WHERE $range")
+      .collect()(0).getLong(0) == 17)
+  }
 }
