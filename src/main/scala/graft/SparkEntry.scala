@@ -2875,7 +2875,13 @@ object SparkEntry {
     // probe-all IVF over the MATERIALIZED index is exact too
     "q_emb_ivf_indexed" -> bruteForceAnnOracle,
 
-    "q_emb_ivfpq_ann" -> bruteForceAnnOracle,
+    // NOT the brute-force oracle: a fixed rerankFactor cannot promise the ADC
+    // shortlist contains the true top-k as the corpus grows (broke at 10×) —
+    // the oracle replays the full normalize→train→encode→shortlist→rerank
+    // pipeline instead, which holds at any scale.
+    "q_emb_ivfpq_ann" ->
+      graft.sim.Quantize.ivfPqOracleSql(m = 4, k = 16, iters = 1, topK = 5,
+        rerankFactor = 40, queryPredSql = "p.vec_id < 3"),
 
     "q_emb_rp_project" -> graft.sim.Similarity.rpOracleSql(outDim = 16),
 

@@ -240,6 +240,33 @@ object Quantize {
   def pqOracleSql(m: Int, k: Int, iters: Int, topK: Int, queryPredSql: String,
                   table: String = "embeddings", idCol: String = "vec_id",
                   vecCol: String = "embedding"): String = {
+    val (chains, scoreUnion) = pqChainCtes(m, iters, queryPredSql, idCol, lutSrc = "pts")
+    s"""WITH dd AS (SELECT len($vecCol) // $m AS __d FROM $table LIMIT 1),
+       |pts AS MATERIALIZED (
+       |  SELECT $idCol, unnest(range(0, len($vecCol))) AS pos,
+       |         CAST(unnest($vecCol) AS DOUBLE) AS val FROM $table),
+       |init AS MATERIALIZED (
+       |  SELECT $idCol, CAST(row_number() OVER (ORDER BY $idCol) - 1 AS INT) AS cl
+       |  FROM (SELECT $idCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |$chains,
+       |scores AS MATERIALIZED (
+       |  SELECT query_id, $idCol, sum(lut) AS sm FROM (
+       |$scoreUnion
+       |  ) GROUP BY query_id, $idCol)
+       |SELECT query_id, $idCol, CAST(sm AS DOUBLE) / 1e6 AS adc, rank FROM (
+       |  SELECT query_id, $idCol, sm,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sm DESC, $idCol) AS rank
+       |  FROM scores) WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The per-subspace Lloyd/encode/LUT CTE chains shared by [[pqOracleSql]]
+    * and [[ivfPqOracleSql]] — emitted over a points CTE named `pts` (the
+    * codebook space; normalized for the IVF-PQ form) with LUT query values
+    * drawn from `lutSrc` (raw values for IVF-PQ, matching the Spark side).
+    */
+  private def pqChainCtes(m: Int, iters: Int, queryPredSql: String,
+                          idCol: String, lutSrc: String): (String, String) = {
     val subCtes = (0 until m).map { s =>
       val lo = s"((SELECT __d FROM dd) * $s)"
       val hi = s"((SELECT __d FROM dd) * ${s + 1})"
@@ -285,7 +312,7 @@ object Quantize {
         s"""lut_$s AS MATERIALIZED (
            |  SELECT p.$idCol AS query_id, c.cluster,
            |    CAST(floor(sum(p.val * c.val) * 1e6 + 0.5) AS BIGINT) AS lut
-           |  FROM pts p JOIN c${iters}_$s c ON c.pos = p.pos - $lo
+           |  FROM $lutSrc p JOIN c${iters}_$s c ON c.pos = p.pos - $lo
            |  WHERE p.pos >= $lo AND p.pos < $hi AND ($queryPredSql)
            |  GROUP BY p.$idCol, c.cluster)""".stripMargin
       (Seq(c0) ++ rounds ++ Seq(codes, lut)).mkString(",\n")
@@ -294,22 +321,60 @@ object Quantize {
       s"""SELECT l.query_id, cd.$idCol, l.lut
          |FROM codes_$s cd JOIN lut_$s l ON l.cluster = cd.cluster""".stripMargin
     }.mkString("\nUNION ALL\n")
+    (subCtes.mkString(",\n"), scoreUnion)
+  }
+
+  /** DuckDB oracle for the probe-all [[IvfIndex.topKPq]] pipeline: it replays
+    * the SAME algorithm — L2-normalize, train the per-subspace codebooks over
+    * normalized values, encode, ADC-shortlist the top k·rerankFactor by exact
+    * integer score (raw-query LUT, matching the Spark side), exact-cosine
+    * re-rank of the shortlist on the RAW vectors. Because the oracle is the
+    * pipeline (not brute force), the gate holds at ANY corpus scale — a
+    * brute-force oracle only matches while the shortlist happens to contain
+    * the true top-k, which a fixed rerankFactor cannot promise as the corpus
+    * grows (measured: broke at the 10× fixture).
+    */
+  def ivfPqOracleSql(m: Int, k: Int, iters: Int, topK: Int, rerankFactor: Int,
+                     queryPredSql: String, table: String = "embeddings",
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): String = {
+    val (chains, scoreUnion) = pqChainCtes(m, iters, queryPredSql, idCol, lutSrc = "raw")
     s"""WITH dd AS (SELECT len($vecCol) // $m AS __d FROM $table LIMIT 1),
-       |pts AS MATERIALIZED (
+       |raw AS MATERIALIZED (
        |  SELECT $idCol, unnest(range(0, len($vecCol))) AS pos,
        |         CAST(unnest($vecCol) AS DOUBLE) AS val FROM $table),
+       |nrm AS MATERIALIZED (
+       |  SELECT $idCol, sqrt(sum(val * val)) AS n FROM raw GROUP BY $idCol),
+       |pts AS MATERIALIZED (
+       |  SELECT r.$idCol, r.pos,
+       |         CASE WHEN n.n = 0 THEN r.val ELSE r.val / n.n END AS val
+       |  FROM raw r JOIN nrm n USING ($idCol)),
        |init AS MATERIALIZED (
        |  SELECT $idCol, CAST(row_number() OVER (ORDER BY $idCol) - 1 AS INT) AS cl
        |  FROM (SELECT $idCol FROM $table ORDER BY $idCol LIMIT $k)),
-       |${subCtes.mkString(",\n")},
+       |$chains,
        |scores AS MATERIALIZED (
        |  SELECT query_id, $idCol, sum(lut) AS sm FROM (
        |$scoreUnion
-       |  ) GROUP BY query_id, $idCol)
-       |SELECT query_id, $idCol, CAST(sm AS DOUBLE) / 1e6 AS adc, rank FROM (
-       |  SELECT query_id, $idCol, sm,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY sm DESC, $idCol) AS rank
-       |  FROM scores) WHERE rank <= $topK
+       |  ) GROUP BY query_id, $idCol),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, $idCol FROM (
+       |    SELECT query_id, $idCol,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sm DESC, $idCol) AS rn
+       |    FROM scores) WHERE rn <= ${topK.toLong * rerankFactor}),
+       |cosines AS MATERIALIZED (
+       |  SELECT s.query_id, s.$idCol,
+       |    sum(c.val * q.val) / (min(cn.n) * min(qn.n)) AS cos
+       |  FROM short s
+       |  JOIN raw c ON c.$idCol = s.$idCol
+       |  JOIN raw q ON q.$idCol = s.query_id AND q.pos = c.pos
+       |  JOIN nrm cn ON cn.$idCol = s.$idCol
+       |  JOIN nrm qn ON qn.$idCol = s.query_id
+       |  GROUP BY s.query_id, s.$idCol)
+       |SELECT query_id, $idCol, round(cos, 4) AS cosine, rank FROM (
+       |  SELECT query_id, $idCol, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, $idCol) AS rank
+       |  FROM cosines) WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
   }
 }
