@@ -478,8 +478,13 @@ object Pipeline {
                              idCol: String = "doc_id"): DataFrame = {
     require(iters >= 1, "iters >= 1")
     val toksArr = filter(graft.text.TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
+    // coalesce: a NULL label predicate (e.g. a null column) means "not a
+    // positive" — matching the oracle's CASE WHEN ... THEN 1 ELSE 0 END,
+    // where NULL falls to ELSE (a bare cast would keep NULL and silently
+    // drop the doc from every gradient)
     val labels = docs
-      .select(col(idCol), labelFilter.cast("int").cast("long").as("y"))
+      .select(col(idCol),
+        coalesce(labelFilter.cast("int").cast("long"), lit(0L)).as("y"))
       .localCheckpoint()
     val feats = docs
       .select(col(idCol), explode(toksArr).as("__tok"))

@@ -288,13 +288,18 @@ class PipelineSpec extends AnyFunSuite {
       (6L, "good clean helpful prose", true), // held-in positive
       (7L, "   ", false))                     // token-less → bias-only logit
       .toDF("doc_id", "text", "is_good")
+      // null label = not-a-positive (the oracle's CASE ... ELSE 0 semantics)
+      .union(Seq((8L, "spam garbage junk noise", null.asInstanceOf[java.lang.Boolean]))
+        .toDF("doc_id", "text", "is_good"))
     val out = Pipeline.qualityClassifierTrain(docs, col("is_good"), iters = 8,
         lr = 0.5, buckets = 64)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toMap
-    // positives all outscore negatives after 8 rounds
+    // positives all outscore negatives after 8 rounds (incl. the null-label
+    // doc, trained as a negative)
     val posMin = Seq(0L, 1L, 2L, 6L).map(out(_)._2).min
-    val negMax = Seq(3L, 4L, 5L).map(out(_)._2).max
+    val negMax = Seq(3L, 4L, 5L, 8L).map(out(_)._2).max
+    assert(out(8L)._1 == 0L) // null label trained as y=0
     assert(posMin > negMax, s"no separation: posMin=$posMin negMax=$negMax")
     assert(Seq(0L, 1L, 2L, 6L).forall(out(_)._3 == 1L))
     assert(Seq(3L, 4L, 5L).forall(out(_)._3 == 0L))
