@@ -239,10 +239,11 @@ object Quantize {
     */
   def pqOracleSql(m: Int, k: Int, iters: Int, topK: Int, queryPredSql: String,
                   table: String = "embeddings", idCol: String = "vec_id",
-                  vecCol: String = "embedding"): String = {
-    val (chains, scoreUnion) = pqChainCtes(m, iters, queryPredSql, idCol, lutSrc = "pts")
-    s"""WITH dd AS (SELECT len($vecCol) // $m AS __d FROM $table LIMIT 1),
-       |pts AS MATERIALIZED (
+                  vecCol: String = "embedding", dim: Int = 64): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val (chains, scoreUnion) =
+      pqChainCtes(m, dim / m, iters, queryPredSql, idCol, lutSrc = "pts")
+    s"""WITH pts AS MATERIALIZED (
        |  SELECT $idCol, unnest(range(0, len($vecCol))) AS pos,
        |         CAST(unnest($vecCol) AS DOUBLE) AS val FROM $table),
        |init AS MATERIALIZED (
@@ -265,11 +266,15 @@ object Quantize {
     * codebook space; normalized for the IVF-PQ form) with LUT query values
     * drawn from `lutSrc` (raw values for IVF-PQ, matching the Spark side).
     */
-  private def pqChainCtes(m: Int, iters: Int, queryPredSql: String,
+  private def pqChainCtes(m: Int, subDim: Int, iters: Int, queryPredSql: String,
                           idCol: String, lutSrc: String): (String, String) = {
     val subCtes = (0 until m).map { s =>
-      val lo = s"((SELECT __d FROM dd) * $s)"
-      val hi = s"((SELECT __d FROM dd) * ${s + 1})"
+      // INTEGER LITERAL bounds, not a scalar subquery: `c.pos = p.pos - (SELECT ..)`
+      // defeats DuckDB's equi-join detection and the chains degrade to
+      // nested-loop joins (measured: the 10x oracle ran >15 min; literals
+      // bring it back to hash joins)
+      val lo = s"${subDim * s}"
+      val hi = s"${subDim * (s + 1)}"
       val c0 =
         s"""c0_$s AS MATERIALIZED (
            |  SELECT i.cl AS cluster, p.pos - $lo AS pos, p.val
@@ -337,10 +342,11 @@ object Quantize {
   def ivfPqOracleSql(m: Int, k: Int, iters: Int, topK: Int, rerankFactor: Int,
                      queryPredSql: String, table: String = "embeddings",
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): String = {
-    val (chains, scoreUnion) = pqChainCtes(m, iters, queryPredSql, idCol, lutSrc = "raw")
-    s"""WITH dd AS (SELECT len($vecCol) // $m AS __d FROM $table LIMIT 1),
-       |raw AS MATERIALIZED (
+                     vecCol: String = "embedding", dim: Int = 64): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val (chains, scoreUnion) =
+      pqChainCtes(m, dim / m, iters, queryPredSql, idCol, lutSrc = "raw")
+    s"""WITH raw AS MATERIALIZED (
        |  SELECT $idCol, unnest(range(0, len($vecCol))) AS pos,
        |         CAST(unnest($vecCol) AS DOUBLE) AS val FROM $table),
        |nrm AS MATERIALIZED (
