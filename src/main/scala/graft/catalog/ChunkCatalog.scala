@@ -139,6 +139,10 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     // supersede behavior, zero extra cost on the commit path. Data files are
     // covered separately by the GC grace window — an AS OF read older than
     // the grace may reference deleted parquet (documented bound).
+    // EVERY writer instance on a warehouse must share this setting: a
+    // retain=0 writer's post-commit cleanup deletes the manifests a
+    // retain=N writer is keeping (the setting is a warehouse policy, not a
+    // per-process preference).
     val manifestRetain: Int = 0) {
 
   import ChunkCatalog._

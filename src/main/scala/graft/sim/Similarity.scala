@@ -453,12 +453,16 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val inDim = embeddings.select(size(col(vecCol))).first().getInt(0)
     val signs = rpSigns(inDim, outDim)
+    // NULL vectors are dropped, not projected to NULL: the SQL-oracle form
+    // (unnest) emits no rows for them, and a null projection is useless to
+    // every downstream consumer anyway
+    val nonNull = embeddings.filter(col(vecCol).isNotNull)
     val qv = transform(col(vecCol), x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
     val micro = array(signs.map { row =>
       aggregate(zip_with(qv, lit(row), (x, s) => x * s.cast("long")),
         lit(0L), (acc, x) => acc + x)
     }.toIndexedSeq: _*)
-    embeddings.select(col(idCol), micro.as("rp_micro"),
+    nonNull.select(col(idCol), micro.as("rp_micro"),
       transform(micro, x => x.cast("double") / 1e6).as("rp"))
   }
 
