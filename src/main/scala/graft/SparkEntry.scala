@@ -1348,6 +1348,13 @@ object SparkEntry {
     // queries read only probed cells (partition pruning). Probing ALL cells is
     // exact, so unlike the rows-only q_emb_ivf_ann this one is hash-gated
     // against the brute-force oracle.
+    // LLM ops — MMR diversity selection (Carbonell & Goldstein 1998): greedy
+    // λ·relevance − (1−λ)·max-sim-to-selected over the top-20 cosine pool of
+    // query vec 0 — near-duplicate candidates can't crowd the result.
+    "q_emb_mmr_select" -> ((s, dir) =>
+      graft.sim.Similarity.mmrSelect(t(s, dir, "embeddings"),
+        queryId = 0L, pool = 20, k = 5)),
+
     // LLM ops — Johnson-Lindenstrauss ±1 random projection (Achlioptas) to 16
     // dims: md5-parity sign matrix + exact integer-micro signed sums — the
     // cheap dimensionality cut upstream of clustering/ANN. Dim content is
@@ -2884,6 +2891,9 @@ object SparkEntry {
         rerankFactor = 40, queryPredSql = "p.vec_id < 3"),
 
     "q_emb_rp_project" -> graft.sim.Similarity.rpOracleSql(outDim = 16),
+
+    "q_emb_mmr_select" ->
+      graft.sim.Similarity.mmrOracleSql(queryId = 0L, pool = 20, k = 5),
 
     "q_engine_asof" ->
       s"""SELECT event_type AS metric_name, count(*) AS cnt,

@@ -427,6 +427,119 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) — the
+    * diversity re-ranker RAG retrieval and curation pipelines run over an ANN
+    * candidate list: greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s),
+    * so near-duplicate candidates can't crowd the result. Query = the corpus
+    * vector `queryId` (excluded from candidates).
+    *
+    * Determinism: rel and pairwise sims are µ6-quantized cosines; λ is
+    * required binary-exact (0.5, 0.25, …) so each round's score is one exact
+    * IEEE expression over quantized values — no further rounding needed; ties
+    * break on id. The first pick's score is λ·rel (max over the empty
+    * selected set is 0).
+    *
+    * Scale shape: the candidate pool is top-`pool` by cosine (TakeOrdered);
+    * each greedy round is one bounded join (candidates × selected-so-far ≤
+    * pool·k rows) + one 1-row argmax collect — the driver holds only the
+    * picked ids, never the vectors. Output: (sel_rank, idCol, mmr_score).
+    */
+  def mmrSelect(corpus: DataFrame, queryId: Long, pool: Int, k: Int,
+                lam: Double = 0.5, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && pool >= k, "need pool >= k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val micro = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val cand = corpus.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), micro(cosine(col(vecCol), col("__qv"))).as("rel"))
+      .orderBy(col("rel").desc, col(idCol)).limit(pool)
+      .localCheckpoint()
+    // pairwise sims among the pool (pool² bounded rows, computed once)
+    val l = cand.select(col(idCol).as("__a"), col(vecCol).as("__va"))
+    val r = cand.select(col(idCol).as("__b"), col(vecCol).as("__vb"))
+    val pairs = l.join(r, col("__a") =!= col("__b"))
+      .select(col("__a"), col("__b"), micro(cosine(col("__va"), col("__vb"))).as("__sim"))
+      .localCheckpoint()
+    var selected = List.empty[(Long, Double)] // (id, score), pick order
+    var round = 0
+    while (round < k) {
+      val sel = selected.map(_._1)
+      val pickRow =
+        if (sel.isEmpty)
+          cand.select(col(idCol), (lit(lam) * col("rel")).as("__score"))
+            .orderBy(col("__score").desc, col(idCol)).limit(1).collect()(0)
+        else
+          cand.filter(!col(idCol).isin(sel: _*))
+            .join(pairs.filter(col("__b").isin(sel: _*)), col(idCol) === col("__a"))
+            .groupBy(col(idCol), col("rel"))
+            .agg(max("__sim").as("__ms"))
+            .select(col(idCol),
+              (lit(lam) * col("rel") - lit(1.0 - lam) * col("__ms")).as("__score"))
+            .orderBy(col("__score").desc, col(idCol)).limit(1).collect()(0)
+      selected = selected :+ ((pickRow.getLong(0), pickRow.getDouble(1)))
+      round += 1
+    }
+    selected.zipWithIndex
+      .map { case ((id, sc), i) => (i + 1L, id, sc) }
+      .toDF("sel_rank", idCol, "mmr_score")
+  }
+
+  /** DuckDB oracle for [[mmrSelect]]: identical µ6 cosines and the identical
+    * greedy unrolled as k materialized pick CTEs (each round's argmax joins
+    * the union of the prior picks).
+    */
+  def mmrOracleSql(queryId: Long, pool: Int, k: Int, lam: Double = 0.5,
+                   table: String = "embeddings", idCol: String = "vec_id",
+                   vecCol: String = "embedding"): String = {
+    def selUnion(r: Int) = (1 to r).map(i => s"SELECT $idCol FROM p$i").mkString(" UNION ALL ")
+    val picks = (2 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT c.$idCol, $lam * c.rel - ${1.0 - lam} * max(p.sim) AS score
+         |  FROM cand c JOIN pairs p ON p.a = c.$idCol
+         |  WHERE p.b IN (${selUnion(r - 1)})
+         |    AND c.$idCol NOT IN (${selUnion(r - 1)})
+         |  GROUP BY c.$idCol, c.rel
+         |  ORDER BY score DESC, c.$idCol LIMIT 1)""".stripMargin
+    }
+    val out = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS sel_rank, $idCol, score AS mmr_score FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT $idCol, unnest(range(0, len($vecCol))) AS pos,
+       |         CAST(unnest($vecCol) AS DOUBLE) AS val FROM $table),
+       |nrm AS MATERIALIZED (
+       |  SELECT $idCol, sqrt(sum(val * val)) AS n FROM pts GROUP BY $idCol),
+       |cand AS MATERIALIZED (
+       |  SELECT c.$idCol,
+       |    floor(sum(c.val * q.val) / (min(cn.n) * min(qn.n)) * 1e6 + 0.5) / 1e6 AS rel
+       |  FROM pts c
+       |  JOIN pts q ON q.$idCol = $queryId AND q.pos = c.pos
+       |  JOIN nrm cn ON cn.$idCol = c.$idCol
+       |  JOIN nrm qn ON qn.$idCol = $queryId
+       |  WHERE c.$idCol <> $queryId
+       |  GROUP BY c.$idCol
+       |  ORDER BY rel DESC, c.$idCol LIMIT $pool),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.$idCol AS a, b.$idCol AS b,
+       |    floor(sum(pa.val * pb.val) / (min(na.n) * min(nb.n)) * 1e6 + 0.5) / 1e6 AS sim
+       |  FROM cand a JOIN cand b ON a.$idCol <> b.$idCol
+       |  JOIN pts pa ON pa.$idCol = a.$idCol
+       |  JOIN pts pb ON pb.$idCol = b.$idCol AND pb.pos = pa.pos
+       |  JOIN nrm na ON na.$idCol = a.$idCol
+       |  JOIN nrm nb ON nb.$idCol = b.$idCol
+       |  GROUP BY a.$idCol, b.$idCol),
+       |p1 AS MATERIALIZED (
+       |  SELECT $idCol, $lam * rel AS score FROM cand
+       |  ORDER BY score DESC, $idCol LIMIT 1),
+       |${picks.mkString(",\n")}
+       |$out
+       |ORDER BY sel_rank""".stripMargin
+  }
+
   /** Deterministic ±1 Johnson-Lindenstrauss sign matrix [outDim][inDim]:
     * sign(j→i) = parity of the 60-bit md5 prefix of "j_i" — the same md5 the
     * portable-hash samplers use, so a SQL oracle regenerates the identical

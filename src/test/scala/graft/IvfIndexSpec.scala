@@ -206,6 +206,34 @@ class IvfIndexSpec extends AnyFunSuite {
       s"appended vector invisible to the PQ read path: ${got2.mkString(",")}")
   }
 
+  test("mmrSelect: diversity beats raw relevance (picks fan out across " +
+    "clusters), first pick is max-relevance, reruns identical") {
+    // clone-free clusters: clustered() repeats vectors every 21 ids, and an
+    // exact clone of the query as pick 1 makes every MMR score identically 0
+    // (rel == sim-to-clone for all candidates) — correct but degenerate
+    import spark.implicits._
+    val corpus = (0 until 24).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d % 3 == c) 10.0f else 0.1f) + ((i * 13 + d * 7) % 11) * 0.02f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, queryId = 0L, pool = 20, k = 4,
+        lam = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // pick 1 = the most relevant candidate (a cluster-0 clone of the query)
+    assert(got.head._2 % 3 == 0)
+    // raw top-4 relevance would be ALL cluster-0; MMR must fan out — the
+    // 4 picks cover all 3 clusters
+    assert(got.map(_._2 % 3).toSet == Set(0L, 1L, 2L),
+      s"picks not diverse: ${got.mkString(",")}")
+    val again = Similarity.mmrSelect(corpus, queryId = 0L, pool = 20, k = 4,
+        lam = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("rpProject: JL projection separates the clusters it should, exact " +
     "integer sums make reruns bit-identical") {
     val corpus = clustered(60)
