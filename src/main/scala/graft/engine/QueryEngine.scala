@@ -41,7 +41,8 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     */
   def execute[T](query: String,
                  nowNs: Long = System.currentTimeMillis() * 1000000L,
-                 tenant: Option[String] = None)
+                 tenant: Option[String] = None,
+                 asOfVersion: Option[Long] = None)
                 (action: DataFrame => T): T = {
     querySlots.acquire()
     val sc = spark.sparkContext
@@ -59,7 +60,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       sc.setJobGroup(tag, s"graft query: ${query.replaceAll("\\s+", " ").take(120)}",
         interruptOnCancel = true)
       try {
-        val out = action(sqlScoped(query, nowNs, tenant))
+        val out = action(sqlScoped(query, nowNs, tenant, asOfVersion))
         ok = true
         out
       } catch {

@@ -267,7 +267,15 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
     // header = unscoped (single-tenant deployments see the whole warehouse,
     // and rollup routing stays available).
     val tenantScope = Option(ex.getRequestHeaders.getFirst("X-Graft-Tenant"))
-    engine.execute(query, tenant = tenantScope) { df =>
+    // Time travel: X-Graft-As-Of-Version pins the query to a RETAINED catalog
+    // manifest version (engines on manifestRetain>0 warehouses); an evicted or
+    // never-committed version is a client error, not a 500.
+    val asOf = Option(ex.getRequestHeaders.getFirst("X-Graft-As-Of-Version"))
+      .map(v => try v.trim.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad X-Graft-As-Of-Version: $v")
+      })
+    try engine.execute(query, tenant = tenantScope, asOfVersion = asOf) { df =>
       // Driver-safety cap: the buffered formats collect() — a planned LIMIT
       // bounds both executor work and driver heap, so `SELECT * FROM metrics`
       // over a big warehouse clips (json marks stats.truncated) instead of
@@ -284,6 +292,10 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
             "text/csv")
         case other => error(ex, 400, s"Invalid format '$other'. Use: json, arrow, or csv")
       }
+    }
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        error(ex, 400, s"as-of version not retained (evicted or never committed): ${e.getMessage}")
     }
   }})
 

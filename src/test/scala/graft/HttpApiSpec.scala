@@ -607,5 +607,39 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("time travel over HTTP: X-Graft-As-Of-Version pins the chunk set; " +
+    "evicted version is a 400, not a 500") {
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_http_tt_"),
+      cacheTtlMs = 0L, manifestRetain = 8)
+    val writer = new ChunkWriter(cat)
+    def pts(h: Int, n: Int) = Converters.pointsToDf(spark, (0 until n).map(i =>
+      MetricPoint(t0 + h * hourNs + i * 60L * 1000000000L, "cpu_usage",
+        i.toDouble, Map("host" -> "s1"))))
+    writer.write(pts(0, 9))
+    val v1 = cat.state.version
+    writer.write(pts(1, 4))
+    val eng = new QueryEngine(spark, cat)
+    val a = new HttpApi(eng, port = 0).start()
+    try {
+      val q = s"SELECT count(*) AS c FROM metrics WHERE timestamp_ns >= $t0"
+      def sqlWith(hdrs: (String, String)*): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${a.boundPort}/api/v1/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"query":"$q"}"""))
+          .header("Content-Type", "application/json")
+          .headers(hdrs.flatMap(h => Seq(h._1, h._2)): _*).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val live = sqlWith("X-Graft-Probe" -> "1")
+      assert(live.statusCode() == 200 && live.body().contains("[13]"), live.body())
+      val asof = sqlWith("X-Graft-As-Of-Version" -> v1.toString)
+      assert(asof.statusCode() == 200 && asof.body().contains("[9]"), asof.body())
+      val gone = sqlWith("X-Graft-As-Of-Version" -> "99999")
+      assert(gone.statusCode() == 400, s"${gone.statusCode()} ${gone.body()}")
+      val junk = sqlWith("X-Graft-As-Of-Version" -> "banana")
+      assert(junk.statusCode() == 400)
+    } finally a.stop()
+  }
+
   test("shutdown") { api.stop() }
 }
