@@ -1196,6 +1196,16 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")),
 
+    // LLM ops — exact edit-distance VERIFICATION of the simhash candidates
+    // (the fine-grained confirm stage fuzzy dedup runs after the sketch pass):
+    // editSim = 1 - lev/maxLen >= 0.8, gated entirely in integers. Candidate
+    // recall within Hamming<=3 is exact (pigeonhole banding), so both engines
+    // verify the identical pair set.
+    "q_doc_editsim" -> ((s, dir) =>
+      graft.dedup.Dedup.editSimNearDupPairs(
+        t(s, dir, "documents"), maxHamming = 3, simNum = 80, simDen = 100)
+        .orderBy("id_a", "id_b")),
+
     // LLM ops — exact embedding-cosine near-dup pairs (brute-force baseline;
     // the LSH-bucketed scale path in Dedup.embeddingNearDupPairs is
     // probabilistic and spec-gated instead). Input bounded to a fixed 500-vec
@@ -1822,6 +1832,42 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Edit-similarity verify oracle: recomputes the portable 60-bit md5
+    * simhash + pigeonhole banding (identical to [[simhashOracle]]'s candidate
+    * CTEs), then verifies each Hamming<=3 candidate with DuckDB's integer
+    * `levenshtein` on the same lower(trim(text)) normalization — the filter
+    * `lev*simDen <= (simDen-simNum)*maxLen` is the engine's exact integer
+    * cross-multiplication, so no float ever reaches the gate.
+    */
+  private def editSimOracle(simNum: Int, simDen: Int): String = {
+    val bitTerms = (0 until 60).map(b =>
+      s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    val missNum = simDen - simNum
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       | FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |sig AS (SELECT doc_id, $bitTerms AS sig FROM h GROUP BY doc_id),
+       |blk AS (SELECT doc_id, sig, 0 AS b, (sig & 32767) AS bv FROM sig
+       | UNION ALL SELECT doc_id, sig, 1, (sig >> 15) & 32767 FROM sig
+       | UNION ALL SELECT doc_id, sig, 2, (sig >> 30) & 32767 FROM sig
+       | UNION ALL SELECT doc_id, sig, 3, (sig >> 45) & 32767 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                a.sig AS sa, b.sig AS sb
+       |         FROM blk a JOIN blk b
+       |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |hp AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       |v AS (SELECT id_a, id_b, levenshtein(da.t, db.t) AS lev,
+       |             greatest(length(da.t), length(db.t)) AS max_len
+       |      FROM hp JOIN d da ON hp.id_a = da.doc_id
+       |               JOIN d db ON hp.id_b = db.doc_id)
+       |SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev, CAST(max_len AS BIGINT) AS max_len
+       |FROM v WHERE lev * $simDen <= $missNum * max_len
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Passage-removal oracle (Lee et al. 2021 transform mirror), optionally
@@ -2708,6 +2754,8 @@ object SparkEntry {
 
     // bounded slice: all-pairs stays subquadratic at any SF
     "q_doc_simhash_neardup_s" -> simhashOracle(docBound = Some(2000L)),
+
+    "q_doc_editsim" -> editSimOracle(simNum = 80, simDen = 100),
 
     "q_doc_chunk_tokens" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks

@@ -699,6 +699,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact EDIT-DISTANCE verification of near-duplicate candidates — the
+    * fine-grained confirm stage fuzzy-dedup pipelines run after a cheap sketch
+    * pass (e.g. CodeParrot/The-Stack-style near-dup verification): candidates
+    * come from the provably-exact simhash banding ([[simhashNearDupPairsExact]],
+    * pigeonhole recall 1.0 within `maxHamming`), and a pair is verified when
+    *
+    *   editSim = 1 − lev(a,b) / max(len(a), len(b)) ≥ simNum/simDen
+    *
+    * evaluated ENTIRELY in integers (`lev·simDen ≤ (simDen−simNum)·maxLen`),
+    * so the verified pair set is bit-identical across engines/partitionings.
+    * Texts are compared in the same `lower(trim(...))` form the signature
+    * hashes, so the sketch and the verify stage see one normalization.
+    *
+    * Scale shape: the candidate set is collision-proportional (never O(n²));
+    * a necessary-condition length prefilter (`lev ≥ |lenA−lenB|`) drops
+    * incompatible pairs before any DP runs, and the DP itself uses Spark's
+    * bounded 3-arg `levenshtein` so a clear miss exits after the band of
+    * width `(1−τ)·maxLen` instead of filling the full matrix. Per-pair cost
+    * is O(maxLen²) worst case — bounded by the candidate count, not corpus
+    * size, which is why the verify belongs AFTER banding, never before.
+    */
+  def editSimNearDupPairs(docs: DataFrame,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          maxHamming: Int = 3,
+                          simNum: Int = 80,
+                          simDen: Int = 100): DataFrame = {
+    require(simDen > 0 && simNum >= 0 && simNum <= simDen,
+      s"similarity threshold must be a fraction in [0,1]: $simNum/$simDen")
+    val candidates = simhashNearDupPairsExact(docs, textCol, idCol, maxHamming)
+      .select("id_a", "id_b")
+    val norm = docs.select(col(idCol), lower(trim(col(textCol))).as("__t"))
+    val ta = norm.select(col(idCol).as("id_a"), col("__t").as("__ta"),
+      length(col("__t")).cast("long").as("len_a"))
+    val tb = norm.select(col(idCol).as("id_b"), col("__t").as("__tb"),
+      length(col("__t")).cast("long").as("len_b"))
+    val missNum = simDen - simNum // numerator of the allowed-miss fraction
+    val joined = candidates.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("max_len", greatest(col("len_a"), col("len_b")))
+      // necessary condition (lev >= |lenA-lenB|): integer cross-multiplication
+      .filter(abs(col("len_a") - col("len_b")) * simDen <= col("max_len") * missNum)
+    // bounded DP: distance > floor(missNum*maxLen/simDen) returns -1 (early
+    // exit after a band of width bound+1 instead of the full matrix); the
+    // 3-arg functions.levenshtein only takes a constant Int, but the
+    // underlying expression accepts a per-row threshold child
+    val bound = floor(col("max_len") * missNum / simDen).cast("int")
+    val boundedLev = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        org.apache.spark.sql.GraftBridge.expression(col("__ta")),
+        org.apache.spark.sql.GraftBridge.expression(col("__tb")),
+        Some(org.apache.spark.sql.GraftBridge.expression(bound))))
+    joined
+      .withColumn("lev", boundedLev.cast("long"))
+      .filter(col("lev") >= 0 && col("lev") * simDen <= col("max_len") * missNum)
+      .select("id_a", "id_b", "lev", "max_len")
+  }
+
   // ---- embedding near-dup --------------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, via the similarity

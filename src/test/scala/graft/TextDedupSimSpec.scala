@@ -228,6 +228,47 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("editSimNearDupPairs: verify stage keeps edit-close, drops bag-equal edit-far") {
+    // shared-prefix docs keep the simhash candidates close; the tails control
+    // the edit distance. (2,3) is the case the verify stage EXISTS for: same
+    // token multiset => identical simhash (hamming 0, always a candidate) but
+    // reversed word order => edit-far, must be dropped.
+    val common = (1 to 20).map(i => s"common$i").mkString(" ")
+    val d = docs(
+      0L -> s"$common kappa",
+      1L -> s"$common kappa2",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "ten nine eight seven six five four three two one")
+    // a one-token change still flips several majority-vote bits, so candidacy
+    // is guaranteed by measuring the actual (0,1) hamming instead of guessing;
+    // (2,3) has hamming 0 (same bag) and is a candidate at any setting
+    val sigs = d.select(col("doc_id"), Dedup.simhashMd5(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hd01 = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    val out = Dedup.editSimNearDupPairs(d, maxHamming = math.max(hd01, 1),
+        simNum = 80, simDen = 100)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxLen = (common + " kappa2").length.toLong
+    assert(out.toSeq == Seq((0L, 1L, 1L, maxLen))) // one inserted char
+  }
+
+  test("editSimNearDupPairs: integer threshold boundary is exact >=") {
+    // 1-bit pigeonhole blocks (maxHamming=59) make any non-complement sig pair
+    // a candidate, so the verify math is tested in isolation on tiny strings:
+    // lev*100 <= 20*max_len with max_len=10 admits lev=2 EXACTLY, rejects 3.
+    val d = docs(10L -> "aaaaaaaaaa", 11L -> "bbaaaaaaaa", 12L -> "bbbaaaaaaa")
+    // candidate-stage honesty: all three pairs must be within hamming 59
+    val sigs = d.select(col("doc_id"), Dedup.simhashMd5(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (Seq(a, b) <- Seq(10L, 11L, 12L).combinations(2))
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 59)
+    val out = Dedup.editSimNearDupPairs(d, maxHamming = 59, simNum = 80, simDen = 100)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 11L, 2L, 10L), (11L, 12L, 1L, 10L)))
+  }
+
   test("cosine: hand-computed") {
     val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
