@@ -1521,6 +1521,13 @@ object SparkEntry {
     "q_doc_bpe_train" -> ((s, dir) =>
       graft.text.TextFunctions.bpeTrain(t(s, dir, "documents"), numMerges = 8)),
 
+    // LLM ops — unigram-LM tokenizer TRAINING (the SentencePiece family,
+    // Kudo 2018; hard-EM/Viterbi deterministic variant): 2 EM rounds over
+    // substring-seeded pieces, micro-quantized log10 scores, top-40 vocab cut.
+    "q_doc_unigram_train" -> ((s, dir) =>
+      graft.text.TextFunctions.unigramTrain(t(s, dir, "documents"),
+        iters = 2, maxPieceLen = 4, maxWordLen = 16, k = 40)),
+
     // LLM ops — BPE ENCODING (stage 3): the learned merges applied back to
     // the corpus (word-vocab broadcast, one doc-keyed reassembly shuffle).
     "q_doc_bpe_encode" -> ((s, dir) =>
@@ -3075,6 +3082,9 @@ object SparkEntry {
 
     // the full training loop replayed in DuckDB (generated unrolled CTE chain)
     "q_doc_bpe_train" -> graft.text.TextFunctions.bpeTrainOracleSql(8),
+
+    "q_doc_unigram_train" -> graft.text.TextFunctions.unigramTrainOracleSql(
+      iters = 2, maxPieceLen = 4, maxWordLen = 16, k = 40),
 
     // training chain + final-vocab join = the encoded corpus
     "q_doc_bpe_encode" -> graft.text.TextFunctions.bpeEncodeOracleSql(8),

@@ -535,6 +535,189 @@ object TextFunctions {
             / sum("__cdt") * 1e6 + 0.5) / 1e6).as("mean_logprob"))
   }
 
+  // ---- unigram-LM tokenizer training (SentencePiece family) -----------------
+
+  /** Unigram-LM tokenizer TRAINING (the SentencePiece family, Kudo 2018) —
+    * the other major subword-tokenizer family next to BPE ([[bpeTrain]]):
+    * seed a piece vocabulary from substring frequencies, then iterate
+    * hard-EM rounds — score every piece by its add-one-smoothed unigram
+    * log-probability, Viterbi-segment every DISTINCT word under those
+    * scores, re-estimate piece counts from the segmentations. Returns the
+    * top-`k` pieces with their final Viterbi counts (cnt DESC, piece ASC).
+    *
+    * Deliberate divergences from full SentencePiece, documented because the
+    * gate depends on them: (a) HARD EM (Viterbi counts), not soft EM over
+    * the lattice — the deterministic variant; (b) no per-round vocabulary
+    * pruning — the seed vocab stays scoreable throughout (add-one smoothing)
+    * and the final top-k IS the vocabulary cut; (c) words longer than
+    * `maxWordLen` are excluded from training (the max_sentencepiece_length
+    * analog, and what bounds the oracle's unrolled DP).
+    *
+    * Determinism: counts are exact integer sums at every step; the only
+    * floats are the per-piece scores lp = floor(log10((c+1)/(C+V))·1e6+0.5)
+    * as BIGINT — the q_doc_lm_logprob micro-quantization recipe — and every
+    * Viterbi argmax breaks ties deterministically on those exact integers
+    * (total score DESC, then longer final piece).
+    *
+    * Scale shape: one pass builds the distinct-word table; each round is a
+    * candidate explode (≤ maxWordLen·maxPieceLen rows per DISTINCT word), a
+    * BROADCAST join of the (piece → lp) score table — bounded by the
+    * distinct substrings of length ≤ maxPieceLen, i.e. O(alphabet^L),
+    * broadcastable at any corpus size — and a per-word codegen'd `aggregate`
+    * fold for the DP (no UDF, no window over the corpus, no cross join).
+    * Document count only enters through the initial word count.
+    */
+  def unigramTrain(docs: DataFrame, iters: Int = 2, maxPieceLen: Int = 4,
+                   maxWordLen: Int = 16, k: Int = 40,
+                   textCol: String = "text"): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters $iters out of [1,8]")
+    require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
+      s"need 1 <= maxPieceLen <= maxWordLen: $maxPieceLen/$maxWordLen")
+    val spark = docs.sparkSession
+    val words = docs.filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+
+    // every substring of length 1..maxPieceLen tagged with its END position —
+    // reused by the seed count and every EM round
+    val cand = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("j"))
+      .select(col("word"), col("freq"), col("j"),
+        explode(sequence(lit(1), least(lit(maxPieceLen),
+          length(col("word")) - col("j") + 1))).as("l"))
+      .select(col("word"), col("freq"), col("l"),
+        (col("j") + col("l") - 1).as("e"),
+        col("word").substr(col("j"), col("l")).as("piece"))
+      .localCheckpoint(true)
+
+    val vocab = cand.select("piece").distinct().localCheckpoint(true)
+    val vocabSize = vocab.count()
+
+    var counts = cand.groupBy("piece").agg(sum("freq").as("cnt"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val cTotal = counts.agg(sum("cnt")).first().getLong(0)
+      val denom = (cTotal + vocabSize).toDouble
+      val lp = vocab.join(counts, Seq("piece"), "left")
+        .select(col("piece"),
+          floor(log10((coalesce(col("cnt"), lit(0L)) + 1).cast("double")
+            / lit(denom)) * 1e6 + 0.5).cast("long").as("lp"))
+      val withCands = cand
+        .join(broadcast(lp), "piece")
+        .groupBy("word", "freq")
+        .agg(collect_list(struct(col("e"), col("l"), col("lp"))).as("cands"))
+      val n = length(col("word"))
+      // dp[i+1] = best (score, lastPieceLen) for word prefix of length i;
+      // array_max on struct(lp, l) = score DESC then longer piece — matching
+      // the oracle's ORDER BY lp DESC, l DESC. Single-char pieces are always
+      // in vocab, so every position is reachable and array_max never sees an
+      // empty candidate list.
+      val dp = aggregate(
+        sequence(lit(1), n),
+        array(struct(lit(0L).as("lp"), lit(0).as("l"))),
+        (acc, i) => concat(acc, array(array_max(transform(
+          filter(col("cands"), c => c.getField("e") === i),
+          c => struct(
+            (element_at(acc, i - c.getField("l") + 1).getField("lp")
+              + c.getField("lp")).as("lp"),
+            c.getField("l").as("l")))))))
+      // backtrack: n steps suffice (every piece is >= 1 char)
+      val seg = aggregate(
+        sequence(lit(1), n),
+        struct(n.as("pos"), array().cast("array<string>").as("pieces")),
+        (st, _) => {
+          val pos = st.getField("pos")
+          val pl = element_at(col("__dp"), pos + 1).getField("l")
+          when(pos > lit(0),
+            struct((pos - pl).as("pos"),
+              concat(array(col("word").substr(pos - pl + 1, pl)),
+                st.getField("pieces")).as("pieces")))
+            .otherwise(st)
+        })
+      val next = withCands
+        .withColumn("__dp", dp)
+        .withColumn("__pieces", seg.getField("pieces"))
+        .select(col("freq"), explode(col("__pieces")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .localCheckpoint(true)
+      counts.unpersist(blocking = false)
+      counts = next
+      it += 1
+    }
+    // k rows — materialize so every checkpoint can be released eagerly
+    val rows = counts.orderBy(col("cnt").desc, col("piece").asc).limit(k)
+      .select(col("piece"), col("cnt").cast("long").as("cnt")).collect()
+    Seq(words, cand, vocab, counts).foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("piece", "cnt")
+  }
+
+  /** DuckDB oracle for [[unigramTrain]]: the same hard-EM loop with the
+    * per-word Viterbi DP UNROLLED BY POSITION (d{t}_1..d{t}_maxWordLen —
+    * static SQL is why training caps word length), each level an argmax over
+    * the ≤ maxPieceLen ways to end a segmentation at that position.
+    * MATERIALIZED is load-bearing for the same reason as [[bpeTrainOracleSql]].
+    */
+  def unigramTrainOracleSql(iters: Int, maxPieceLen: Int = 4,
+                            maxWordLen: Int = 16, k: Int = 40,
+                            table: String = "documents"): String = {
+    def dpLevel(t: Int, i: Int): String = {
+      val prevs = (1 to math.min(maxPieceLen, i))
+        .map(l => s"SELECT * FROM d${t}_${i - l}").mkString(" UNION ALL ")
+      s"""d${t}_$i AS MATERIALIZED (
+         | SELECT word, pos, lp, path FROM (
+         |  SELECT c.word, $i AS pos, p.lp + c.lp AS lp,
+         |         list_append(p.path, substring(c.word, $i - c.l + 1, c.l)) AS path,
+         |         ROW_NUMBER() OVER (PARTITION BY c.word
+         |           ORDER BY p.lp + c.lp DESC, c.l DESC) AS rn
+         |  FROM cd$t c JOIN ($prevs) p ON p.word = c.word AND p.pos = $i - c.l
+         |  WHERE c.e = $i) WHERE rn = 1)""".stripMargin
+    }
+    def iterBlock(t: Int): String = {
+      val prevCounts = if (t == 1) "c0" else s"c${t - 1}"
+      val levels = (1 to maxWordLen).map(i => dpLevel(t, i)).mkString(",\n")
+      val segUnion = (1 to maxWordLen)
+        .map(i => s"SELECT * FROM d${t}_$i").mkString(" UNION ALL ")
+      s"""s$t AS MATERIALIZED (
+         | SELECT v.piece,
+         |  CAST(floor(log10((COALESCE(c.cnt, 0) + 1)::DOUBLE /
+         |    ((SELECT SUM(cnt) FROM $prevCounts)::DOUBLE
+         |     + (SELECT COUNT(*) FROM vocab)::DOUBLE)) * 1000000 + 0.5)
+         |   AS BIGINT) AS lp
+         | FROM vocab v LEFT JOIN $prevCounts c USING (piece)),
+         |cd$t AS MATERIALIZED (
+         | SELECT g.word, g.e, g.l, s.lp FROM gen g JOIN s$t s ON s.piece = g.piece),
+         |d${t}_0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS lp,
+         |            CAST([] AS VARCHAR[]) AS path FROM w),
+         |$levels,
+         |seg$t AS MATERIALIZED (
+         | SELECT d.word, d.path FROM ($segUnion) d
+         | JOIN w ON d.word = w.word AND d.pos = len(w.word)),
+         |c$t AS MATERIALIZED (
+         | SELECT piece, SUM(freq)::BIGINT AS cnt FROM (
+         |  SELECT w.freq, unnest(s.path) AS piece
+         |  FROM seg$t s JOIN w ON s.word = w.word) GROUP BY 1)""".stripMargin
+    }
+    s"""WITH w AS MATERIALIZED (
+       | SELECT word, count(*)::BIGINT AS freq FROM (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM $table WHERE length(trim(text)) > 0) t
+       | WHERE word <> '' AND len(word) <= $maxWordLen GROUP BY 1),
+       |gen AS MATERIALIZED (
+       | SELECT word, freq, l, j + l - 1 AS e, substring(word, j, l) AS piece
+       | FROM w, UNNEST(generate_series(1, len(word))) g(j),
+       |         UNNEST(generate_series(1, $maxPieceLen)) h(l)
+       | WHERE j + l - 1 <= len(word)),
+       |vocab AS MATERIALIZED (SELECT DISTINCT piece FROM gen),
+       |c0 AS MATERIALIZED (SELECT piece, SUM(freq)::BIGINT AS cnt FROM gen GROUP BY 1),
+       |${(1 to iters).map(iterBlock).mkString(",\n")}
+       |SELECT piece, cnt FROM c$iters ORDER BY cnt DESC, piece ASC LIMIT $k""".stripMargin
+  }
+
   /** Full per-document feature extraction. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -899,6 +899,28 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(ts.head > 0 && ts.last < 9973L && ts == ts.sorted)
   }
 
+  test("unigramTrain: hand-verified hard-EM — multi-char piece beats char path, length cap") {
+    import spark.implicits._
+    // "xy xy xy xy z": words xy(4), z(1); seed counts x:4 y:4 xy:4 z:1
+    // (C=13, V=4). lp(xy)=lp(x)=lp(y)=log10(5/17)µ < 0, so Viterbi picks the
+    // single piece [xy] over [x,y] (one negative score beats two). z → [z].
+    // Both EM rounds converge to counts {xy:4, z:1}.
+    val got = graft.text.TextFunctions.unigramTrain(
+        Seq("xy xy xy xy z").toDF("text"), iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("xy", 4L), ("z", 1L)), s"got $got")
+    // deterministic tie order on equal counts: piece ASC
+    val ties = graft.text.TextFunctions.unigramTrain(
+        Seq("ab ba").toDF("text"), iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ties == Seq(("ab", 1L), ("ba", 1L)), s"got $ties")
+    // maxWordLen cap: over-long words are excluded from training entirely
+    val capped = graft.text.TextFunctions.unigramTrain(
+        Seq("abcdef xy").toDF("text"), iters = 1, maxWordLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(capped == Seq(("xy", 1L)), s"got $capped")
+  }
+
   test("bpeTrain: hand-verified Sennrich merges incl. same-symbol chains and merged-symbol re-pairs") {
     import spark.implicits._
     // Expected merges verified against a Python re.sub reference
