@@ -1528,6 +1528,20 @@ object SparkEntry {
       graft.text.TextFunctions.unigramTrain(t(s, dir, "documents"),
         iters = 2, maxPieceLen = 4, maxWordLen = 16, k = 40)),
 
+    // LLM ops — unigram-LM ENCODING: the learned model's Viterbi segmentation
+    // applied back to the corpus (word-state broadcast, one doc-keyed shuffle).
+    "q_doc_unigram_encode" -> ((s, dir) =>
+      graft.text.TextFunctions.unigramEncode(t(s, dir, "documents"), iters = 2)),
+
+    // Bounded-slice variant (the q_doc_bpe_encode_s pattern): the full-corpus
+    // encode's DuckDB oracle materializes per-doc piece lists corpus-wide and
+    // exhausts the allocator at 100x; this 1-in-50 slice keeps the oracle
+    // bounded so the hash gate holds in every scale record.
+    "q_doc_unigram_encode_s" -> ((s, dir) =>
+      graft.text.TextFunctions.unigramEncode(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(50)) === 0),
+        iters = 2)),
+
     // LLM ops — BPE ENCODING (stage 3): the learned merges applied back to
     // the corpus (word-vocab broadcast, one doc-keyed reassembly shuffle).
     "q_doc_bpe_encode" -> ((s, dir) =>
@@ -3085,6 +3099,13 @@ object SparkEntry {
 
     "q_doc_unigram_train" -> graft.text.TextFunctions.unigramTrainOracleSql(
       iters = 2, maxPieceLen = 4, maxWordLen = 16, k = 40),
+
+    "q_doc_unigram_encode" -> graft.text.TextFunctions.unigramEncodeOracleSql(
+      iters = 2, maxPieceLen = 4, maxWordLen = 16),
+
+    "q_doc_unigram_encode_s" -> graft.text.TextFunctions.unigramEncodeOracleSql(
+      iters = 2, maxPieceLen = 4, maxWordLen = 16,
+      table = "(SELECT * FROM documents WHERE doc_id % 50 = 0)"),
 
     // training chain + final-vocab join = the encoded corpus
     "q_doc_bpe_encode" -> graft.text.TextFunctions.bpeEncodeOracleSql(8),

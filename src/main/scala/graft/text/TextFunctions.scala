@@ -570,10 +570,28 @@ object TextFunctions {
   def unigramTrain(docs: DataFrame, iters: Int = 2, maxPieceLen: Int = 4,
                    maxWordLen: Int = 16, k: Int = 40,
                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val (counts, segs) = unigramTrainCore(docs, iters, maxPieceLen, maxWordLen, textCol)
+    // k rows — materialize so every checkpoint can be released eagerly
+    val rows = counts.orderBy(col("cnt").desc, col("piece").asc).limit(k)
+      .select(col("piece"), col("cnt").cast("long").as("cnt")).collect()
+    Seq(counts, segs).foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("piece", "cnt")
+  }
+
+  /** The training loop itself: returns (final counts, final per-word
+    * segmentation (word, freq, pieces)) — the segmentation IS the encoding of
+    * every trained corpus word under the learned model, which is what
+    * [[unigramEncode]] serves per document (the [[bpeTrainCore]] pattern).
+    * Both returned frames are localCheckpoint'd; callers unpersist.
+    */
+  private def unigramTrainCore(docs: DataFrame, iters: Int, maxPieceLen: Int,
+                               maxWordLen: Int, textCol: String)
+      : (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 8, s"iters $iters out of [1,8]")
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
       s"need 1 <= maxPieceLen <= maxWordLen: $maxPieceLen/$maxWordLen")
-    val spark = docs.sparkSession
     val words = docs.filter(length(trim(col(textCol))) > 0)
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
@@ -598,6 +616,7 @@ object TextFunctions {
 
     var counts = cand.groupBy("piece").agg(sum("freq").as("cnt"))
       .localCheckpoint(true)
+    var lastSegs: Option[DataFrame] = None
     var it = 0
     while (it < iters) {
       val cTotal = counts.agg(sum("cnt")).first().getLong(0)
@@ -638,22 +657,82 @@ object TextFunctions {
                 st.getField("pieces")).as("pieces")))
             .otherwise(st)
         })
-      val next = withCands
+      val segmented = withCands
         .withColumn("__dp", dp)
-        .withColumn("__pieces", seg.getField("pieces"))
-        .select(col("freq"), explode(col("__pieces")).as("piece"))
+        .withColumn("pieces", seg.getField("pieces"))
+        .select("word", "freq", "pieces")
+        .localCheckpoint(true)
+      lastSegs.foreach(_.unpersist(blocking = false))
+      lastSegs = Some(segmented)
+      val next = segmented
+        .select(col("freq"), explode(col("pieces")).as("piece"))
         .groupBy("piece").agg(sum("freq").as("cnt"))
         .localCheckpoint(true)
       counts.unpersist(blocking = false)
       counts = next
       it += 1
     }
-    // k rows — materialize so every checkpoint can be released eagerly
-    val rows = counts.orderBy(col("cnt").desc, col("piece").asc).limit(k)
-      .select(col("piece"), col("cnt").cast("long").as("cnt")).collect()
-    Seq(words, cand, vocab, counts).foreach(_.unpersist(blocking = false))
-    import spark.implicits._
-    rows.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("piece", "cnt")
+    Seq(words, cand, vocab).foreach(_.unpersist(blocking = false))
+    (counts, lastSegs.get)
+  }
+
+  /** Unigram-LM ENCODING: Viterbi-segment every document under the model
+    * [[unigramTrain]] learns — train and encode in one call, the
+    * [[bpeEncode]] shape. Returns `(idCol, n_tokens, uni_text)` with
+    * `uni_text` the space-joined piece sequence.
+    *
+    * Words longer than `maxWordLen` never trained, so they carry no
+    * segmentation; they pass through as a SINGLE piece (the UNK-word
+    * fallback, mirrored in the oracle's COALESCE).
+    *
+    * Scale shape: segmentation is computed once per DISTINCT word (the
+    * training loop's final Viterbi state), then documents join that map
+    * BROADCAST on the exploded words and re-assemble per doc — one
+    * corpus-sized shuffle keyed on the doc id.
+    */
+  def unigramEncode(docs: DataFrame, iters: Int = 2, maxPieceLen: Int = 4,
+                    maxWordLen: Int = 16, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val (counts, segs) = unigramTrainCore(docs, iters, maxPieceLen, maxWordLen, textCol)
+    val docWords = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val out = docWords
+      .join(broadcast(segs.select(col("word"), col("pieces"))), Seq("word"), "left")
+      .withColumn("pieces", coalesce(col("pieces"), array(col("word"))))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("pieces")))).as("ps"))
+      .select(col(idCol),
+        size(flatten(transform(col("ps"), x => x.getField("pieces"))))
+          .cast("long").as("n_tokens"),
+        array_join(flatten(transform(col("ps"), x => x.getField("pieces"))), " ")
+          .as("uni_text"))
+      .orderBy(col(idCol))
+    counts.unpersist(blocking = false)
+    // segs feeds the (lazy) result through the broadcast join — the caller's
+    // collection drives it; like bpeEncode's vocab it stays checkpointed
+    out
+  }
+
+  /** DuckDB oracle for [[unigramEncode]]: the [[unigramTrainOracleSql]] CTE
+    * chain's FINAL segmentation state joined back to each document's word
+    * sequence (the [[bpeEncodeOracleSql]] pattern), untrained over-long
+    * words passing through as a single piece.
+    */
+  def unigramEncodeOracleSql(iters: Int, maxPieceLen: Int = 4,
+                             maxWordLen: Int = 16,
+                             table: String = "documents"): String = {
+    val train = unigramTrainOracleSql(iters, maxPieceLen, maxWordLen, k = 1, table)
+    val upToRounds = train.substring(0, train.lastIndexOf("\nSELECT piece, cnt"))
+    s"""$upToRounds,
+       |d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+       |     FROM $table WHERE length(trim(text)) > 0),
+       |dw AS (SELECT doc_id, generate_subscripts(words,1) AS pos, unnest(words) AS word FROM d),
+       |dwj AS (SELECT dw.doc_id, dw.pos, COALESCE(s.path, [dw.word]) AS pieces
+       |        FROM dw LEFT JOIN seg$iters s ON dw.word = s.word),
+       |enc AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS toks FROM dwj GROUP BY doc_id)
+       |SELECT doc_id, len(toks)::BIGINT AS n_tokens, array_to_string(toks, ' ') AS uni_text
+       |FROM enc ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB oracle for [[unigramTrain]]: the same hard-EM loop with the

@@ -919,6 +919,13 @@ class TextDedupSimSpec extends AnyFunSuite {
         Seq("abcdef xy").toDF("text"), iters = 1, maxWordLen = 4)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(capped == Seq(("xy", 1L)), s"got $capped")
+    // encode: the learned segmentation applied back per doc; untrained
+    // over-long words pass through as a single piece (UNK-word fallback)
+    val enc = graft.text.TextFunctions.unigramEncode(
+        Seq((0L, "xy xy xy xy z"), (1L, "abcdef xy")).toDF("doc_id", "text"),
+        iters = 2, maxWordLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(enc == Seq((0L, 5L, "xy xy xy xy z"), (1L, 2L, "abcdef xy")), s"got $enc")
   }
 
   test("bpeTrain: hand-verified Sennrich merges incl. same-symbol chains and merged-symbol re-pairs") {
