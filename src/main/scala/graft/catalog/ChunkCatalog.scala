@@ -617,30 +617,29 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       assembled.tableStats)
     val tmp = root.resolve(s".manifest.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, renderManifest(manifest).getBytes(StandardCharsets.UTF_8))
-    val linked =
-      try { Files.createLink(root.resolve(manifestFileName(version)), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+    // The commit is SpentVersions.linkFresh: {refuse a spent version number}
+    // + {hard link} in one critical section. The refusal is what makes the
+    // link sufficient — superseded manifests get DELETED, so a writer whose
+    // listing lagged behind several commits could otherwise re-link an
+    // already-used number (an acknowledged commit no reader resolves, max
+    // version wins). Fusing the check INTO the link also means a successful
+    // link is proof of commit: the previous link-then-mark split let a fast
+    // successor spend our version before our own mark landed, making us
+    // misread success as a conflict — and the "lost" path below then deleted
+    // shard files the successor's manifest still referenced (see linkFresh's
+    // scaladoc; observed via LeaseSpec's disjoint-CAS race, same protocol).
+    val committed =
+      try SpentVersions.linkFresh(versionMarkers, version,
+        root.resolve(manifestFileName(version)), tmp)
       finally {
         try Files.deleteIfExists(tmp)
         catch { case scala.util.control.NonFatal(_) => () }
       }
 
-    // The link alone is not sufficient: superseded manifests get DELETED, so
-    // a writer whose listing lagged behind several commits could re-link a
-    // version number that was already used and cleaned up — an acknowledged
-    // commit no reader would ever resolve (max version wins). The per-version
-    // marker is never deleted; recreating a spent version hits EEXIST here
-    // and the writer aborts as a plain conflict. Nobody can have read the
-    // zombie manifest: a version only gets cleaned up after a higher one
-    // committed, so the on-disk max stayed above it throughout.
-    val committed = linked && {
-      val fresh = SpentVersions.mark(versionMarkers, version)
-      if (!fresh) Files.deleteIfExists(root.resolve(manifestFileName(version)))
-      fresh
-    }
-
     if (!committed) {
-      // lost the CAS: our shard files are unreferenced orphans — remove them
+      // genuinely lost the CAS (our manifest never linked, so nothing can
+      // reference our nonce-named shard files): remove the orphans
       try written.valuesIterator.foreach(f => Files.deleteIfExists(shardDir.resolve(f)))
       catch { case scala.util.control.NonFatal(_) => () }
       return false

@@ -213,12 +213,13 @@ final class LeaseStore(
     } finally s.close()
   }
 
-  /** The CAS: temp file carries the complete content; the hard link to the
-    * next version name is the atomic all-or-nothing commit, EEXIST = lost the
-    * race. A per-version marker (never deleted) prevents a lagging writer
-    * from resurrecting a version number whose file was already superseded
-    * and cleaned up — without it, such a commit would be acknowledged but
-    * invisible (readers take the max version). Same discipline as
+  /** The CAS: temp file carries the complete content; the atomic commit is
+    * [[SpentVersions.linkFresh]] — the spent-number refusal and the hard
+    * link to the next version name share one critical section, which is what
+    * makes a successful link PROOF of commit (see linkFresh's scaladoc for
+    * the two races the previous link-then-mark split protocol left open;
+    * one of them was observed as LeaseSpec's disjoint-CAS acquirers
+    * conflicting with their own committed leases). Same discipline as
     * ChunkCatalog.tryCommit.
     */
   private def tryCommit(doc: Map[String, CompactionLease], loadedVer: Long): Boolean = {
@@ -227,14 +228,7 @@ final class LeaseStore(
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     val target = root.resolve(fileName(loadedVer + 1))
     try {
-      val linked =
-        try { Files.createLink(target, tmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      val committed = linked && {
-        val fresh = SpentVersions.mark(markers, loadedVer + 1)
-        if (!fresh) Files.deleteIfExists(target)
-        fresh
-      }
+      val committed = SpentVersions.linkFresh(markers, loadedVer + 1, target, tmp)
       if (committed) {
         // best-effort cleanup of superseded versions (marked first, so a
         // pre-marker crash can't make them resurrectable); readers that

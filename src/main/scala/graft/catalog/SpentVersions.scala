@@ -78,6 +78,42 @@ private[catalog] object SpentVersions {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 
+  /** Atomically {refuse if `version` is already spent} + {hard-link
+    * target ← tmp}: the CAS commit itself, inside the ledger's critical
+    * section. Sharing the lock closes the two races the split
+    * link-then-mark protocol left open:
+    *
+    *  (a) a lagging writer re-linking a version number whose file was
+    *      superseded AND cleaned up — an acknowledged commit no reader
+    *      resolves (the marker's original purpose, now refused BEFORE the
+    *      link instead of detected after it);
+    *  (b) a committer misreading its own SUCCESS as a conflict because a
+    *      fast successor read its linked file, committed on top, and spent
+    *      the number before the committer's own post-link mark landed — the
+    *      commit then retried and re-applied its mutation (observed as a
+    *      lease acquirer conflicting with its own first acquire under
+    *      contention, LeaseSpec's disjoint-CAS race; in the catalog the
+    *      retry path also deleted shard files the successor's manifest
+    *      still referenced).
+    *
+    * After a true return the content at `version` is the caller's,
+    * permanently: inside the critical section "file deleted" implies
+    * "marker present" (cleanup marks before deleting), so a successful link
+    * proves the number was never used, and any marker that appears LATER
+    * refers to this very commit — no post-link confirmation is needed, and
+    * the marker itself is created by whichever successor supersedes the
+    * version (markSpent-before-delete in its cleanup loop).
+    * False ⇒ spent version or lost link race; the caller just retries.
+    */
+  def linkFresh(dir: Path, version: Long, target: Path, tmp: Path): Boolean =
+    withFsLock(dir) {
+      if (version <= floorOf(dir) || Files.exists(dir.resolve(version.toString)))
+        false
+      else
+        try { Files.createLink(target, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+
   /** Record a historical version as spent during post-commit cleanup
     * (idempotent; versions the floor already covers need no marker).
     */

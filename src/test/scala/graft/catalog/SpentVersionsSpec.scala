@@ -25,6 +25,35 @@ class SpentVersionsSpec extends AnyFunSuite {
     assert(SpentVersions.mark(dir, 2L))
   }
 
+  test("linkFresh: spent number refused before linking; EEXIST loses; success is proof of commit") {
+    val dir = freshDir()
+    val files = freshDir()
+    def tmpFile(s: String): java.nio.file.Path = {
+      val p = files.resolve(s".tmp-$s")
+      Files.write(p, s.getBytes)
+      p
+    }
+    // fresh number: links
+    assert(SpentVersions.linkFresh(dir, 1L, files.resolve("v1"), tmpFile("a")))
+    assert(Files.exists(files.resolve("v1")))
+    // same number again: file exists -> EEXIST -> lost race (marker absent!)
+    assert(!SpentVersions.linkFresh(dir, 1L, files.resolve("v1"), tmpFile("b")))
+    // successor spends 1 during cleanup (markSpent-before-delete), deletes it
+    SpentVersions.markSpent(dir, 1L)
+    Files.delete(files.resolve("v1"))
+    // lagging writer re-targeting the cleaned-up number: refused BEFORE the
+    // link — no zombie file is created
+    assert(!SpentVersions.linkFresh(dir, 1L, files.resolve("v1"), tmpFile("c")))
+    assert(!Files.exists(files.resolve("v1")))
+    // numbers at or under a raised floor are refused the same way
+    (2L to 1024L).foreach(v =>
+      assert(SpentVersions.linkFresh(dir, v, files.resolve(s"v$v"), tmpFile(s"d$v"))))
+    SpentVersions.compact(dir, 1024L)
+    assert(!SpentVersions.linkFresh(dir, 512L, files.resolve("v512b"), tmpFile("e")))
+    assert(!Files.exists(files.resolve("v512b")))
+    assert(SpentVersions.linkFresh(dir, 1025L, files.resolve("v1025"), tmpFile("f")))
+  }
+
   test("compact raises the floor, drops covered markers, keeps the guard") {
     val dir = freshDir()
     (1L to 2048L).foreach(v => assert(SpentVersions.mark(dir, v)))
