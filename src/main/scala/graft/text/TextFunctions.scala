@@ -613,6 +613,18 @@ object TextFunctions {
 
     val vocab = cand.select("piece").distinct().localCheckpoint(true)
     val vocabSize = vocab.count()
+    if (vocabSize == 0L) {
+      // degenerate corpus: every word exceeds maxWordLen (e.g. unsegmented
+      // CJK) — empty model, empty segmentation; encode's UNK fallback then
+      // passes every word through whole instead of the loop NPE-ing on a
+      // NULL sum over the empty counts
+      val emptySegs = words
+        .select(col("word"), col("freq"),
+          array().cast("array<string>").as("pieces"))
+        .localCheckpoint(true)
+      cand.unpersist(blocking = false); words.unpersist(blocking = false)
+      return (vocab.select(col("piece"), lit(0L).as("cnt")), emptySegs)
+    }
 
     var counts = cand.groupBy("piece").agg(sum("freq").as("cnt"))
       .localCheckpoint(true)

@@ -926,6 +926,14 @@ class TextDedupSimSpec extends AnyFunSuite {
         iters = 2, maxWordLen = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(enc == Seq((0L, 5L, "xy xy xy xy z"), (1L, 2L, "abcdef xy")), s"got $enc")
+    // degenerate corpus: EVERY word over the cap -> empty model (no NPE on
+    // the empty-counts sum), encode passes everything through whole
+    val deg = Seq((0L, "abcdefgh stuvwxyz")).toDF("doc_id", "text")
+    assert(graft.text.TextFunctions.unigramTrain(deg, iters = 1, maxWordLen = 4)
+      .collect().isEmpty)
+    val degEnc = graft.text.TextFunctions.unigramEncode(deg, iters = 1, maxWordLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(degEnc == Seq((0L, 2L, "abcdefgh stuvwxyz")), s"got $degEnc")
   }
 
   test("bpeTrain: hand-verified Sennrich merges incl. same-symbol chains and merged-symbol re-pairs") {
