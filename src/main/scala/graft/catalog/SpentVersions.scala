@@ -67,17 +67,6 @@ private[catalog] object SpentVersions {
       .flatMap(_.stripPrefix("floor.").toLongOption)
       .foldLeft(0L)(math.max)
 
-  /** CAS-mark `version` spent: true iff it was fresh (this caller spent it).
-    * False means the number was already used — the caller lost the commit
-    * race and must treat its link as a conflict.
-    */
-  def mark(dir: Path, version: Long): Boolean = withFsLock(dir) {
-    if (version <= floorOf(dir)) false
-    else
-      try { Files.createFile(dir.resolve(version.toString)); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-  }
-
   /** Atomically {refuse if `version` is already spent} + {hard-link
     * target ← tmp}: the CAS commit itself, inside the ledger's critical
     * section. Sharing the lock closes the two races the split

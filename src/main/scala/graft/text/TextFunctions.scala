@@ -622,8 +622,14 @@ object TextFunctions {
         .select(col("word"), col("freq"),
           array().cast("array<string>").as("pieces"))
         .localCheckpoint(true)
+      // release vocab too: the returned counts frame must not be derived from
+      // it, or the caller's unpersist on the derived frame is a no-op and the
+      // empty checkpoint outlives the call (r10 ADVICE)
+      val spark = docs.sparkSession
       cand.unpersist(blocking = false); words.unpersist(blocking = false)
-      return (vocab.select(col("piece"), lit(0L).as("cnt")), emptySegs)
+      vocab.unpersist(blocking = false)
+      import spark.implicits._
+      return (Seq.empty[(String, Long)].toDF("piece", "cnt"), emptySegs)
     }
 
     var counts = cand.groupBy("piece").agg(sum("freq").as("cnt"))
@@ -739,7 +745,9 @@ object TextFunctions {
     s"""$upToRounds,
        |d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
        |     FROM $table WHERE length(trim(text)) > 0),
-       |dw AS (SELECT doc_id, generate_subscripts(words,1) AS pos, unnest(words) AS word FROM d),
+       |dw AS (SELECT * FROM (
+       |  SELECT doc_id, generate_subscripts(words,1) AS pos, unnest(words) AS word FROM d)
+       |  WHERE word <> ''),
        |dwj AS (SELECT dw.doc_id, dw.pos, COALESCE(s.path, [dw.word]) AS pieces
        |        FROM dw LEFT JOIN seg$iters s ON dw.word = s.word),
        |enc AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS toks FROM dwj GROUP BY doc_id)

@@ -936,6 +936,24 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(degEnc == Seq((0L, 2L, "abcdefgh stuvwxyz")), s"got $degEnc")
   }
 
+  test("unigramEncode: trailing newline yields no empty token, and the oracle mirrors the filter") {
+    import spark.implicits._
+    // trim() strips only spaces, so "xy z\n" splits to [xy, z, ""] — the
+    // engine drops the empty token (word =!= ''); before r10 the DuckDB
+    // oracle's dwj CTE kept it through the UNK-word COALESCE (extra token in
+    // n_tokens, extra trailing space in uni_text), a latent hash-gate break
+    // on any corpus with trailing newlines (r10 ADVICE).
+    val enc = graft.text.TextFunctions.unigramEncode(
+        Seq((0L, "xy xy z\n"), (1L, "\tab ba")).toDF("doc_id", "text"), iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(enc.map(_._2) == Seq(3L, 2L), s"empty tokens must not count: $enc")
+    assert(enc.forall { case (_, _, t) => !t.endsWith(" ") && !t.startsWith(" ") },
+      s"empty pieces must not join: $enc")
+    // the oracle's document-word CTE must carry the engine's empty-word filter
+    assert(graft.text.TextFunctions.unigramEncodeOracleSql(iters = 1)
+      .contains("WHERE word <> ''"))
+  }
+
   test("bpeTrain: hand-verified Sennrich merges incl. same-symbol chains and merged-symbol re-pairs") {
     import spark.implicits._
     // Expected merges verified against a Python re.sub reference

@@ -6,7 +6,10 @@ import java.nio.file.Files
 /** The spent-version ledger keeps the manifest/lease CAS resurrection guard
   * while staying bounded (floor compaction) — the r8 fix for the
   * marker-file-per-commit growth the original guard cost (~400k inodes/day at
-  * the measured catalog commit rate).
+  * the measured catalog commit rate). The ledger exposes exactly the fused
+  * protocol ([[SpentVersions.linkFresh]] + cleanup-side
+  * [[SpentVersions.markSpent]]); the superseded split link-then-mark entry
+  * point was removed in r10 (ADVICE) so it cannot be reintroduced.
   */
 class SpentVersionsSpec extends AnyFunSuite {
 
@@ -18,11 +21,16 @@ class SpentVersionsSpec extends AnyFunSuite {
     finally s.close()
   }
 
-  test("mark is a CAS: first caller wins, repeat is a conflict") {
-    val dir = freshDir()
-    assert(SpentVersions.mark(dir, 1L))
-    assert(!SpentVersions.mark(dir, 1L))
-    assert(SpentVersions.mark(dir, 2L))
+  /** Probe whether `version` is spent WITHOUT mutating the ledger when it is:
+    * a refused linkFresh has no side effects. A fresh version links a probe
+    * file into `scratch` (and thereby spends the number — callers use
+    * ascending probes or expect the spend).
+    */
+  private def linkProbe(dir: java.nio.file.Path, scratch: java.nio.file.Path,
+                        version: Long, tag: String): Boolean = {
+    val tmp = scratch.resolve(s".tmp-$tag")
+    if (!Files.exists(tmp)) Files.write(tmp, tag.getBytes)
+    SpentVersions.linkFresh(dir, version, scratch.resolve(s"probe-$tag"), tmp)
   }
 
   test("linkFresh: spent number refused before linking; EEXIST loses; success is proof of commit") {
@@ -54,22 +62,32 @@ class SpentVersionsSpec extends AnyFunSuite {
     assert(SpentVersions.linkFresh(dir, 1025L, files.resolve("v1025"), tmpFile("f")))
   }
 
+  test("markSpent is idempotent and guards the number against a later linkFresh") {
+    val dir = freshDir()
+    val scratch = freshDir()
+    SpentVersions.markSpent(dir, 1L)
+    SpentVersions.markSpent(dir, 1L) // idempotent: no throw, no double marker
+    assert(!linkProbe(dir, scratch, 1L, "p1"), "marked version must be refused")
+    assert(linkProbe(dir, scratch, 2L, "p2"), "unmarked version still commits")
+  }
+
   test("compact raises the floor, drops covered markers, keeps the guard") {
     val dir = freshDir()
-    (1L to 2048L).foreach(v => assert(SpentVersions.mark(dir, v)))
+    val scratch = freshDir()
+    (1L to 2048L).foreach(v => SpentVersions.markSpent(dir, v))
     SpentVersions.compact(dir, 2048L)
     // every individual marker ≤ 2048 is gone; the floor file + .lock remain
     assert(entryCount(dir) <= 3, "compaction must drop covered markers")
     // the guard survives the deletion: any covered version is still spent
-    assert(!SpentVersions.mark(dir, 1L))
-    assert(!SpentVersions.mark(dir, 2048L))
+    assert(!linkProbe(dir, scratch, 1L, "c1"))
+    assert(!linkProbe(dir, scratch, 2048L, "c2048"))
     // and fresh versions still commit
-    assert(SpentVersions.mark(dir, 2049L))
+    assert(linkProbe(dir, scratch, 2049L, "c2049"))
   }
 
   test("markSpent below the floor does not regrow marker files") {
     val dir = freshDir()
-    (1L to 1024L).foreach(v => SpentVersions.mark(dir, v))
+    (1L to 1024L).foreach(v => SpentVersions.markSpent(dir, v))
     SpentVersions.compact(dir, 1024L)
     val n0 = entryCount(dir)
     (1L to 100L).foreach(v => SpentVersions.markSpent(dir, v))
@@ -78,9 +96,10 @@ class SpentVersionsSpec extends AnyFunSuite {
 
   test("repeated compaction replaces the floor file instead of accumulating") {
     val dir = freshDir()
-    (1L to 1024L).foreach(v => SpentVersions.mark(dir, v))
+    val scratch = freshDir()
+    (1L to 1024L).foreach(v => SpentVersions.markSpent(dir, v))
     SpentVersions.compact(dir, 1024L)
-    (1025L to 2048L).foreach(v => SpentVersions.mark(dir, v))
+    (1025L to 2048L).foreach(v => SpentVersions.markSpent(dir, v))
     SpentVersions.compact(dir, 2048L)
     val s = Files.list(dir)
     val floors =
@@ -89,12 +108,12 @@ class SpentVersionsSpec extends AnyFunSuite {
         s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("floor.")).toList
       } finally s.close()
     assert(floors == List("floor.2048"), s"stale floors must be dropped: $floors")
-    assert(!SpentVersions.mark(dir, 1500L))
+    assert(!linkProbe(dir, scratch, 1500L, "r1500"))
   }
 
   test("off-cycle versions skip compaction entirely") {
     val dir = freshDir()
-    (1L to 10L).foreach(v => SpentVersions.mark(dir, v))
+    (1L to 10L).foreach(v => SpentVersions.markSpent(dir, v))
     SpentVersions.compact(dir, 10L) // 10 % 1024 != 0 → no-op
     assert(entryCount(dir) >= 10L)
   }
