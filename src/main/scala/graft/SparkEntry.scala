@@ -1071,6 +1071,15 @@ object SparkEntry {
           col("n_kept"), col("n_removed"))
         .orderBy("doc_id")),
 
+    // LLM ops — exact-substring dedup FINDER (Lee et al. 2021 ExactSubstr,
+    // the suffix-array family): maximal spans of ≥13 consecutive tokens all
+    // of whose 13-token windows occur at ≥2 positions corpus-wide. One
+    // window explode + one content-keyed aggregation + gaps-and-islands —
+    // never all-pairs.
+    "q_doc_substr_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.exactSubstrSpans(t(s, dir, "documents"), 13)
+        .orderBy("doc_id", "span_start")),
+
     // LLM ops — PII scrub: detection counts + redacted-text hash. The corpus has
     // no PII, so deterministic synthetic PII is injected per doc (email always,
     // IP on even ids, phone on ids % 3 == 0) and then found + redacted.
@@ -2677,6 +2686,24 @@ object SparkEntry {
 
     // bounded slice: the oracle's window join stays feasible at any SF
     "q_doc_passage_remove_s" -> passageRemoveOracle(docBound = Some(2000L)),
+
+    // Same tokenization + 0-based window starts as the passage oracle; span
+    // merge replayed as the identical gaps-and-islands window.
+    "q_doc_substr_dedup" ->
+      s"""WITH lw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks
+         |            FROM documents),
+         |w AS (SELECT doc_id, i AS start, array_to_string(ltoks[i+1:i+13], ' ') AS win
+         |      FROM lw, UNNEST(generate_series(0, len(ltoks) - 13)) g(i)
+         |      WHERE len(ltoks) >= 13),
+         |dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |m AS (SELECT w.doc_id, w.start FROM w JOIN dup USING (win)),
+         |isl AS (SELECT doc_id, start,
+         |          start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS g
+         |        FROM m)
+         |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+         |  CAST(max(start) + 12 AS BIGINT) AS span_end,
+         |  CAST(max(start) - min(start) + 13 AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
 
     "q_doc_pii" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}"

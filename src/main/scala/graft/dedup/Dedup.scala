@@ -612,6 +612,60 @@ object Dedup {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Exact-substring duplicated-span EXTENTS — the suffix-array-family
+    * operator of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better", the ExactSubstr tool): every MAXIMAL span of
+    * consecutive tokens, ≥ `minTokens` long, all of whose `minTokens`-token
+    * windows occur at ≥2 positions corpus-wide (within- OR cross-document —
+    * the paper counts both). A duplicated substring of length M ≥ L covers
+    * exactly M−L+1 duplicated window starts, and consecutive duplicated
+    * starts merge back into one maximal span (gaps-and-islands), so this
+    * reports the same extents a suffix-array scan over the concatenated
+    * corpus reports — including the paper's union behavior where two
+    * overlapping duplicated substrings yield one merged removal span.
+    * [[removeDuplicatedPassages]] is the companion TRANSFORM (keep-first
+    * removal at window granularity); this is the finder that exposes the
+    * spans themselves (audit, trimming policies, per-span stats).
+    *
+    * Output: (idCol, span_start, span_end, span_tokens) with 0-based
+    * inclusive token positions, one row per maximal duplicated span.
+    *
+    * Scale shape — the "sort volume" the suffix-array literature pays in
+    * RAM, re-expressed as shuffles: (1) ONE window explode, O(total tokens)
+    * rows; (2) the duplicate test is one aggregation shuffle keyed on window
+    * content — at 100 TB key on a 128-bit hash of the window (the
+    * [[duplicatedPassageRatio]] note) so the exchange carries 16-byte keys,
+    * not L-token strings; (3) the join back on the same key touches only
+    * window instances, and the pre-join `__n ≥ 2` filter drops the unique
+    * mass (the overwhelming majority) before any further movement; (4) span
+    * merging is one per-doc sort window. Nothing is all-pairs; the driver
+    * materializes nothing.
+    */
+  def exactSubstrSpans(docs: DataFrame, minTokens: Int = 13,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1: $minTokens")
+    val wins = docs
+      .filter(graft.text.TextFunctions.tokenCount(col(textCol)) >= minTokens)
+      .select(col(idCol),
+        posexplode(shingles(col(textCol), minTokens)).as(Seq("__start", "__w")))
+    // window contents occurring at ≥2 (doc, start) positions anywhere
+    val dupKeys = wins.groupBy("__w").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("__w")
+    val marked = wins.join(dupKeys, "__w").select(col(idCol), col("__start"))
+    // gaps-and-islands: consecutive duplicated starts share (start − row#)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy("__start")
+    marked
+      .withColumn("__grp", col("__start") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("__start").as("__s"), max("__start").as("__e"))
+      .select(col(idCol),
+        col("__s").cast("long").as("span_start"),
+        (col("__e") + (minTokens - 1)).cast("long").as("span_end"),
+        (col("__e") - col("__s") + minTokens).cast("long").as("span_tokens"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: bit b of the signature is 1 iff

@@ -666,6 +666,38 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(r(5L)._3 == 0L)
   }
 
+  test("exactSubstrSpans: maximal extents — longer-than-L runs merge, intra-doc " +
+    "repeats both reported, short/unique docs empty") {
+    val passage = (1 to 13).map(i => s"p$i").mkString(" ") // exactly one window
+    val long15 = (1 to 15).map(i => s"q$i").mkString(" ")  // 15-token dup run
+    val d = docs(
+      (1L, s"intro one two $passage outro"),  // 13-token span at 3..15
+      (2L, long15),                           // run fills the whole doc: 0..14
+      (3L, s"pad $long15 tail"),              // same run shifted: 1..15
+      (4L, s"$passage mid $passage"),         // intra-doc repeat: BOTH reported
+      (5L, "short doc under window"),         // < 13 tokens: no windows
+      (6L, "totally unrelated text with thirteen completely distinct tokens here now ok fine"))
+    val got = graft.dedup.Dedup.exactSubstrSpans(d, 13)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 3L, 15L, 13L),
+      // the 15-token duplicated run's 3 window starts merge into ONE maximal
+      // span (suffix-array extents, not fixed-window instances)
+      (2L, 0L, 14L, 15L),
+      (3L, 1L, 15L, 15L),
+      // within-doc duplication counts (the paper counts ≥2 positions
+      // anywhere); windows crossing the "mid" separator are unique, so the
+      // two copies stay separate islands
+      (4L, 0L, 12L, 13L),
+      (4L, 14L, 26L, 13L)), s"got $got")
+    // sub-threshold sharing (12 common tokens) reports nothing
+    val sub = (1 to 12).map(i => s"r$i").mkString(" ")
+    assert(graft.dedup.Dedup.exactSubstrSpans(
+      docs((1L, s"$sub x"), (2L, s"$sub y")), 13).count() == 0L)
+  }
+
   test("connectedComponents: chains, rings, isolated pairs, min-id labels") {
     // components: {1,2,3,4,5} (chain), {10,11,12} (ring), {20,21} (pair)
     val pairs = Seq(
