@@ -256,31 +256,102 @@ object Bench {
     // tracks the code — re-runs on the 10× fixture where a plan change moves
     // seconds, not milliseconds. Skipped (empty map) if the tmpfs fixture was
     // evicted; regenerate via graft.ScaleGen + scripts/scale_events.py.
+    //
+    // r10 protocol (closes r9 VERDICT "Next round #1"): the leg runs in a
+    // DEDICATED forked JVM ([[BenchX10]]) — fresh heap, not this process's
+    // post-sweep GC debt — with n ≥ 5 runs per query in fixed alphabetical
+    // order, median + IQR published, and a host-calibration ingest probe
+    // recorded alongside so round-over-round comparison can refuse
+    // non-record-class hosts. Falls back to the old inline loop only if the
+    // fork cannot start (classpath-less embedding).
     val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/dev/shm/graft_scale10")
     val x10Medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val x10Detail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val x10N = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val x10Iqr = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    var x10CalSps = 0L
+    var x10Mode = "skipped"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(x10Dir, "lineitem.parquet")) &&
         !sys.env.contains("SPARK_GRAFT_SKIP_X10")) {
-      val cohort = medians.toSeq.filter(_._2 >= 0.3).sortBy(-_._2).take(12).map(_._1)
+      val cohort = medians.toSeq.filter(_._2 >= 0.3).sortBy(-_._2).take(12)
+        .map(_._1).sorted
       System.err.println(s"[bench] 10x leg over ${cohort.size} queries: ${cohort.mkString(",")}")
-      cohort.foreach { name =>
-        val fn = SparkEntry.queries(name)
-        val runs = scala.collection.mutable.ArrayBuffer[Double]()
-        var spent = 0.0
-        def spreadWild = runs.size >= 3 && runs.max / math.max(runs.min, 1e-9) > 3.0
-        while ((runs.size < 3 || (spreadWild && runs.size < 5)) &&
-            (runs.isEmpty || spent < 60.0)) {
-          val t = time {
-            try fn(spark, x10Dir).count()
-            catch { case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] x10 $name: ${e.getMessage}") }
+      val forked =
+        try {
+          val outFile = java.nio.file.Files.createTempFile("graft_x10_", ".txt")
+          val childLog = java.nio.file.Files.createTempFile("graft_x10_", ".log")
+          val javaBin = java.nio.file.Paths.get(
+            System.getProperty("java.home"), "bin", "java").toString
+          val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+            "java.io", "java.net", "java.nio", "java.util",
+            "java.util.concurrent", "java.util.concurrent.atomic",
+            "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+            "sun.util.calendar")
+            .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+          val cmd = Seq(javaBin,
+            s"-Xmx${sys.env.getOrElse("GRAFT_X10_XMX", "16g")}") ++ opens ++ Seq(
+            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            "-cp", System.getProperty("java.class.path"),
+            "graft.BenchX10", x10Dir, outFile.toString, cohort.mkString(","))
+          val pb = new ProcessBuilder(cmd: _*)
+          // child stdout MUST NOT reach this process's stdout (the final
+          // headline line is the driver contract); stderr passes through
+          pb.redirectOutput(childLog.toFile)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val proc = pb.start()
+          val done = proc.waitFor(90, java.util.concurrent.TimeUnit.MINUTES)
+          if (!done) { proc.destroyForcibly(); System.err.println("[bench] x10 fork timed out — partial results kept") }
+          // line protocol: cal <sps> | q <name> <median> <n> <q1> <q3> runs...
+          val lines = new String(java.nio.file.Files.readAllBytes(outFile),
+            java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+          lines.foreach { l =>
+            val p = l.split("\\s+")
+            if (p.length >= 2 && p(0) == "cal") x10CalSps = p(1).toLong
+            else if (p.length >= 7 && p(0) == "q") {
+              x10Medians(p(1)) = p(2).toDouble
+              x10N(p(1)) = p(3).toInt
+              x10Iqr(p(1)) = (p(4).toDouble, p(5).toDouble)
+              x10Detail(p(1)) = p.drop(6).map(_.toDouble).toSeq
+            }
           }
-          runs += t; spent += t
+          x10Medians.nonEmpty
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] x10 fork failed (${e.getMessage}) — inline fallback")
+          false
         }
-        x10Detail(name) = runs.toSeq
-        x10Medians(name) = runs.sorted.apply(runs.size / 2)
+      if (forked) x10Mode = "forked-jvm"
+      else {
+        x10Mode = "inline-fallback"
+        cohort.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          val runs = scala.collection.mutable.ArrayBuffer[Double]()
+          var spent = 0.0
+          def spreadWild = runs.size >= 3 && runs.max / math.max(runs.min, 1e-9) > 3.0
+          while ((runs.size < 3 || (spreadWild && runs.size < 5)) &&
+              (runs.isEmpty || spent < 60.0)) {
+            val t = time {
+              try fn(spark, x10Dir).count()
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] x10 $name: ${e.getMessage}") }
+            }
+            runs += t; spent += t
+          }
+          val s = runs.sorted
+          x10Detail(name) = runs.toSeq
+          x10Medians(name) = s(s.size / 2)
+          x10N(name) = s.size
+          x10Iqr(name) = (s(s.size / 4), s(math.min(s.size - 1, (3 * s.size) / 4)))
+        }
       }
     } else System.err.println(s"[bench] 10x leg skipped ($x10Dir missing or disabled)")
+    // worst relative IQR width across the cohort — the one-number spread
+    // summary the headline carries (medians are only quotable when this is
+    // small)
+    val x10MaxRelIqr =
+      if (x10Medians.isEmpty) 0.0
+      else x10Medians.keys.map { k =>
+        val (a, b) = x10Iqr(k); (b - a) / math.max(x10Medians(k), 1e-9)
+      }.max
 
     val queriesTotal = medians.values.sum
     val total = queriesTotal + ingestSec + warmMedian + prunedMedian
@@ -307,9 +378,13 @@ object Bench {
          |"l2_query_median_sec":${f3(l2Median)},
          |"gc_time_ms":$gcTotalMs,"peak_heap_mb":$peakHeapMb,
          |"queries_total_sec":${f3(queriesTotal)},"n_queries":${medians.size},
-         |"x10_dir":"$x10Dir","x10_queries":${x10Detail.map { case (k, runs) =>
+         |"x10_dir":"$x10Dir","x10_mode":"$x10Mode","x10_cal_sps":$x10CalSps,
+         |"x10_max_rel_iqr":${f3(x10MaxRelIqr)},
+         |"x10_queries":${x10Detail.map { case (k, runs) =>
+           val (q1, q3) = x10Iqr(k)
            "\"" + k + "\":{\"runs\":[" + runs.map(f3).mkString(",") +
-             s"""],"median":${f3(x10Medians(k))}}"""
+             s"""],"median":${f3(x10Medians(k))},"n":${x10N(k)},""" +
+             s""""iqr":[${f3(q1)},${f3(q3)}]}"""
          }.mkString("{", ",", "}")},
          |"queries":$q}""".stripMargin.replace("\n", "")
     }
@@ -335,9 +410,13 @@ object Bench {
       s""""pruned_query_median":${f3(prunedMedian)},"pruned_query_min":${f3(prunedRuns.head)},""" +
       s""""gc_time_ms":$gcTotalMs,"peak_heap_mb":$peakHeapMb,""" +
       // 10× leg: slow-cohort medians, diffable round-over-round (≤12 entries
-      // at 2 decimals keeps the headline under the driver's 2000-char tail)
+      // at 2 decimals keeps the headline under the driver's 2000-char tail);
+      // per-query runs/n/IQR live in BENCH_DETAIL.json — the headline carries
+      // the protocol line (mode, run floor, host calibration, worst spread)
       s""""x10":${x10Medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")},""" +
+      s""""x10_protocol":{"mode":"$x10Mode","n_min":${if (x10N.isEmpty) 0 else x10N.values.min},""" +
+      s""""cal_sps":$x10CalSps,"max_rel_iqr":${f3(x10MaxRelIqr)}},""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
     // tmpfs hygiene: the per-run warehouses are ~100 MB each and /dev/shm is

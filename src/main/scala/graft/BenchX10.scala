@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dedicated-JVM 10× bench leg (r10, closes r9 VERDICT "What's wrong #4" /
+  * "Next round #1"): the x10 cohort was promoted by r8 to be THE
+  * round-over-round perf signal, but r9 recorded it with 1-2 runs per query
+  * inside the main bench JVM (17.9 GB peak heap, 46 s GC) on a host with
+  * 25-30× same-query spread — no signal at all. This main makes the record
+  * oracle-grade:
+  *
+  *  - runs in its OWN JVM (forked by [[Bench]] segment 4, or standalone):
+  *    fresh heap, no inherited GC debt from the 129-query sweep;
+  *  - n ≥ 5 runs per query (env `GRAFT_X10_MIN_RUNS`), FIXED alphabetical
+  *    order, per-query wall budget `GRAFT_X10_BUDGET_SEC` (default 300 s —
+  *    a query too slow for 5 runs still gets ≥3 and its n is recorded);
+  *  - publishes median AND IQR per query, plus the raw runs;
+  *  - records a HOST CALIBRATION alongside: the SOAK_AB single-axis
+  *    baseline-ingest probe (1 M samples through the ChunkWriter, best of
+  *    2) — the number that says which host class the record belongs to
+  *    (r8/r9 record hosts read ~1.3-1.5 M samples/s on this probe; a host
+  *    reading far below is not comparable round-over-round).
+  *
+  * Output: plain line protocol appended to `outFile` AS EACH QUERY FINISHES
+  * (partial results survive a timeout kill):
+  * {{{
+  *   cal <samplesPerSec>
+  *   q <name> <median> <n> <q1> <q3> <run1> <run2> ...
+  *   gc <gcMs> <peakHeapMb>
+  * }}}
+  */
+object BenchX10 {
+  def main(args: Array[String]): Unit = {
+    val Array(x10Dir, outFile, namesCsv) = args
+    val names = namesCsv.split(",").map(_.trim).filter(_.nonEmpty).sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffleDir = graft.util.ShmDirs.shuffleDir("graft_benchx10_shuffle")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", shuffleDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.graft.resultCache.enabled", "false")
+
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val out = new java.io.PrintWriter(new java.io.FileWriter(outFile, true))
+    def emit(line: String): Unit = { out.println(line); out.flush() }
+
+    // JIT/session warmup (scan, codegen'd agg, shuffle, broadcast join, sort)
+    // so the first measured query isn't charged for session startup
+    {
+      import org.apache.spark.sql.functions.{broadcast, sum => fsum}
+      val li = spark.read.parquet(s"$x10Dir/lineitem.parquet")
+      val n = spark.read.parquet(s"$x10Dir/nation.parquet")
+      li.groupBy("l_returnflag").agg(fsum("l_quantity")).count()
+      li.limit(1000).join(broadcast(n), li("l_suppkey") % 25 === n("n_nationkey"))
+        .orderBy("l_orderkey").count()
+    }
+
+    // host calibration BEFORE the cohort: 1 M samples through the real
+    // ingest path (sort + hour-partition + ZSTD + zone maps), best of 2
+    val calSps = {
+      val wh = graft.util.ShmDirs.tempDir("graft_x10_cal_")
+      val catalog = new graft.catalog.ChunkCatalog(wh)
+      val writer = new graft.ingest.ChunkWriter(catalog)
+      val df = graft.fixtures.DataGenerator.generate(spark,
+        metrics = 10, hosts = 5, regions = 2,
+        samplesPerSecond = 100, durationSeconds = 100,
+        partitions = cpus.toInt * 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      df.count() // materialize outside the timed region
+      val sec = Seq(time { writer.write(df) }, time { writer.write(df) }).min
+      df.unpersist(blocking = false)
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile))
+      (1000000L / sec).toLong
+    }
+    emit(s"cal $calSps")
+
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+    val gc0 = gcMs
+
+    val minRuns = sys.env.getOrElse("GRAFT_X10_MIN_RUNS", "5").toInt
+    val budget = sys.env.getOrElse("GRAFT_X10_BUDGET_SEC", "300").toDouble
+    def f3(v: Double): String = f"$v%.3f"
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[benchx10] unknown query $name — skipped")
+        case Some(fn) =>
+          val runs = scala.collection.mutable.ArrayBuffer[Double]()
+          var spent = 0.0
+          def spreadWild =
+            runs.size >= minRuns && runs.max / math.max(runs.min, 1e-9) > 3.0
+          // always ≥3 runs; aim for minRuns inside the budget; up to 2 extra
+          // when the spread is wild (a single noise burst must not own the
+          // median) and the budget still allows
+          while (runs.size < 3 ||
+                 (runs.size < minRuns && spent < budget) ||
+                 (spreadWild && runs.size < minRuns + 2 && spent < budget)) {
+            val t = time {
+              try fn(spark, x10Dir).count()
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[benchx10] $name: ${e.getMessage}") }
+            }
+            runs += t; spent += t
+          }
+          val s = runs.sorted
+          val median = s(s.size / 2)
+          val q1 = s(s.size / 4)
+          val q3 = s(math.min(s.size - 1, (3 * s.size) / 4))
+          emit(s"q $name ${f3(median)} ${s.size} ${f3(q1)} ${f3(q3)} " +
+            runs.map(f3).mkString(" "))
+          System.err.println(s"[benchx10] $name median=${f3(median)} n=${s.size} " +
+            s"iqr=[${f3(q1)},${f3(q3)}] runs=${runs.map(f3).mkString(",")}")
+      }
+    }
+    val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
+    emit(s"gc ${gcMs - gc0} $peakHeapMb")
+    out.close()
+    spark.stop()
+  }
+}
