@@ -108,40 +108,50 @@ object CatalogScale {
       val (_, gcMs) = timeMs(cold.gc(nowMs = System.currentTimeMillis()))
 
       // ---- concurrent writers: the multi-driver maintenance shape ----------
-      // 8 independent instances (own caches, shared directory — separate
-      // processes in all but address space) race flush-shaped registrations
-      // into DISTINCT hours. Measures CAS commit throughput under contention
-      // at this metadata size and proves no acknowledged commit is lost.
+      // 8 independent instances (own caches, shared directory) race
+      // flush-shaped registrations into DISTINCT hours. Two legs (r10):
+      //  - grouped (default ctor): the 8 instances share this JVM's per-root
+      //    GroupCommitter — the realistic fan-in of one ingester node's
+      //    flush + maintenance threads, which coalesce into few CAS links;
+      //  - nogroup (groupCommit = false): every instance runs the raw
+      //    optimistic-CAS loop — separate PROCESSES in all but address
+      //    space, the cross-process contention floor.
+      // Both prove no acknowledged commit is lost.
       val writers = 8
       val commitsPerWriter = 12
-      val casErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val start = new java.util.concurrent.CountDownLatch(1)
-      val threads = (0 until writers).map { w =>
-        val t = new Thread(() => {
-          val mine = new ChunkCatalog(dir, cacheTtlMs = 60000L, casMaxRetries = 100)
-          start.await()
-          try (0 until commitsPerWriter).foreach { j =>
-            val hour = 1000 + w * commitsPerWriter + j
-            mine.registerAll((0 until 50).map { i =>
-              mkChunk(i).copy(
-                path = s"s3://warehouse/default/data/concflush_${w}_${j}_$i",
-                minTimestampNs = baseNs + hour * hourNs + i * 1000000L,
-                maxTimestampNs = baseNs + hour * hourNs + i * 1000000L + hourNs / 60)
-            })
-          } catch { case e: Throwable => casErrors.add(e) }
-        }, s"catscale-w$w")
-        t.start(); t
+      def concurrentLeg(tag: String, hourBase: Int, grouped: Boolean): Double = {
+        val casErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val threads = (0 until writers).map { w =>
+          val t = new Thread(() => {
+            val mine = new ChunkCatalog(dir, cacheTtlMs = 60000L,
+              casMaxRetries = 100, groupCommit = grouped)
+            start.await()
+            try (0 until commitsPerWriter).foreach { j =>
+              val hour = hourBase + w * commitsPerWriter + j
+              mine.registerAll((0 until 50).map { i =>
+                mkChunk(i).copy(
+                  path = s"s3://warehouse/default/data/${tag}_${w}_${j}_$i",
+                  minTimestampNs = baseNs + hour * hourNs + i * 1000000L,
+                  maxTimestampNs = baseNs + hour * hourNs + i * 1000000L + hourNs / 60)
+              })
+            } catch { case e: Throwable => casErrors.add(e) }
+          }, s"catscale-$tag-w$w")
+          t.start(); t
+        }
+        val concT0 = System.nanoTime()
+        start.countDown()
+        threads.foreach(_.join(600000))
+        val concWallMs = (System.nanoTime() - concT0) / 1e6
+        require(casErrors.isEmpty, s"concurrent CAS writers failed ($tag): $casErrors")
+        val verify = new ChunkCatalog(dir, cacheTtlMs = 60000L)
+        val concCount = verify.allChunks.count(_.path.contains(s"/${tag}_"))
+        require(concCount == writers * commitsPerWriter * 50,
+          s"lost updates ($tag): expected ${writers * commitsPerWriter * 50} chunks, found $concCount")
+        writers * commitsPerWriter / (concWallMs / 1000.0)
       }
-      val concT0 = System.nanoTime()
-      start.countDown()
-      threads.foreach(_.join(600000))
-      val concWallMs = (System.nanoTime() - concT0) / 1e6
-      require(casErrors.isEmpty, s"concurrent CAS writers failed: $casErrors")
-      val verify = new ChunkCatalog(dir, cacheTtlMs = 60000L)
-      val concCount = verify.allChunks.count(_.path.contains("/concflush_"))
-      require(concCount == writers * commitsPerWriter * 50,
-        s"lost updates: expected ${writers * commitsPerWriter * 50} chunks, found $concCount")
-      val concCommitsPerSec = writers * commitsPerWriter / (concWallMs / 1000.0)
+      val concCommitsPerSecNogroup = concurrentLeg("concraw", 3000, grouped = false)
+      val concCommitsPerSec = concurrentLeg("concflush", 1000, grouped = true)
 
       // total on-disk metadata: manifest + shard files
       val docBytes = {
@@ -169,7 +179,8 @@ object CatalogScale {
         s"p99=${round2(pruneMs((pruneMs.size * 99) / 100))} ms singleReg=${round2(singleRegMs.min)} ms " +
         s"flushReg=${round2(flushRegMs.min)} ms gc1k=${round2(gcMs)} ms shards=$shardCount " +
         s"ledger=$ledgerFiles " +
-        s"concWriters=$writers commits/s=${round2(concCommitsPerSec)}")
+        s"concWriters=$writers commits/s=${round2(concCommitsPerSec)} " +
+        s"(nogroup floor ${round2(concCommitsPerSecNogroup)})")
       s""""n_$n":{"meta_bytes":$docBytes,""" +
         s""""shard_files":$shardCount,""" +
         s""""cold_load_ms":${round2(coldLoadMs)},""" +
@@ -183,8 +194,8 @@ object CatalogScale {
         s""""spent_ledger_files":$ledgerFiles,""" +
         s""""concurrent_writers":$writers,""" +
         s""""concurrent_commits":${writers * commitsPerWriter},""" +
-        s""""concurrent_wall_ms":${round2(concWallMs)},""" +
         s""""concurrent_commits_per_sec":${round2(concCommitsPerSec)},""" +
+        s""""concurrent_commits_per_sec_nogroup":${round2(concCommitsPerSecNogroup)},""" +
         s""""concurrent_lost_updates":0}"""
     }
 
@@ -195,11 +206,14 @@ object CatalogScale {
     // aggressive end — the soak itself flushes far less often):
     //   (100e12 B / 86400 s) / 256e6 B = 4.52 flush commits/s,
     // plus dual lease-coordinated maintenance (~0.2/s of swap/GC commits)
-    // ≈ 4.7/s required. The measured 8-writer contended throughput at 10⁶
-    // chunks (8.0-10.5/s across runs after the r9 diff-retry + early-exit
-    // fixes; was 4.33/s) clears it with ~2× headroom — and flush size is the
-    // lever: 1 GB batches need 1.2/s. Throughput is attempt-cost-bound
-    // (optimistic CAS), independent of data volume.
+    // ≈ 4.7/s required. Two measured numbers answer it (r10):
+    //  - concurrent_commits_per_sec (GROUPED): same-JVM fan-in coalesced by
+    //    the per-root GroupCommitter — the realistic shape, since a node's
+    //    flush threads share one process; w writers cost ~1 CAS link per
+    //    in-flight window regardless of w.
+    //  - concurrent_commits_per_sec_nogroup: the raw optimistic-CAS floor
+    //    (8 process-like instances), attempt-cost-bound, independent of
+    //    data volume; flush size is the lever there (1 GB batches → 1.2/s).
     val requiredCommitsPerSec = round2(100e12 / 86400.0 / 256e6 + 0.2)
     val json = s"""{"metric":"catalog_scale","span_hours":17520,""" +
       s""""commits_per_sec_required":$requiredCommitsPerSec,""" +

@@ -143,7 +143,16 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     // retain=0 writer's post-commit cleanup deletes the manifests a
     // retain=N writer is keeping (the setting is a warehouse policy, not a
     // per-process preference).
-    val manifestRetain: Int = 0) {
+    val manifestRetain: Int = 0,
+    // r10 group commit (VERDICT "Next round #7"): coalesce concurrent mutate
+    // calls from THIS JVM (any instance on the same root — an ingester
+    // process's flush threads + maintenance loops) into ONE CAS link. Deltas
+    // chain against the projected state, so semantics are identical to
+    // back-to-back commits; the version bumps once per GROUP (numbers stay
+    // dense — the SpentVersions floor requires that). Cross-process writers
+    // still contend through the raw CAS — set false to measure that floor
+    // (CatalogScale's nogroup leg).
+    val groupCommit: Boolean = true) {
 
   import ChunkCatalog._
 
@@ -157,20 +166,9 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
   private val versionMarkers = root.resolve(".versions")
   private val lock = new Object
 
-  /** In-memory store: per-shard chunk maps + the assembled global view.
-    * Authoritative only between revalidations — any writer (this instance or
-    * a foreign process) may advance the on-disk version at any time; every
-    * mutation re-validates against disk and CAS-commits.
-    */
-  private final case class Store(
-      spanHours: Int,
-      shardVers: Map[Long, Long],
-      shardFiles: Map[Long, String],
-      shards: Map[Long, Map[String, ChunkMeta]],
-      assembled: CatalogState,
-      legacy: Boolean)
-
-  @volatile private var cached: Option[(Long, Store)] = None
+  // Store / Plan live in the companion (private[catalog]) so a group-commit
+  // leader can evaluate deltas enqueued by OTHER instances on the same root.
+  @volatile private[catalog] var cached: Option[(Long, Store)] = None
 
   Files.createDirectories(root)
   Files.createDirectories(shardDir)
@@ -336,27 +334,33 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
   private def shardKeyOf(span: Int, c: ChunkMeta): Long =
     Math.floorDiv(hourBucket(c.minTimestampNs), span.toLong)
 
-  /** One mutation expressed as a delta against a fresh store: chunk paths to
-    * remove, chunks to add, a patch over the small manifest fields, and the
-    * caller-visible result.
+  /** Load-mutate-commit. With [[groupCommit]] (default), the call routes
+    * through the JVM-wide per-root [[ChunkCatalog.GroupCommitter]]: whatever
+    * mutations are queued when a leader takes over are chained (each delta
+    * evaluated against the previous one's PROJECTED state — identical
+    * semantics to back-to-back commits) and land as ONE manifest version /
+    * ONE CAS link. With groupCommit = false the old per-instance loop runs —
+    * the cross-process contention floor CatalogScale measures.
     */
-  private final case class Plan[A](
-      removePaths: Seq[String], add: Seq[ChunkMeta],
-      smallPatch: CatalogState => CatalogState, result: A)
+  private def mutate[A](delta: Store => Plan[A]): A =
+    if (groupCommit)
+      ChunkCatalog.committerFor(root)
+        .run(this, delta.asInstanceOf[Store => Plan[Any]]).asInstanceOf[A]
+    else mutateUngrouped(delta)
 
-  /** Load-mutate-commit with CAS conflict retries (the reference's
-    * atomic-update loop, s3.rs:30-60,181-339: 5 attempts, exponential backoff
-    * from 100 ms). The delta is RECOMPUTED against freshly-validated state on
-    * every attempt, so a conflicting foreign commit can never be clobbered.
-    * The in-JVM lock only serializes this instance's writers; cross-instance
-    * and cross-process safety comes from the manifest link CAS.
+  /** CAS conflict retries (the reference's atomic-update loop,
+    * s3.rs:30-60,181-339: 5 attempts, exponential backoff from 100 ms). The
+    * delta is RECOMPUTED against freshly-validated state on every attempt, so
+    * a conflicting foreign commit can never be clobbered. The in-JVM lock
+    * only serializes this instance's writers; cross-instance and
+    * cross-process safety comes from the manifest link CAS.
     */
-  private def mutate[A](delta: Store => Plan[A]): A = lock.synchronized {
+  private def mutateUngrouped[A](delta: Store => Plan[A]): A = lock.synchronized {
     var attempt = 0
     while (true) {
       val s = freshStore()
       val plan = delta(s)
-      if (tryCommit(s, plan.removePaths, plan.add, plan.smallPatch))
+      if (tryCommit(s, Seq(plan)))
         return plan.result
       attempt += 1
       if (attempt >= casMaxRetries)
@@ -381,6 +385,57 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Leader body of a group commit: evaluate every queued delta against the
+    * PREVIOUS delta's projected state (identical semantics to back-to-back
+    * commits — a delta that inspects the store sees its predecessors'
+    * effects), then CAS-commit the whole chain as one manifest version. On a
+    * lost CAS the entire group re-evaluates against fresh state, exactly as
+    * individual retries would. A delta that throws fails only ITS caller
+    * (completed with the error, excluded from the chain). After a successful
+    * commit every participating instance's cache gets the committed store.
+    */
+  private[catalog] def commitGroup(ops: Seq[ChunkCatalog.PendingOp]): Unit =
+    lock.synchronized {
+      var active: Seq[ChunkCatalog.PendingOp] = ops
+      var attempt = 0
+      try {
+        while (active.nonEmpty) {
+          val s0 = freshStore()
+          var s = s0
+          val evaluated =
+            scala.collection.mutable.ArrayBuffer[(ChunkCatalog.PendingOp, Plan[Any])]()
+          active.foreach { op =>
+            try {
+              val plan = op.delta(s)
+              s = foldPlan(s, plan)._1
+              evaluated += ((op, plan))
+            } catch { case scala.util.control.NonFatal(e) =>
+              op.error = e; op.done.countDown() }
+          }
+          active = evaluated.map(_._1).toSeq
+          if (active.isEmpty) return
+          if (tryCommit(s0, evaluated.map(_._2).toSeq)) {
+            evaluated.foreach { case (op, plan) =>
+              if (op.cat ne this) op.cat.cached = this.cached
+              op.result = plan.result
+              op.done.countDown()
+            }
+            return
+          }
+          attempt += 1
+          if (attempt >= casMaxRetries)
+            throw new IllegalStateException(
+              s"catalog commit: too many CAS conflicts ($attempt)")
+          Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(8L * (1L << math.min(attempt, 4))))
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        active.foreach { op =>
+          if (op.done.getCount > 0) { op.error = e; op.done.countDown() }
+        }
+      }
+    }
 
   /** Freshest store for a mutation: always consults the on-disk manifest (the
     * single-doc design reloaded the whole document here; the sharded design
@@ -556,41 +611,57 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     * cleaning up its orphaned shard files) when another writer committed that
     * version first; the caller recomputes and retries.
     */
-  private def tryCommit(s: Store, removePaths: Seq[String], add: Seq[ChunkMeta],
-      smallPatch: CatalogState => CatalogState): Boolean = {
+  /** Apply one plan to an in-memory store (no I/O): the state fold shared by
+    * [[tryCommit]] and the group-commit delta chaining. Re-registering an
+    * existing path OVERWRITES it (reference semantics,
+    * tests/error_path_tests.rs:457-499) — the old meta may live in a
+    * different shard and different index buckets, so it is removed first.
+    * Returns the projected store (version NOT bumped — the commit bumps once
+    * per group) and the shard keys the plan dirtied.
+    */
+  private def foldPlan(s: Store, p: Plan[_]): (Store, Set[Long]) = {
     val span = s.spanHours
-    // Re-registering an existing path OVERWRITES it (reference semantics,
-    // tests/error_path_tests.rs:457-499) — the old meta may live in a
-    // different shard and different index buckets, so it is removed first.
-    val removedMetas = (removePaths ++ add.map(_.path)).distinct
+    val removedMetas = (p.removePaths ++ p.add.map(_.path)).distinct
       .flatMap(s.assembled.chunks.get)
-
     var shards = s.shards
+    var dirty = Set.empty[Long]
     removedMetas.foreach { c =>
       val k = shardKeyOf(span, c)
       shards = shards.updated(k, shards.getOrElse(k, Map.empty) - c.path)
+      dirty += k
     }
-    add.foreach { c =>
+    p.add.foreach { c =>
       val k = shardKeyOf(span, c)
       shards = shards.updated(k, shards.getOrElse(k, Map.empty) + (c.path -> c))
+      dirty += k
     }
-
     var chunks = s.assembled.chunks -- removedMetas.map(_.path)
     var idx = removedMetas.foldLeft(s.assembled.timeIndex)(removeFromIndex)
-    add.foreach { c => chunks += (c.path -> c); idx = addToIndex(idx, c) }
+    p.add.foreach { c => chunks += (c.path -> c); idx = addToIndex(idx, c) }
+    val assembled = p.smallPatch(s.assembled.copy(chunks = chunks, timeIndex = idx))
+    (s.copy(shards = shards, assembled = assembled), dirty)
+  }
 
-    val version = s.assembled.version + 1
-    val assembled = smallPatch(
-      s.assembled.copy(version = version, chunks = chunks, timeIndex = idx))
+  private def tryCommit(s0: Store, plans: Seq[Plan[_]]): Boolean = {
+    // chain every plan's fold; ONE version bump for the whole group
+    var folded = s0
+    var dirtyAcc = Set.empty[Long]
+    plans.foreach { p =>
+      val (s2, d) = foldPlan(folded, p)
+      folded = s2; dirtyAcc ++= d
+    }
+    val version = s0.assembled.version + 1
+    val assembled = folded.assembled.copy(version = version)
+    val shards = folded.shards
     // Legacy migration rewrites every shard once; steady state touches only
-    // the shards the delta landed in.
+    // the shards the deltas landed in.
     val dirty =
-      if (s.legacy) shards.keySet ++ s.shards.keySet
-      else (removedMetas.map(shardKeyOf(span, _)) ++ add.map(shardKeyOf(span, _))).toSet
+      if (s0.legacy) shards.keySet ++ s0.shards.keySet
+      else dirtyAcc
 
     val (dropped, kept) = dirty.partition(k => shards.getOrElse(k, Map.empty).isEmpty)
     val nextShards = shards -- dropped
-    val nextVers = (s.shardVers -- dropped) ++ kept.map(_ -> version)
+    val nextVers = (s0.shardVers -- dropped) ++ kept.map(_ -> version)
 
     // Shard file names carry a nonce: two writers racing the same version
     // must never write the same file name — the loser's content would
@@ -608,8 +679,8 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       Files.write(shardDir.resolve(f),
         renderShard(nextShards(k)).getBytes(StandardCharsets.UTF_8))
     }
-    val nextFiles = (s.shardFiles -- dropped) ++ written
-    val manifest = Manifest(version, span,
+    val nextFiles = (s0.shardFiles -- dropped) ++ written
+    val manifest = Manifest(version, s0.spanHours,
       nextVers.toSeq.sortBy(_._1).map { case (k, v) =>
         ShardEntry(k, v, nextFiles(k), nextShards(k).size)
       },
@@ -659,7 +730,7 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       SpentVersions.compact(versionMarkers, version)
       if (manifestRetain <= 0)
         (kept ++ dropped).foreach { k =>
-          s.shardFiles.get(k).filterNot(f => written.get(k).contains(f)).foreach(old =>
+          s0.shardFiles.get(k).filterNot(f => written.get(k).contains(f)).foreach(old =>
             Files.deleteIfExists(shardDir.resolve(old)))
         }
       else
@@ -669,11 +740,11 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
         // files survive
         sweepUnreferencedShards()
       Files.deleteIfExists(legacyManifestFile)
-      if (s.legacy) Files.deleteIfExists(legacyFile)
+      if (s0.legacy) Files.deleteIfExists(legacyFile)
     } catch { case scala.util.control.NonFatal(_) => () }
 
     cached = Some((System.currentTimeMillis(),
-      Store(span, nextVers, nextFiles, nextShards, assembled, legacy = false)))
+      Store(s0.spanHours, nextVers, nextFiles, nextShards, assembled, legacy = false)))
     true
   }
 
@@ -731,6 +802,79 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
 }
 
 object ChunkCatalog {
+
+  /** In-memory store: per-shard chunk maps + the assembled global view.
+    * Authoritative only between revalidations — any writer (this instance or
+    * a foreign process) may advance the on-disk version at any time; every
+    * mutation re-validates against disk and CAS-commits. Companion-level
+    * (not instance-nested) so a group-commit leader can evaluate deltas
+    * enqueued by other instances on the same root.
+    */
+  private[catalog] final case class Store(
+      spanHours: Int,
+      shardVers: Map[Long, Long],
+      shardFiles: Map[Long, String],
+      shards: Map[Long, Map[String, ChunkMeta]],
+      assembled: CatalogState,
+      legacy: Boolean)
+
+  /** One mutation expressed as a delta against a fresh store: chunk paths to
+    * remove, chunks to add, a patch over the small manifest fields, and the
+    * caller-visible result.
+    */
+  private[catalog] final case class Plan[A](
+      removePaths: Seq[String], add: Seq[ChunkMeta],
+      smallPatch: CatalogState => CatalogState, result: A)
+
+  /** A queued mutation awaiting a group commit: the enqueuing instance (its
+    * cache gets the committed store), the delta, and a latch the leader
+    * completes with either the plan's result or the error.
+    */
+  private[catalog] final class PendingOp(
+      val cat: ChunkCatalog,
+      val delta: Store => Plan[Any]) {
+    @volatile var result: Any = _
+    @volatile var error: Throwable = _
+    val done = new java.util.concurrent.CountDownLatch(1)
+  }
+
+  /** JVM-wide per-root commit coalescer (r10 group commit): callers enqueue
+    * their delta, then contend for leadership. The leader drains whatever is
+    * queued at takeover — everything that arrived while the previous commit
+    * was in flight — and lands the whole batch as ONE CAS link via
+    * [[ChunkCatalog.commitGroup]]. Under fan-in of w writers the commit rate
+    * therefore approaches one DISK commit per in-flight window regardless of
+    * w, while each caller still observes exactly its own mutation's result.
+    * Followers whose op was taken by an earlier leader skip the leader
+    * section (their latch is already counted down).
+    */
+  private[catalog] final class GroupCommitter {
+    private val queue = new java.util.concurrent.ConcurrentLinkedQueue[PendingOp]()
+    private val leaderLock = new Object
+    def run(cat: ChunkCatalog, delta: Store => Plan[Any]): Any = {
+      val op = new PendingOp(cat, delta)
+      queue.add(op)
+      leaderLock.synchronized {
+        if (op.done.getCount > 0) {
+          val batch = scala.collection.mutable.ArrayBuffer[PendingOp]()
+          var n = queue.poll()
+          while (n != null) { batch += n; n = queue.poll() }
+          if (batch.nonEmpty) cat.commitGroup(batch.toSeq)
+        }
+      }
+      op.done.await()
+      if (op.error != null) throw op.error
+      op.result
+    }
+  }
+
+  private val committers =
+    new java.util.concurrent.ConcurrentHashMap[String, GroupCommitter]()
+
+  /** The shared committer for a warehouse root (canonical path keyed). */
+  private[catalog] def committerFor(root: Path): GroupCommitter =
+    committers.computeIfAbsent(root.toAbsolutePath.normalize.toString,
+      _ => new GroupCommitter)
 
   final case class CatalogState(
       version: Long,
