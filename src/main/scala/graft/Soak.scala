@@ -194,6 +194,11 @@ object Soak {
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val soakIngest = ArrayBuffer[Double]()
     val soakWarm = ArrayBuffer[Double]()
+    // serve-mode decomposition of the warm tail (r10, VERDICT #8): every warm
+    // sample tagged with HOW it was served, so the record says whether the
+    // p99 is slow L1 hits (CPU/GC contention) or in-band recomputes after a
+    // maintenance rewrite changed the pruned-path-set cache key
+    val soakWarmModes = ArrayBuffer[String]()
     val soakCold = ArrayBuffer[Double]()
     val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
     val rollupBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -246,7 +251,9 @@ object Soak {
       engine.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "queries")
       val t0 = System.nanoTime()
       engine.sql(warmSql).collect()
-      soakWarm.synchronized { soakWarm += (System.nanoTime() - t0) / 1e6 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      val mode = engine.lastServeMode.get()
+      soakWarm.synchronized { soakWarm += ms; soakWarmModes += mode }
       Thread.sleep(25)
     }
     val coldI = new AtomicLong(1000L) // distinct text space from baseline
@@ -555,7 +562,17 @@ object Soak {
       s""""cold_p99_ms":${round1(p99(baseCold))},"cold_median_ms":${round1(baseCold.sorted.apply(baseCold.size / 2))}},""" +
       s""""soak":{"ingest_samples_per_sec":${soakRate.toLong},"write_drop_pct":${round1(dropPct)},""" +
       s""""ingest_batches":${soakIngest.size},""" +
-      s""""warm_p99_ms":${round1(p99(soakWarm.toSeq))},"warm_queries":${soakWarm.size},""" +
+      s""""warm_p99_ms":${round1(p99(soakWarm.toSeq))},"warm_queries":${soakWarm.size},""" + {
+        // warm-tail decomposition by serve mode
+        val tagged = soakWarm.toSeq.zip(soakWarmModes.toSeq)
+        val l1 = tagged.collect { case (ms, "l1") => ms }
+        val comp = tagged.collect { case (ms, m) if m != "l1" => ms }
+        s""""warm_l1_queries":${l1.size},""" +
+          s""""warm_l1_p99_ms":${if (l1.nonEmpty) round1(p99(l1)) else 0.0},""" +
+          s""""warm_recompute_queries":${comp.size},""" +
+          s""""warm_recompute_p50_ms":${if (comp.nonEmpty) round1(comp.sorted.apply(comp.size / 2)) else 0.0},""" +
+          s""""warm_recompute_max_ms":${if (comp.nonEmpty) round1(comp.max) else 0.0},"""
+      } +
       s""""cold_p99_ms":${round1(p99(soakCold.toSeq))},"cold_queries":${soakCold.size},""" +
       s""""compacted_chunks":${compactions.get()},"rollup_sweeps":${rollupBuilds.get()},""" +
       s""""maintenance_sweeps_completed":${sweepsDone.get()},""" +

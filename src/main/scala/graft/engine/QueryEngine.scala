@@ -353,6 +353,16 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     */
   @volatile var lastServedFromRollup: Boolean = false
 
+  /** Per-THREAD observability: how this thread's last `sql()` was served —
+    * "l1" (plan/result cache hit, incl. localized repeats), "l2" (disk-tier
+    * promote), or "computed" (full plan+execute; includes the first sighting
+    * after a maintenance rewrite changed the pruned-path-set cache key).
+    * ThreadLocal, not @volatile: the soak's warm/cold loops share one engine
+    * and must each read their own call's mode (the warm-tail decomposition
+    * of r10 — VERDICT "Next round #8").
+    */
+  val lastServeMode: ThreadLocal[String] = ThreadLocal.withInitial(() => "")
+
   /** Naive-top-k rewrite (graft.plans.TopKRouting): `row_number() ≤ k` over
     * the registered scan re-planned as the two-phase Operators.topKPerGroup.
     * On by default — the naive form's window sort parallelism is the group
@@ -502,11 +512,13 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
       paths ++ rollups.map("rollup:" + _.path) ++
         (if (topKMarker) Seq("topk:on") else Nil),
       split)
+    lastServeMode.set("computed")
     var toLocalize: DataFrame = null
     planCache.synchronized {
       val hit = planCache.get(key)
       if (hit != null) {
         Telemetry.cacheHits.increment()
+        lastServeMode.set("l1")
         lastServedFromRollup = rollupKeys(key)
         lastTopKRouted = topKKeys(key)
         // persisted-but-not-yet-localized entry on a REPEAT hit → localize it
@@ -522,6 +534,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     promoteFromL2(key).foreach { df =>
       lastServedFromRollup = false
       lastTopKRouted = false
+      lastServeMode.set("l2")
       return df
     }
     val raw = planLock.synchronized {
