@@ -110,6 +110,12 @@ def main():
     # the sorted columns cast to VARCHAR via one identical SQL recipe on both
     # sides (both formattings produced by DuckDB, so the comparison is exact)
     BIG_ROWS = 2_000_000
+    # DIGEST_QUERIES=a,b forces the digest path for named queries regardless
+    # of row count: the whole compare stays inside DuckDB (memory-capped,
+    # spill-enabled) — the r10 route for oracles whose pandas materialization
+    # or result canonicalization exhausts the allocator at 100x
+    # (q_doc_bpe_encode; the r9-proven recipe from q_doc_unigram_encode).
+    force_digest = set(filter(None, os.environ.get("DIGEST_QUERIES", "").split(",")))
 
     def digest_compare(name, spark_glob, oracle_sql, n_spark):
         con.execute("CREATE OR REPLACE VIEW __spark_out AS "
@@ -179,7 +185,7 @@ def main():
         results[name] = {"status": "in_progress", "rows": n_spark_rows}
         flush()
         del results[name]
-        if n_spark_rows > BIG_ROWS and name in oracles:
+        if (n_spark_rows > BIG_ROWS or name in force_digest) and name in oracles:
             t0 = time.time()
             timed_out = [False]
 
