@@ -547,6 +547,18 @@ object SparkEntry {
         .orderBy("time_bucket")
     }),
 
+    // §2.6 EXTENSION — offset modifier (real-Prometheus feature the
+    // reference's regex grammar lacks; flagged extension): the scanned window
+    // shifts back a day, buckets map forward to evaluation time, so the
+    // "same time yesterday" Grafana panel lines up against today's axis.
+    "q_promql_offset" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange(
+          "sum by (host) (view offset 1d)", Jan2Ns, Feb1Ns, 21600L))
+        .withColumn("value", round(col("value"), 4))
+        .orderBy("time_bucket", "host")
+    }),
+
     // §2.6 PromQL metadata: label_values(__name__) (prometheus_api.rs:380-500).
     "q_promql_label_values" -> ((s, dir) => {
       eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
@@ -2212,6 +2224,17 @@ object SparkEntry {
         |WHERE event_type = 'view'
         | AND epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
         |GROUP BY 1, 2 ORDER BY time_bucket""".stripMargin,
+
+    // offset 1d: scan [Jan2-1d, Feb1-1d] = [Jan1, Jan31], bucket on ts+1d —
+    // identical window arithmetic to the transpiled SQL
+    "q_promql_offset" ->
+      """SELECT ((epoch_ns(ts) + 86400000000000) // 21600000000000) * 21600000000000 AS time_bucket,
+        | event_type AS metric_name, 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+        | round(sum(value), 4) AS value
+        |FROM events
+        |WHERE event_type = 'view'
+        | AND epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706659200000000000
+        |GROUP BY 1, 2, 3 ORDER BY time_bucket, host""".stripMargin,
 
     "q_promql_label_values" ->
       "SELECT DISTINCT event_type AS value FROM events ORDER BY value",

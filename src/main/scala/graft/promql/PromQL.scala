@@ -17,7 +17,15 @@ final case class ParsedPromQL(
       * `topk(5, m)` into a garbage metric name); we parse it properly and apply
       * a real LIMIT k / percentile.
       */
-    param: Option[Double] = None)
+    param: Option[Double] = None,
+    /** EXTENSION: `offset <dur>` — evaluate the selector that far in the
+      * past (real-Prometheus feature the reference's regex grammar lacks;
+      * the first thing a Grafana "same time yesterday" panel uses). The
+      * transpilers shift the SCANNED window back by the offset and map
+      * result timestamps/buckets forward, so results line up at evaluation
+      * time exactly as Prometheus reports them.
+      */
+    offsetSeconds: Option[Long] = None)
 
 /** One `label op "value"` matcher; op ∈ {=, !=, =~, !~}. */
 final case class LabelMatcher(label: String, op: String, value: String)
@@ -58,9 +66,10 @@ object PromQL {
   private val rangeFnRe: Regex =
     ("""^\s*(rate|increase|irate|delta|idelta|deriv""" +
       """|min_over_time|max_over_time|avg_over_time|sum_over_time|count_over_time)""" +
-      """\s*\(\s*(.+?)\s*\[\s*(\d+)(ms|s|m|h|d|w)\s*\]\s*\)\s*$""").r
+      """\s*\(\s*(.+?)\s*\[\s*(\d+)(ms|s|m|h|d|w)\s*\]""" +
+      """\s*(?:offset\s+(\d+)(ms|s|m|h|d|w)\s*)?\)\s*$""").r
   private val selectorRe: Regex =
-    """^\s*([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?\s*$""".r
+    """^\s*([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?\s*(?:offset\s+(\d+)(ms|s|m|h|d|w)\s*)?$""".r
   private val matcherRe: Regex =
     """([a-zA-Z_][a-zA-Z0-9_]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"""".r
 
@@ -92,11 +101,14 @@ object PromQL {
       innerParsed.copy(
         aggregation = Some(agg),
         groupBy = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    case rangeFnRe(fn, inner, n, unit) =>
+    case rangeFnRe(fn, inner, n, unit, offN, offU) =>
       val innerParsed = parse(inner)
-      innerParsed.copy(function = Some(fn), rangeSeconds = Some(toSeconds(n.toLong, unit)))
-    case selectorRe(name, matchers) =>
-      ParsedPromQL(name, parseMatchers(Option(matchers).getOrElse("")), None, Nil, None, None)
+      innerParsed.copy(function = Some(fn), rangeSeconds = Some(toSeconds(n.toLong, unit)),
+        offsetSeconds = Option(offN).map(x => toSeconds(x.toLong, offU))
+          .orElse(innerParsed.offsetSeconds))
+    case selectorRe(name, matchers, offN, offU) =>
+      ParsedPromQL(name, parseMatchers(Option(matchers).getOrElse("")), None, Nil, None, None,
+        offsetSeconds = Option(offN).map(x => toSeconds(x.toLong, offU)))
     case other => ParsedPromQL(other.trim, Nil, None, Nil, None, None)
   }
 
@@ -203,7 +215,13 @@ object PromQL {
     */
   def transpileInstant(q: String, timeNs: Option[Long] = None): String = {
     val p = parse(q)
-    val timeCond = timeNs.map(t => s"timestamp_ns <= $t").toSeq
+    // offset (extension): look back `off` earlier, report at evaluation time.
+    // Aggregated shapes add the offset back onto the representative timestamp;
+    // the raw-selector shape returns the sample's own (shifted) timestamp —
+    // documented, since `SELECT *` cannot rewrite a projected column.
+    val offNs = p.offsetSeconds.getOrElse(0L) * 1000000000L
+    val timeCond = timeNs.map(t => s"timestamp_ns <= ${t - offNs}").toSeq
+    val tsExpr = if (offNs == 0L) "MAX(timestamp_ns)" else s"MAX(timestamp_ns) + $offNs"
     p.aggregation match {
       // EXTENSION: two-arg topk/bottomk get a real k-limit, ordered, LIMIT k.
       // Series representative: topk = MAX(value), bottomk = MIN(value) — a MAX
@@ -217,18 +235,18 @@ object PromQL {
         // the group columns break value ties DETERMINISTICALLY: without them a
         // tie at the k boundary makes the kept series engine-dependent
         // (PromQL itself leaves topk ties unspecified; we pin them)
-        s"""SELECT $groupCols, $rep($ValueExpr) AS value, MAX(timestamp_ns) AS timestamp_ns
+        s"""SELECT $groupCols, $rep($ValueExpr) AS value, $tsExpr AS timestamp_ns
            |FROM metrics WHERE ${whereClause(p, timeCond)}
            |GROUP BY $groupCols ORDER BY value $dir, $groupCols LIMIT $k""".stripMargin.replace("\n", " ")
       case Some("quantile") if p.param.isDefined =>
         val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
         s"""SELECT $groupCols, PERCENTILE($ValueExpr, ${p.param.get}) AS value,
-           |MAX(timestamp_ns) AS timestamp_ns
+           |$tsExpr AS timestamp_ns
            |FROM metrics WHERE ${whereClause(p, timeCond)}
            |GROUP BY $groupCols ORDER BY value DESC""".stripMargin.replace("\n", " ")
       case Some(agg) =>
         val groupCols = ("metric_name" +: p.groupBy.map(g => s"`$g`")).mkString(", ")
-        s"""SELECT $groupCols, ${aggSql(agg)} AS value, MAX(timestamp_ns) AS timestamp_ns
+        s"""SELECT $groupCols, ${aggSql(agg)} AS value, $tsExpr AS timestamp_ns
            |FROM metrics WHERE ${whereClause(p, timeCond)}
            |GROUP BY $groupCols ORDER BY value DESC""".stripMargin.replace("\n", " ")
       case None =>
@@ -244,8 +262,13 @@ object PromQL {
   def transpileRange(q: String, startNs: Long, endNs: Long, stepSeconds: Long): String = {
     val p = parse(q)
     val stepNs = stepSeconds * 1000000000L
-    val bucket = s"(timestamp_ns DIV $stepNs) * $stepNs"
-    val timeConds = Seq(s"timestamp_ns >= $startNs", s"timestamp_ns <= $endNs")
+    // offset (extension): scan [start-off, end-off], bucket on ts+off so each
+    // bucket lands at its evaluation-time position (Prometheus reporting).
+    // offset 0 emits byte-identical SQL to the pre-offset transpiler.
+    val offNs = p.offsetSeconds.getOrElse(0L) * 1000000000L
+    val shiftedTs = if (offNs == 0L) "timestamp_ns" else s"(timestamp_ns + $offNs)"
+    val bucket = s"($shiftedTs DIV $stepNs) * $stepNs"
+    val timeConds = Seq(s"timestamp_ns >= ${startNs - offNs}", s"timestamp_ns <= ${endNs - offNs}")
     // Faithful column sets (prometheus_api.rs:938-1087): range FUNCTIONS and the
     // no-agg default group by discover_label_columns (matcher labels ∪ by-labels);
     // AGGREGATIONS group by the by-labels only.
@@ -281,8 +304,10 @@ object PromQL {
     require(p.aggregation.isDefined && p.function.isDefined,
       s"expected agg(rangefn(selector[w])), got: $q")
     val stepNs = stepSeconds * 1000000000L
-    val bucket = s"(timestamp_ns DIV $stepNs) * $stepNs"
-    val timeConds = Seq(s"timestamp_ns >= $startNs", s"timestamp_ns <= $endNs")
+    val offNs = p.offsetSeconds.getOrElse(0L) * 1000000000L
+    val shiftedTs = if (offNs == 0L) "timestamp_ns" else s"(timestamp_ns + $offNs)"
+    val bucket = s"($shiftedTs DIV $stepNs) * $stepNs"
+    val timeConds = Seq(s"timestamp_ns >= ${startNs - offNs}", s"timestamp_ns <= ${endNs - offNs}")
     val q1 = (s: String) => s"`${s.replace("`", "``")}`"
     val seriesCols = (discoverLabelColumns(p) ++ seriesLabels).distinct
     val innerGroup = ("metric_name" +: seriesCols.map(q1)).mkString(", ")

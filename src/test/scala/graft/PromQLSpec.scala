@@ -58,6 +58,36 @@ class PromQLSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("EXTENSION: offset modifier — parse positions, window shift, bucket mapping, zero-offset identity") {
+    // selector-level
+    val p1 = PromQL.parse("cpu offset 5m")
+    assert(p1.metricName == "cpu" && p1.offsetSeconds.contains(300L))
+    val p2 = PromQL.parse("""cpu{host="a"} offset 1h""")
+    assert(p2.offsetSeconds.contains(3600L) && p2.labelMatchers.nonEmpty)
+    // after the range brackets, inside a range function
+    val p3 = PromQL.parse("rate(cpu[5m] offset 1d)")
+    assert(p3.function.contains("rate") && p3.rangeSeconds.contains(300L) &&
+      p3.offsetSeconds.contains(86400L))
+    // wrapped in an aggregation: offset survives the recursion
+    val p4 = PromQL.parse("sum by (host) (cpu offset 30m)")
+    assert(p4.aggregation.contains("sum") && p4.offsetSeconds.contains(1800L))
+    // instant: lookback bound shifts back, representative timestamp maps forward
+    val sql = PromQL.transpileInstant("max by (host) (click offset 1h)",
+      Some(7200000000000L))
+    assert(sql.contains("timestamp_ns <= 3600000000000"), sql)
+    assert(sql.contains("MAX(timestamp_ns) + 3600000000000"), sql)
+    // range: scanned window shifts back, bucket computed on ts+offset
+    val rsql = PromQL.transpileRange("sum by (host) (view offset 1d)",
+      86400000000000L * 2, 86400000000000L * 3, 21600L)
+    assert(rsql.contains("timestamp_ns >= 86400000000000"), rsql)
+    assert(rsql.contains("timestamp_ns <= 172800000000000"), rsql)
+    assert(rsql.contains("((timestamp_ns + 86400000000000) DIV 21600000000000)"), rsql)
+    // zero offset: byte-identical SQL to the pre-offset transpiler (every
+    // existing oracle keeps hashing)
+    val plain = PromQL.transpileRange("sum by (host) (view)", 0L, 1000000000L, 60L)
+    assert(!plain.contains("+ 0") && plain.contains("(timestamp_ns DIV 60000000000)"), plain)
+  }
+
   test("bare selector") {
     val p = PromQL.parse("cpu_usage")
     assert(p.metricName == "cpu_usage")
