@@ -291,42 +291,51 @@ class CatalogSpec extends AnyFunSuite {
     // r10 (VERDICT "Next round #7"): 8 threads × 25 registrations through
     // DIFFERENT instances on one root — the fan-in of one ingester node's
     // flush threads. The per-root GroupCommitter must (a) lose nothing,
-    // (b) visibly coalesce: if every commit were a singleton, 200 sequential
-    // ~ms commits would leave 7 threads permanently queued — so the version
-    // advance must be well under one-per-mutation.
+    // (b) visibly coalesce. Coalescing is made DETERMINISTIC with a barrier:
+    // all 8 threads release together each round, so ops enqueue while the
+    // round's first leader is inside its commit — and since enqueue happens
+    // BEFORE the leadership attempt, the second leader must drain every
+    // remaining op of the round in one batch. Each round of 8 simultaneous
+    // mutations therefore lands in at most ~3 commits (first leader takes
+    // ≥1, the next takes the queued rest), never 8 — an un-coalesced
+    // implementation would advance the version 8× per round. (Without the
+    // barrier the assertion is load-dependent: on a quiet host sub-ms
+    // commits drain the queue faster than threads re-enter — measured 187
+    // singletons/200 on one run, 13 on another.)
     val dir = Files.createTempDirectory("graft_cat_group_")
     val seed = new ChunkCatalog(dir, cacheTtlMs = 0L)
     seed.register(chunk("seed", 0, 0))
     val v0 = seed.state.version
     val n = 8
-    val perThread = 25
+    val rounds = 25
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val start = new java.util.concurrent.CountDownLatch(1)
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
     val cats = (0 until n).map(_ => new ChunkCatalog(dir, cacheTtlMs = 0L))
     val threads = (0 until n).map { i =>
       val t = new Thread(() => {
-        start.await()
-        try (0 until perThread).foreach { j =>
-          cats(i).register(chunk(s"grp-$i-$j", (i * perThread + j).toLong, (i * perThread + j).toLong))
+        try (0 until rounds).foreach { j =>
+          barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          cats(i).register(chunk(s"grp-$i-$j", (i * rounds + j).toLong, (i * rounds + j).toLong))
         } catch { case e: Throwable => errors.add(e) }
       })
       t.start(); t
     }
-    start.countDown()
     threads.foreach(_.join(120000))
     assert(errors.isEmpty, s"group commit must absorb all contention: $errors")
     val fresh = new ChunkCatalog(dir, cacheTtlMs = 0L)
     val paths = fresh.allChunks.map(_.path).filter(_.startsWith("grp-")).toSet
-    assert(paths.size == n * perThread, s"lost updates: ${n * perThread - paths.size}")
+    assert(paths.size == n * rounds, s"lost updates: ${n * rounds - paths.size}")
     val commits = fresh.state.version - v0
-    assert(commits >= 1 && commits <= n * perThread,
+    assert(commits >= rounds && commits <= n.toLong * rounds,
       s"version must advance once per GROUP: $commits")
-    assert(commits < (n * perThread * 9) / 10,
-      s"no coalescing observed ($commits commits for ${n * perThread} mutations)")
+    // 8 barrier-released ops per round in ≤ 5 commits (generous over the
+    // ~2-3 structural bound) ⇒ coalescing is real, not incidental
+    assert(commits <= 5L * rounds,
+      s"no coalescing observed ($commits commits for ${n * rounds} mutations)")
     // every participant's cache already reflects a committed store that
     // contains its own writes (no stale read-your-writes)
     (0 until n).foreach { i =>
-      assert(cats(i).state.chunks.contains(s"grp-$i-${perThread - 1}"),
+      assert(cats(i).state.chunks.contains(s"grp-$i-${rounds - 1}"),
         s"instance $i cache missing its own last write")
     }
     // the committer stays usable after the herd drains
