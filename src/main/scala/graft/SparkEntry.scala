@@ -559,6 +559,18 @@ object SparkEntry {
         .orderBy("time_bucket", "host")
     }),
 
+    // §2.6 EXTENSION — vector binary operator (flagged; real-Prometheus
+    // feature the reference's grammar lacks): the click/view ratio per host
+    // per 6 h bucket, sides matched on (time_bucket, host), metric_name
+    // dropped like Prometheus drops __name__ on arithmetic.
+    "q_promql_binary" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange(
+          "sum by (host) (click) / sum by (host) (view)", Jan1Ns, Feb1Ns, 21600L))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("time_bucket", "host")
+    }),
+
     // §2.6 PromQL metadata: label_values(__name__) (prometheus_api.rs:380-500).
     "q_promql_label_values" -> ((s, dir) => {
       eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
@@ -2235,6 +2247,21 @@ object SparkEntry {
         |WHERE event_type = 'view'
         | AND epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706659200000000000
         |GROUP BY 1, 2, 3 ORDER BY time_bucket, host""".stripMargin,
+
+    // binary op: both sides' grouped sums joined on (bucket, host); NULLIF
+    // mirrors the transpiler's deterministic divide-by-zero → NULL
+    "q_promql_binary" ->
+      """WITH b AS (
+        |  SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        |    event_type, 'h' || CAST(user_id % 10 AS VARCHAR) AS host, sum(value) AS v
+        |  FROM events
+        |  WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT l.time_bucket, l.host, round(l.v / NULLIF(r.v, 0), 6) AS value
+        |FROM (SELECT * FROM b WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM b WHERE event_type = 'view') r
+        |  ON l.time_bucket = r.time_bucket AND l.host = r.host
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_promql_label_values" ->
       "SELECT DISTINCT event_type AS value FROM events ORDER BY value",

@@ -260,6 +260,15 @@ object PromQL {
     * prometheus_api.rs:938-1087). stepSeconds buckets; ns bounds inclusive.
     */
   def transpileRange(q: String, startNs: Long, endNs: Long, stepSeconds: Long): String = {
+    // EXTENSION: vector binary operator between two range vectors — see
+    // [[transpileRangeBinary]]. Any failure of the binary interpretation
+    // (unparseable side, mismatched matching labels without on(...)) falls
+    // back to the reference's whole-string treatment below, preserving the
+    // parser-totality contract.
+    val binSql = binarySplit(q).flatMap { case (l, op, on, r) =>
+      scala.util.Try(transpileRangeBinary(l, op, on, r, startNs, endNs, stepSeconds)).toOption
+    }
+    if (binSql.isDefined) return binSql.get
     val p = parse(q)
     val stepNs = stepSeconds * 1000000000L
     // offset (extension): scan [start-off, end-off], bucket on ts+off so each
@@ -286,6 +295,99 @@ object PromQL {
        |FROM metrics WHERE ${whereClause(p, timeConds)}
        |GROUP BY time_bucket, $groupCols
        |ORDER BY time_bucket""".stripMargin.replace("\n", " ")
+  }
+
+  /** Split `q` at a top-level vector binary operator (+ − * /) outside
+    * parens/brackets/braces/quotes, with an optional `on(l1,l2)` matching
+    * modifier after the operator. Returns (lhs, op, onLabels, rhs); None when
+    * no top-level operator exists. A leading '-' is a sign, not an operator.
+    */
+  def binarySplit(q: String)
+      : Option[(String, Char, Option[Seq[String]], String)] = {
+    var depth = 0; var inQ = false; var i = 0; var found = -1
+    while (i < q.length && found < 0) {
+      val c = q.charAt(i)
+      if (inQ) { if (c == '"' && (i == 0 || q.charAt(i - 1) != '\\')) inQ = false }
+      else c match {
+        case '"' => inQ = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case '+' | '*' | '/' if depth == 0 => found = i
+        case '-' if depth == 0 && q.substring(0, i).trim.nonEmpty => found = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (found < 0) None
+    else {
+      val l = q.substring(0, found).trim
+      var r = q.substring(found + 1).trim
+      if (l.isEmpty || r.isEmpty) None
+      else {
+        val onRe = """^on\s*\(([^)]*)\)\s*(.+)$""".r
+        val (on, rhs) = r match {
+          case onRe(labels, rest) =>
+            (Some(labels.split(",").map(_.trim).filter(_.nonEmpty).toSeq), rest.trim)
+          case _ => (None, r)
+        }
+        Some((l, q.charAt(found), on, rhs))
+      }
+    }
+  }
+
+  /** The label columns a range query's rows carry, shared by
+    * [[transpileRange]] and the binary-operator matcher. */
+  private def rangeLabelCols(p: ParsedPromQL): Seq[String] = p.aggregation match {
+    case Some(_) if p.function.isEmpty => p.groupBy
+    case _ => discoverLabelColumns(p)
+  }
+
+  /** EXTENSION — vector binary operator between two range vectors (the
+    * Grafana ratio/difference panel: `sum by (host) (a) / sum by (host)
+    * (b)`), a real-Prometheus feature the reference's regex grammar lacks.
+    * Each side transpiles through [[transpileRange]] (so offsets, range
+    * functions and aggregations nest freely), and the sides join on
+    * (time_bucket, matching labels) — the matching labels default to the
+    * sides' shared result label set (which must agree — use `on(...)` to
+    * override, mirroring Prometheus vector matching). INNER join = Prometheus
+    * drop-if-unmatched. Divergences (documented): `metric_name` is dropped
+    * from the result exactly as Prometheus drops `__name__` on arithmetic;
+    * division by zero yields NULL (deterministic in every engine) where
+    * Prometheus yields ±Inf; scalar operands are not supported.
+    */
+  def transpileRangeBinary(lhs: String, op: Char, onLabels: Option[Seq[String]],
+                           rhs: String, startNs: Long, endNs: Long,
+                           stepSeconds: Long): String = {
+    require("+-*/".contains(op), s"unsupported operator $op")
+    // exactly ONE operator: a chained expression would need real precedence
+    // handling (this split is first-op) — refuse so the fallback treats it
+    // as the reference would, instead of silently mis-associating a*b+c
+    require(binarySplit(rhs).isEmpty, "chained binary operators not supported")
+    val lp = parse(lhs); val rp = parse(rhs)
+    // refuse degenerate sides (binarySplit over-matching garbage): both must
+    // at least be valid metric identifiers
+    require(isValidIdentifier(lp.metricName) && isValidIdentifier(rp.metricName),
+      s"binary operands must be vector expressions: $lhs $op $rhs")
+    val labels = onLabels.getOrElse {
+      val ll = rangeLabelCols(lp); val rl = rangeLabelCols(rp)
+      require(ll == rl,
+        s"sides carry different labels (${ll.mkString(",")} vs ${rl.mkString(",")}); use on(...)")
+      ll
+    }
+    labels.foreach(l => require(isValidIdentifier(l), s"invalid matching label: $l"))
+    val lSql = transpileRange(lhs, startNs, endNs, stepSeconds)
+    val rSql = transpileRange(rhs, startNs, endNs, stepSeconds)
+    val joinCond = ("l.time_bucket = r.time_bucket" +:
+      labels.map(l => s"l.`$l` = r.`$l`")).mkString(" AND ")
+    val outCols = ("l.time_bucket" +: labels.map(l => s"l.`$l`")).mkString(", ")
+    val valueExpr = op match {
+      case '/' => "l.value / NULLIF(r.value, 0)"
+      case _ => s"l.value $op r.value"
+    }
+    val orderCols = ("time_bucket" +: labels.map(l => s"`$l`")).mkString(", ")
+    s"""SELECT $outCols, $valueExpr AS value
+       |FROM ($lSql) l JOIN ($rSql) r ON $joinCond
+       |ORDER BY $orderCols""".stripMargin.replace("\n", " ")
   }
 
   /** EXTENSION — true Prometheus two-level semantics for `agg(rangefn(m[w]))`

@@ -88,6 +88,35 @@ class PromQLSpec extends AnyFunSuite {
     assert(!plain.contains("+ 0") && plain.contains("(timestamp_ns DIV 60000000000)"), plain)
   }
 
+  test("EXTENSION: vector binary operator — split positions, matching labels, on(), fallbacks") {
+    // top-level split, parens/quotes respected
+    assert(PromQL.binarySplit("sum by (h) (a) / sum by (h) (b)")
+      .contains(("sum by (h) (a)", '/', None, "sum by (h) (b)")))
+    assert(PromQL.binarySplit("""a{job="x/y"}""").isEmpty, "op inside quotes is not a split")
+    assert(PromQL.binarySplit("rate(a[5m])").isEmpty, "ops only at depth 0")
+    assert(PromQL.binarySplit("-a").isEmpty, "leading minus is a sign")
+    // on(...) modifier
+    val withOn = PromQL.binarySplit("a / on(host, region) b")
+    assert(withOn.contains(("a", '/', Some(Seq("host", "region")), "b")))
+    // transpiled shape: join on (bucket, labels), NULLIF guard on division,
+    // metric_name dropped from the result (Prometheus __name__ semantics)
+    val sql = PromQL.transpileRange(
+      "sum by (host) (click) / sum by (host) (view)", 0L, 1000000000L, 60L)
+    assert(sql.contains("l.time_bucket = r.time_bucket AND l.`host` = r.`host`"), sql)
+    assert(sql.contains("l.value / NULLIF(r.value, 0)"), sql)
+    assert(sql.startsWith("SELECT l.time_bucket, l.`host`,"), sql)
+    // mismatched side labels without on(...) fall back to the reference's
+    // whole-string treatment (metric-name fallback — never a throw)
+    val fb = PromQL.transpileRange("sum by (a) (x) / sum by (b) (y)", 0L, 1L, 60L)
+    assert(fb.contains("FROM metrics"), fb)
+    // chained operators refused (no silent mis-association) — falls back too
+    val chain = PromQL.transpileRange("a * b + c", 0L, 1L, 60L)
+    assert(chain.contains("FROM metrics"), chain)
+    // plain queries: byte-identical to the non-binary transpiler
+    assert(PromQL.transpileRange("sum by (host) (view)", 0L, 1L, 60L)
+      .startsWith("SELECT (timestamp_ns DIV"))
+  }
+
   test("bare selector") {
     val p = PromQL.parse("cpu_usage")
     assert(p.metricName == "cpu_usage")
