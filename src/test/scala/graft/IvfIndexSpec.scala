@@ -260,6 +260,39 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ bulk probe AUTO-routes above the 4096 threshold and matches the " +
+    "driver path bit-for-bit on the full panel") {
+    // the r9 VERDICT #2 done-criterion verbatim: a REAL > 4096 query panel,
+    // no forced threshold on the bulk side — topKPq must choose "bulk" by
+    // itself (limit+count probe, never a full panel scan) and agree with the
+    // driver path exactly
+    import spark.implicits._
+    val corpus = (0 until 5000).map { i =>
+      val cluster = i % 3
+      val base = Array.tabulate(8)(d => if (d % 3 == cluster) 10.0f else 0.1f)
+      val v = base.zipWithIndex.map { case (x, d) => x + ((i * 31 + d * 17) % 7) * 0.01f }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_auto_").toString
+    IvfIndex.build(corpus, root, nCentroids = 6, pqM = 4, pqK = 8)
+    val queries = corpus.filter(col("vec_id") < 4200)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        .sortBy(t => (t._1, t._4))
+    val auto = IvfIndex.topKPq(spark, root, queries, k = 3, nProbe = 2,
+      rerankFactor = 4)
+    val autoRows = rows(auto)
+    assert(IvfIndex.lastPqProbeMode == "bulk", "a 4200-query panel must auto-route to bulk")
+    assert(!auto.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "auto-bulk must never collect the panel onto the driver")
+    val driver = IvfIndex.topKPq(spark, root, queries, k = 3, nProbe = 2,
+      rerankFactor = 4, bulkThreshold = 100000)
+    assert(IvfIndex.lastPqProbeMode == "driver")
+    assert(rows(driver) == autoRows, "bulk and driver paths must agree bit-for-bit")
+    assert(autoRows.size == 4200 * 3)
+  }
+
   test("mmrSelect: diversity beats raw relevance (picks fan out across " +
     "clusters), first pick is max-relevance, reruns identical") {
     // clone-free clusters: clustered() repeats vectors every 21 ids, and an
