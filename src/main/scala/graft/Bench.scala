@@ -301,6 +301,7 @@ object Bench {
           val proc = pb.start()
           val done = proc.waitFor(90, java.util.concurrent.TimeUnit.MINUTES)
           if (!done) { proc.destroyForcibly(); System.err.println("[bench] x10 fork timed out — partial results kept") }
+          val childRc = if (done) proc.exitValue() else -1
           // line protocol: cal <sps> | q <name> <median> <n> <q1> <q3> runs...
           val lines = new String(java.nio.file.Files.readAllBytes(outFile),
             java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
@@ -314,12 +315,19 @@ object Bench {
               x10Detail(p(1)) = p.drop(6).map(_.toDouble).toSeq
             }
           }
+          // a crashed/killed child must not masquerade as a clean record: the
+          // mode string carries the truncation so the round diff can refuse it
+          if (childRc != 0 || x10Medians.size < cohort.size) {
+            System.err.println(s"[bench] x10 child rc=$childRc, " +
+              s"${x10Medians.size}/${cohort.size} queries recorded")
+            if (x10Medians.nonEmpty) x10Mode = "forked-jvm-partial"
+          }
           x10Medians.nonEmpty
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] x10 fork failed (${e.getMessage}) — inline fallback")
           false
         }
-      if (forked) x10Mode = "forked-jvm"
+      if (forked && x10Mode != "forked-jvm-partial") x10Mode = "forked-jvm"
       else {
         x10Mode = "inline-fallback"
         cohort.foreach { name =>

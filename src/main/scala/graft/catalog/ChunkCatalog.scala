@@ -306,7 +306,12 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     * (exists-checked), so a CAS retry that re-partitions the pending list from
     * fresh state never double-deletes or strands a file.
     */
-  def gc(nowMs: Long): Seq[String] = mutate { s =>
+  // gc bypasses the group committer: its delta's side effect (recursive
+  // parquet-directory deletion) can take seconds, and inside a grouped
+  // leader section it would hold the JVM-wide per-root lock and stall every
+  // concurrent flush — ungrouped it contends only through the CAS, exactly
+  // as pre-r10 (a grouped leader losing to gc's commit just retries).
+  def gc(nowMs: Long): Seq[String] = mutateUngrouped { s =>
     val (ripe, keep) = s.assembled.pendingDeletes.partition(_._2 <= nowMs)
     ripe.foreach { case (p, _) =>
       val f = Paths.get(p)
@@ -430,10 +435,15 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
           Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom.current()
             .nextLong(8L * (1L << math.min(attempt, 4))))
         }
-      } catch { case scala.util.control.NonFatal(e) =>
+      } catch { case e: Throwable =>
+        // complete EVERY queued latch on ANY throwable — an InterruptedException
+        // escaping here (backoff sleep, test-framework kill) would otherwise
+        // leave followers blocked in op.done.await() forever; fatals are
+        // re-thrown after the latches are released
         active.foreach { op =>
           if (op.done.getCount > 0) { op.error = e; op.done.countDown() }
         }
+        if (!scala.util.control.NonFatal(e)) throw e
       }
     }
 

@@ -221,7 +221,13 @@ object PromQL {
     // documented, since `SELECT *` cannot rewrite a projected column.
     val offNs = p.offsetSeconds.getOrElse(0L) * 1000000000L
     val timeCond = timeNs.map(t => s"timestamp_ns <= ${t - offNs}").toSeq
-    val tsExpr = if (offNs == 0L) "MAX(timestamp_ns)" else s"MAX(timestamp_ns) + $offNs"
+    // the forward timestamp mapping only applies when an evaluation time
+    // anchored the backward shift — with no timeNs the scan is unshifted, so
+    // shifting the reported timestamp would fabricate a time later than any
+    // scanned sample (offset on the instant path needs `time`; the HTTP
+    // layer always passes it)
+    val tsExpr = if (offNs == 0L || timeNs.isEmpty) "MAX(timestamp_ns)"
+                 else s"MAX(timestamp_ns) + $offNs"
     p.aggregation match {
       // EXTENSION: two-arg topk/bottomk get a real k-limit, ordered, LIMIT k.
       // Series representative: topk = MAX(value), bottomk = MIN(value) — a MAX
@@ -375,6 +381,12 @@ object PromQL {
       ll
     }
     labels.foreach(l => require(isValidIdentifier(l), s"invalid matching label: $l"))
+    // every on(...) label must be a column BOTH sides' subqueries actually
+    // project — otherwise the emitted SQL would reference a nonexistent
+    // column and throw at EXECUTION time, past the transpile-time fallback
+    labels.foreach(l => require(
+      rangeLabelCols(lp).contains(l) && rangeLabelCols(rp).contains(l),
+      s"on($l) not in both sides' result labels"))
     val lSql = transpileRange(lhs, startNs, endNs, stepSeconds)
     val rSql = transpileRange(rhs, startNs, endNs, stepSeconds)
     val joinCond = ("l.time_bucket = r.time_bucket" +:

@@ -154,7 +154,10 @@ object IvfIndex {
     lastPqProbeMode = "driver"
     val centroids = spark.read.parquet(centroidsPath(indexRoot)).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect()
+    // distinct: the old groupBy-sum ADC happened to tolerate duplicate panel
+    // rows (uniformly doubled scores + a distinct() before the rerank); the
+    // fold path must dedup explicitly or duplicates split row_number ranks
+    val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect().distinct
     // driver-side probe, same tie order as topK: |queries| × |centroids| cosines
     val probes: Seq[(Any, Seq[Int])] = qRows.toSeq.map { r =>
       val qv = decodeVec(r)

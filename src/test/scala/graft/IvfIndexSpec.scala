@@ -239,6 +239,14 @@ class IvfIndexSpec extends AnyFunSuite {
     // the bulk path must never materialize the query panel on the driver
     assert(!bulk.queryExecution.executedPlan.toString.contains("ExistingRDD"),
       "bulk PQ path must not collect the query panel onto the driver")
+    // duplicate panel rows (same query twice) must not split ranks: the
+    // driver path dedups the collected panel, so results equal the clean
+    // panel's exactly (the old groupBy-sum ADC tolerated dups by accident;
+    // the fold path dedups explicitly)
+    val dupPanel = queries.union(queries.limit(3))
+    val dup = IvfIndex.topKPq(spark, root, dupPanel, k = 5, nProbe = 2,
+      rerankFactor = 4)
+    assert(rows(dup) == driverRows, "duplicate panel rows corrupted ranks")
     // and it keeps the fold-not-explode ADC shape
     val bulkPlan = bulk.queryExecution.executedPlan.toString
     assert(!bulkPlan.contains("Generate") && !bulkPlan.contains("HashAggregate"))

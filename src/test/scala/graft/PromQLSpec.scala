@@ -115,6 +115,23 @@ class PromQLSpec extends AnyFunSuite {
     // plain queries: byte-identical to the non-binary transpiler
     assert(PromQL.transpileRange("sum by (host) (view)", 0L, 1L, 60L)
       .startsWith("SELECT (timestamp_ns DIV"))
+    // on(...) naming a label NEITHER side projects must fall back at
+    // TRANSPILE time (the emitted SQL would otherwise fail at execution,
+    // past the fallback) — bare selectors project no label columns
+    val onAbsent = PromQL.transpileRange("a / on(host) b", 0L, 1L, 60L)
+    assert(onAbsent.contains("FROM metrics") && !onAbsent.contains("l.`host`"), onAbsent)
+  }
+
+  test("EXTENSION: offset without an evaluation time must not shift the reported timestamp") {
+    // no timeNs anchor ⇒ the scan is unshifted, so adding the offset to the
+    // representative timestamp would fabricate a time later than any sample
+    val sql = PromQL.transpileInstant("sum(cpu offset 1h)")
+    assert(sql.contains("MAX(timestamp_ns) AS timestamp_ns") &&
+      !sql.contains("MAX(timestamp_ns) +"), sql)
+    // with the anchor, both the bound and the mapping shift
+    val anchored = PromQL.transpileInstant("sum(cpu offset 1h)", Some(7200000000000L))
+    assert(anchored.contains("timestamp_ns <= 3600000000000") &&
+      anchored.contains("MAX(timestamp_ns) + 3600000000000"), anchored)
   }
 
   test("bare selector") {
