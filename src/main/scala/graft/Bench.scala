@@ -188,6 +188,12 @@ object Bench {
     val warmRuns = (1 to 9).map(_ =>
       time { eng.sql(windowSql(1704067210000000000L)).collect() }).sorted
     val warmMedian = warmRuns(4)
+    // warm_rows (r11): the zero-row-work repeat serve — sqlRows hands back
+    // the localized entry's stored row array with no plan execution at all
+    // (the serve path the soak's warm leg now measures)
+    val warmRowsRuns = (1 to 9).map(_ =>
+      time { eng.sqlRows(windowSql(1704067210000000000L)) }).sorted
+    val warmRowsMedian = warmRowsRuns(4)
     val prunedRuns = (1 to 7).map { i =>
       time { eng.sql(windowSql(1704067215000000000L + i * 5000000000L)).collect() }
     }.sorted
@@ -327,10 +333,16 @@ object Bench {
           System.err.println(s"[bench] x10 fork failed (${e.getMessage}) — inline fallback")
           false
         }
+      // a PARTIAL fork keeps its fresh-heap medians (r10 ADVICE: the old
+      // else-arm overwrote forked-jvm-partial with inline-fallback, re-ran
+      // the WHOLE cohort in this GC-debted JVM and discarded the fork's
+      // results); inline fills only the missing queries, and the mode string
+      // still says partial so the round diff can see the mixed provenance.
+      // inline-fallback is reserved for a fork that produced nothing.
       if (forked && x10Mode != "forked-jvm-partial") x10Mode = "forked-jvm"
       else {
-        x10Mode = "inline-fallback"
-        cohort.foreach { name =>
+        if (!forked) x10Mode = "inline-fallback"
+        cohort.filterNot(x10Medians.contains).foreach { name =>
           val fn = SparkEntry.queries(name)
           val runs = scala.collection.mutable.ArrayBuffer[Double]()
           var spent = 0.0
@@ -413,6 +425,7 @@ object Bench {
       s""""compression_ratio":$compressionRatio,""" +
       s""""warm_query_median":${f3(warmMedian)},"warm_query_min":${f3(warmRuns.head)},""" +
       s""""warm_local":${f3(warmMedian)},"warm_persisted":${f3(warmPersistedMedian)},""" +
+      s""""warm_rows":${f3(warmRowsMedian)},""" +
       s""""l2_query_median":${f3(l2Median)},""" +
       s""""disk_mbps":$diskMbps,""" +
       s""""pruned_query_median":${f3(prunedMedian)},"pruned_query_min":${f3(prunedRuns.head)},""" +

@@ -123,6 +123,46 @@ object BenchX10 {
             s"iqr=[${f3(q1)},${f3(q3)}] runs=${runs.map(f3).mkString(",")}")
       }
     }
+    // IVF build/probe decomposition (r10 VERDICT #4: q_emb_ivf_indexed times
+    // index BUILD + probe in one number — the probe latency a user cares
+    // about was invisible). Replays the query's exact fixture: build is a
+    // fresh index each run (the one-time write-path cost), probe runs
+    // against the prebuilt index with the same panel/k/nProbe. Emitted via
+    // the same line protocol, so BENCH carries q_emb_ivf_indexed_build /
+    // _probe alongside the combined number. Unconditional: the cohort is
+    // dynamic (sf0.1 top-12), but the ANN probe latency must be a tracked
+    // number every round regardless of where the combined query ranks.
+    if (!sys.env.contains("GRAFT_X10_SKIP_IVF_SPLIT")) {
+      import org.apache.spark.sql.functions.{col, round => fround}
+      val emb = spark.read.parquet(s"$x10Dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      def stats(label: String, runs: Seq[Double]): Unit = {
+        val s = runs.sorted
+        emit(s"q $label ${f3(s(s.size / 2))} ${s.size} ${f3(s(s.size / 4))} " +
+          s"${f3(s(math.min(s.size - 1, (3 * s.size) / 4)))} " + runs.map(f3).mkString(" "))
+      }
+      val buildRuns = (1 to 3).map { _ =>
+        val root = graft.util.ShmDirs.tempDir("graft_x10_ivfb_").toString
+        val t = time { graft.sim.IvfIndex.build(emb, root, nCentroids = 8) }
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(root)))
+        t
+      }
+      stats("q_emb_ivf_indexed_build", buildRuns)
+      val probeRoot = graft.util.ShmDirs.tempDir("graft_x10_ivfp_").toString
+      graft.sim.IvfIndex.build(emb, probeRoot, nCentroids = 8)
+      val probeRuns = (1 to math.max(5, minRuns)).map { _ =>
+        time {
+          graft.sim.IvfIndex.topK(spark, probeRoot, queries, k = 5, nProbe = 8)
+            .withColumn("cosine", fround(col("cosine"), 4)).count()
+        }
+      }
+      stats("q_emb_ivf_indexed_probe", probeRuns)
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(probeRoot)))
+    }
+
     val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
       .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20

@@ -571,6 +571,44 @@ object SparkEntry {
         .orderBy("time_bucket", "host")
     }),
 
+    // §2.6 EXTENSION (r11) — CHAINED binary expression with real precedence:
+    // the Grafana percent-ratio panel `a / b * 100`. `*` binds tighter but
+    // left-assoc rightmost-split makes this (a / b) * 100; the scalar leaf
+    // applies map-side (no third join).
+    "q_promql_binary_chained" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange(
+          "sum by (host) (click) / sum by (host) (view) * 100", Jan1Ns, Feb1Ns, 21600L))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("time_bucket", "host")
+    }),
+
+    // §2.6 EXTENSION (r11) — histogram_quantile over classic le-bucketed
+    // cumulative series (the reference collapses histograms to `sum`, so the
+    // whole surface is a flagged extension). Fixture: each view event expands
+    // to one cumulative-indicator sample per le bucket; the transpiled SQL
+    // applies the Prometheus linear interpolation per (6 h bucket, host).
+    "q_promql_histogram_quantile" -> ((s, dir) => {
+      val les = Seq("0.5", "1", "2", "4", "+Inf")
+      eventsAsMetrics(s, dir).filter(col("metric_name") === "view")
+        .select(col("timestamp"), col("timestamp_ns"),
+          lit("lat_bucket").as("metric_name"), col("host"),
+          explode(array(les.map(lit(_)): _*)).as("le"),
+          col("value_f64"))
+        .withColumn("value_f64",
+          when(col("le") === "+Inf", lit(1.0d))
+            .otherwise(when(col("value_f64") <= col("le").cast("double"), lit(1.0d))
+              .otherwise(lit(0.0d))))
+        .withColumn("value_i64", lit(null).cast("long"))
+        .withColumn("value_u64", lit(null).cast("long"))
+        .createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange(
+          "histogram_quantile(0.9, sum by (le, host) (lat_bucket))",
+          Jan1Ns, Feb1Ns, 21600L))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("time_bucket", "host")
+    }),
+
     // §2.6 PromQL metadata: label_values(__name__) (prometheus_api.rs:380-500).
     "q_promql_label_values" -> ((s, dir) => {
       eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
@@ -2262,6 +2300,58 @@ object SparkEntry {
         |JOIN (SELECT * FROM b WHERE event_type = 'view') r
         |  ON l.time_bucket = r.time_bucket AND l.host = r.host
         |ORDER BY 1, 2""".stripMargin,
+
+    // chained binary: (click/view) ratio joined on (bucket, host), then the
+    // scalar *100 applied to the joined value — same association as the
+    // transpiler's rightmost-lowest-precedence split
+    "q_promql_binary_chained" ->
+      """WITH b AS (
+        |  SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        |    event_type, 'h' || CAST(user_id % 10 AS VARCHAR) AS host, sum(value) AS v
+        |  FROM events
+        |  WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT l.time_bucket, l.host, round(l.v / NULLIF(r.v, 0) * 100, 6) AS value
+        |FROM (SELECT * FROM b WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM b WHERE event_type = 'view') r
+        |  ON l.time_bucket = r.time_bucket AND l.host = r.host
+        |ORDER BY 1, 2""".stripMargin,
+
+    // histogram_quantile: replay of the fixture (per-event cumulative bucket
+    // indicators) + the Prometheus interpolation — lowest bucket whose
+    // cumulative count reaches 0.9·total, linear inside it, highest finite
+    // le when the rank lands in +Inf
+    "q_promql_histogram_quantile" ->
+      """WITH raw AS (
+        |  SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        |    'h' || CAST(user_id % 10 AS VARCHAR) AS host, value
+        |  FROM events WHERE event_type = 'view'
+        |    AND epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000),
+        |buckets AS (
+        |  SELECT time_bucket, host, led, SUM(ind) AS cnt FROM (
+        |    SELECT r.time_bucket, r.host, l.led,
+        |      CASE WHEN l.led = CAST('Infinity' AS DOUBLE) THEN 1.0
+        |           WHEN r.value <= l.led THEN 1.0 ELSE 0.0 END AS ind
+        |    FROM raw r CROSS JOIN (VALUES (0.5), (1.0), (2.0), (4.0),
+        |      (CAST('Infinity' AS DOUBLE))) l(led))
+        |  GROUP BY 1, 2, 3),
+        |lagd AS (
+        |  SELECT time_bucket, host, led, cnt,
+        |    LAG(led) OVER w AS prev_le, LAG(cnt) OVER w AS prev_v,
+        |    MAX(cnt) OVER g AS total,
+        |    MAX(CASE WHEN led < CAST('Infinity' AS DOUBLE) THEN led END) OVER g AS max_fin
+        |  FROM buckets
+        |  WINDOW w AS (PARTITION BY time_bucket, host ORDER BY led),
+        |         g AS (PARTITION BY time_bucket, host))
+        |SELECT time_bucket, host, round(value, 6) AS value FROM (
+        |  SELECT time_bucket, host,
+        |    CASE WHEN led = CAST('Infinity' AS DOUBLE) THEN max_fin
+        |         ELSE COALESCE(prev_le, 0) + (led - COALESCE(prev_le, 0))
+        |           * (0.9 * total - COALESCE(prev_v, 0))
+        |           / NULLIF(cnt - COALESCE(prev_v, 0), 0) END AS value,
+        |    ROW_NUMBER() OVER (PARTITION BY time_bucket, host ORDER BY led) AS pick
+        |  FROM lagd WHERE cnt >= 0.9 * total)
+        |WHERE pick = 1 ORDER BY time_bucket, host""".stripMargin,
 
     "q_promql_label_values" ->
       "SELECT DISTINCT event_type AS value FROM events ORDER BY value",

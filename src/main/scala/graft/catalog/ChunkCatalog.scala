@@ -302,18 +302,27 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
 
   /** Physically delete files whose grace period elapsed; returns deleted paths.
     * Manifest-only mutation: the pending list lives in the manifest, so GC cost
-    * no longer scales with catalog size. Physical deletion is idempotent
-    * (exists-checked), so a CAS retry that re-partitions the pending list from
-    * fresh state never double-deletes or strands a file.
+    * no longer scales with catalog size.
+    *
+    * Two phases (r11, closes the r10 ADVICE stall): physical deletion runs
+    * FIRST, outside every lock — the r10 form deleted inside the mutation,
+    * holding this instance's `lock` for the seconds a recursive
+    * parquet-directory delete can take, and a group-commit leader
+    * synchronizing on that same lock while holding the JVM-wide per-root
+    * leaderLock stalled every grouped flush on the root. The manifest
+    * mutation that follows is pending-list-only (microseconds under the
+    * lock) and routes through the NORMAL — possibly grouped — commit path.
+    * Safety: deletion is exists-checked idempotent, so a concurrent gc
+    * double-delete is harmless, and a failed/crashed commit leaves the paths
+    * pending for a later retry against already-deleted files. The mutation
+    * drops only entries whose path THIS call deleted (matched by path +
+    * ripe deadline), so a deferDelete racing between the phases is never
+    * dropped undeleted.
     */
-  // gc bypasses the group committer: its delta's side effect (recursive
-  // parquet-directory deletion) can take seconds, and inside a grouped
-  // leader section it would hold the JVM-wide per-root lock and stall every
-  // concurrent flush — ungrouped it contends only through the CAS, exactly
-  // as pre-r10 (a grouped leader losing to gc's commit just retries).
-  def gc(nowMs: Long): Seq[String] = mutateUngrouped { s =>
-    val (ripe, keep) = s.assembled.pendingDeletes.partition(_._2 <= nowMs)
-    ripe.foreach { case (p, _) =>
+  def gc(nowMs: Long): Seq[String] = {
+    val ripe = state.pendingDeletes.filter(_._2 <= nowMs).map(_._1)
+    if (ripe.isEmpty) return Nil
+    ripe.foreach { p =>
       val f = Paths.get(p)
       // chunks and rollups are parquet DIRECTORIES — delete recursively,
       // children first
@@ -324,7 +333,14 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
         finally walk.close()
       }
     }
-    Plan(Nil, Nil, _.copy(pendingDeletes = keep), ripe.map(_._1))
+    val ripeSet = ripe.toSet
+    mutate { _ =>
+      Plan(Nil, Nil, st => st.copy(pendingDeletes =
+        st.pendingDeletes.filterNot { case (p, due) =>
+          due <= nowMs && ripeSet(p)
+        }), ())
+    }
+    ripe
   }
 
   /** Force the next read to revalidate against disk. The in-memory store is

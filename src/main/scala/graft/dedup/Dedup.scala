@@ -390,33 +390,50 @@ object Dedup {
     *
     * Scale shape: windows are generated map-side (custom one-pass shingle
     * expression); the corpus-wide window→doc-count aggregation and the join back
-    * are both keyed on the window hash — collision-proportional shuffles, never
-    * O(n²). At 100 TB, hash the window string to a 64-bit key (xxhash64) so the
-    * shuffle carries 8-byte keys instead of raw 16-token strings.
+    * are both keyed on the 128-bit window-content hash ([[winKeyCols]]) —
+    * 16-byte shuffle keys instead of raw 16-token strings (~13× corpus bytes),
+    * collision-proportional, never O(n²).
     */
   def duplicatedPassageRatio(docs: DataFrame, windowTokens: Int = 16,
                              textCol: String = "text",
                              idCol: String = "doc_id"): DataFrame = {
     val eligible = docs
       .filter(graft.text.TextFunctions.tokenCount(col(textCol)) >= windowTokens)
-    // one row per window POSITION (intra-doc repeats keep their positions)
-    val positions = eligible.select(col(idCol),
-      explode(shingles(col(textCol), windowTokens)).as("__w"))
+    // one row per window POSITION (intra-doc repeats keep their positions);
+    // the string itself is dropped map-side — only the 16-byte key shuffles
+    val positions = eligible
+      .select(col(idCol), explode(shingles(col(textCol), windowTokens)).as("__w"))
+      .select(col(idCol) +: winKeyCols(col("__w")): _*)
     // #distinct docs containing each window; only multi-doc windows matter, and
     // only their keys are needed — prune before the join back
     val multiDoc = positions.distinct()
-      .groupBy("__w").agg(count(lit(1)).as("__nd"))
+      .groupBy(WinKeyNames.map(col): _*).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") > 1)
-      .select("__w")
+      .select(WinKeyNames.map(col): _*)
     val micro = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
     positions
-      .join(multiDoc.withColumn("__dup", lit(1L)), Seq("__w"), "left")
+      .join(multiDoc.withColumn("__dup", lit(1L)), WinKeyNames, "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         coalesce(sum("__dup"), lit(0L)).as("n_dup"))
       .withColumn("dup_ratio",
         micro(col("n_dup").cast("double") / col("n_windows").cast("double")))
   }
+
+  /** Column names of the 128-bit window-content shuffle key. */
+  private[dedup] val WinKeyNames = Seq("__h1", "__h2")
+
+  /** 128-bit content key of a window string as TWO independent xxhash64
+    * streams (the second prepends a constant salt column, which changes the
+    * hashed byte stream — an independent 64 bits). Keying the corpus-wide
+    * window aggregations and join-backs on these 16 bytes instead of the
+    * L-token string cuts exchange volume ~13× at L=13 (r10 VERDICT #1);
+    * 128 bits keeps EXACTNESS past birthday-bound collisions at 100 TB token
+    * counts — 64 bits alone reaches ~50% collision odds near 2³² distinct
+    * windows, and a collision would silently merge two different passages.
+    */
+  private[dedup] def winKeyCols(w: Column): Seq[Column] = Seq(
+    xxhash64(w).as("__h1"), xxhash64(lit("graft-win-2"), w).as("__h2"))
 
   // ---- dedup clustering ----------------------------------------------------
 
@@ -574,8 +591,11 @@ object Dedup {
     *
     * Scale shape: shuffles are (1) the window-key aggregation for first
     * occurrences, (2) the join back, (3) the per-doc reassembly — all linear
-    * in corpus size + duplicate mass, never all-pairs. Per-doc token arrays
-    * are bounded by doc length (collect_list is per-doc, not per-corpus).
+    * in corpus size + duplicate mass, never all-pairs, and (1)/(2) are keyed
+    * on the 128-bit content hash ([[winKeyCols]], 16 B/row through the
+    * exchange instead of the L-token string — r10 VERDICT #1). Per-doc token
+    * arrays are bounded by doc length (collect_list is per-doc, not
+    * per-corpus).
     */
   def removeDuplicatedPassages(docs: DataFrame,
                                windowTokens: Int = 13,
@@ -583,15 +603,18 @@ object Dedup {
                                idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
     // window instances at each start position (lowercased content key);
-    // (doc_id * 1e6 + start) is the portable first-occurrence order key —
-    // identical encoding in the DuckDB oracle (token positions < 1e6)
+    // struct (doc_id, start) is the first-occurrence order key — true
+    // lexicographic order at ANY doc length (the old doc_id·10⁶+start
+    // encoding silently mis-ordered docs past 10⁶ tokens; the DuckDB oracle's
+    // identical encoding stays equivalent because fixture positions < 10⁶)
     val wins = docs
       .filter(graft.text.TextFunctions.tokenCount(col(textCol)) >= windowTokens)
       .select(col(idCol),
         posexplode(shingles(col(textCol), windowTokens)).as(Seq("__start", "__w")))
-      .withColumn("__key", col(idCol) * 1000000L + col("__start"))
-    val firsts = wins.groupBy("__w").agg(min("__key").as("__first"))
-    val removedPos = wins.join(firsts, "__w")
+      .select(Seq(col(idCol), col("__start"),
+        struct(col(idCol), col("__start")).as("__key")) ++ winKeyCols(col("__w")): _*)
+    val firsts = wins.groupBy(WinKeyNames.map(col): _*).agg(min("__key").as("__first"))
+    val removedPos = wins.join(firsts, WinKeyNames)
       .filter(col("__key") > col("__first"))
       .select(col(idCol),
         explode(sequence(col("__start"), col("__start") + (windowTokens - 1))).as("__pos"))
@@ -632,14 +655,14 @@ object Dedup {
     *
     * Scale shape — the "sort volume" the suffix-array literature pays in
     * RAM, re-expressed as shuffles: (1) ONE window explode, O(total tokens)
-    * rows; (2) the duplicate test is one aggregation shuffle keyed on window
-    * content — at 100 TB key on a 128-bit hash of the window (the
-    * [[duplicatedPassageRatio]] note) so the exchange carries 16-byte keys,
-    * not L-token strings; (3) the join back on the same key touches only
-    * window instances, and the pre-join `__n ≥ 2` filter drops the unique
-    * mass (the overwhelming majority) before any further movement; (4) span
-    * merging is one per-doc sort window. Nothing is all-pairs; the driver
-    * materializes nothing.
+    * rows, the window STRING dropped map-side for the 128-bit content hash
+    * ([[winKeyCols]]); (2) the duplicate test is one aggregation shuffle
+    * keyed on those 16 bytes — not L-token strings (~13× corpus bytes at
+    * L=13, the r10 VERDICT #1 exchange); (3) the join back on the same key
+    * touches only window instances, and the pre-join `__n ≥ 2` filter drops
+    * the unique mass (the overwhelming majority) before any further
+    * movement; (4) span merging is one per-doc sort window. Nothing is
+    * all-pairs; the driver materializes nothing.
     */
   def exactSubstrSpans(docs: DataFrame, minTokens: Int = 13,
                        textCol: String = "text",
@@ -649,10 +672,11 @@ object Dedup {
       .filter(graft.text.TextFunctions.tokenCount(col(textCol)) >= minTokens)
       .select(col(idCol),
         posexplode(shingles(col(textCol), minTokens)).as(Seq("__start", "__w")))
+      .select(Seq(col(idCol), col("__start")) ++ winKeyCols(col("__w")): _*)
     // window contents occurring at ≥2 (doc, start) positions anywhere
-    val dupKeys = wins.groupBy("__w").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("__w")
-    val marked = wins.join(dupKeys, "__w").select(col(idCol), col("__start"))
+    val dupKeys = wins.groupBy(WinKeyNames.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(WinKeyNames.map(col): _*)
+    val marked = wins.join(dupKeys, WinKeyNames).select(col(idCol), col("__start"))
     // gaps-and-islands: consecutive duplicated starts share (start − row#)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy("__start")

@@ -114,6 +114,13 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
   private val localizedKeys =
     scala.collection.mutable.HashSet.empty[(String, Seq[String], Boolean)]
 
+  /** The collected rows behind each localized entry (guarded by planCache's
+    * lock) — the zero-row-work serve tier [[sqlRows]] hands straight back.
+    */
+  private val localRowsStore =
+    scala.collection.mutable.HashMap.empty[(String, Seq[String], Boolean),
+      Array[org.apache.spark.sql.Row]]
+
   /** Keys whose cached entry is a rollup-routed plan (lastServedFromRollup
     * stays truthful on cache hits).
     */
@@ -139,6 +146,7 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     }
     cachedBytes.remove(key)
     localizedKeys.remove(key)
+    localRowsStore.remove(key)
     rollupKeys.remove(key)
     topKKeys.remove(key)
   }
@@ -314,7 +322,9 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     } else {
       Telemetry.l2Hits.increment()
       val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      planCache.synchronized { planCache.put(key, local); localizedKeys += key }
+      planCache.synchronized {
+        planCache.put(key, local); localizedKeys += key; localRowsStore(key) = rows
+      }
       Some(local)
     }
   }
@@ -522,8 +532,13 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
         lastServedFromRollup = rollupKeys(key)
         lastTopKRouted = topKKeys(key)
         // persisted-but-not-yet-localized entry on a REPEAT hit → localize it
-        if (!localizeWarmHits || localizedKeys(key) || !cachedBytes.contains(key))
+        if (!localizeWarmHits || localizedKeys(key) || !cachedBytes.contains(key)) {
+          // localized hit: expose the stored rows so sqlRows() can serve them
+          // with ZERO plan execution (the reference's L1-serves-bytes shape)
+          if (localizedKeys(key))
+            localRowsStore.get(key).foreach(lastHitRows.set)
           return hit
+        }
         toLocalize = hit
       }
     }
@@ -676,9 +691,36 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
         // retained-bytes budget (localizedKeys keeps isResultCached true)
         cachedBytes.remove(key)
         planCache.put(key, local)
+        localRowsStore(key) = rows
         local
       }
     }
+  }
+
+  /** Thread-local handoff of a localized hit's stored rows from sqlScoped to
+    * [[sqlRows]] (null when the serve wasn't a localized L1 hit).
+    */
+  private val lastHitRows: ThreadLocal[Array[org.apache.spark.sql.Row]] =
+    new ThreadLocal[Array[org.apache.spark.sql.Row]]
+
+  /** The zero-row-work warm serve (r11, VERDICT #3): deliver a query's RESULT
+    * ROWS, serving a localized L1 repeat straight from the stored driver-side
+    * array — no Catalyst execution, no LocalRelation scan job, no per-row
+    * copying; the moral equivalent of the reference's moka L1 handing back
+    * cached bytes. Every other serve shape (first sighting, persisted
+    * distributed result, L2 promote, recompute) falls through to the normal
+    * sql().collect(), and the NEXT repeat is localized by the standard path.
+    * lastServeMode stays "l1" for the hit (it IS an L1 hit — the soak's
+    * warm-tail decomposition keys on that).
+    */
+  def sqlRows(query: String,
+              nowNs: Long = System.currentTimeMillis() * 1000000L)
+      : Array[org.apache.spark.sql.Row] = {
+    lastHitRows.remove()
+    val df = sqlScoped(query, nowNs, None)
+    val hit = lastHitRows.get()
+    lastHitRows.remove()
+    if (hit != null) hit else df.collect()
   }
 
   private def analyzeOptimized(query: String, nowNs: Long): Option[(TimeRange, Seq[ColumnPredicate])] =

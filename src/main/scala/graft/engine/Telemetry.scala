@@ -25,6 +25,8 @@ object Telemetry {
   val cacheMisses = new LongAdder
   val l2Hits = new LongAdder
   val l2Demotions = new LongAdder
+  /** HTTP responses served as pre-serialized cached bytes (r11 warm tier). */
+  val httpByteCacheHits = new LongAdder
   val rollupRouted = new LongAdder
   val ingestRows = new LongAdder
   val ingestBytes = new LongAdder
@@ -67,6 +69,9 @@ object Telemetry {
         "L1 misses served from the L2 disk result-cache tier", l2Hits.sum()) +
       c("graft_query_l2_cache_demotions_total",
         "L1 evictions demoted to the L2 disk tier", l2Demotions.sum()) +
+      c("graft_http_byte_cache_hits_total",
+        "HTTP responses served as pre-serialized cached bytes",
+        httpByteCacheHits.sum()) +
       c("graft_query_rollup_routed_total",
         "Queries answered from a registered rollup instead of raw chunks",
         rollupRouted.sum()) +

@@ -403,6 +403,102 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Flattened per-query ADC lookup table (PQ scoring, Jégou et al. 2011) as
+    * ONE expression regardless of m·k: out[s·k + c] =
+    * floor(dot(query_sub_s, codebook(s)(c)) · 1e6 + 0.5) as long, with the
+    * dot accumulated in the SAME sequential left-to-right order as the
+    * compositional slice → zip_with → aggregate chain (bit-parity pinned by
+    * IvfIndexSpec). Why custom: the composed form materializes m·k separate
+    * slice/zip_with/aggregate subtrees inside one array(...) projection —
+    * 32 trees at the test sizes (m=4, k=8) but 2048–4096 at realistic PQ
+    * sizes (m=8–16, k=256), where generated code exceeds JIT/Janino method
+    * limits and analysis time blows up (r10 ADVICE). Here the tree is one
+    * node and the LUT loop is compiled Scala. Codebooks ride inside the
+    * expression (m·k·d doubles — the same bytes a broadcast would carry).
+    */
+  case class AdcLutFlat(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with UnarySketchCodegen {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def refName: String = "adcLutFlat"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_lut_flat needs array<float|double>, got $other")
+      }
+    @transient private lazy val isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    def compute(arr: ArrayData): ArrayData = {
+      val m = codebooks.length
+      val k = codebooks(0).length
+      val d = codebooks(0)(0).length
+      val n = arr.numElements()
+      val q = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        q(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      val out = new Array[Long](m * k)
+      var s = 0
+      while (s < m) {
+        val base = s * d
+        val lim = math.min(d, math.max(0, n - base))
+        var c = 0
+        while (c < k) {
+          val cv = codebooks(s)(c)
+          var dot = 0.0
+          var j = 0
+          while (j < lim) { dot += q(base + j) * cv(j); j += 1 }
+          out(s * k + c) = math.floor(dot * 1e6 + 0.5).toLong
+          c += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def withNewChildInternal(c: Expression): AdcLutFlat = copy(child = c)
+  }
+
+  /** A document's exact-BIGINT ADC score: Σ_s lutFlat[s·k + codes(s)] — the
+    * per-corpus-row PQ scoring hot loop as one compiled pass. The composed
+    * zip_with(sequence)/element_at/aggregate form evaluates interpreted
+    * lambdas per row on the heaviest scan of the ANN path; this is a flat
+    * loop over two unboxed arrays. Integer sum ⇒ order-independent and
+    * bit-equal to the composed form (IvfIndexSpec pins parity).
+    */
+  case class AdcFold(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_fold needs (array<int> codes, array<bigint> lut), got $other")
+      }
+    def compute(codes: ArrayData, lut: ArrayData): Long = {
+      val m = codes.numElements()
+      var sum = 0L
+      var s = 0
+      while (s < m) { sum += lut.getLong(s * k + codes.getInt(s)); s += 1 }
+      sum
+    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Long.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val ref = ctx.addReferenceObj("adcFold", this, classOf[AdcFold].getName)
+        s"${ev.value} = $ref.compute($l, $r);"
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcFold =
+      copy(left = l, right = r)
+  }
+
   /** `mightContainLong` probe against a serialized
     * `org.apache.spark.util.sketch.BloomFilter`. The filter bytes ride in the
     * serialized plan (shipped to each executor once per stage via the task
@@ -452,4 +548,8 @@ object HashExpressions {
     GraftBridge.column(NearestCentroidL2(ex(vec), centroids))
   def bloom_might_contain_long(hash: Column, bloomBytes: Array[Byte]): Column =
     GraftBridge.column(BloomMightContainLong(ex(hash), bloomBytes))
+  def adc_lut_flat(queryVec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(AdcLutFlat(ex(queryVec), codebooks))
+  def adc_fold(codes: Column, lutFlat: Column, k: Int): Column =
+    GraftBridge.column(AdcFold(ex(codes), ex(lutFlat), k))
 }

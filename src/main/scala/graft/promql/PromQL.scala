@@ -266,13 +266,26 @@ object PromQL {
     * prometheus_api.rs:938-1087). stepSeconds buckets; ns bounds inclusive.
     */
   def transpileRange(q: String, startNs: Long, endNs: Long, stepSeconds: Long): String = {
+    // EXTENSION: histogram_quantile over le-bucketed series — see
+    // [[transpileHistogramQuantile]]. Failure falls through to the binary /
+    // whole-string treatments (parser totality).
+    val hqSql = scala.util.Try(
+      transpileHistogramQuantile(q, startNs, endNs, stepSeconds)).toOption.flatten
+    if (hqSql.isDefined) return hqSql.get
     // EXTENSION: vector binary operator between two range vectors — see
     // [[transpileRangeBinary]]. Any failure of the binary interpretation
     // (unparseable side, mismatched matching labels without on(...)) falls
     // back to the reference's whole-string treatment below, preserving the
-    // parser-totality contract.
+    // parser-totality contract. A single vector-op-vector query routes
+    // through the r10 single-op transpiler UNCHANGED (byte-identity,
+    // spec-pinned); chains and scalar operands take the r11
+    // precedence-aware tree path ([[transpileRangeBinaryChained]]).
     val binSql = binarySplit(q).flatMap { case (l, op, on, r) =>
-      scala.util.Try(transpileRangeBinary(l, op, on, r, startNs, endNs, stepSeconds)).toOption
+      scala.util.Try(
+        if (binarySplit(r).isDefined || isScalarLiteral(l) || isScalarLiteral(r))
+          transpileRangeBinaryChained(q, startNs, endNs, stepSeconds)
+        else transpileRangeBinary(l, op, on, r, startNs, endNs, stepSeconds)
+      ).toOption
     }
     if (binSql.isDefined) return binSql.get
     val p = parse(q)
@@ -400,6 +413,212 @@ object PromQL {
     s"""SELECT $outCols, $valueExpr AS value
        |FROM ($lSql) l JOIN ($rSql) r ON $joinCond
        |ORDER BY $orderCols""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- r11 EXTENSION: chained binary expressions with real precedence ------
+
+  private[graft] sealed trait VecNode
+  private[graft] final case class VecLeaf(expr: String) extends VecNode
+  private[graft] final case class ScalarLeaf(value: String) extends VecNode
+  private[graft] final case class VecBin(l: VecNode, op: Char,
+      on: Option[Seq[String]], r: VecNode) extends VecNode
+
+  private[graft] def isScalarLiteral(s: String): Boolean =
+    s.trim.matches("[0-9]+(\\.[0-9]+)?")
+
+  /** Every top-level (depth-0, outside quotes) binary operator position in
+    * `q`. A '-' whose left side is blank (string start or directly after
+    * another operator) is a SIGN, not an operator — same rule as
+    * [[binarySplit]].
+    */
+  private def topLevelOps(q: String): Seq[(Int, Char)] = {
+    val ops = scala.collection.mutable.ArrayBuffer[(Int, Char)]()
+    var depth = 0; var inQ = false; var i = 0
+    var operandStart = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inQ) { if (c == '"' && (i == 0 || q.charAt(i - 1) != '\\')) inQ = false }
+      else c match {
+        case '"' => inQ = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case '+' | '*' | '/' if depth == 0 =>
+          ops += ((i, c)); operandStart = i + 1
+        case '-' if depth == 0 && q.substring(operandStart, i).trim.nonEmpty =>
+          ops += ((i, '-')); operandStart = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    ops.toSeq
+  }
+
+  private val onModRe = """^on\s*\(([^)]*)\)\s*(.+)$""".r
+
+  /** Precedence-aware parse of a chained vector expression: `*`/`/` bind
+    * tighter than `+`/`-`, all left-associative (the Prometheus table, minus
+    * the ^/comparison/set tiers its grammar also carries). Left associativity
+    * falls out of splitting at the RIGHTMOST operator of the LOWEST present
+    * precedence. Numeric literals become [[ScalarLeaf]]s.
+    */
+  private[graft] def parseVecTree(q: String): VecNode = {
+    val s = q.trim
+    val ops = topLevelOps(s)
+    if (ops.isEmpty) {
+      if (isScalarLiteral(s)) ScalarLeaf(s) else VecLeaf(s)
+    } else {
+      val addSub = ops.filter(o => o._2 == '+' || o._2 == '-')
+      val (pos, op) = if (addSub.nonEmpty) addSub.last else ops.last
+      val l = s.substring(0, pos)
+      val rRaw = s.substring(pos + 1).trim
+      val (on, rhs) = rRaw match {
+        case onModRe(labels, rest) =>
+          (Some(labels.split(",").map(_.trim).filter(_.nonEmpty).toSeq), rest.trim)
+        case _ => (None, rRaw)
+      }
+      require(l.trim.nonEmpty && rhs.nonEmpty, s"dangling operator in: $q")
+      VecBin(parseVecTree(l), op, on, parseVecTree(rhs))
+    }
+  }
+
+  /** EXTENSION (r11) — chained vector binary expressions with real precedence
+    * (`sum by (host)(click) / sum by (host)(view) * 100`): the expression
+    * parses into a left-assoc precedence tree ([[parseVecTree]]) and
+    * transpiles bottom-up — vector∘vector as the [[transpileRangeBinary]]
+    * INNER join on (time_bucket, matching labels), vector∘scalar as plain
+    * arithmetic on the value column (no join). Same divergences as the
+    * single-op form: metric_name/`__name__` dropped, ÷0 → NULL. A
+    * scalar∘scalar expression is refused (falls back to the reference's
+    * whole-string treatment, keeping the parser total).
+    */
+  def transpileRangeBinaryChained(q: String, startNs: Long, endNs: Long,
+                                  stepSeconds: Long): String = {
+    val root = parseVecTree(q)
+    require(root.isInstanceOf[VecBin], s"not a binary expression: $q")
+    val (sql, labels) = transpileNode(root, startNs, endNs, stepSeconds)
+    val orderCols = ("time_bucket" +: labels.map(l => s"`$l`")).mkString(", ")
+    s"$sql ORDER BY $orderCols"
+  }
+
+  /** Bottom-up transpile of a [[VecNode]]: returns (SQL producing
+    * (time_bucket, labels..., value), the label column set). Scalar leaves
+    * never reach here directly — their parents inline them.
+    */
+  private def transpileNode(n: VecNode, startNs: Long, endNs: Long,
+                            stepSeconds: Long): (String, Seq[String]) = n match {
+    case ScalarLeaf(v) =>
+      throw new IllegalArgumentException(s"scalar-only expression: $v")
+    case VecLeaf(e) =>
+      val p = parse(e)
+      require(isValidIdentifier(p.metricName),
+        s"binary operand must be a vector expression: $e")
+      (transpileRange(e, startNs, endNs, stepSeconds), rangeLabelCols(p))
+    case VecBin(lNode, op, on, rNode) =>
+      require("+-*/".contains(op), s"unsupported operator $op")
+      (lNode, rNode) match {
+        case (_: ScalarLeaf, _: ScalarLeaf) =>
+          throw new IllegalArgumentException("scalar-scalar expression")
+        case (ScalarLeaf(v), rv) =>
+          require(on.isEmpty, "on(...) is meaningless with a scalar operand")
+          val (rSql, rLabels) = transpileNode(rv, startNs, endNs, stepSeconds)
+          val outCols = ("l.time_bucket" +: rLabels.map(l => s"l.`$l`")).mkString(", ")
+          val valueExpr =
+            if (op == '/') s"$v / NULLIF(l.value, 0)" else s"$v $op l.value"
+          (s"SELECT $outCols, $valueExpr AS value FROM ($rSql) l", rLabels)
+        case (lv, ScalarLeaf(v)) =>
+          require(on.isEmpty, "on(...) is meaningless with a scalar operand")
+          val (lSql, lLabels) = transpileNode(lv, startNs, endNs, stepSeconds)
+          val outCols = ("l.time_bucket" +: lLabels.map(l => s"l.`$l`")).mkString(", ")
+          val valueExpr =
+            if (op == '/') s"l.value / NULLIF($v, 0)" else s"l.value $op $v"
+          (s"SELECT $outCols, $valueExpr AS value FROM ($lSql) l", lLabels)
+        case (lv, rv) =>
+          val (lSql, lLabels) = transpileNode(lv, startNs, endNs, stepSeconds)
+          val (rSql, rLabels) = transpileNode(rv, startNs, endNs, stepSeconds)
+          val labels = on.getOrElse {
+            require(lLabels == rLabels,
+              s"sides carry different labels (${lLabels.mkString(",")} vs " +
+                s"${rLabels.mkString(",")}); use on(...)")
+            lLabels
+          }
+          labels.foreach(l => require(isValidIdentifier(l), s"invalid matching label: $l"))
+          labels.foreach(l => require(lLabels.contains(l) && rLabels.contains(l),
+            s"on($l) not in both sides' result labels"))
+          val joinCond = ("l.time_bucket = r.time_bucket" +:
+            labels.map(l => s"l.`$l` = r.`$l`")).mkString(" AND ")
+          val outCols = ("l.time_bucket" +: labels.map(l => s"l.`$l`")).mkString(", ")
+          val valueExpr = op match {
+            case '/' => "l.value / NULLIF(r.value, 0)"
+            case _ => s"l.value $op r.value"
+          }
+          (s"SELECT $outCols, $valueExpr AS value FROM ($lSql) l JOIN ($rSql) r ON $joinCond",
+            labels)
+      }
+  }
+
+  // ---- r11 EXTENSION: histogram_quantile ------------------------------------
+
+  private val histQuantRe: Regex =
+    """^\s*histogram_quantile\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*,\s*(.+)\)\s*$""".r
+
+  /** EXTENSION (r11) — `histogram_quantile(φ, <inner>)` over classic
+    * `le`-bucketed cumulative series (the reference stores histograms
+    * collapsed to `sum`, so this whole surface is a flagged extension; real
+    * Prometheus semantics): the inner expression MUST group by `le` (plus
+    * any other labels); per (time_bucket, other labels) the quantile is the
+    * Prometheus linear interpolation inside the lowest bucket whose
+    * cumulative count reaches φ·total — `prevLe + (le−prevLe)·(rank−prevCnt)
+    * /(cnt−prevCnt)`, with bucket start 0 below the lowest bucket and the
+    * highest FINITE le returned when φ·total lands in the +Inf bucket.
+    * Divergences (documented): an empty/zero-total group yields NULL (not
+    * NaN); `metric_name` is dropped exactly as Prometheus drops `__name__`
+    * on function application. Returns None when the shape doesn't match
+    * (totality: caller falls through).
+    */
+  def transpileHistogramQuantile(q: String, startNs: Long, endNs: Long,
+                                 stepSeconds: Long): Option[String] = q match {
+    case histQuantRe(phiS, inner) =>
+      val phi = phiS.toDouble
+      require(phi >= 0.0 && phi <= 1.0, s"quantile out of [0,1]: $phi")
+      val p = parse(inner)
+      require(p.aggregation.isDefined && p.groupBy.contains("le"),
+        s"histogram_quantile needs an inner aggregation grouped by le: $inner")
+      val innerSql = transpileRange(inner, startNs, endNs, stepSeconds)
+      val others = p.groupBy.filterNot(_ == "le").map(l => s"`$l`")
+      val grp = ("time_bucket" +: others).mkString(", ")
+      val outCols = if (others.isEmpty) "time_bucket" else grp
+      // le sort key: '+Inf' → IEEE infinity (both Spark and DuckDB accept
+      // CAST('Infinity' AS DOUBLE)); everything numeric otherwise
+      val sql =
+        s"""SELECT $outCols, value FROM (
+           |  SELECT $grp,
+           |    CASE WHEN led = CAST('Infinity' AS DOUBLE) THEN max_fin
+           |         ELSE COALESCE(prev_le, 0) + (led - COALESCE(prev_le, 0))
+           |           * (rank - COALESCE(prev_v, 0))
+           |           / NULLIF(cnt - COALESCE(prev_v, 0), 0) END AS value,
+           |    ROW_NUMBER() OVER (PARTITION BY $grp ORDER BY led) AS pick
+           |  FROM (
+           |    SELECT $grp, led, value AS cnt, prev_le, prev_v, max_fin,
+           |      $phi * total AS rank
+           |    FROM (
+           |      SELECT $grp, led, value,
+           |        LAG(led) OVER (PARTITION BY $grp ORDER BY led) AS prev_le,
+           |        LAG(value) OVER (PARTITION BY $grp ORDER BY led) AS prev_v,
+           |        MAX(value) OVER (PARTITION BY $grp) AS total,
+           |        MAX(CASE WHEN led < CAST('Infinity' AS DOUBLE) THEN led END)
+           |          OVER (PARTITION BY $grp) AS max_fin
+           |      FROM (
+           |        SELECT *, CASE WHEN `le` = '+Inf' THEN CAST('Infinity' AS DOUBLE)
+           |                       ELSE CAST(`le` AS DOUBLE) END AS led
+           |        FROM ($innerSql)
+           |      )
+           |    )
+           |    WHERE value >= $phi * total
+           |  )
+           |) WHERE pick = 1
+           |ORDER BY $outCols""".stripMargin.replace("\n", " ")
+      Some(sql)
+    case _ => None
   }
 
   /** EXTENSION — true Prometheus two-level semantics for `agg(rangefn(m[w]))`

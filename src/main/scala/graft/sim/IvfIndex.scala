@@ -224,8 +224,13 @@ object IvfIndex {
     val cbs = loadCodebooks(spark, indexRoot).getOrElse(
       throw new IllegalArgumentException(s"no PQ codebooks at $indexRoot — build with pqM > 0"))
     val centDf = spark.read.parquet(centroidsPath(indexRoot))
+    // dedup the panel (r10 ADVICE): the driver path dedups its collected rows
+    // ("the fold path must dedup explicitly or duplicates split row_number
+    // ranks") — the bulk path must do the same or a >threshold panel with
+    // duplicate rows diverges from the documented bit-identical driver path
+    val panel = queries.select(col(queryIdCol), col(queryVecCol)).distinct()
     val ww = Window.partitionBy(queryIdCol).orderBy(col("__csim").desc, col("cell"))
-    val probes = queries.select(col(queryIdCol), col(queryVecCol))
+    val probes = panel
       .crossJoin(broadcast(centDf))
       .withColumn("__csim", Similarity.cosine(col(queryVecCol), col("centroid")))
       .withColumn("__crank", row_number().over(ww))
@@ -248,7 +253,7 @@ object IvfIndex {
     probedScan(spark, indexRoot, cells)
       .select(col(idCol), col(vecCol), col("cell"))
       .join(shortlist, idCol)
-      .join(queries.select(col(queryIdCol), col(queryVecCol)), queryIdCol)
+      .join(panel, queryIdCol)
       .withColumn("cosine", Similarity.cosine(col(vecCol), col(queryVecCol)))
       .withColumn("rank", row_number().over(rerank))
       .filter(col("rank") <= k)
@@ -290,7 +295,10 @@ object IvfIndex {
     lastProbeMode = "driver"
     val centroids = spark.read.parquet(centroidsPath(indexRoot)).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect()
+    // distinct: a duplicated panel row would duplicate its probe rows and the
+    // joined candidates, splitting row_number ranks (same hazard the PQ paths
+    // guard — r10 ADVICE)
+    val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect().distinct
 
     // driver-side probe: |queries| × |centroids| cosines — both tiny
     val probes: Seq[(Any, Seq[Int])] = qRows.toSeq.map { r =>
@@ -335,7 +343,9 @@ object IvfIndex {
                queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     val centDf = spark.read.parquet(centroidsPath(indexRoot))
     val ww = Window.partitionBy(queryIdCol).orderBy(col("__csim").desc, col("cell"))
-    val probes = queries.select(col(queryIdCol), col(queryVecCol))
+    // distinct: duplicate panel rows would duplicate joined candidates and
+    // split row_number ranks (r10 ADVICE, same guard as the driver path)
+    val probes = queries.select(col(queryIdCol), col(queryVecCol)).distinct()
       .crossJoin(broadcast(centDf))
       .withColumn("__csim", Similarity.cosine(col(queryVecCol), col("centroid")))
       .withColumn("__crank", row_number().over(ww))

@@ -309,6 +309,32 @@ class EngineSpec extends AnyFunSuite {
     assert(eng2.isResultCached(tiny2), "most recent entry survives the sweep")
   }
 
+  test("r11 sqlRows: localized repeat serves the stored row array with ZERO " +
+    "Spark jobs; results identical; invalidated by new data") {
+    val (eng, cat) = freshEngine()
+    val q = s"""SELECT metric_name, COUNT(*) AS cnt FROM metrics
+               |WHERE timestamp_ns >= $t0 AND timestamp_ns < ${t0 + hourNs}
+               |GROUP BY metric_name ORDER BY metric_name""".stripMargin
+    val want = eng.sql(q).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    eng.sql(q).collect() // repeat hit → localization
+    assert(eng.sqlRows(q).map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+    // the fast path hands back the STORED array instance itself — reference
+    // equality across repeats proves zero plan execution / zero row copying
+    // (a collect() would allocate a fresh array every call)
+    val got1 = eng.sqlRows(q)
+    val got2 = eng.sqlRows(q)
+    assert(got1.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+    assert(eng.lastServeMode.get() == "l1")
+    assert(got1 eq got2, "sqlRows must serve the stored row array, not re-collect")
+    // new data changes the pruned-path key: sqlRows must NOT serve stale rows
+    val pts = Seq(graft.ingest.MetricPoint(t0 + 100L, "cpu_usage", 9.0,
+      Map("host" -> "server9")))
+    new ChunkWriter(cat).write(Converters.pointsToDf(spark, pts))
+    val fresh = eng.sqlRows(q).map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fresh.find(_._1 == "cpu_usage").get._2 == want.find(_._1 == "cpu_usage").get._2 + 1,
+      s"sqlRows served stale rows after ingest: $fresh vs $want")
+  }
+
   test("localization collect guard: benign failures fall back, fatal errors propagate") {
     val (eng, _) = freshEngine()
     // a SparkException (e.g. a lost cached block) → null ⇒ stay distributed

@@ -149,6 +149,41 @@ class HashExprCodegenSpec extends AnyFunSuite {
     assert(collectCodegen(pdf, nearest_centroid_l2(col("a"), far)).head == 1)
   }
 
+  test("adc_lut_flat + adc_fold: codegen == interpreted bit-for-bit, fused") {
+    import spark.implicits._
+    val m = 4; val k = 8; val d = 2
+    val cbs: Array[Array[Array[Double]]] = Array.tabulate(m, k, d)((s, c, j) =>
+      math.sin(s * 131 + c * 17 + j * 3) * 2.5)
+    val vdf = vectors.toSeq.toDF("a")
+    val cLut = collectCodegen(vdf, adc_lut_flat(col("a"), cbs))
+      .map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq)
+    val eLut = vectors.map { v =>
+      AdcLutFlat(GraftBridge.expression(lit(v.map(_.toDouble))), cbs)
+        .compute(dblArr(v)).toLongArray().toSeq
+    }
+    assert(cLut.toSeq == eLut, "adc_lut_flat diverges")
+
+    val coded = vectors.indices.map { i =>
+      (Array.tabulate(m)(s => (i * 13 + s * 5) % k).toSeq,
+        Array.tabulate(m * k)(j => (j * 104729L + i * 31L) % 100003L).toSeq)
+    }
+    val cdf = coded.toDF("codes", "lut")
+    val cFold = collectCodegen(cdf, adc_fold(col("codes"), col("lut"), k))
+      .map(_.asInstanceOf[Long])
+    val eFold = coded.map { case (codes, lut) =>
+      AdcFold(GraftBridge.expression(lit(1)), GraftBridge.expression(lit(1)), k)
+        .compute(new GenericArrayData(codes.toArray[Any]),
+          new GenericArrayData(lut.toArray[Any]))
+    }
+    assert(cFold.toSeq == eFold, "adc_fold diverges")
+    // both stay inside a WholeStageCodegen span (no fallback)
+    val plan = withCodegenOnly(
+      vdf.select(adc_lut_flat(col("a"), cbs).as("f")).queryExecution.executedPlan.toString)
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"adc_lut_flat projection not fused:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"fallback leaked into plan:\n$plan")
+  }
+
   test("bloom_might_contain_long: codegen == interpreted, no false negatives") {
     import spark.implicits._
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)

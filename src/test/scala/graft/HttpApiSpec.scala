@@ -101,6 +101,48 @@ class HttpApiSpec extends AnyFunSuite {
     series.foreach(s => assert((s \ "values").asInstanceOf[JArray].arr.size == 2))
   }
 
+  test("r11 response-byte cache: repeat query_range serves identical cached " +
+    "bytes; a catalog commit invalidates; TTL 0 disables") {
+    // dedicated warehouse + api: this test INGESTS (to prove invalidation),
+    // which must not perturb the shared fixture's row counts
+    val cat = new ChunkCatalog(Files.createTempDirectory("graft_bcache_"), cacheTtlMs = 0L)
+    val pts0 = for (host <- Seq("server1", "server2"); i <- 0 until 6)
+      yield MetricPoint(t0 + i * 600L * 1000000000L, "mem_usage",
+        i / 10.0, Map("host" -> host))
+    new ChunkWriter(cat).write(Converters.pointsToDf(spark, pts0))
+    val a = new HttpApi(new QueryEngine(spark, cat), port = 0).start()
+    def getA(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${a.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val startS = t0 / 1000000000L
+      val q = java.net.URLEncoder.encode("sum by (host) (mem_usage)", "UTF-8")
+      val path = s"/api/v1/query_range?query=$q&start=$startS&end=${startS + 7200L}&step=3600"
+      val h0 = graft.engine.Telemetry.httpByteCacheHits.sum()
+      val first = getA(path)
+      assert(first.statusCode() == 200)
+      val second = getA(path)
+      assert(second.body() == first.body(), "cached bytes must equal the computed response")
+      assert(graft.engine.Telemetry.httpByteCacheHits.sum() > h0,
+        "repeat within TTL must be a byte-cache hit")
+      // a committed write bumps the manifest version → NEW key → fresh compute
+      // that sees the new data (no stale bytes across commits)
+      val pts = Seq(MetricPoint(t0 + 50L, "mem_usage", 42.0, Map("host" -> "server1")))
+      new ChunkWriter(cat).write(Converters.pointsToDf(spark, pts))
+      val third = getA(path)
+      assert(third.statusCode() == 200)
+      assert(third.body() != first.body(),
+        "post-commit repeat must recompute (key carries the manifest version)")
+      // TTL 0 disables the tier entirely
+      val h1 = graft.engine.Telemetry.httpByteCacheHits.sum()
+      a.responseByteCacheTtlMs = 0L
+      getA(path); getA(path)
+      assert(graft.engine.Telemetry.httpByteCacheHits.sum() == h1,
+        "TTL 0 must disable byte-cache serving")
+    } finally a.stop()
+  }
+
   test("labels, label values, series endpoints") {
     import org.json4s._
     val labels = org.json4s.jackson.JsonMethods.parse(get("/api/v1/labels").body())

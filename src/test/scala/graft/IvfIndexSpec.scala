@@ -247,9 +247,41 @@ class IvfIndexSpec extends AnyFunSuite {
     val dup = IvfIndex.topKPq(spark, root, dupPanel, k = 5, nProbe = 2,
       rerankFactor = 4)
     assert(rows(dup) == driverRows, "duplicate panel rows corrupted ranks")
-    // and it keeps the fold-not-explode ADC shape
+    // the BULK route must dedup too (r10 ADVICE: the bulk path joined the
+    // raw panel in both the probe and rerank stages, so a >threshold panel
+    // with duplicate rows split row_number ranks across them)
+    val dupBulk = IvfIndex.topKPq(spark, root, dupPanel, k = 5, nProbe = 2,
+      rerankFactor = 4, bulkThreshold = 8)
+    assert(IvfIndex.lastPqProbeMode == "bulk")
+    assert(rows(dupBulk) == driverRows, "bulk route: duplicate panel rows corrupted ranks")
+    // the probe-all Quantize.pqTopK path dedups as well
+    val cbs0 = IvfIndex.loadCodebooks(spark, root).get
+    val pqRows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        .sortBy(t => (t._1, t._4))
+    assert(pqRows(Quantize.pqTopK(corpus, dupPanel, cbs0, k = 5)) ==
+      pqRows(Quantize.pqTopK(corpus, queries, cbs0, k = 5)),
+      "pqTopK: duplicate panel rows corrupted ranks")
+    // non-PQ index probes: driver and bulk routes dedup duplicated panels
+    val plainRows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        .sortBy(t => (t._1, t._4))
+    val plainClean = plainRows(IvfIndex.topK(spark, root, queries, k = 5, nProbe = 2))
+    assert(plainRows(IvfIndex.topK(spark, root, dupPanel, k = 5, nProbe = 2)) == plainClean)
+    assert(plainRows(IvfIndex.topK(spark, root, dupPanel, k = 5, nProbe = 2,
+      bulkThreshold = 8)) == plainClean)
+    // and it keeps the fold-not-explode ADC shape: no Generate anywhere, and
+    // the only aggregate allowed is the r11 PANEL dedup (distinct over
+    // (query_id, query_vec) — |queries| rows); the CORPUS-side ADC stage must
+    // stay a per-row fold, so no aggregate may touch pq_codes or the __sm score
     val bulkPlan = bulk.queryExecution.executedPlan.toString
-    assert(!bulkPlan.contains("Generate") && !bulkPlan.contains("HashAggregate"))
+    assert(!bulkPlan.contains("Generate"), bulkPlan)
+    bulkPlan.linesIterator.filter(_.contains("HashAggregate")).foreach { l =>
+      assert(!l.contains("pq_codes") && !l.contains("__sm"),
+        s"ADC stage re-aggregated instead of folding:\n$l")
+      assert(l.contains("query_id") || l.contains("query_vec"),
+        s"unexpected aggregate (not the panel dedup):\n$l")
+    }
     // LUT parity: the flattened map-side LUT carries the SAME longs as the
     // join-form adcLut (slice → zip_with → fold → floor, bit-equal)
     val cbs = IvfIndex.loadCodebooks(spark, root).get
@@ -400,5 +432,44 @@ class IvfIndexSpec extends AnyFunSuite {
     val want = Similarity.bruteForceTopK(rows, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(got == want)
+  }
+
+  test("r11 ADC custom expressions: AdcLutFlat / AdcFold are bit-equal to the " +
+    "composed slice/zip_with/aggregate forms, float and double inputs, larger m*k") {
+    import graft.sim.Quantize
+    import spark.implicits._
+    // synthetic codebooks at a size where the composed form is already 256
+    // expression trees (m=8, k=32, d=4 over dim 32) — the shape class the
+    // custom expression exists for
+    val m = 8; val k = 32; val d = 4
+    val cbs: Array[Array[Array[Double]]] = Array.tabulate(m, k, d)((s, c, j) =>
+      math.sin(s * 131 + c * 17 + j * 3) * 2.5)
+    val vecsF = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(m * d)(j => (math.cos(i * 7 + j) * 3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val flat = vecsF.select(col("vec_id"),
+        Quantize.adcLutFlatCol(col("embedding"), cbs).as("f"),
+        Quantize.adcLutFlatColComposed(col("embedding"), cbs).as("g"))
+      .collect()
+    flat.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"AdcLutFlat != composed for vec ${r.getLong(0)}")
+    }
+    // double input too (the IVF-PQ probe rows carry array<double> after
+    // l2Normalize)
+    val vecsD = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(m * d)(j => math.cos(i * 7 + j) * 3).toSeq)
+    }.toDF("vec_id", "embedding")
+    vecsD.select(Quantize.adcLutFlatCol(col("embedding"), cbs).as("f"),
+        Quantize.adcLutFlatColComposed(col("embedding"), cbs).as("g"))
+      .collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // fold parity: random code words folded against a LUT column
+    val coded = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(m)(s => (i * 31 + s * 7) % k).toSeq,
+        Array.tabulate(m * k)(j => (j * 2654435761L + i) % 1000003L).toSeq)
+    }.toDF("vec_id", "codes", "lut")
+    coded.select(Quantize.adcFoldCol(col("codes"), col("lut"), k, m).as("f"),
+        Quantize.adcFoldColComposed(col("codes"), col("lut"), k, m).as("g"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 }

@@ -109,9 +109,10 @@ class PromQLSpec extends AnyFunSuite {
     // whole-string treatment (metric-name fallback — never a throw)
     val fb = PromQL.transpileRange("sum by (a) (x) / sum by (b) (y)", 0L, 1L, 60L)
     assert(fb.contains("FROM metrics"), fb)
-    // chained operators refused (no silent mis-association) — falls back too
+    // chained operators (r11): no longer refused — transpiled with real
+    // precedence as nested joins (see the dedicated chained test below)
     val chain = PromQL.transpileRange("a * b + c", 0L, 1L, 60L)
-    assert(chain.contains("FROM metrics"), chain)
+    assert(chain.contains(") l JOIN (") && chain.contains("l.value + r.value"), chain)
     // plain queries: byte-identical to the non-binary transpiler
     assert(PromQL.transpileRange("sum by (host) (view)", 0L, 1L, 60L)
       .startsWith("SELECT (timestamp_ns DIV"))
@@ -120,6 +121,106 @@ class PromQLSpec extends AnyFunSuite {
     // past the fallback) — bare selectors project no label columns
     val onAbsent = PromQL.transpileRange("a / on(host) b", 0L, 1L, 60L)
     assert(onAbsent.contains("FROM metrics") && !onAbsent.contains("l.`host`"), onAbsent)
+  }
+
+  test("EXTENSION r11: chained binary expressions — precedence tree, scalar " +
+    "operands, single-op routing byte-identical to the r10 transpiler") {
+    import graft.promql.PromQL.{VecBin, VecLeaf, ScalarLeaf}
+    // */ binds tighter than +-, left-assoc: a * b + c = (a*b) + c
+    assert(PromQL.parseVecTree("a * b + c") ==
+      VecBin(VecBin(VecLeaf("a"), '*', None, VecLeaf("b")), '+', None, VecLeaf("c")))
+    // equal precedence left-assoc: a / b * 100 = (a/b) * 100, scalar leaf
+    assert(PromQL.parseVecTree("a / b * 100") ==
+      VecBin(VecBin(VecLeaf("a"), '/', None, VecLeaf("b")), '*', None, ScalarLeaf("100")))
+    // on(...) binds to ITS operator inside the chain
+    assert(PromQL.parseVecTree("a / on(host) b + c") ==
+      VecBin(VecBin(VecLeaf("a"), '/', Some(Seq("host")), VecLeaf("b")),
+        '+', None, VecLeaf("c")))
+    // the Grafana percent panel: scalar applied map-side (no third join)
+    val sql = PromQL.transpileRange(
+      "sum by (host) (click) / sum by (host) (view) * 100", 0L, 1000000000L, 60L)
+    assert(sql.contains("l.value / NULLIF(r.value, 0)"), sql)
+    assert(sql.contains("l.value * 100 AS value"), sql)
+    assert(sql.endsWith("ORDER BY time_bucket, `host`"), sql)
+    assert(sql.split("JOIN").length == 2, s"scalar leaf must not add a join: $sql")
+    // scalar-LEFT division guards the vector side: 100 / x → NULLIF(l.value)
+    val sl = PromQL.transpileRange("100 / sum by (host) (view)", 0L, 1L, 60L)
+    assert(sl.contains("100 / NULLIF(l.value, 0)"), sl)
+    // scalar-scalar refused → whole-string fallback (parser totality)
+    val ss = PromQL.transpileRange("1 + 2", 0L, 1L, 60L)
+    assert(ss.contains("metric_name = '1 + 2'"), ss)
+    // SINGLE vector-op-vector queries route through the r10 transpiler
+    // byte-identically (spec-pinned byte identity, VERDICT r11 #4)
+    val single = "sum by (host) (click) / sum by (host) (view)"
+    assert(PromQL.transpileRange(single, 0L, 1000000000L, 60L) ==
+      PromQL.transpileRangeBinary("sum by (host) (click)", '/', None,
+        "sum by (host) (view)", 0L, 1000000000L, 60L))
+  }
+
+  test("EXTENSION r11: chained binary — executed semantics on a fixture " +
+    "(ratio*100 values, inner-join drop, precedence over +)") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val t = 1000000000L // 1 s in ns
+    Seq(
+      // (ts_ns, metric, host, v): bucket 0 has click 2 / view 8 on h1;
+      // view-only on h2 (must DROP from the inner join)
+      (1L * t, "click", "h1", 2.0), (1L * t, "view", "h1", 8.0),
+      (2L * t, "view", "h2", 5.0),
+      (61L * t, "click", "h1", 3.0), (61L * t, "view", "h1", 4.0))
+      .map { case (ts, m, h, v) => (ts, m, h, v, null.asInstanceOf[java.lang.Long],
+        null.asInstanceOf[java.lang.Long]) }
+      .toDF("timestamp_ns", "metric_name", "host", "value_f64", "value_i64", "value_u64")
+      .createOrReplaceTempView("metrics")
+    val sql = PromQL.transpileRange(
+      "sum by (host) (click) / sum by (host) (view) * 100", 0L, 120L * t, 60L)
+    val got = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, "h1", 25.0), (60L * t, "h1", 75.0)), got.toString)
+    // precedence: a + b * c must compute b*c first (h1 bucket 0:
+    // click + view*view = 2 + 64 = 66, NOT (2+8)*8 = 80)
+    val sql2 = PromQL.transpileRange(
+      "sum by (host) (click) + sum by (host) (view) * sum by (host) (view)",
+      0L, 59L * t, 60L)
+    val got2 = spark.sql(sql2).collect().map(r => r.getDouble(2)).toSeq
+    assert(got2 == Seq(66.0), got2.toString)
+  }
+
+  test("EXTENSION r11: histogram_quantile — interpolation, +Inf cap, le " +
+    "grouping required, totality fallback") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val t = 1000000000L
+    // one bucket window, host h1: cumulative counts 10 (le=1), 15 (le=2),
+    // 20 (+Inf). φ=0.5 → rank 10 → first bucket (prev 0): 0 + 1*(10/10) = 1.0;
+    // φ=0.6 → rank 12 → second bucket: 1 + (2-1)*(12-10)/(15-10) = 1.4;
+    // φ=0.9 → rank 18 → +Inf bucket → highest finite le = 2.0
+    val rows = Seq(("1", 10.0), ("2", 15.0), ("+Inf", 20.0)).flatMap { case (le, c) =>
+      // encode cumulative counts as c samples of value 1 per bucket? simpler:
+      // one sample per bucket whose SUM is the cumulative count
+      Seq((1L * t, "lat_bucket", "h1", le, c))
+    }
+    rows.map { case (ts, m, h, le, v) => (ts, m, h, le, v,
+        null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]) }
+      .toDF("timestamp_ns", "metric_name", "host", "le", "value_f64",
+        "value_i64", "value_u64")
+      .createOrReplaceTempView("metrics")
+    def q(phi: Double): Seq[(Long, String, Double)] = {
+      val sql = PromQL.transpileRange(
+        s"histogram_quantile($phi, sum by (le, host) (lat_bucket))", 0L, 59L * t, 60L)
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    }
+    assert(q(0.5) == Seq((0L, "h1", 1.0)), q(0.5).toString)
+    assert(q(0.6) == Seq((0L, "h1", 1.4)), q(0.6).toString)
+    assert(q(0.9) == Seq((0L, "h1", 2.0)), q(0.9).toString)
+    // inner aggregation not grouped by le → totality fallback, never a throw
+    val fb = PromQL.transpileRange(
+      "histogram_quantile(0.9, sum by (host) (lat_bucket))", 0L, 1L, 60L)
+    assert(fb.contains("FROM metrics"), fb)
+    // φ out of [0,1] → fallback
+    val fb2 = PromQL.transpileRange(
+      "histogram_quantile(1.5, sum by (le) (lat_bucket))", 0L, 1L, 60L)
+    assert(!fb2.contains("max_fin"), fb2)
   }
 
   test("EXTENSION: offset without an evaluation time must not shift the reported timestamp") {

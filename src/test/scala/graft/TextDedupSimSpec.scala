@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 import graft.dedup.Dedup
@@ -696,6 +697,117 @@ class TextDedupSimSpec extends AnyFunSuite {
     val sub = (1 to 12).map(i => s"r$i").mkString(" ")
     assert(graft.dedup.Dedup.exactSubstrSpans(
       docs((1L, s"$sub x"), (2L, s"$sub y")), 13).count() == 0L)
+  }
+
+  test("r11 hash-keyed window shuffles: outputs identical to the string-keyed " +
+    "forms on a collision-bait corpus (substr spans, passage remove, dup ratio)") {
+    import org.apache.spark.sql.DataFrame
+    // collision-bait: heavy cross-doc duplication (every block shared by all
+    // docs), near-identical windows differing in ONE token, intra-doc
+    // repeats — the shapes where a hash-key slip (collision handling, dedup
+    // semantics, join multiplicity) would surface as a diff
+    val block = (1 to 30).map(i => s"t$i").mkString(" ")
+    val bait = docs((0 until 10).map { i =>
+      (i.toLong, s"$block u$i $block v${i % 3} $block")
+    }: _*)
+
+    // pre-r11 STRING-keyed reference forms (the r10 implementations, verbatim)
+    def refSpans(df: DataFrame, l: Int): DataFrame = {
+      val wins = df.filter(graft.text.TextFunctions.tokenCount(col("text")) >= l)
+        .select(col("doc_id"),
+          posexplode(Dedup.shingles(col("text"), l)).as(Seq("__start", "__w")))
+      val dupKeys = wins.groupBy("__w").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2).select("__w")
+      val marked = wins.join(dupKeys, "__w").select(col("doc_id"), col("__start"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy("__start")
+      marked.withColumn("__grp", col("__start") - row_number().over(w))
+        .groupBy(col("doc_id"), col("__grp"))
+        .agg(min("__start").as("__s"), max("__start").as("__e"))
+        .select(col("doc_id"), col("__s").cast("long").as("span_start"),
+          (col("__e") + (l - 1)).cast("long").as("span_end"),
+          (col("__e") - col("__s") + l).cast("long").as("span_tokens"))
+    }
+    def spanRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val spans = Dedup.exactSubstrSpans(bait, 13)
+    assert(spanRows(spans) == spanRows(refSpans(bait, 13)))
+    // the exchanges key on the 16-byte hash pair, never the window string
+    // (r10 VERDICT #1: ~13× corpus bytes through a string-keyed shuffle)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__h1"),
+      s"expected hash-keyed exchange in:\n$plan")
+    assert(!plan.contains("hashpartitioning(__w"),
+      s"window-string shuffle key leaked back in:\n$plan")
+
+    def refRemove(df: DataFrame, l: Int): DataFrame = {
+      val toks = df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      val wins = df.filter(graft.text.TextFunctions.tokenCount(col("text")) >= l)
+        .select(col("doc_id"),
+          posexplode(Dedup.shingles(col("text"), l)).as(Seq("__start", "__w")))
+        .withColumn("__key", col("doc_id") * 1000000L + col("__start"))
+      val firsts = wins.groupBy("__w").agg(min("__key").as("__first"))
+      val removedPos = wins.join(firsts, "__w")
+        .filter(col("__key") > col("__first"))
+        .select(col("doc_id"),
+          explode(sequence(col("__start"), col("__start") + (l - 1))).as("__pos"))
+        .distinct()
+      val tokPos = toks.select(col("doc_id"), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      val kept = tokPos.join(removedPos, Seq("doc_id", "__pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("kept_text"),
+          count(lit(1)).as("n_kept"))
+      toks.select(col("doc_id"), size(col("__toks")).cast("long").as("__n"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    }
+    def removeRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(removeRows(Dedup.removeDuplicatedPassages(bait, 13)) ==
+      removeRows(refRemove(bait, 13)))
+
+    def refRatio(df: DataFrame, l: Int): DataFrame = {
+      val eligible = df.filter(graft.text.TextFunctions.tokenCount(col("text")) >= l)
+      val positions = eligible.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), l)).as("__w"))
+      val multiDoc = positions.distinct()
+        .groupBy("__w").agg(count(lit(1)).as("__nd"))
+        .filter(col("__nd") > 1).select("__w")
+      val micro = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+      positions.join(multiDoc.withColumn("__dup", lit(1L)), Seq("__w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          coalesce(sum("__dup"), lit(0L)).as("n_dup"))
+        .withColumn("dup_ratio",
+          micro(col("n_dup").cast("double") / col("n_windows").cast("double")))
+    }
+    def ratioRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    assert(ratioRows(Dedup.duplicatedPassageRatio(bait, 16)) ==
+      ratioRows(refRatio(bait, 16)))
+  }
+
+  test("removeDuplicatedPassages: struct order key safe past 1e6 token positions " +
+    "(the old doc_id*1e6+start encoding tied and kept BOTH copies)") {
+    val passage = (1 to 13).map(i => s"dup$i").mkString(" ")
+    // doc 0 holds the passage at start = 1,000,001 — the old long key
+    // 0*1e6 + 1000001 COLLIDED with doc 1's 1*1e6 + 1, so min() tied and
+    // `__key > __first` kept both copies; the struct key orders
+    // (0, 1000001) < (1, 1) and removes doc 1's copy
+    val filler = (0 until 1000001).map(i => s"f$i").mkString(" ")
+    val d = docs(
+      (0L, s"$filler $passage"),
+      (1L, s"lead $passage"))
+    val got = graft.dedup.Dedup.removeDuplicatedPassages(d, 13)
+      .select(col("doc_id"), col("n_removed")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L, s"first occurrence (doc 0) must keep: $got")
+    assert(got(1L) == 13L, s"doc 1's duplicate copy must be removed: $got")
   }
 
   test("connectedComponents: chains, rings, isolated pairs, min-id labels") {
