@@ -608,7 +608,7 @@ object Soak {
       s""""dropped":$sniDropped,"docs_per_sec":${(sniInput.get() / sniWall).toLong},""" +
       s""""index_sigs_start":$sigs0,"index_sigs_end":$sigs1,""" +
       s""""growth_matches_accepted":$sniGrowthOk,"ok":$sniOk}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r10.json"),
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r11.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[soak] sidecar write failed: $e") }
