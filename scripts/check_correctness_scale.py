@@ -80,6 +80,18 @@ def main():
 
     con = connect()
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Staged oracle forms (r12): Verify dumps oracle_scale_stages.json for
+    # queries whose one-query oracle exceeds single-node DuckDB memory
+    # (q_doc_bpe_encode's vocab-wide merge chain under the per-doc list
+    # reassembly). A stage = {setup: [stmts], sql: final SELECT with a
+    # {CHUNK} placeholder inside its source WHERE, chunk_key, chunks}. The
+    # setup materializes the heavy shared state ONCE into a temp table (its
+    # own CTEs are freed when the statement ends); the final select is then
+    # digested chunk-by-chunk so per-doc aggregate state never exceeds 1/N
+    # of the corpus. Used ONLY on the digest path — the sf0.01 driver gate
+    # still grades the plain oracle.
+    stages_path = os.path.join(out_dir, "oracle_scale_stages.json")
+    stages = json.load(open(stages_path)) if os.path.exists(stages_path) else {}
     results = {}
     n_ok = n_fail = n_timeout = 0
 
@@ -143,6 +155,53 @@ def main():
             return False, f"multiset digest mismatch over {sn} rows"
         return True, sn
 
+    def digest_compare_staged(name, spark_glob, stage):
+        try:
+            return _digest_compare_staged(name, spark_glob, stage)
+        finally:
+            for stmt in stage.get("teardown", []):
+                try:
+                    con.execute(stmt)
+                except Exception:
+                    pass
+
+    def _digest_compare_staged(name, spark_glob, stage):
+        for stmt in stage["setup"]:
+            con.execute(stmt)
+        con.execute("CREATE OR REPLACE VIEW __spark_out AS "
+                    f"SELECT * FROM '{spark_glob}'")
+        cols = [r[0] for r in con.execute("DESCRIBE __spark_out").fetchall()]
+        empty_oracle = stage["sql"].replace("{CHUNK}", "AND 1=0")
+        ocols = [r[0] for r in con.execute(
+            f"DESCRIBE ({empty_oracle})").fetchall()]
+        if sorted(cols) != sorted(ocols):
+            return False, f"columns {sorted(cols)} vs {sorted(ocols)}"
+        sel = ", ".join(
+            f"coalesce(CAST(\"{c}\" AS VARCHAR), '\x01null')"
+            for c in sorted(cols))
+        key, n = stage["chunk_key"], int(stage["chunks"])
+        total = 0
+        for i in range(n):
+            # the SAME DuckDB hash partitions both sides (both views are
+            # DuckDB-evaluated over the same key values), so each chunk is
+            # an exact multiset comparison; summing per-chunk digests would
+            # also work but per-chunk compare localizes a failure
+            osql = stage["sql"].replace(
+                "{CHUNK}", f"AND hash({key}) % {n} = {i}")
+            on_, oh = con.execute(
+                f"SELECT count(*), sum(hash(concat_ws('\x1f', {sel}))::HUGEINT) "
+                f"FROM ({osql}) t").fetchone()
+            sn, sh = con.execute(
+                f"SELECT count(*), sum(hash(concat_ws('\x1f', {sel}))::HUGEINT) "
+                f"FROM (SELECT * FROM __spark_out WHERE hash({key}) % {n} = {i}) t"
+            ).fetchone()
+            if sn != on_:
+                return False, f"chunk {i}/{n}: rows {sn} vs {on_}"
+            if sh != oh:
+                return False, f"chunk {i}/{n}: multiset digest mismatch over {sn} rows"
+            total += sn
+        return True, total
+
     def flush():
         # atomic: a kill mid-write must not truncate the file the NEXT run's
         # resume (and the retry loop's progress check) depends on
@@ -154,7 +213,14 @@ def main():
                            "per_query": results}, f, indent=1)
             os.replace(tmp, json_out)
 
-    for name in sorted(os.listdir(out_dir)):
+    # DEFER_QUERIES=a,b,c (r12): named queries run LAST, in listed order —
+    # the known memory-heavy oracles must not crash the process before the
+    # cheap cohort has been graded (r11's 100× run lost 29 cheap queries to
+    # an early bpe-encode abort)
+    defer = [x for x in os.environ.get("DEFER_QUERIES", "").split(",") if x]
+    names = sorted(os.listdir(out_dir))
+    names = [x for x in names if x not in defer] + [x for x in defer if x in names]
+    for name in names:
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
@@ -185,9 +251,18 @@ def main():
         results[name] = {"status": "in_progress", "rows": n_spark_rows}
         flush()
         del results[name]
-        if (n_spark_rows > BIG_ROWS or name in force_digest) and name in oracles:
+        if (n_spark_rows > BIG_ROWS or name in force_digest
+                or name in stages) and name in oracles:
             t0 = time.time()
             timed_out = [False]
+
+            def run_digest():
+                if name in stages:
+                    return digest_compare_staged(
+                        name, os.path.join(d, "*.parquet"), stages[name])
+                return digest_compare(
+                    name, os.path.join(d, "*.parquet"), oracles[name],
+                    n_spark_rows)
 
             def interrupt():
                 timed_out[0] = True
@@ -197,15 +272,11 @@ def main():
             timer.start()
             try:
                 try:
-                    ok, info = digest_compare(
-                        name, os.path.join(d, "*.parquet"), oracles[name],
-                        n_spark_rows)
+                    ok, info = run_digest()
                 except Exception as e1:
                     # stale interrupt from a previous query's late timer
                     if "INTERRUPT" in str(e1).upper() and not timed_out[0]:
-                        ok, info = digest_compare(
-                            name, os.path.join(d, "*.parquet"), oracles[name],
-                            n_spark_rows)
+                        ok, info = run_digest()
                     else:
                         raise
             except Exception as e:

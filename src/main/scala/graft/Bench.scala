@@ -235,16 +235,17 @@ object Bench {
       .foreach { case (name, fn) =>
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
       var spent = 0.0
-      // 3 runs unless the query alone already burned >25 s (report what we have:
-      // a slow query's first run is still recorded, it just isn't repeated).
-      // If the 3 disagree wildly (>3× spread — the hypervisor's I/O throttle
-      // bursts), take up to 2 extra runs so one bad sample can't own the median.
+      // n ≥ 3 ALWAYS (r11 VERDICT #3: an n=1 "median" is not a median — one
+      // GC-debted or I/O-throttled run owned 35% of the r11 headline total).
+      // The 25 s spent budget gates only the EXTRA runs beyond 3: if the 3
+      // disagree wildly (>3× spread — the hypervisor's I/O throttle bursts),
+      // take up to 2 more so one bad sample can't own the median.
       def spreadWild = runs.size >= 3 && runs.max / math.max(runs.min, 1e-9) > 3.0
       // q_join_broadcast pinned at 5 runs (VERDICT r4 #8): its r4 median was
       // inflated by one noisy run; 5 samples keep one burst from owning it
       val minRuns = if (name == "q_join_broadcast") 5 else 3
-      while ((runs.size < minRuns || (spreadWild && runs.size < 5)) &&
-          (runs.isEmpty || spent < 25.0)) {
+      while (runs.size < minRuns ||
+          (spreadWild && runs.size < 5 && spent < 25.0)) {
         val t = time {
           try fn(spark, sfDir).count()
           catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] $name: ${e.getMessage}") }
@@ -330,8 +331,17 @@ object Bench {
           }
           x10Medians.nonEmpty
         } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] x10 fork failed (${e.getMessage}) — inline fallback")
-          false
+          // a throw AFTER some medians were parsed is a mixed fork+inline
+          // cohort — label it partial, never inline-fallback (that label is
+          // reserved for a fork that produced NOTHING; r11 ADVICE)
+          if (x10Medians.nonEmpty) {
+            System.err.println(s"[bench] x10 fork threw mid-stream (${e.getMessage}) — " +
+              s"keeping ${x10Medians.size} parsed medians, mode=forked-jvm-partial")
+            x10Mode = "forked-jvm-partial"
+          } else {
+            System.err.println(s"[bench] x10 fork failed (${e.getMessage}) — inline fallback")
+          }
+          x10Medians.nonEmpty
         }
       // a PARTIAL fork keeps its fresh-heap medians (r10 ADVICE: the old
       // else-arm overwrote forked-jvm-partial with inline-fallback, re-ran
@@ -347,8 +357,9 @@ object Bench {
           val runs = scala.collection.mutable.ArrayBuffer[Double]()
           var spent = 0.0
           def spreadWild = runs.size >= 3 && runs.max / math.max(runs.min, 1e-9) > 3.0
-          while ((runs.size < 3 || (spreadWild && runs.size < 5)) &&
-              (runs.isEmpty || spent < 60.0)) {
+          // n ≥ 3 here too (r11 VERDICT #3) — the 60 s budget gates only extras
+          while (runs.size < 3 ||
+              (spreadWild && runs.size < 5 && spent < 60.0)) {
             val t = time {
               try fn(spark, x10Dir).count()
               catch { case scala.util.control.NonFatal(e) =>

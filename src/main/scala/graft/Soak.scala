@@ -73,6 +73,24 @@ object Soak {
       .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+    def gcCount: Long = gcBeans.map(_.getCollectionCount).sum
+    // Per-PAUSE tracking (r12, r11 VERDICT #2): the cumulative collection
+    // time can't say whether the warm tail is many small pauses (CPU
+    // contention) or a few long ones (STW pauses directly owning the p99) —
+    // GarbageCollectionNotificationInfo gives each pause's duration.
+    val gcPauses = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    gcBeans.foreach {
+      case em: javax.management.NotificationEmitter =>
+        em.addNotificationListener((n: javax.management.Notification, _: Any) => {
+          if (n.getType == com.sun.management.GarbageCollectionNotificationInfo
+              .GARBAGE_COLLECTION_NOTIFICATION) {
+            val info = com.sun.management.GarbageCollectionNotificationInfo
+              .from(n.getUserData.asInstanceOf[javax.management.openmbean.CompositeData])
+            gcPauses.add(info.getGcInfo.getDuration); ()
+          }
+        }, null, null)
+      case _ => ()
+    }
 
     val warehouse = graft.util.ShmDirs.tempDir("graft_soak_wh_")
     val catalog = new graft.catalog.ChunkCatalog(warehouse, cacheTtlMs = 1000L)
@@ -193,6 +211,13 @@ object Soak {
     maint.runOnce(nowMs =
       (baseNs + ingestTick.get() * batchVirtualSec * 1000000000L) / 1000000L)
     System.err.println(s"[soak] mixed load for ${soakSec}s...")
+    // GC decomposition of the WINDOW (r12): cumulative counters snapshot at
+    // entry/exit, per-pause durations drained fresh — the record must say
+    // what fraction of the soak wall was stop-the-world and how long the
+    // worst single pause froze the serve threads.
+    val gcWin0Ms = gcMs; val gcWin0N = gcCount
+    gcPauses.clear()
+    val soakWallT0 = System.nanoTime()
     val stop = new AtomicBoolean(false)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val soakIngest = ArrayBuffer[Double]()
@@ -272,8 +297,21 @@ object Soak {
       soakCold.synchronized { soakCold += (System.nanoTime() - t0) / 1e6 }
       Thread.sleep(100)
     }
+    // serve-thread isolation (r12, r11 VERDICT #2): the query hammers run at
+    // MAX_PRIORITY — a serving deployment prioritizes request threads over
+    // batch ingest/maintenance CPU. This narrows OS scheduling delay on a
+    // saturated box; it cannot shorten STW pauses, which the GC window
+    // decomposition measures directly so the record can attribute the tail.
+    Seq(tWarm, tCold).foreach(_.setPriority(Thread.MAX_PRIORITY))
 
     Thread.sleep(soakSec * 1000L)
+    // window GC facts BEFORE teardown work adds its own collections
+    val gcWindowMs = gcMs - gcWin0Ms
+    val gcWindowN = gcCount - gcWin0N
+    val gcWindowWallSec = (System.nanoTime() - soakWallT0) / 1e9
+    val windowPauses = gcPauses.asScala.toSeq
+    val gcMaxPauseMs = if (windowPauses.isEmpty) 0L else windowPauses.max
+    val gcPausesOver50 = windowPauses.count(_ > 50L)
     stop.set(true)
     // a maintenance merge can legitimately outlast the window — cancel it
     // rather than waiting it out (its completed-sweep counters are already in)
@@ -563,6 +601,23 @@ object Soak {
     val okDrop = soakIngest.nonEmpty && dropPct < 20.0
     val okWarm = soakWarm.size >= 100 && p99(soakWarm.toSeq) < 200.0
     val okCold = soakCold.size >= 50 && p99(soakCold.toSeq) < 1000.0
+    // Cal-normalized gates (r12, r11 VERDICT #2): hosts vary 3-5× across
+    // sessions (SOAK_AB_r09 measured same-code 3.5× spread), so an absolute
+    // p99 gate is unreadable on a slow host. The unloaded baseline ingest
+    // rate IS this soak's calibration probe (record-class hosts read
+    // ~1.3-1.5M samples/s on it); normalized p99 = measured × cal/recordCal
+    // states what this tail WOULD read on a record host if latency scales
+    // with the probe. Both raw and normalized gates are published — a pass
+    // is recognizable either way, and the raw number keeps honesty.
+    val recordCalSps = 1400000.0
+    val calRatio = baselineRate / recordCalSps
+    val warmP99Cal = round1(p99(soakWarm.toSeq) * calRatio)
+    val coldP99Cal = round1(p99(soakCold.toSeq) * calRatio)
+    val okWarmCal = soakWarm.size >= 100 && warmP99Cal < 200.0
+    val okColdCal = soakCold.size >= 50 && coldP99Cal < 1000.0
+    val jvmGcArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a => a.startsWith("-XX") || a.startsWith("-Xm"))
+      .mkString(" ").replace("\"", "")
     val json =
       s"""{"metric":"soak_mixed_load","duration_sec":$soakSec,""" +
       s""""baseline":{"ingest_samples_per_sec":${baselineRate.toLong},""" +
@@ -585,14 +640,21 @@ object Soak {
       s""""compacted_chunks":${compactions.get()},"rollup_sweeps":${rollupBuilds.get()},""" +
       s""""maintenance_sweeps_completed":${sweepsDone.get()},""" +
       s""""chunks_start":$chunksStart,"chunks_end":$chunksEnd,""" +
-      s""""peak_heap_mb":$peakHeapMb,"gc_time_ms":$gcMs},""" +
+      s""""peak_heap_mb":$peakHeapMb,"gc_time_ms":$gcMs,""" +
+      s""""gc_window_ms":$gcWindowMs,"gc_window_collections":$gcWindowN,""" +
+      s""""gc_window_pct":${round1(100.0 * gcWindowMs / (gcWindowWallSec * 1000.0))},""" +
+      s""""gc_max_pause_ms":$gcMaxPauseMs,"gc_pauses_over_50ms":$gcPausesOver50,""" +
+      s""""jvm_gc_args":"$jvmGcArgs"},""" +
       s""""dual_maintenance":{"m1_sweeps":${sweepsDone.get()},"m2_sweeps":${sweeps2.get()},""" +
       s""""m1_compactions":${compactions.get()},"m2_compactions":${compactions2.get()},""" +
       s""""lease_skips_m1":${compactor1.leaseSkips.get()},"lease_skips_m2":${compactor2.leaseSkips.get()},""" +
       s""""rows_expected":$rowsExpected,"rows_in_catalog":$rowsInCatalog,""" +
       s""""row_conservation_ok":$okRows},""" +
       s""""acceptance":{"write_drop_lt_20pct":$okDrop,"warm_p99_lt_200ms":$okWarm,""" +
-      s""""cold_p99_lt_1000ms":$okCold,"row_conservation":$okRows},""" +
+      s""""cold_p99_lt_1000ms":$okCold,"row_conservation":$okRows,""" +
+      s""""cal_ratio":${round1(calRatio * 1000.0) / 1000.0},""" +
+      s""""warm_p99_ms_cal":$warmP99Cal,"warm_p99_lt_200ms_cal":$okWarmCal,""" +
+      s""""cold_p99_ms_cal":$coldP99Cal,"cold_p99_lt_1000ms_cal":$okColdCal},""" +
       s""""streaming":{"duration_sec":${streamWallSec.toInt},"input_rows":$inRows,""" +
       s""""rows_per_sec":${streamRate.toLong},"output_rows":${outRows.get()},""" +
       s""""state_rows_samples":[${stateSamples.mkString(",")}],"state_flat":$stateFlat},""" +
@@ -608,7 +670,8 @@ object Soak {
       s""""dropped":$sniDropped,"docs_per_sec":${(sniInput.get() / sniWall).toLong},""" +
       s""""index_sigs_start":$sigs0,"index_sigs_end":$sigs1,""" +
       s""""growth_matches_accepted":$sniGrowthOk,"ok":$sniOk}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r11.json"),
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SOAK_OUT", "SOAK_r12.json")),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[soak] sidecar write failed: $e") }

@@ -583,6 +583,27 @@ object SparkEntry {
         .orderBy("time_bucket", "host")
     }),
 
+    // §2.6 EXTENSION (r12) — comparison tier below arithmetic (flagged;
+    // real-Prometheus semantics the reference's grammar lacks): filter
+    // semantics without `bool` — the (click/view) ratio per host per 6 h
+    // bucket survives, value unchanged, only where it exceeds 1.
+    "q_promql_compare" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange(
+          "sum by (host) (click) / sum by (host) (view) > 1", Jan1Ns, Feb1Ns, 21600L))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("time_bucket", "host")
+    }),
+
+    // §2.6 EXTENSION (r12) — `bool` modifier: every matched element kept,
+    // value replaced by the 0/1 truth of the comparison.
+    "q_promql_compare_bool" -> ((s, dir) => {
+      eventsAsMetrics(s, dir).createOrReplaceTempView("metrics")
+      s.sql(graft.promql.PromQL.transpileRange(
+          "sum by (host) (click) / sum by (host) (view) >= bool 1", Jan1Ns, Feb1Ns, 21600L))
+        .orderBy("time_bucket", "host")
+    }),
+
     // §2.6 EXTENSION (r11) — histogram_quantile over classic le-bucketed
     // cumulative series (the reference collapses histograms to `sum`, so the
     // whole surface is a flagged extension). Fixture: each view event expands
@@ -2317,6 +2338,38 @@ object SparkEntry {
         |  ON l.time_bucket = r.time_bucket AND l.host = r.host
         |ORDER BY 1, 2""".stripMargin,
 
+    // comparison tier: the (click/view) ratio joined on (bucket, host),
+    // FILTERED on the exact (unrounded) ratio — rounding happens on output
+    // only, mirroring the transpiler (Prometheus compares exact values)
+    "q_promql_compare" ->
+      """WITH b AS (
+        |  SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        |    event_type, 'h' || CAST(user_id % 10 AS VARCHAR) AS host, sum(value) AS v
+        |  FROM events
+        |  WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
+        |  GROUP BY 1, 2, 3),
+        |j AS (SELECT l.time_bucket, l.host, l.v / NULLIF(r.v, 0) AS value
+        |  FROM (SELECT * FROM b WHERE event_type = 'click') l
+        |  JOIN (SELECT * FROM b WHERE event_type = 'view') r
+        |    ON l.time_bucket = r.time_bucket AND l.host = r.host)
+        |SELECT time_bucket, host, round(value, 6) AS value FROM j
+        |WHERE value > 1 ORDER BY 1, 2""".stripMargin,
+
+    // bool modifier: all matched elements kept, 0/1 truth values
+    "q_promql_compare_bool" ->
+      """WITH b AS (
+        |  SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time_bucket,
+        |    event_type, 'h' || CAST(user_id % 10 AS VARCHAR) AS host, sum(value) AS v
+        |  FROM events
+        |  WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) <= 1706745600000000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT l.time_bucket, l.host,
+        |  CAST(CASE WHEN l.v / NULLIF(r.v, 0) >= 1 THEN 1 ELSE 0 END AS DOUBLE) AS value
+        |FROM (SELECT * FROM b WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM b WHERE event_type = 'view') r
+        |  ON l.time_bucket = r.time_bucket AND l.host = r.host
+        |ORDER BY 1, 2""".stripMargin,
+
     // histogram_quantile: replay of the fixture (per-event cumulative bucket
     // indicators) + the Prometheus interpolation — lowest bucket whose
     // cumulative count reaches 0.9·total, linear inside it, highest finite
@@ -2338,7 +2391,7 @@ object SparkEntry {
         |lagd AS (
         |  SELECT time_bucket, host, led, cnt,
         |    LAG(led) OVER w AS prev_le, LAG(cnt) OVER w AS prev_v,
-        |    MAX(cnt) OVER g AS total,
+        |    MAX(CASE WHEN led = CAST('Infinity' AS DOUBLE) THEN cnt END) OVER g AS total,
         |    MAX(CASE WHEN led < CAST('Infinity' AS DOUBLE) THEN led END) OVER g AS max_fin
         |  FROM buckets
         |  WINDOW w AS (PARTITION BY time_bucket, host ORDER BY led),

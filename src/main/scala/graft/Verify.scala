@@ -57,6 +57,29 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Staged oracle forms for the 100× scale harness (r12): queries whose
+    // one-query oracle exceeds single-node DuckDB memory get a setup-then-
+    // chunked-final decomposition (same semantics, split peak). The scale
+    // checker uses these ONLY on its digest path; the driver's sf0.01 gate
+    // keeps grading the plain oracle_sql.json entry.
+    val stages = Map(
+      "q_doc_bpe_encode" -> {
+        val (setup, finalSql) = graft.text.TextFunctions.bpeEncodeOracleStaged(8)
+        (setup, finalSql, "doc_id", 8)
+      })
+    val stagesJson = stages.map { case (k, (setup, finalSql, key, n)) =>
+      val teardown = setup.flatMap { s =>
+        "TEMP TABLE (\\S+)".r.findFirstMatchIn(s)
+          .map(m => s"DROP TABLE IF EXISTS ${m.group(1)}")
+      }
+      s"${q(k)}: {" +
+        s"${q("setup")}: [${setup.map(q).mkString(",")}], " +
+        s"${q("teardown")}: [${teardown.map(q).mkString(",")}], " +
+        s"${q("sql")}: ${q(finalSql)}, " +
+        s"${q("chunk_key")}: ${q(key)}, " +
+        s"${q("chunks")}: $n}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_scale_stages.json"), stagesJson)
     spark.stop()
   }
 }

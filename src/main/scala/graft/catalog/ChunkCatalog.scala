@@ -320,6 +320,13 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     * dropped undeleted.
     */
   def gc(nowMs: Long): Seq[String] = {
+    // Revalidated read for the ripe-list snapshot: `state` may be up to
+    // cacheTtlMs stale, and in a multi-instance deployment deletion
+    // decisions acting on a stale pending list would be visible side
+    // effects of old manifest state. Deletes stay safe regardless (paths
+    // are UUID-unique, deletion is exists-checked idempotent), but the
+    // fresh read keeps phase-1 anchored to the manifest as-committed.
+    invalidateCache()
     val ripe = state.pendingDeletes.filter(_._2 <= nowMs).map(_._1)
     if (ripe.isEmpty) return Nil
     ripe.foreach { p =>

@@ -712,6 +712,14 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     * sql().collect(), and the NEXT repeat is localized by the standard path.
     * lastServeMode stays "l1" for the hit (it IS an L1 hit — the soak's
     * warm-tail decomposition keys on that).
+    *
+    * CONTRACT — the returned array is SHARED, not a copy: a localized hit
+    * hands back the cache's own internal Array[Row] (EngineSpec pins
+    * reference equality across repeats). Callers MUST treat it as
+    * immutable — mutating or reordering it in place poisons the cached
+    * entry for every later serve of the same key. Read-only iteration
+    * (the bench/soak/serving shape) is the intended use; a caller that
+    * needs to own the array must use [[sqlRowsCopy]].
     */
   def sqlRows(query: String,
               nowNs: Long = System.currentTimeMillis() * 1000000L)
@@ -722,6 +730,15 @@ final class QueryEngine(val spark: SparkSession, val catalog: ChunkCatalog,
     lastHitRows.remove()
     if (hit != null) hit else df.collect()
   }
+
+  /** [[sqlRows]] with ownership: returns a defensive clone of the (possibly
+    * cache-internal) row array, so the caller may sort/mutate freely. Rows
+    * themselves are immutable; cloning the spine is all that is needed.
+    */
+  def sqlRowsCopy(query: String,
+                  nowNs: Long = System.currentTimeMillis() * 1000000L)
+      : Array[org.apache.spark.sql.Row] =
+    sqlRows(query, nowNs).clone()
 
   private def analyzeOptimized(query: String, nowNs: Long): Option[(TimeRange, Seq[ColumnPredicate])] =
     try planLock.synchronized {

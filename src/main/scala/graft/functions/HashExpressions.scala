@@ -483,9 +483,23 @@ object HashExpressions {
       }
     def compute(codes: ArrayData, lut: ArrayData): Long = {
       val m = codes.numElements()
+      // Bounds are validated, not assumed: with UnsafeArrayData a mismatched
+      // k or an out-of-range code would otherwise read out-of-bounds memory
+      // and yield garbage ANN scores silently. One comparison per subvector
+      // (plus one length check per row) is noise next to the LUT loads.
+      if (lut.numElements() != m * k)
+        throw new IllegalArgumentException(
+          s"adc_fold: lut has ${lut.numElements()} entries, expected m*k = ${m * k} (m=$m, k=$k)")
       var sum = 0L
       var s = 0
-      while (s < m) { sum += lut.getLong(s * k + codes.getInt(s)); s += 1 }
+      while (s < m) {
+        val c = codes.getInt(s)
+        if (c < 0 || c >= k)
+          throw new IllegalArgumentException(
+            s"adc_fold: code $c at subvector $s out of range [0, $k)")
+        sum += lut.getLong(s * k + c)
+        s += 1
+      }
       sum
     }
     override def nullSafeEval(l: Any, r: Any): Any =

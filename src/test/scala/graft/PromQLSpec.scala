@@ -128,14 +128,14 @@ class PromQLSpec extends AnyFunSuite {
     import graft.promql.PromQL.{VecBin, VecLeaf, ScalarLeaf}
     // */ binds tighter than +-, left-assoc: a * b + c = (a*b) + c
     assert(PromQL.parseVecTree("a * b + c") ==
-      VecBin(VecBin(VecLeaf("a"), '*', None, VecLeaf("b")), '+', None, VecLeaf("c")))
+      VecBin(VecBin(VecLeaf("a"), "*", None, VecLeaf("b")), "+", None, VecLeaf("c")))
     // equal precedence left-assoc: a / b * 100 = (a/b) * 100, scalar leaf
     assert(PromQL.parseVecTree("a / b * 100") ==
-      VecBin(VecBin(VecLeaf("a"), '/', None, VecLeaf("b")), '*', None, ScalarLeaf("100")))
+      VecBin(VecBin(VecLeaf("a"), "/", None, VecLeaf("b")), "*", None, ScalarLeaf("100")))
     // on(...) binds to ITS operator inside the chain
     assert(PromQL.parseVecTree("a / on(host) b + c") ==
-      VecBin(VecBin(VecLeaf("a"), '/', Some(Seq("host")), VecLeaf("b")),
-        '+', None, VecLeaf("c")))
+      VecBin(VecBin(VecLeaf("a"), "/", Some(Seq("host")), VecLeaf("b")),
+        "+", None, VecLeaf("c")))
     // the Grafana percent panel: scalar applied map-side (no third join)
     val sql = PromQL.transpileRange(
       "sum by (host) (click) / sum by (host) (view) * 100", 0L, 1000000000L, 60L)
@@ -155,6 +155,59 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.transpileRange(single, 0L, 1000000000L, 60L) ==
       PromQL.transpileRangeBinary("sum by (host) (click)", '/', None,
         "sum by (host) (view)", 0L, 1000000000L, 60L))
+  }
+
+  test("EXTENSION r12: comparison tier — below arithmetic, filter vs bool " +
+    "semantics, byte-identical arithmetic routing, repeated-leaf CTE") {
+    import graft.promql.PromQL.{VecBin, VecLeaf, ScalarLeaf}
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // precedence: comparison binds LOOSER than arithmetic — a / b > 0.01
+    // parses as (a/b) > 0.01
+    assert(PromQL.parseVecTree("a / b > 0.01") ==
+      VecBin(VecBin(VecLeaf("a"), "/", None, VecLeaf("b")), ">", None,
+        ScalarLeaf("0.01")))
+    // bool modifier sticks to its comparison; >= tokenizes as one operator
+    assert(PromQL.parseVecTree("a >= bool 5") ==
+      VecBin(VecLeaf("a"), ">=", None, ScalarLeaf("5"), bool = true))
+    // == / != parse (and are not eaten by matcher syntax inside braces)
+    assert(PromQL.parseVecTree("""a{host="x>y"} != b""") ==
+      VecBin(VecLeaf("""a{host="x>y"}"""), "!=", None, VecLeaf("b")))
+    val t = 1000000000L
+    Seq((1L * t, "click", "h1", 2.0), (1L * t, "view", "h1", 8.0),
+        (1L * t, "click", "h2", 6.0), (1L * t, "view", "h2", 8.0))
+      .map { case (ts, m, h, v) => (ts, m, h, v, null.asInstanceOf[java.lang.Long],
+        null.asInstanceOf[java.lang.Long]) }
+      .toDF("timestamp_ns", "metric_name", "host", "value_f64", "value_i64", "value_u64")
+      .createOrReplaceTempView("metrics")
+    def run(q: String): Seq[(String, Double)] =
+      spark.sql(PromQL.transpileRange(q, 0L, 59L * t, 60L)).collect()
+        .map(r => (r.getString(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    // filter semantics (no bool): value survives unchanged, h1 (0.25) dropped
+    assert(run("sum by (host) (click) / sum by (host) (view) > 0.5") ==
+      Seq(("h2", 0.75)), "filter")
+    // bool: every element kept, 0/1 values
+    assert(run("sum by (host) (click) / sum by (host) (view) > bool 0.5") ==
+      Seq(("h1", 0.0), ("h2", 1.0)), "bool")
+    // vector CMP vector: lhs sample survives where the comparison holds
+    assert(run("sum by (host) (view) > sum by (host) (click)") ==
+      Seq(("h1", 8.0), ("h2", 8.0)), "vec-vec filter keeps lhs value")
+    assert(run("sum by (host) (click) == sum by (host) (view)") == Nil, "==")
+    // scalar CMP vector: elements come from the vector side
+    assert(run("5 < sum by (host) (click)") == Seq(("h2", 6.0)), "scalar-lhs")
+    // arithmetic-only queries route byte-identically (no comparison present)
+    val arith = "sum by (host) (click) / sum by (host) (view) * 100"
+    assert(!PromQL.transpileRange(arith, 0L, 1L, 60L).contains("__leaf"), "no CTE")
+    // repeated leaf → ONE CTE, scanned once: a/b + a/c scans `a` once
+    val cteSql = PromQL.transpileRange(
+      "sum by (host) (click) / sum by (host) (view) + " +
+        "sum by (host) (click) / sum by (host) (click)", 0L, 59L * t, 60L)
+    assert(cteSql.startsWith("WITH __leaf0 AS"), cteSql)
+    // the repeated leaf's selector body appears exactly once in the SQL
+    assert("metric_name = 'click'".r.findAllIn(cteSql).size == 1, cteSql)
+    val cteGot = spark.sql(cteSql).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(cteGot == Seq(("h1", 1.25), ("h2", 1.75)), cteGot.toString)
   }
 
   test("EXTENSION r11: chained binary — executed semantics on a fixture " +
@@ -221,6 +274,37 @@ class PromQLSpec extends AnyFunSuite {
     val fb2 = PromQL.transpileRange(
       "histogram_quantile(1.5, sum by (le) (lat_bucket))", 0L, 1L, 60L)
     assert(!fb2.contains("max_fin"), fb2)
+  }
+
+  test("EXTENSION r12: histogram_quantile total comes from the +Inf bucket — " +
+    "a group without +Inf drops (Prometheus: NaN), and a malformed " +
+    "non-cumulative set cannot manufacture a quantile from a mid-range max") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val t = 1000000000L
+    // h1: well-formed with +Inf (cumulative 10/15/20);
+    // h2: NO +Inf bucket — must produce no row, not an interpolated value;
+    // h3: malformed non-cumulative (mid bucket 30 > +Inf 20) — total must be
+    //     the +Inf value 20 (rank 18 ≤ 30 lands in the FIRST bucket whose
+    //     cnt ≥ rank), never 30
+    val rows =
+      Seq(("h1", "1", 10.0), ("h1", "2", 15.0), ("h1", "+Inf", 20.0),
+          ("h2", "1", 10.0), ("h2", "2", 15.0),
+          ("h3", "1", 5.0), ("h3", "2", 30.0), ("h3", "+Inf", 20.0))
+    rows.map { case (h, le, v) => (1L * t, "lat_bucket", h, le, v,
+        null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]) }
+      .toDF("timestamp_ns", "metric_name", "host", "le", "value_f64",
+        "value_i64", "value_u64")
+      .createOrReplaceTempView("metrics")
+    val sql = PromQL.transpileRange(
+      "histogram_quantile(0.9, sum by (le, host) (lat_bucket))", 0L, 59L * t, 60L)
+    val got = spark.sql(sql).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toMap
+    assert(!got.contains("h2"), s"+Inf-less group must drop: $got")
+    assert(got("h1") == 2.0, got.toString)
+    // h3 rank = 0.9*20 = 18; first bucket with cnt >= 18 is le=2 (cnt 30):
+    // 1 + (2-1)*(18-5)/(30-5) = 1.52 — derived from the +Inf total, not 30
+    assert(math.abs(got("h3") - 1.52) < 1e-9, got.toString)
   }
 
   test("EXTENSION: offset without an evaluation time must not shift the reported timestamp") {
