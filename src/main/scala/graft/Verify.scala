@@ -36,9 +36,16 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // start marker BEFORE the query runs: a wedged/killed JVM's log then
+      // names the in-flight query (the 100× runs need this to isolate a
+      // driver stall to one query instead of bisecting blind)
+      System.err.println(s"[verify] start $name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] done $name (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
