@@ -463,12 +463,19 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // r12 job-fusion (guide §1.2): the initial label table and each round's
+    // pointer-jump join are LAZY checkpoints — round i's label-propagation
+    // job computes them, persists them (checkpoint-on-first-compute) and
+    // aggregates, so a round is ONE job instead of two. Unpersists lag one
+    // materialization (a lazy checkpoint cannot recompute once its parent's
+    // blocks are dropped). Same rounds, same arithmetic, same fixpoint.
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val labelType = labels.schema("label").dataType
     var converged = false
     var iter = 0
+    var prevLabels: Option[DataFrame] = None // materialized predecessor
     while (!converged && iter < maxIters) {
       // candidate labels: own + every neighbor's current label. Self rows also
       // carry the previous label as __old (exactly one self row per vertex), so
@@ -492,16 +499,21 @@ object Dedup {
       val changed = Option(obs.get.getOrElse("changed", null))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = changed == 0
+      // `next` is materialized now; the labels that fed it (and their own
+      // lazily-materialized parent) are safe to release
+      prevLabels.foreach(_.unpersist(blocking = false))
+      prevLabels = Some(labels)
       labels =
         if (converged) next
         else {
           // pointer jumping: label := label(label). Sound because labels are
           // monotone (label(v) ≤ v by induction) and component-local; left
           // join + coalesce keeps vertices whose label row is themselves.
+          // LAZY: the next round's propagation job computes + persists it.
           val jump = next.select(col("v").as("__jv"), col("label").as("__jl"))
           next.join(jump, col("label") === col("__jv"), "left")
             .select(col("v"), coalesce(col("__jl"), col("label")).as("label"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
       iter += 1
     }
@@ -725,8 +737,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the pair distinct (r12, guide §2.3): block
+      // collisions between non-near docs grow ~quadratically with corpus
+      // size, and the old shape shipped every colliding pair through the
+      // distinct exchange only to drop the far ones after it. hamming is
+      // deterministic per (id_a, id_b), so distinct∘filter ≡ filter∘distinct
+      // — identical pair set (oracle re-proven), but the exchange now carries
+      // only pairs actually within maxHamming.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Portable 60-bit md5 SimHash (see HashExpressions.SimHashMd5): identical
@@ -773,8 +792,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the pair distinct (r12, guide §2.3): block
+      // collisions between non-near docs grow ~quadratically with corpus
+      // size, and the old shape shipped every colliding pair through the
+      // distinct exchange only to drop the far ones after it. hamming is
+      // deterministic per (id_a, id_b), so distinct∘filter ≡ filter∘distinct
+      // — identical pair set (oracle re-proven), but the exchange now carries
+      // only pairs actually within maxHamming.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact EDIT-DISTANCE verification of near-duplicate candidates — the

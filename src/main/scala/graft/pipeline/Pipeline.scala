@@ -344,12 +344,24 @@ object Pipeline {
       .select(col(idCol), col("__t"),
         explode(concat(col("__toks"), bigrams)).as("gram"))
       .select(col(idCol), col("__t"), hashBucket(col("gram"), buckets).as("bucket"))
-    // pass 1: ONE fused conditional aggregate — per-bucket target/raw counts
-    // in a single shuffle; ≤`buckets` rows, safe to collect (bounded by the
+    // r12 optimization (guide §1.2 "don't compute things twice" + §2.3):
+    // the tokenize + md5-bucket pass — the dominant cost — used to run TWICE
+    // (once for the bucket totals, once for the scoring join). It now runs
+    // once, reduced to per-(doc, bucket) counts (≤ docs × `buckets` rows,
+    // exact integers) and checkpointed; both passes derive from that compact
+    // table. The scoring side re-expands each count with array_repeat so the
+    // per-doc double multiset summed into dsir_score is IDENTICAL to the
+    // per-gram-row form (sum order was already partition-arbitrary).
+    val gramCounts = grams
+      .groupBy(col(idCol), col("__t"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    // pass 1: per-bucket target/raw totals from the compact counts — exact
+    // integer sums, ≤`buckets` rows, safe to collect (bounded by the
     // parameter, not the corpus)
-    val bucketRows = grams.groupBy("bucket").agg(
-        sum(when(col("__t"), 1L).otherwise(0L)).as("t"),
-        sum(when(!col("__t"), 1L).otherwise(0L)).as("q"))
+    val bucketRows = gramCounts.groupBy("bucket").agg(
+        sum(when(col("__t"), col("__c")).otherwise(0L)).as("t"),
+        sum(when(!col("__t"), col("__c")).otherwise(0L)).as("q"))
       .collect()
     val tt = bucketRows.iterator.map(_.getLong(1)).sum
     val qq = bucketRows.iterator.map(_.getLong(2)).sum
@@ -368,8 +380,13 @@ object Pipeline {
         (log((coalesce(col("t"), lit(0L)).cast("double") + 1.0) / (tt + buckets.toDouble))
           - log((coalesce(col("q"), lit(0L)).cast("double") + 1.0) / (qq + buckets.toDouble)))
           .as("lr"))
-    val scored = grams.filter(!col("__t"))
+    val scored = gramCounts.filter(!col("__t"))
       .join(broadcast(ratio), "bucket")
+      // re-expand each (doc, bucket) count into __c copies of lr: the same
+      // double multiset per doc as the old per-gram-row sum, without
+      // re-tokenizing the corpus
+      .select(col(idCol),
+        explode(array_repeat(col("lr"), col("__c").cast("int"))).as("lr"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         (floor(sum("lr") * 1e4 + lit(0.5)) / 1e4).as("dsir_score"))
@@ -502,14 +519,30 @@ object Pipeline {
     // positive" — matching the oracle's CASE WHEN ... THEN 1 ELSE 0 END,
     // where NULL falls to ELSE (a bare cast would keep NULL and silently
     // drop the doc from every gradient)
+    // r12 optimization (guide §2.4/§1.2): the round loop is ONE Spark job per
+    // round instead of five. (a) labels and the presence table are
+    // hash-partitioned by the doc id BEFORE their one-time localCheckpoint, so
+    // every per-round doc-keyed aggregation/join reuses that exchange (the
+    // only per-round shuffle left is the ≤buckets-row gradient reduce);
+    // (b) the bias gradient rides the SAME aggregation as the per-bucket
+    // gradients via a synthetic bucket −1 row per doc (hashBucket is a pmod —
+    // real buckets are ≥ 0), so the old second collect() — which re-executed
+    // the whole residual chain per round — is gone. Exact-integer math is
+    // untouched: identical residuals, identical BIGINT sums (order-free),
+    // identical floor-rounded updates — bit-identical output (oracle-gated).
     val labels = docs
       .select(col(idCol),
         coalesce(labelFilter.cast("int").cast("long"), lit(0L)).as("y"))
+      .repartition(col(idCol))
       .localCheckpoint()
     val feats = docs
       .select(col(idCol), explode(toksArr).as("__tok"))
       .select(col(idCol), hashBucket(col("__tok"), buckets).as("bucket"))
       .distinct()
+    // presence rows + one bucket −1 row per doc (the bias carrier)
+    val featsPlus = feats
+      .unionAll(labels.select(col(idCol), lit(-1L).as("bucket")))
+      .repartition(col(idCol))
       .localCheckpoint()
     val nDocs = labels.count()
     val spark = docs.sparkSession
@@ -524,26 +557,31 @@ object Pipeline {
     var bias = 0L
     var it = 0
     while (it < iters) {
-      // exact integer logit per doc: bias + Σ_{b∈doc} w_b
+      // exact integer logit per doc: bias + Σ_{b∈doc} w_b. The bucket −1 rows
+      // never match wDf (its keys are the pmod buckets ≥ 0), so sums are
+      // identical to the feats-only form.
       val rDf =
         if (w.isEmpty) labels.select(col(idCol), residual(lit(bias), col("y")).as("r"))
         else {
           val wDf = w.toSeq.toDF("bucket", "wm")
-          val sums = feats.join(broadcast(wDf), "bucket")
+          val sums = featsPlus.join(broadcast(wDf), "bucket")
             .groupBy(idCol).agg(sum("wm").as("__sw"))
           labels.join(sums, Seq(idCol), "left")
             .select(col(idCol),
               residual(lit(bias) + coalesce(col("__sw"), lit(0L)), col("y")).as("r"))
         }
-      // exact BIGINT gradient sums; ≤ buckets+1 rows reach the driver
-      val gradB = feats.join(rDf, idCol).groupBy("bucket")
+      // exact BIGINT gradient sums in ONE job; ≤ buckets+2 rows reach the
+      // driver. Row bucket −1 is Σ_docs r — the bias gradient (every doc has
+      // exactly one −1 row, so it equals the old rDf.agg(sum(r))).
+      val grads = featsPlus.join(rDf, idCol).groupBy("bucket")
         .agg(sum("r").as("g")).collect()
-      val gradBias = rDf.agg(sum("r")).collect()(0).getLong(0)
       val step = (g: Long) => math.floor(lr * g / nDocs + 0.5).toLong
       val next = scala.collection.mutable.Map[Long, Long]() ++ w
-      gradB.foreach { row =>
+      var gradBias = 0L
+      grads.foreach { row =>
         val b = row.getLong(0)
-        next(b) = next.getOrElse(b, 0L) - step(row.getLong(1))
+        if (b == -1L) gradBias = row.getLong(1)
+        else next(b) = next.getOrElse(b, 0L) - step(row.getLong(1))
       }
       w = next.toMap
       bias -= step(gradBias)
@@ -552,7 +590,7 @@ object Pipeline {
 
     // final scoring pass with the trained weights
     val wDf = w.toSeq.toDF("bucket", "wm")
-    val sums = feats.join(broadcast(wDf), "bucket")
+    val sums = featsPlus.join(broadcast(wDf), "bucket")
       .groupBy(idCol).agg(sum("wm").as("__sw"))
     labels.join(sums, Seq(idCol), "left")
       .withColumn("__s", lit(bias) + coalesce(col("__sw"), lit(0L)))

@@ -266,7 +266,10 @@ object TextFunctions {
     */
   def bpeTrain(docs: DataFrame, numMerges: Int, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val (merges, vocab) = bpeTrainCore(docs, numMerges, textCol)
+    // needFinalVocab=false: the merge table alone is the output — the final
+    // round's vocab rebuild (one whole vocab pass + materialization) is
+    // skipped (r12, guide §1.2 "don't compute things you throw away")
+    val (merges, vocab) = bpeTrainCore(docs, numMerges, textCol, needFinalVocab = false)
     vocab.unpersist(blocking = false)
     import spark.implicits._
     merges.toDF("rank", "lhs", "rhs", "freq")
@@ -276,15 +279,25 @@ object TextFunctions {
     * syms)) — the final vocab IS the encoding of every corpus word under the
     * learned merges, which is what [[bpeEncode]] serves per document.
     */
-  private def bpeTrainCore(docs: DataFrame, numMerges: Int, textCol: String)
+  private def bpeTrainCore(docs: DataFrame, numMerges: Int, textCol: String,
+                           needFinalVocab: Boolean = true)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges >= 1 && numMerges <= 64, s"numMerges $numMerges out of [1,64]")
+    // r12 job-fusion (guide §1.2): each round used to be TWO jobs — an eager
+    // vocab rebuild materialization, then the next round's pair-count argmax
+    // over it. The rebuild is now a LAZY localCheckpoint, so the next argmax
+    // job computes the rebuild, persists it (checkpoint-on-first-compute) and
+    // counts pairs in ONE pass — halving the job ladder without ever holding
+    // more than one un-truncated rebuild in the lineage. A materialized
+    // vocab's parent blocks are released with a one-round lag (a lazy
+    // checkpoint cannot recompute once its parent is dropped).
     var vocab = docs.filter(length(trim(col(textCol))) > 0)
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", regexp_extract_all(col("word"), lit("(.)"), lit(1)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var parent: Option[DataFrame] = None // materialized predecessor of `vocab`
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -299,24 +312,33 @@ object TextFunctions {
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, concat(col("l"), lit(" "), col("r")))
         .limit(1).collect() // bounded: exactly one row per round
+      // `vocab` is materialized now — its parent's blocks are safe to drop
+      parent.foreach(_.unpersist(blocking = false))
+      parent = Some(vocab)
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, cnt))
-        // greedy left-to-right merge: fold append-or-merge; the merged symbol
-        // l+r can't re-match lhs within this round (r is non-empty)
-        val applied = aggregate(
-          col("syms"),
-          array().cast("array<string>"),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x))))
-        val next = vocab.withColumn("syms", applied).localCheckpoint(true)
-        vocab.unpersist(blocking = false)
-        vocab = next
+        if (rank < numMerges || needFinalVocab) {
+          // greedy left-to-right merge: fold append-or-merge; the merged symbol
+          // l+r can't re-match lhs within this round (r is non-empty)
+          val applied = aggregate(
+            col("syms"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x))))
+          vocab = vocab.withColumn("syms", applied).localCheckpoint(false)
+        }
         rank += 1
       }
+    }
+    if (needFinalVocab && !exhausted) {
+      // materialize the final rebuild so the caller's consumer (e.g. the
+      // encode's broadcast build) reads blocks, and release its parent
+      vocab.count()
+      parent.foreach(_.unpersist(blocking = false))
     }
     (merges.toSeq, vocab)
   }
@@ -622,16 +644,23 @@ object TextFunctions {
     * Both returned frames are localCheckpoint'd; callers unpersist.
     */
   private def unigramTrainCore(docs: DataFrame, iters: Int, maxPieceLen: Int,
-                               maxWordLen: Int, textCol: String)
+                               maxWordLen: Int, textCol: String,
+                               needFinalCounts: Boolean = true)
       : (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 8, s"iters $iters out of [1,8]")
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
       s"need 1 <= maxPieceLen <= maxWordLen: $maxPieceLen/$maxWordLen")
+    // r12 job-fusion (guide §1.2, the bpeTrainCore pattern): `words` is a
+    // LAZY checkpoint materialized by `cand`'s job; scalar totals
+    // (vocabSize, per-round cTotal) ride the materializing jobs as
+    // Observations instead of separate agg actions; each round's Viterbi
+    // segmentation is a lazy checkpoint materialized by the next counts job.
+    // Per-round: ONE job instead of three. Arithmetic untouched.
     val words = docs.filter(length(trim(col(textCol))) > 0)
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // every substring of length 1..maxPieceLen tagged with its END position —
     // reused by the seed count and every EM round
@@ -646,8 +675,12 @@ object TextFunctions {
         col("word").substr(col("j"), col("l")).as("piece"))
       .localCheckpoint(true)
 
-    val vocab = cand.select("piece").distinct().localCheckpoint(true)
-    val vocabSize = vocab.count()
+    val vocabObs = new org.apache.spark.sql.Observation()
+    val vocab = cand.select("piece").distinct()
+      .observe(vocabObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val vocabSize = Option(vocabObs.get.getOrElse("n", null))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (vocabSize == 0L) {
       // degenerate corpus: every word exceeds maxWordLen (e.g. unsegmented
       // CJK) — empty model, empty segmentation; encode's UNK fallback then
@@ -667,12 +700,19 @@ object TextFunctions {
       return (Seq.empty[(String, Long)].toDF("piece", "cnt"), emptySegs)
     }
 
-    var counts = cand.groupBy("piece").agg(sum("freq").as("cnt"))
-      .localCheckpoint(true)
+    def observedCheckpoint(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, sum("cnt").as("t")).localCheckpoint(true)
+      (cp, Option(obs.get.getOrElse("t", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    var (counts, cTotalCur) =
+      observedCheckpoint(cand.groupBy("piece").agg(sum("freq").as("cnt")))
     var lastSegs: Option[DataFrame] = None
+    var prevSegs: Option[DataFrame] = None
     var it = 0
     while (it < iters) {
-      val cTotal = counts.agg(sum("cnt")).first().getLong(0)
+      val cTotal = cTotalCur
       val denom = (cTotal + vocabSize).toDouble
       val lp = vocab.join(counts, Seq("piece"), "left")
         .select(col("piece"),
@@ -710,19 +750,29 @@ object TextFunctions {
                 st.getField("pieces")).as("pieces")))
             .otherwise(st)
         })
+      // LAZY checkpoint: the next counts job computes the Viterbi pass,
+      // persists it and aggregates piece counts in one go
       val segmented = withCands
         .withColumn("__dp", dp)
         .withColumn("pieces", seg.getField("pieces"))
         .select("word", "freq", "pieces")
-        .localCheckpoint(true)
-      lastSegs.foreach(_.unpersist(blocking = false))
+        .localCheckpoint(false)
       lastSegs = Some(segmented)
-      val next = segmented
-        .select(col("freq"), explode(col("pieces")).as("piece"))
-        .groupBy("piece").agg(sum("freq").as("cnt"))
-        .localCheckpoint(true)
-      counts.unpersist(blocking = false)
-      counts = next
+      if (it < iters - 1 || needFinalCounts) {
+        val (next, t) = observedCheckpoint(segmented
+          .select(col("freq"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum("freq").as("cnt")))
+        counts.unpersist(blocking = false)
+        counts = next; cTotalCur = t
+      } else {
+        // encode-only caller: materialize the final segmentation directly —
+        // the piece-count aggregate on top would be thrown away
+        segmented.count()
+      }
+      // the previous round's segmentation blocks are only droppable once the
+      // new one is materialized (a lazy checkpoint cannot recompute)
+      prevSegs.foreach(_.unpersist(blocking = false))
+      prevSegs = lastSegs
       it += 1
     }
     Seq(words, cand, vocab).foreach(_.unpersist(blocking = false))
@@ -746,7 +796,8 @@ object TextFunctions {
   def unigramEncode(docs: DataFrame, iters: Int = 2, maxPieceLen: Int = 4,
                     maxWordLen: Int = 16, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val (counts, segs) = unigramTrainCore(docs, iters, maxPieceLen, maxWordLen, textCol)
+    val (counts, segs) = unigramTrainCore(docs, iters, maxPieceLen, maxWordLen,
+      textCol, needFinalCounts = false)
     val docWords = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
