@@ -323,9 +323,18 @@ object Dedup {
 
     val sa = withShingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
     val sb = withShingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    // r12 (guide §2.5/§7): the exact shingle-intersect verify is CPU-dense
+    // per byte, and AQE's byte-based coalescing ran it on 2 tasks at 10×
+    // (measured 10 s with 30 cores idle). Explicit repartition-by-num on the
+    // deterministic pair key spreads it; row set unchanged.
+    val verifyParts = estimated.sparkSession.sparkContext.defaultParallelism * 4
     estimated
       .join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .repartition(verifyParts, col("id_a"), col("id_b"))
+      // eval_once: keeps the intersect out of the join condition (it would
+      // run 2× per pair there, on the join's coalesced task layout)
+      .withColumn("jaccard", graft.functions.HashExpressions.eval_once(
+        round(jaccard(col("sh_a"), col("sh_b")), 6)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -854,8 +863,21 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(col("__ta")),
         org.apache.spark.sql.GraftBridge.expression(col("__tb")),
         Some(org.apache.spark.sql.GraftBridge.expression(bound))))
+    // r12 (guide §2.5/§7): the DP stage is ~10³× more CPU per byte than a
+    // typical row, and AQE's byte-based partition coalescing (and a broadcast
+    // text side) would run it on 1-2 tasks — measured 11.3 s single-task at
+    // 10× with 31 cores idle. An EXPLICIT partition count (AQE never
+    // coalesces repartition-by-num) keyed on the deterministic pair id
+    // spreads the DP; ~4 waves per core balances uneven per-pair DP cost.
+    // Row set and arithmetic unchanged.
+    val dpParts = joined.sparkSession.sparkContext.defaultParallelism * 4
     joined
-      .withColumn("lev", boundedLev.cast("long"))
+      .repartition(dpParts, col("id_a"), col("id_b"))
+      // eval_once: without the fence the lev-filter below is inlined into the
+      // candidate JOIN CONDITION — the DP then runs 2-3× per pair inside the
+      // join's (AQE-collapsed) stage instead of once here
+      .withColumn("lev",
+        graft.functions.HashExpressions.eval_once(boundedLev.cast("long")))
       .filter(col("lev") >= 0 && col("lev") * simDen <= col("max_len") * missNum)
       .select("id_a", "id_b", "lev", "max_len")
   }

@@ -243,10 +243,19 @@ object MinHashIndex {
       .join(survivors.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"), "left_semi")
       .withColumn("sh_c", Dedup.shingles(col("__t"), p.k))
       .select("corpus_id", "sh_c")
+    // r12 (guide §2.5/§7): spread the CPU-dense exact-verify intersect over an
+    // explicit partition count — AQE's byte-based coalescing collapses the
+    // few-KB candidate pair set onto 1-2 tasks (same fix as
+    // Dedup.minhashNearDupPairs / editSimNearDupPairs). Row set unchanged.
+    val verifyParts = spark.sparkContext.defaultParallelism * 4
     estimated
       .join(corpusSh, "corpus_id")
       .join(withSig.select(col("batch_id"), col("__sh").as("sh_b")), "batch_id")
-      .withColumn("jaccard", round(Dedup.jaccard(col("sh_b"), col("sh_c")), 6))
+      .repartition(verifyParts, col("batch_id"), col("corpus_id"))
+      // eval_once: keeps the intersect out of the join condition (it would
+      // run 2× per pair there, on the join's coalesced task layout)
+      .withColumn("jaccard", graft.functions.HashExpressions.eval_once(
+        round(Dedup.jaccard(col("sh_b"), col("sh_c")), 6)))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")
   }

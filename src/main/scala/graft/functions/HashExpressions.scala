@@ -542,9 +542,40 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Identity wrapper whose ONLY effect is `deterministic = false` — an
+    * evaluation fence for expensive expressions (r12, guide §4.4 applied to
+    * JVM expressions): the optimizer inlines a filter on a projected column
+    * into whatever sits below it — including a JOIN CONDITION, where the
+    * expression is then evaluated once per probe inside the join's stage (and
+    * AGAIN in the projection above it). For a per-row cost like a bounded
+    * Levenshtein DP or a shingle-array intersect that (a) triples the work
+    * and (b) pins it to the join's task layout, which AQE byte-coalescing has
+    * already collapsed to 1-2 tasks. Marking the wrapper non-deterministic
+    * stops predicate pushdown through its projection and duplicate
+    * evaluation, WITHOUT changing the value: the child is deterministic; the
+    * flag only pins where (and that exactly once) it runs. Codegen/eval
+    * delegate to the child unchanged.
+    */
+  case class EvalOnceBarrier(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override lazy val deterministic: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+    }
+    override protected def withNewChildInternal(c: Expression): EvalOnceBarrier =
+      copy(child = c)
+  }
+
   // ---- Column wrappers -----------------------------------------------------
 
   private def ex(c: Column): Expression = GraftBridge.expression(c)
+
+  /** See [[EvalOnceBarrier]]. */
+  def eval_once(c: Column): Column = GraftBridge.column(EvalOnceBarrier(ex(c)))
 
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(ex(shingles), numHashes))
