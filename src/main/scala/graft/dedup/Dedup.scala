@@ -285,7 +285,8 @@ object Dedup {
     // localCheckpoint (row-based block storage), NOT .cache(): the columnar cache
     // encodes array columns at ~15× the cost of the compute, while the downstream
     // self-joins would otherwise recompute this subtree ~6 times.
-    val withShingles = docs.select(col(idCol), col(textCol))
+    val withShingles = graft.util.Parallelism.spreadNarrowScan(
+        docs.select(col(idCol), col(textCol)))
       .withColumn("__sh", shingles(col(textCol), k))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
       .localCheckpoint(true)
@@ -468,8 +469,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIters: Int = 50,
                           outCol: String = "doc_id"): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // r12 (guide §1.2): both edge directions from ONE evaluation of the pairs
+    // subtree (an explode of the two orientations) — the old two-branch union
+    // computed the (often expensive — cross-join + intersect) pairs input
+    // twice inside the same job
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     // r12 job-fusion (guide §1.2): the initial label table and each round's
@@ -733,7 +741,9 @@ object Dedup {
                           textCol: String = "text",
                           idCol: String = "doc_id",
                           maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+    val sigs = graft.util.Parallelism.spreadNarrowScan(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), simhash(col(textCol)).as("sig"))
       .localCheckpoint(true)
     val blocks = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
@@ -787,7 +797,9 @@ object Dedup {
       s"maxHamming must be in [0, 60): $maxHamming")
     val nBlocks = maxHamming + 1
     val bits = 60 / nBlocks // 60-bit portable sig split evenly
-    val sigs = docs.select(col(idCol), simhashMd5(col(textCol)).as("sig"))
+    val sigs = graft.util.Parallelism.spreadNarrowScan(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), simhashMd5(col(textCol)).as("sig"))
       .localCheckpoint(true)
     val blocks = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until nBlocks).map(b =>

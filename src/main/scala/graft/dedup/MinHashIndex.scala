@@ -70,7 +70,8 @@ object MinHashIndex {
     // localCheckpoint: sigs write + bucket write + oversized agg reuse this
     // subtree; the columnar cache re-encodes the array columns at ~15x the
     // compute cost (same measurement as minhashNearDupPairs).
-    val withSig = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val withSig = graft.util.Parallelism.spreadNarrowScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
       .withColumn("__sh", Dedup.shingles(col("__text"), k))
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), numHashes))
       .localCheckpoint(true)
@@ -165,10 +166,17 @@ object MinHashIndex {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], prunedSchema)
   }
 
-  def readParams(spark: SparkSession, indexRoot: String): Params = {
-    val r = spark.read.parquet(paramsPath(indexRoot)).head()
-    Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
-  }
+  // Params are write-once at build() time, so caching them per (session,
+  // root) is metadata caching, not result caching (r12: a probe paid a
+  // parquet head() job per call just to re-read 5 ints).
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Params]()
+
+  def readParams(spark: SparkSession, indexRoot: String): Params =
+    paramsCache.computeIfAbsent((spark, indexRoot), _ => {
+      val r = spark.read.parquet(paramsPath(indexRoot)).head()
+      Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    })
 
   // Explicit schema: a corpus whose every bucket was dropped as degenerate
   // (or an empty corpus) writes ZERO data files, and schema inference over an
@@ -200,14 +208,19 @@ object MinHashIndex {
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val p = readParams(spark, indexRoot)
 
-    val withSig = batch.select(col(idCol).as("batch_id"), col(textCol).as("__text"))
+    // LAZY checkpoints (r12, the bpeTrainCore job-fusion pattern): the parts
+    // collect below materializes the batch's shingles+signatures AND its band
+    // buckets in ONE job instead of two eager materialization jobs + the
+    // collect.
+    val withSig = graft.util.Parallelism.spreadNarrowScan(
+        batch.select(col(idCol).as("batch_id"), col(textCol).as("__text")))
       .withColumn("__sh", Dedup.shingles(col("__text"), p.k))
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val batchBuckets = Dedup
       .lshBuckets(withSig, "batch_id", "sig", p.bands, p.rowsPerBand)
       .withColumn("bh_part", pmod(col("band_hash"), lit(p.nParts)).cast("int"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // The driver-side part list is bounded by n_parts (== 256 by default), the
     // same cardinality discipline as IvfIndex's probed-cell list. isin over an

@@ -339,7 +339,7 @@ object Pipeline {
       zip_with(slice(col("__toks"), lit(1), n - 1), slice(col("__toks"), lit(2), n - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array())
-    val grams = docs
+    val grams = graft.util.Parallelism.spreadNarrowScan(docs)
       .select(col(idCol), targetFilter.as("__t"), toksArr.as("__toks"))
       .select(col(idCol), col("__t"),
         explode(concat(col("__toks"), bigrams)).as("gram"))
@@ -535,7 +535,7 @@ object Pipeline {
         coalesce(labelFilter.cast("int").cast("long"), lit(0L)).as("y"))
       .repartition(col(idCol))
       .localCheckpoint()
-    val feats = docs
+    val feats = graft.util.Parallelism.spreadNarrowScan(docs)
       .select(col(idCol), explode(toksArr).as("__tok"))
       .select(col(idCol), hashBucket(col("__tok"), buckets).as("bucket"))
       .distinct()

@@ -227,7 +227,7 @@ object TextFunctions {
       slice(toks, lit(1), n - 1),
       slice(toks, lit(2), n - 1),
       (a, b) => concat_ws(" ", a, b))
-    docs.filter(length(trim(col(textCol))) > 0)
+    graft.util.Parallelism.spreadNarrowScan(docs.filter(length(trim(col(textCol))) > 0))
       .select(explode(pairs).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("cnt"))
@@ -291,7 +291,7 @@ object TextFunctions {
     // more than one un-truncated rebuild in the lineage. A materialized
     // vocab's parent blocks are released with a one-round lag (a lazy
     // checkpoint cannot recompute once its parent is dropped).
-    var vocab = docs.filter(length(trim(col(textCol))) > 0)
+    var vocab = graft.util.Parallelism.spreadNarrowScan(docs.filter(length(trim(col(textCol))) > 0))
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -359,7 +359,7 @@ object TextFunctions {
   def bpeEncode(docs: DataFrame, numMerges: Int,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val (_, vocab) = bpeTrainCore(docs, numMerges, textCol)
-    val words = docs.filter(length(trim(col(textCol))) > 0)
+    val words = graft.util.Parallelism.spreadNarrowScan(docs.filter(length(trim(col(textCol))) > 0))
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
     words
@@ -493,12 +493,19 @@ object TextFunctions {
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "empty BM25 query")
+    // r12 (guide §1.2/§2.3): ONE tokenize pass reduced to per-(doc, token)
+    // counts; document length and term frequencies both derive from it — the
+    // old shape tokenized the corpus twice (dlen pass + tf pass) and shuffled
+    // raw token rows both times. All counts are exact integers; the per-doc
+    // double multiset summed into bm25 is unchanged.
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val dlen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val dlen = toks.groupBy(idCol).agg(sum("__c").as("dl"))
     val corpus = dlen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val terms = queryTerms.map(_.toLowerCase).distinct
     val tf = toks.filter(col("token").isin(terms: _*))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      .select(col(idCol), col("token"), col("__c").as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(dlen, idCol)
       .join(broadcast(dfreq), "token")
@@ -656,7 +663,7 @@ object TextFunctions {
     // Observations instead of separate agg actions; each round's Viterbi
     // segmentation is a lazy checkpoint materialized by the next counts job.
     // Per-round: ONE job instead of three. Arithmetic untouched.
-    val words = docs.filter(length(trim(col(textCol))) > 0)
+    val words = graft.util.Parallelism.spreadNarrowScan(docs.filter(length(trim(col(textCol))) > 0))
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -798,7 +805,7 @@ object TextFunctions {
                     idCol: String = "doc_id"): DataFrame = {
     val (counts, segs) = unigramTrainCore(docs, iters, maxPieceLen, maxWordLen,
       textCol, needFinalCounts = false)
-    val docWords = docs.filter(length(trim(col(textCol))) > 0)
+    val docWords = graft.util.Parallelism.spreadNarrowScan(docs.filter(length(trim(col(textCol))) > 0))
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
     val out = docWords

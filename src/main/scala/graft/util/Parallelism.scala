@@ -1,0 +1,37 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism normalization for CPU-dense map work (r12, optimization
+  * guide §2.5 "input skew → repartition immediately after the read").
+  *
+  * Tokenization/shingling/signature operators do ~10³× more CPU per input
+  * byte than a typical scan, so their wall time is set by the SCAN's task
+  * count. A single-row-group parquet file (the small-SF fixtures; any
+  * unsplittable input at scale) plans as ONE task — the whole tokenize pass
+  * runs on one core while the rest idle.
+  *
+  * [[spreadNarrowScan]] repartitions ONLY when the planned scan is
+  * pathologically narrow (fewer than max(2, defaultParallelism/4)
+  * partitions). On a realistic many-file table the condition is false and
+  * this is a NO-OP — no gratuitous exchange at 100 TB; when it does fire, the
+  * exchange moves raw rows once and buys full-cluster parallelism for the
+  * expensive map stage. Round-robin repartition is retry-deterministic
+  * (spark.sql.execution.sortBeforeRepartition, on by default) and all
+  * downstream operators here are row-order-independent aggregations/joins.
+  */
+object Parallelism {
+
+  def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // file count as the parallelism proxy (inputFiles is listing-only — it
+    // never plans or executes; fixture tables are one single-row-group file
+    // each, real chunked tables are many bounded files). Non-file sources
+    // (empty list) are left alone.
+    val nFiles =
+      try df.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    if (nFiles >= 1 && nFiles < math.max(2, target / 4)) df.repartition(target)
+    else df
+  }
+}
