@@ -463,24 +463,34 @@ object Similarity {
     val r = cand.select(col(idCol).as("__b"), col(vecCol).as("__vb"))
     val pairs = l.join(r, col("__a") =!= col("__b"))
       .select(col("__a"), col("__b"), micro(cosine(col("__va"), col("__vb"))).as("__sim"))
-      .localCheckpoint()
+    // r12 (guide §1.2): the greedy itself runs on the DRIVER over the two
+    // collected tables — `pool` rows + pool·(pool−1) pairs, bounded by the
+    // PARAMETER, never the corpus (the dsirSelect bucketRows discipline).
+    // The old loop paid one Spark job (plan + schedule + collect) per pick.
+    // Cosines/rels are the collected µ6-rounded values from the SAME
+    // expressions as before, and the score arithmetic below is the identical
+    // IEEE expression tree (λ·rel − (1−λ)·maxSim, ties by id) — bit-identical
+    // picks (oracle-gated).
+    val candRows = cand.select(col(idCol), col("rel")).collect()
+      .map(r0 => (r0.getLong(0), r0.getDouble(1)))
+    val simRows = pairs.collect()
+      .map(r0 => ((r0.getLong(0), r0.getLong(1)), r0.getDouble(2)))
+      .toMap
+    val oneMinusLam = 1.0 - lam
     var selected = List.empty[(Long, Double)] // (id, score), pick order
     var round = 0
     while (round < k) {
       val sel = selected.map(_._1)
-      val pickRow =
-        if (sel.isEmpty)
-          cand.select(col(idCol), (lit(lam) * col("rel")).as("__score"))
-            .orderBy(col("__score").desc, col(idCol)).limit(1).collect()(0)
-        else
-          cand.filter(!col(idCol).isin(sel: _*))
-            .join(pairs.filter(col("__b").isin(sel: _*)), col(idCol) === col("__a"))
-            .groupBy(col(idCol), col("rel"))
-            .agg(max("__sim").as("__ms"))
-            .select(col(idCol),
-              (lit(lam) * col("rel") - lit(1.0 - lam) * col("__ms")).as("__score"))
-            .orderBy(col("__score").desc, col(idCol)).limit(1).collect()(0)
-      selected = selected :+ ((pickRow.getLong(0), pickRow.getDouble(1)))
+      val scored =
+        if (sel.isEmpty) candRows.map { case (id, rel) => (id, lam * rel) }
+        else candRows.filterNot(c => sel.contains(c._1)).flatMap { case (id, rel) =>
+          // max over the selected set's pair sims — pairs exist for every
+          // distinct (a, b) in the pool, so the flatMap never drops a cand
+          val ms = sel.flatMap(s => simRows.get((id, s)))
+          if (ms.isEmpty) None else Some((id, lam * rel - oneMinusLam * ms.max))
+        }
+      val pick = scored.minBy { case (id, score) => (-score, id) }
+      selected = selected :+ pick
       round += 1
     }
     selected.zipWithIndex

@@ -493,19 +493,19 @@ object TextFunctions {
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "empty BM25 query")
-    // r12 (guide §1.2/§2.3): ONE tokenize pass reduced to per-(doc, token)
-    // counts; document length and term frequencies both derive from it — the
-    // old shape tokenized the corpus twice (dlen pass + tf pass) and shuffled
-    // raw token rows both times. All counts are exact integers; the per-doc
-    // double multiset summed into bm25 is unchanged.
+    // r12 note: a "one tokenize pass" restructure (pre-aggregate to
+    // (doc, token) counts + checkpoint, derive dl and tf from it) was
+    // measured SLOWER here (hybrid_rrf 1.09 → 1.50 s): the original's
+    // exchanges are already tiny (map-side partial aggregation), so the
+    // restructure traded three cheap fused tokenize passes for an eager
+    // materialization job plus a per-(doc,token) exchange. Reverted — guide
+    // §1.3: measure, keep the faster shape.
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
-    val dlen = toks.groupBy(idCol).agg(sum("__c").as("dl"))
+    val dlen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
     val corpus = dlen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val terms = queryTerms.map(_.toLowerCase).distinct
     val tf = toks.filter(col("token").isin(terms: _*))
-      .select(col(idCol), col("token"), col("__c").as("tf"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(dlen, idCol)
       .join(broadcast(dfreq), "token")
