@@ -29,13 +29,6 @@ object SparkEntry {
     tableCache.computeIfAbsent((s, s"$dir/$name.parquet"),
       key => key._1.read.parquet(key._2))
 
-  /** documents with scan parallelism normalized for CPU-dense per-row text
-    * work (tokenize/regex/hash ≈ 10³× a scan's per-byte cost) — see
-    * [[graft.util.Parallelism.spreadNarrowScan]]; a no-op on many-file tables.
-    */
-  private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    graft.util.Parallelism.spreadNarrowScan(t(s, dir, "documents"))
-
   /** The events table with `ts` normalized to a raw epoch-ns LongType column —
     * the reference's ns-fidelity carrier (SURVEY.md §7.4.1).
     *
@@ -1035,7 +1028,7 @@ object SparkEntry {
 
     // LLM ops — language ID (stopword-marker argmax, deterministic tie-break).
     "q_doc_langid" -> ((s, dir) =>
-      docsSpread(s, dir)
+      t(s, dir, "documents")
         .groupBy(graft.text.TextFunctions.langId(col("text")).as("lang_id"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang_id")),
@@ -1054,7 +1047,7 @@ object SparkEntry {
     // LLM ops — exact n-gram (word-3-shingle) Jaccard similarity over all pairs of
     // a 40-doc sample; the exact-verification primitive under MinHash-LSH.
     "q_doc_ngram_jaccard" -> ((s, dir) => {
-      val d = docsSpread(s, dir).filter(col("doc_id") < 40)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
         .select(col("doc_id"), graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -1072,22 +1065,22 @@ object SparkEntry {
     // probe set (doc_id % 50 == 0), broadcast map-side join.
     "q_doc_contamination" -> ((s, dir) =>
       graft.dedup.Dedup.contamination(
-          docsSpread(s, dir), col("doc_id") % 50 === 0, k = 3)
+          t(s, dir, "documents"), col("doc_id") % 50 === 0, k = 3)
         .orderBy("doc_id")),
 
     // LLM ops — intra-doc repetition (C4/Gopher-style quality signal).
     "q_doc_repetition" -> ((s, dir) =>
-      graft.text.TextFunctions.repetitionStats(docsSpread(s, dir))
+      graft.text.TextFunctions.repetitionStats(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
     // LLM ops — corpus vocabulary top-k (tokenizer-training precursor scan).
     "q_doc_vocab_topk" -> ((s, dir) =>
-      graft.text.TextFunctions.vocabTopK(docsSpread(s, dir), 20)),
+      graft.text.TextFunctions.vocabTopK(t(s, dir, "documents"), 20)),
 
     // LLM ops — deterministic train/val/test split by engine-portable id hash
     // (md5-hex60): a doc keeps its split across re-runs and engines.
     "q_doc_split_hash" -> ((s, dir) =>
-      graft.pipeline.Pipeline.trainValTest(docsSpread(s, dir), "doc_id")
+      graft.pipeline.Pipeline.trainValTest(t(s, dir, "documents"), "doc_id")
         .groupBy("split")
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("id_sum"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
@@ -1096,28 +1089,28 @@ object SparkEntry {
     // LLM ops — deterministic stratified sampling: per-language keep rates
     // (en 10%, rest 50%) assigned by the same portable hash.
     "q_doc_stratified_sample" -> ((s, dir) =>
-      graft.pipeline.Pipeline.stratifiedSample(docsSpread(s, dir), "doc_id",
+      graft.pipeline.Pipeline.stratifiedSample(t(s, dir, "documents"), "doc_id",
           when(col("lang") === "en", 10).otherwise(50))
         .select("doc_id", "lang").orderBy("doc_id")),
 
     // LLM ops — per-source sampling weights rebalancing to a uniform training
     // mixture (downweight over-represented domains).
     "q_corpus_mix_weights" -> ((s, dir) =>
-      graft.pipeline.Pipeline.mixtureWeights(docsSpread(s, dir), "source")
+      graft.pipeline.Pipeline.mixtureWeights(t(s, dir, "documents"), "source")
         .orderBy("source")),
 
     // LLM ops — temperature-scaled mixture (XLM-R / mT5 α-smoothing, α=0.5):
     // boost low-resource languages without hard-uniform's tiny-group blowup.
     "q_corpus_mix_temperature" -> ((s, dir) =>
       graft.pipeline.Pipeline
-        .mixtureWeightsTemperature(docsSpread(s, dir), "lang", alpha = 0.5)
+        .mixtureWeightsTemperature(t(s, dir, "documents"), "lang", alpha = 0.5)
         .orderBy("lang")),
 
     // LLM ops — APPLY the mixture: deterministic repetition by weight
     // (floor(w) copies + one more iff the id-hash fraction < frac(w)), so the
     // rebalanced corpus is reproducible row-for-row.
     "q_doc_repeat_weighted" -> ((s, dir) => {
-      val docs = docsSpread(s, dir)
+      val docs = t(s, dir, "documents")
       val w = graft.pipeline.Pipeline.mixtureWeights(docs, "source")
         .select(col("source"), col("weight"))
       graft.pipeline.Pipeline
@@ -1130,7 +1123,7 @@ object SparkEntry {
 
     // LLM ops — corpus length histogram (16-token buckets), integral div.
     "q_doc_length_hist" -> ((s, dir) =>
-      docsSpread(s, dir)
+      t(s, dir, "documents")
         .select(graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("tc"))
         .select(expr("tc div 16").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
@@ -1140,7 +1133,7 @@ object SparkEntry {
     // arrival order) so the kept set is stable across engines and re-runs.
     "q_doc_cap_source" -> ((s, dir) =>
       graft.pipeline.Pipeline.capPerGroup(
-          docsSpread(s, dir), Seq("source"), "doc_id", 25)
+          t(s, dir, "documents"), Seq("source"), "doc_id", 25)
         .select("source", "doc_id", "rank")
         .orderBy("source", "rank")),
 
@@ -1152,14 +1145,14 @@ object SparkEntry {
     // LLM ops — duplicated-passage ratio (ExactSubstr-style, Lee et al. 2022):
     // fraction of each doc's 16-token windows that also occur in another doc.
     "q_doc_passage_dup" -> ((s, dir) =>
-      graft.dedup.Dedup.duplicatedPassageRatio(docsSpread(s, dir), 16)
+      graft.dedup.Dedup.duplicatedPassageRatio(t(s, dir, "documents"), 16)
         .orderBy("doc_id")),
 
     // LLM ops — passage-level dedup TRANSFORM (Lee et al. 2021): duplicated
     // 13-token spans removed corpus-wide, first occurrence (min (doc,start))
     // kept. Content hash-gated (64-bit md5 prefix of the cleaned text).
     "q_doc_passage_remove" -> ((s, dir) =>
-      graft.dedup.Dedup.removeDuplicatedPassages(docsSpread(s, dir), 13)
+      graft.dedup.Dedup.removeDuplicatedPassages(t(s, dir, "documents"), 13)
         .select(col("doc_id"),
           substring(md5(col("kept_text")), 1, 16).as("kept_hash"),
           col("n_kept"), col("n_removed"))
@@ -1170,7 +1163,7 @@ object SparkEntry {
     // quadratic-ish part at big SFs; the slice pins oracle cost).
     "q_doc_passage_remove_s" -> ((s, dir) =>
       graft.dedup.Dedup.removeDuplicatedPassages(
-        docsSpread(s, dir).filter(col("doc_id") < 2000), 13)
+        t(s, dir, "documents").filter(col("doc_id") < 2000), 13)
         .select(col("doc_id"),
           substring(md5(col("kept_text")), 1, 16).as("kept_hash"),
           col("n_kept"), col("n_removed"))
@@ -1182,7 +1175,7 @@ object SparkEntry {
     // window explode + one content-keyed aggregation + gaps-and-islands —
     // never all-pairs.
     "q_doc_substr_dedup" -> ((s, dir) =>
-      graft.dedup.Dedup.exactSubstrSpans(docsSpread(s, dir), 13)
+      graft.dedup.Dedup.exactSubstrSpans(t(s, dir, "documents"), 13)
         .orderBy("doc_id", "span_start")),
 
     // LLM ops — PII scrub: detection counts + redacted-text hash. The corpus has
@@ -1196,7 +1189,7 @@ object SparkEntry {
           concat(lit(" from 10.1."), (col("doc_id") % 200).cast("string"), lit(".77")))
           .otherwise(lit("")),
         when(col("doc_id") % 3 === 0, lit(" call +1 415-555-0133")).otherwise(lit("")))
-      docsSpread(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"), injected.as("txt"))
         .select(col("doc_id"),
           PiiFunctions.emailCount(col("txt")).as("n_email"),
@@ -1209,7 +1202,7 @@ object SparkEntry {
     // LLM ops — fixed 32-token training-sequence chunking; chunk content verified
     // by a 64-bit md5 prefix, so the oracle checks CONTENT, not just counts.
     "q_doc_chunk_tokens" -> ((s, dir) =>
-      graft.pipeline.Pipeline.chunkTokens(docsSpread(s, dir), "doc_id", "text", 32)
+      graft.pipeline.Pipeline.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32)
         .orderBy("doc_id", "chunk_idx")),
 
     // LLM ops — dedup CLUSTERING: connected components over the shared-shingle
@@ -1218,7 +1211,7 @@ object SparkEntry {
     // edge) — pairs become groups keyed by their minimum doc id. Oracle:
     // DuckDB recursive-CTE transitive closure.
     "q_doc_dedup_groups" -> ((s, dir) => {
-      val d = docsSpread(s, dir).filter(col("doc_id") < 40)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
         .select(col("doc_id"), graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -1233,7 +1226,7 @@ object SparkEntry {
     // best-quality member of each near-dup group (ties → smallest doc_id) —
     // the "which copy do we keep" endpoint of the dedup pipeline.
     "q_doc_dedup_canonical" -> ((s, dir) => {
-      val d = docsSpread(s, dir).filter(col("doc_id") < 40)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
       val sh = d.select(col("doc_id"), graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -1258,7 +1251,7 @@ object SparkEntry {
     // candidate — measured 8× slower; banding IS the precision knob).
     "q_doc_minhash_neardup" -> ((s, dir) =>
       graft.dedup.Dedup.minhashNearDupPairs(
-        docsSpread(s, dir), threshold = 0.5, numHashes = 32, bands = 16)
+        t(s, dir, "documents"), threshold = 0.5, numHashes = 32, bands = 16)
         .orderBy("id_a", "id_b")),
 
     // Bounded-slice variant (VERDICT r5 #4): the full-corpus query above is
@@ -1268,7 +1261,7 @@ object SparkEntry {
     // scale record (the q_emb_neardup_exact pattern).
     "q_doc_minhash_neardup_s" -> ((s, dir) =>
       graft.dedup.Dedup.minhashNearDupPairs(
-        docsSpread(s, dir).filter(col("doc_id") < 2000),
+        t(s, dir, "documents").filter(col("doc_id") < 2000),
         threshold = 0.5, numHashes = 32, bands = 16)
         .orderBy("id_a", "id_b")),
 
@@ -1281,7 +1274,7 @@ object SparkEntry {
     // so the probe output EQUALS the exact cross-pair answer the oracle
     // computes with the subquadratic shared-shingle formulation.
     "q_doc_minhash_index_probe" -> ((s, dir) => {
-      val docs = docsSpread(s, dir)
+      val docs = t(s, dir, "documents")
       graft.dedup.MinHashIndex.probe(s, mhIndex(s, dir),
           docs.filter(col("doc_id") % 17 === 0),
           docs.filter(col("doc_id") % 17 =!= 0), threshold = 0.5)
@@ -1299,14 +1292,14 @@ object SparkEntry {
     // xxhash64 4-block recall-tuned variant stays spec-gated.
     "q_doc_simhash_neardup" -> ((s, dir) =>
       graft.dedup.Dedup.simhashNearDupPairsExact(
-        docsSpread(s, dir), maxHamming = 3)
+        t(s, dir, "documents"), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")),
 
     // Bounded-slice variant — same rationale as q_doc_minhash_neardup_s.
     "q_doc_simhash_neardup_s" -> ((s, dir) =>
       graft.dedup.Dedup.simhashNearDupPairsExact(
-        docsSpread(s, dir).filter(col("doc_id") < 2000), maxHamming = 3)
+        t(s, dir, "documents").filter(col("doc_id") < 2000), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")),
 
@@ -1317,7 +1310,7 @@ object SparkEntry {
     // verify the identical pair set.
     "q_doc_editsim" -> ((s, dir) =>
       graft.dedup.Dedup.editSimNearDupPairs(
-        docsSpread(s, dir), maxHamming = 3, simNum = 80, simDen = 100)
+        t(s, dir, "documents"), maxHamming = 3, simNum = 80, simDen = 100)
         .orderBy("id_a", "id_b")),
 
     // LLM ops — exact embedding-cosine near-dup pairs (brute-force baseline;
@@ -1362,13 +1355,13 @@ object SparkEntry {
     // (no single-partition window).
     "q_doc_pack_sequences" -> ((s, dir) =>
       graft.pipeline.Pipeline.packSequences(
-          docsSpread(s, dir), "doc_id", "text", seqTokens = 512)
+          t(s, dir, "documents"), "doc_id", "text", seqTokens = 512)
         .orderBy("doc_id")),
 
     // LLM ops — Gopher quality-rule flags (Rae et al. 2021 Table A1, the
     // deterministic SQL-expressible subset) + overall keep verdict.
     "q_doc_gopher_filter" -> ((s, dir) =>
-      docsSpread(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id") +: graft.text.TextFunctions.gopherFlags(col("text")): _*)
         .orderBy("doc_id")),
 
@@ -1385,7 +1378,7 @@ object SparkEntry {
       // ~30× per row (observed in the physical plan). Materializing the
       // normalized text once is also what a real pipeline does: three
       // downstream stages (filter, fingerprint dedup, packing) reuse it.
-      val src = docsSpread(s, dir).select(col("doc_id"),
+      val src = t(s, dir, "documents").select(col("doc_id"),
         graft.sources.DocumentSources.nfcNormalize(col("text")).as("text"))
         .localCheckpoint(true)
       // single-pass native keep (no per-flag projection needed here), then
@@ -1437,7 +1430,7 @@ object SparkEntry {
     // the oracle verifies the exact piece sequence, not just its length.
     "q_doc_bpe_tokens" -> ((s, dir) => {
       import graft.text.TextFunctions
-      docsSpread(s, dir).select(
+      t(s, dir, "documents").select(
         col("doc_id"),
         TextFunctions.bpePieceCount(col("text")).cast("long").as("n_pieces"),
         substring(md5(array_join(TextFunctions.bpePieces(col("text")), "\u0001")), 1, 16)
@@ -1721,7 +1714,7 @@ object SparkEntry {
 
   private def mhIndex(s: SparkSession, dir: String): String =
     mhIndexCache.computeIfAbsent((s, dir), _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft_mh_").toString
+      val root = graft.util.ShmDirs.tempDir("graft_mh_").toString
       graft.dedup.MinHashIndex.build(
         s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 17 =!= 0),
         root, numHashes = 32, bands = 16)
@@ -1744,7 +1737,7 @@ object SparkEntry {
 
   private def rollupEngine(s: SparkSession, dir: String): graft.engine.QueryEngine =
     rollupEngineCache.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_q_")
+      val tmp = graft.util.ShmDirs.tempDir("graft_rollup_q_")
       val catalog = new graft.catalog.ChunkCatalog(tmp)
       new graft.ingest.ChunkWriter(catalog)
         .write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") < Jan3Ns))
@@ -1764,7 +1757,7 @@ object SparkEntry {
   private def compactedEngine(s: SparkSession, dir: String,
                               maxTsExclusiveNs: Long): graft.engine.QueryEngine =
     compactedCache.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+      val tmp = graft.util.ShmDirs.tempDir("graft_compact_")
       val catalog = new graft.catalog.ChunkCatalog(tmp)
       val writer = new graft.ingest.ChunkWriter(catalog)
       // The two interleaved L0 writes each make two passes (stats + shuffle) —
@@ -1791,7 +1784,7 @@ object SparkEntry {
   private def tenantEngine(s: SparkSession, dir: String,
                            maxTsExclusiveNs: Long): graft.engine.QueryEngine =
     tenantCache.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_tenant_")
+      val tmp = graft.util.ShmDirs.tempDir("graft_tenant_")
       val catalog = new graft.catalog.ChunkCatalog(tmp)
       val wa = new graft.ingest.ChunkWriter(catalog, "tenant-a")
       val wb = new graft.ingest.ChunkWriter(catalog, "tenant-b")
@@ -1830,7 +1823,7 @@ object SparkEntry {
   private def zorderedEngine(s: SparkSession, dir: String,
                              maxTsExclusiveNs: Long): graft.engine.QueryEngine =
     zorderCache.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_q_")
+      val tmp = graft.util.ShmDirs.tempDir("graft_zorder_q_")
       val catalog = new graft.catalog.ChunkCatalog(tmp)
       val writer = new graft.ingest.ChunkWriter(catalog)
       val m = eventsAsMetrics(s, dir).filter(col("timestamp_ns") < maxTsExclusiveNs)
@@ -1870,7 +1863,7 @@ object SparkEntry {
   private def splitEngine(s: SparkSession, dir: String,
                           maxTsExclusiveNs: Long): graft.engine.QueryEngine =
     splitCache.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_split_q_")
+      val tmp = graft.util.ShmDirs.tempDir("graft_split_q_")
       val catalog = new graft.catalog.ChunkCatalog(tmp)
       new graft.ingest.ChunkWriter(catalog)
         .write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") < maxTsExclusiveNs))
@@ -1881,7 +1874,7 @@ object SparkEntry {
 
   private def ivfIndex(s: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent((s, dir), _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      val root = graft.util.ShmDirs.tempDir("graft_ivf_").toString
       graft.sim.IvfIndex.build(
         s.read.parquet(s"$dir/embeddings.parquet"), root, nCentroids = 8)
       root
@@ -1889,7 +1882,7 @@ object SparkEntry {
 
   private def ivfPqIndex(s: SparkSession, dir: String): String =
     ivfPqIndexCache.computeIfAbsent((s, dir), _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      val root = graft.util.ShmDirs.tempDir("graft_ivfpq_").toString
       graft.sim.IvfIndex.build(
         s.read.parquet(s"$dir/embeddings.parquet"), root, nCentroids = 8,
         pqM = 4, pqK = 16, pqIters = 1)
@@ -1905,7 +1898,7 @@ object SparkEntry {
     * version must see exactly batch 1. */
   private def asofEngine(s: SparkSession, dir: String): (graft.engine.QueryEngine, Long) =
     asofEngineCache.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_asof_")
+      val tmp = graft.util.ShmDirs.tempDir("graft_asof_")
       val catalog = new graft.catalog.ChunkCatalog(tmp, manifestRetain = 16)
       val writer = new graft.ingest.ChunkWriter(catalog)
       writer.write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") < Jan3Ns))
@@ -1917,7 +1910,7 @@ object SparkEntry {
   private def engineWithData(s: SparkSession, dir: String,
                              maxTsExclusiveNs: Long): graft.engine.QueryEngine =
     engineCache.computeIfAbsent((s, dir, maxTsExclusiveNs), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_engine_")
+      val tmp = graft.util.ShmDirs.tempDir("graft_engine_")
       val catalog = new graft.catalog.ChunkCatalog(tmp)
       val writer = new graft.ingest.ChunkWriter(catalog)
       writer.write(eventsAsMetrics(s, dir).filter(col("timestamp_ns") < maxTsExclusiveNs))

@@ -697,7 +697,10 @@ object Dedup {
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1: $minTokens")
-    val wins = docs
+    // spreadNarrowScan (r12, guide §2.5): the shingle explode + double-hash
+    // window keys are the CPU-dense pass here; a single-row-group input would
+    // run it on one task. No-op on many-file tables.
+    val wins = graft.util.Parallelism.spreadNarrowScan(docs)
       .filter(graft.text.TextFunctions.tokenCount(col(textCol)) >= minTokens)
       .select(col(idCol),
         posexplode(shingles(col(textCol), minTokens)).as(Seq("__start", "__w")))

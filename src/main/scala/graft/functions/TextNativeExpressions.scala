@@ -136,7 +136,52 @@ object TextNativeExpressions {
       copy(child = c)
   }
 
+  /** TextFunctions.langId as one pass (r12): the compositional form runs one
+    * regex `split` per marker word — 20 full passes over the text, each
+    * materializing a substring array just to take its size. This computes
+    * the identical per-language padded non-overlapping ` word ` counts with
+    * the GopherKeep indexOf/advance loop (one lowercase, zero arrays), then
+    * applies the identical argmax: earliest language attaining the overall
+    * max (the fold's strictly-greater-beats-earlier), 'und' when max <= 0.
+    * Equivalence to the compositional form is spec-enforced
+    * (TextDedupSimSpec) and the query stays oracle-gated.
+    */
+  case class LangIdNative(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    @transient private lazy val markers =
+      graft.text.TextFunctions.LangMarkers.map { case (lang, ws) =>
+        (lang, ws.map(w => " " + w + " ").toArray)
+      }.toArray
+    override def nullSafeEval(input: Any): Any = {
+      val padded = " " + input.asInstanceOf[UTF8String].toLowerCase.toString + " "
+      var bestLang: String = null
+      var bestScore = Int.MinValue
+      var m = 0
+      while (m < markers.length) {
+        val (lang, needles) = markers(m)
+        var score = 0
+        var w = 0
+        while (w < needles.length) {
+          val needle = needles(w)
+          var idx = padded.indexOf(needle)
+          while (idx >= 0) {
+            score += 1
+            idx = padded.indexOf(needle, idx + needle.length)
+          }
+          w += 1
+        }
+        if (score > bestScore) { bestScore = score; bestLang = lang }
+        m += 1
+      }
+      UTF8String.fromString(if (bestScore <= 0) "und" else bestLang)
+    }
+    override protected def withNewChildInternal(c: Expression): LangIdNative =
+      copy(child = c)
+  }
+
   private def ex(c: Column): Expression = GraftBridge.expression(c)
   def token_count(text: Column): Column = GraftBridge.column(TokenCount(ex(text)))
   def gopher_keep(text: Column): Column = GraftBridge.column(GopherKeep(ex(text)))
+  def lang_id(text: Column): Column = GraftBridge.column(LangIdNative(ex(text)))
 }

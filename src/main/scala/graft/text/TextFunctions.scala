@@ -155,7 +155,17 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "los", "las", "es", "y"))
 
-  def langId(text: Column): Column = {
+  /** Single-pass native form (r12) — the compositional fold below ran one
+    * regex split per marker word (20 text passes + array allocs per row);
+    * [[langIdCompositional]] is retained for the spec equivalence pin.
+    */
+  def langId(text: Column): Column =
+    graft.functions.TextNativeExpressions.lang_id(text)
+
+  /** The original 20-split compositional form — spec-pinned equal to
+    * [[langId]] (TextDedupSimSpec), kept as the executable specification.
+    */
+  def langIdCompositional(text: Column): Column = {
     val scores = LangMarkers.map { case (lang, words) => lang -> stopwordHits(text, words) }
     // argmax with fixed-order tie-break: strictly-greater beats earlier languages
     val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {

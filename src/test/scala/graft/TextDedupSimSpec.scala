@@ -1012,6 +1012,33 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("native langId is bit-equivalent to the compositional 20-split form") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // biased toward marker words (all four languages, ties, overlaps like
+    // "the the"), unicode, empties — the cases the indexOf/advance loop and
+    // the earliest-language-wins argmax must replicate exactly
+    val marker = Gen.oneOf(TextFunctions.LangMarkers.flatMap(_._2))
+    val token = Gen.frequency(
+      5 -> marker,
+      3 -> Gen.alphaNumStr.map(_.take(8)),
+      1 -> Gen.oneOf("the the", "LE", "Der", "y es el", "café", "", "  "))
+    val textGen = for {
+      n <- Gen.chooseNum(0, 60)
+      toks <- Gen.listOfN(n, token)
+    } yield toks.mkString(" ")
+    val prop = Prop.forAll(Gen.listOfN(40, textGen)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(
+          TextFunctions.langId(col("text")).as("native"),
+          TextFunctions.langIdCompositional(col("text")).as("comp"))
+        .collect()
+      rows.forall(r => r.getString(0) == r.getString(1))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("gopherKeep matches compositional keep on a long mixed document") {
     // a realistic doc that actually exercises every rule branch near its
     // boundary: ~60 tokens, mixed stopwords, punctuation, unicode
