@@ -329,7 +329,10 @@ object Dedup {
     // (measured 10 s with 30 cores idle). Explicit repartition-by-num on the
     // deterministic pair key spreads it; row set unchanged.
     val verifyParts = estimated.sparkSession.sparkContext.defaultParallelism * 4
-    estimated
+    // materialize the (candidate-proportional) pair result and RELEASE the
+    // shingle+signature checkpoint promptly (r12, guide §5): returning it
+    // lazily pins ~corpus-text-sized blocks until the consumer's GC
+    val out = estimated
       .join(sa, "id_a").join(sb, "id_b")
       .repartition(verifyParts, col("id_a"), col("id_b"))
       // eval_once: keeps the intersect out of the join condition (it would
@@ -338,6 +341,9 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 6)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint()
+    withShingles.unpersist(blocking = false)
+    out
   }
 
   /** Benchmark-decontamination check: for every corpus document (NOT matching

@@ -261,7 +261,10 @@ object MinHashIndex {
     // few-KB candidate pair set onto 1-2 tasks (same fix as
     // Dedup.minhashNearDupPairs / editSimNearDupPairs). Row set unchanged.
     val verifyParts = spark.sparkContext.defaultParallelism * 4
-    estimated
+    // materialize the pair result and RELEASE the batch sig/bucket
+    // checkpoints promptly (r12, guide §5 — the qualityClassifierTrain
+    // discipline)
+    val out = estimated
       .join(corpusSh, "corpus_id")
       .join(withSig.select(col("batch_id"), col("__sh").as("sh_b")), "batch_id")
       .repartition(verifyParts, col("batch_id"), col("corpus_id"))
@@ -271,5 +274,8 @@ object MinHashIndex {
         round(Dedup.jaccard(col("sh_b"), col("sh_c")), 6)))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")
+      .localCheckpoint()
+    Seq(withSig, batchBuckets).foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -391,10 +391,15 @@ object Pipeline {
       .agg(count(lit(1)).as("n_grams"),
         (floor(sum("lr") * 1e4 + lit(0.5)) / 1e4).as("dsir_score"))
     val top = scored.orderBy(col("dsir_score").desc, col(idCol)).limit(selectK)
-    // rank the k survivors (tiny — the window runs on ≤ selectK rows)
-    top.withColumn("sel_rank",
+    // rank the k survivors (tiny — the window runs on ≤ selectK rows);
+    // materialize the ≤selectK-row result and RELEASE the gram-count
+    // checkpoint promptly (r12, guide §5)
+    val out = top.withColumn("sel_rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("dsir_score").desc, col(idCol))).cast("long"))
+      .localCheckpoint()
+    gramCounts.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB oracle for [[dsirSelect]]: identical grams (list_filter'd split +
@@ -592,12 +597,19 @@ object Pipeline {
     val wDf = w.toSeq.toDF("bucket", "wm")
     val sums = featsPlus.join(broadcast(wDf), "bucket")
       .groupBy(idCol).agg(sum("wm").as("__sw"))
-    labels.join(sums, Seq(idCol), "left")
+    // materialize the (one-row-per-doc) result and RELEASE the presence
+    // table promptly (r12, guide §5): a lazily-returned frame pins the
+    // ~tokens-sized featsPlus/labels checkpoints until the consumer's GC —
+    // measured as heap debt taxing every later query in a shared JVM
+    val out = labels.join(sums, Seq(idCol), "left")
       .withColumn("__s", lit(bias) + coalesce(col("__sw"), lit(0L)))
       .select(col(idCol), col("y"),
         (floor(lit(1e6) / (lit(1.0) + exp(-col("__s").cast("double") / 1e6)) + 0.5) / 1e6)
           .as("prob"))
       .withColumn("pred", (col("prob") >= 0.5).cast("int").cast("long"))
+      .localCheckpoint()
+    Seq(labels, featsPlus).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** DuckDB oracle for [[qualityClassifierTrain]]: the identical GD loop
