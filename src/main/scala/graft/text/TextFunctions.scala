@@ -301,7 +301,7 @@ object TextFunctions {
     // more than one un-truncated rebuild in the lineage. A materialized
     // vocab's parent blocks are released with a one-round lag (a lazy
     // checkpoint cannot recompute once its parent is dropped).
-    var vocab = graft.util.Parallelism.spreadNarrowScan(docs.filter(length(trim(col(textCol))) > 0))
+    var vocab = docs.filter(length(trim(col(textCol))) > 0)
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -673,7 +673,7 @@ object TextFunctions {
     // Observations instead of separate agg actions; each round's Viterbi
     // segmentation is a lazy checkpoint materialized by the next counts job.
     // Per-round: ONE job instead of three. Arithmetic untouched.
-    val words = graft.util.Parallelism.spreadNarrowScan(docs.filter(length(trim(col(textCol))) > 0))
+    val words = docs.filter(length(trim(col(textCol))) > 0)
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
