@@ -15,10 +15,20 @@ object ShmDirs {
     catch { case scala.util.control.NonFatal(_) => System.getProperty("java.io.tmpdir") }
   }
 
-  /** A fresh temp dir under /dev/shm (plain temp fallback). */
-  def tempDir(prefix: String): java.nio.file.Path =
-    try java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), prefix)
-    catch { case scala.util.control.NonFatal(_) =>
-      java.nio.file.Files.createTempDirectory(prefix) }
+  /** A fresh temp dir under /dev/shm (plain temp fallback), deleted at JVM
+    * exit: tmpfs is shared with the scale fixtures, and leaked per-JVM
+    * fixture dirs were found squatting it after repeated runs (the r9 bench
+    * hygiene finding, again). Dirs are per-process (createTempDirectory
+    * names are unique), so exit-time deletion cannot touch another run's.
+    */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val d =
+      try java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), prefix)
+      catch { case scala.util.control.NonFatal(_) =>
+        java.nio.file.Files.createTempDirectory(prefix) }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))))
+    d
+  }
 }
