@@ -157,6 +157,10 @@ object Dedup {
     df.select(col(idCol), col(textCol))
       .withColumn("__sh", shingles(col(textCol), k))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      // r13 (guide §5): the raw text column is dead after the shingle pass —
+      // keeping it doubled the checkpoint block size every downstream stage
+      // re-reads (localCheckpoint blocks are whole rows, not pruned columns)
+      .select(col(idCol), col("__sh"), col("__sig"))
       .localCheckpoint(true)
 
   /** Shared core of the incremental near-dup paths: both sides already carry
@@ -289,6 +293,10 @@ object Dedup {
         docs.select(col(idCol), col(textCol)))
       .withColumn("__sh", shingles(col(textCol), k))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      // r13 (guide §5): drop the dead text column before the checkpoint —
+      // five downstream stages re-read these blocks (bands, oversized,
+      // estimate ×2, verify ×2); whole rows are deserialized each time
+      .select(col(idCol), col("__sh"), col("__sig"))
       .localCheckpoint(true)
 
     val buckets = lshBuckets(withShingles, idCol, "__sig", bands, rowsPerBand)

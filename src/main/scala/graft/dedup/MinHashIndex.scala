@@ -74,6 +74,10 @@ object MinHashIndex {
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
       .withColumn("__sh", Dedup.shingles(col("__text"), k))
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), numHashes))
+      // r13 (guide §5): only (doc_id, sig) is consumed downstream (sigs
+      // write + bucket write + oversized agg) — text and shingles in the
+      // checkpoint tripled the block bytes every consumer re-read
+      .select(col("doc_id"), col("sig"))
       .localCheckpoint(true)
 
     withSig.select("doc_id", "sig").write.mode("overwrite").parquet(sigsPath(indexRoot))
@@ -118,6 +122,8 @@ object MinHashIndex {
       .join(existing, Seq("doc_id"), "left_anti")
       .withColumn("__sh", Dedup.shingles(col("__text"), p.k))
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
+      // r13 (guide §5): only (doc_id, sig) is consumed downstream
+      .select(col("doc_id"), col("sig"))
       .localCheckpoint(true)
     withSig.select("doc_id", "sig").write.mode("append").parquet(sigsPath(indexRoot))
     val priorPruned = pruned(spark, indexRoot)
@@ -216,6 +222,10 @@ object MinHashIndex {
         batch.select(col(idCol).as("batch_id"), col(textCol).as("__text")))
       .withColumn("__sh", Dedup.shingles(col("__text"), p.k))
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
+      // r13 (guide §5): raw text is dead after the shingle pass; the
+      // checkpoint feeds the band explode, the estimate join and the verify
+      // join — each re-reads whole rows
+      .select(col("batch_id"), col("__sh"), col("sig"))
       .localCheckpoint(false)
     val batchBuckets = Dedup
       .lshBuckets(withSig, "batch_id", "sig", p.bands, p.rowsPerBand)

@@ -542,6 +542,170 @@ object HashExpressions {
       copy(child = c)
   }
 
+  // ---- portable-md5 bucket sketches (r13) ----------------------------------
+  //
+  // The hashed-feature operators (quality classifier, DSIR) bucket tokens with
+  // the repo's PORTABLE hash: pmod(conv(substring(md5(tok),1,15),16,10), n) —
+  // the first 60 bits of md5 as a non-negative long, mod n (Pipeline.hex60 /
+  // hashBucket). The compositional form pays, per gram: an md5 hex STRING
+  // alloc, a substring, a conv() string→long parse — and, worse, forces the
+  // per-doc buckets through explode → distinct/groupBy EXCHANGES to get
+  // per-doc aggregates. These expressions compute the identical buckets in
+  // one compiled pass per row (top 60 bits of the raw digest — no hex
+  // detour; bit-parity with hex60 is spec-pinned), and return PER-DOC
+  // aggregates directly, so the callers need no corpus-sized shuffle at all.
+
+  /** First 60 bits of md5(bytes) as a non-negative long — identical to
+    * Pipeline.hex60: the first 15 hex chars are exactly the top 60 bits of
+    * the first 8 digest bytes.
+    */
+  private def md5Top60(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** SORTED DISTINCT md5-hash buckets of a token array — the per-doc binary
+    * presence-feature set of the hashed-BoW classifier, as ONE row-local
+    * array instead of an exploded, distinct-shuffled presence table.
+    * bucket(tok) = pmod(hex60(tok), buckets), bit-identical to
+    * Pipeline.hashBucket (spec-pinned).
+    */
+  case class Md5BucketSet(child: Expression, buckets: Int)
+      extends UnaryExpression with UnarySketchCodegen {
+    require(buckets >= 1, "buckets >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def refName: String = "md5BucketSet"
+    @transient private lazy val mdLocal =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    def compute(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      val md = mdLocal.get()
+      val bs = new Array[Long](n)
+      var m = 0
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          md.reset()
+          md.update(arr.getUTF8String(j).getBytes)
+          bs(m) = md5Top60(md) % buckets
+          m += 1
+        }
+        j += 1
+      }
+      java.util.Arrays.sort(bs, 0, m)
+      // dedupe in place (sorted)
+      var out = 0
+      var i = 0
+      while (i < m) {
+        if (out == 0 || bs(i) != bs(out - 1)) { bs(out) = bs(i); out += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(bs, out))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def withNewChildInternal(c: Expression): Md5BucketSet = copy(child = c)
+  }
+
+  /** Per-doc md5-bucket INSTANCE COUNTS of unigrams + adjacent bigrams — the
+    * DSIR hashed-n-gram profile as one row-local map<bucket,count> (keys
+    * ascending) instead of a corpus-wide gram explode + groupBy exchange.
+    * Bigram text is `tokᵢ ++ " " ++ tokᵢ₊₁` (byte-identical to
+    * concat(a, ' ', b)); bucket = pmod(hex60(gram), buckets), bit-identical
+    * to Pipeline.hashBucket over explode(concat(toks, bigrams)) (spec-pinned).
+    * Defined for arrays without null elements (split() output).
+    */
+  case class Md5GramBucketCounts(child: Expression, buckets: Int)
+      extends UnaryExpression with UnarySketchCodegen {
+    require(buckets >= 1, "buckets >= 1")
+    override def dataType: DataType =
+      MapType(LongType, LongType, valueContainsNull = false)
+    override protected def refName: String = "md5GramBucketCounts"
+    @transient private lazy val mdLocal =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+      val n = arr.numElements()
+      val md = mdLocal.get()
+      val total = n + math.max(0, n - 1)
+      val bs = new Array[Long](total)
+      var m = 0
+      var prev: Array[Byte] = null
+      var j = 0
+      while (j < n) {
+        val cur = if (arr.isNullAt(j)) null else arr.getUTF8String(j).getBytes
+        if (cur != null) {
+          md.reset(); md.update(cur)
+          bs(m) = md5Top60(md) % buckets; m += 1
+        }
+        if (j > 0 && prev != null && cur != null) {
+          md.reset(); md.update(prev); md.update(' '.toByte); md.update(cur)
+          bs(m) = md5Top60(md) % buckets; m += 1
+        }
+        prev = cur
+        j += 1
+      }
+      java.util.Arrays.sort(bs, 0, m)
+      // run-length encode the sorted buckets into (key, count) pairs
+      var distinct = 0
+      var i = 0
+      while (i < m) { if (i == 0 || bs(i) != bs(i - 1)) distinct += 1; i += 1 }
+      val keys = new Array[Long](distinct)
+      val cnts = new Array[Long](distinct)
+      var k = -1
+      i = 0
+      while (i < m) {
+        if (i == 0 || bs(i) != bs(i - 1)) { k += 1; keys(k) = bs(i); cnts(k) = 1L }
+        else cnts(k) += 1L
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(cnts))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def withNewChildInternal(c: Expression): Md5GramBucketCounts =
+      copy(child = c)
+  }
+
+  /** Exact-BIGINT dot of a bucket array against a dense weight vector:
+    * Σ_{b ∈ arr} weights(b) — the classifier's per-doc logit as one compiled
+    * map-side pass (long addition is order-free, so this is bit-identical to
+    * the presence-table join + SUM it replaces). Weights ride inside the
+    * expression (≤ `buckets` longs — the same bytes a broadcast would carry).
+    */
+  case class WeightFold(child: Expression, weights: Array[Long])
+      extends UnaryExpression with UnarySketchCodegen {
+    override def dataType: DataType = LongType
+    override protected def refName: String = "weightFold"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"weight_fold needs array<bigint>, got $other")
+      }
+    def compute(arr: ArrayData): Long = {
+      val n = arr.numElements()
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val b = arr.getLong(i)
+        if (b < 0 || b >= weights.length)
+          throw new IllegalArgumentException(
+            s"weight_fold: bucket $b out of range [0, ${weights.length})")
+        s += weights(b.toInt)
+        i += 1
+      }
+      s
+    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+    override protected def withNewChildInternal(c: Expression): WeightFold = copy(child = c)
+  }
+
   /** Identity wrapper whose ONLY effect is `deterministic = false` — an
     * evaluation fence for expensive expressions (r12, guide §4.4 applied to
     * JVM expressions): the optimizer inlines a filter on a projected column
@@ -591,6 +755,12 @@ object HashExpressions {
     GraftBridge.column(NearestCentroid(ex(vec), centroids))
   def nearest_centroid_l2(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroidL2(ex(vec), centroids))
+  def md5_bucket_set(tokens: Column, buckets: Int): Column =
+    GraftBridge.column(Md5BucketSet(ex(tokens), buckets))
+  def md5_gram_bucket_counts(tokens: Column, buckets: Int): Column =
+    GraftBridge.column(Md5GramBucketCounts(ex(tokens), buckets))
+  def weight_fold(bucketArr: Column, weights: Array[Long]): Column =
+    GraftBridge.column(WeightFold(ex(bucketArr), weights))
   def bloom_might_contain_long(hash: Column, bloomBytes: Array[Byte]): Column =
     GraftBridge.column(BloomMightContainLong(ex(hash), bloomBytes))
   def adc_lut_flat(queryVec: Column, codebooks: Array[Array[Array[Double]]]): Column =

@@ -334,28 +334,27 @@ object Pipeline {
                  buckets: Int = 1024, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     val toksArr = filter(graft.text.TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
-    val n = size(col("__toks"))
-    val bigrams = when(n >= 2,
-      zip_with(slice(col("__toks"), lit(1), n - 1), slice(col("__toks"), lit(2), n - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array())
-    val grams = graft.util.Parallelism.spreadNarrowScan(docs)
-      .select(col(idCol), targetFilter.as("__t"), toksArr.as("__toks"))
-      .select(col(idCol), col("__t"),
-        explode(concat(col("__toks"), bigrams)).as("gram"))
-      .select(col(idCol), col("__t"), hashBucket(col("gram"), buckets).as("bucket"))
-    // r12 optimization (guide §1.2 "don't compute things twice" + §2.3):
-    // the tokenize + md5-bucket pass — the dominant cost — used to run TWICE
-    // (once for the bucket totals, once for the scoring join). It now runs
-    // once, reduced to per-(doc, bucket) counts (≤ docs × `buckets` rows,
-    // exact integers) and checkpointed; both passes derive from that compact
-    // table. The scoring side re-expands each count with array_repeat so the
-    // per-doc double multiset summed into dsir_score is IDENTICAL to the
-    // per-gram-row form (sum order was already partition-arbitrary).
-    val gramCounts = grams
-      .groupBy(col(idCol), col("__t"), col("bucket"))
-      .agg(count(lit(1)).as("__c"))
+    // r13 optimization (guide §2.4/§4, VERDICT r12 #5): the r12 shape still
+    // paid ONE corpus-sized exchange — explode(grams) → groupBy(doc, bucket)
+    // (52 MB shuffled at 10×) — plus an md5-hex-string + conv() parse per
+    // gram. Every gram of a doc lives in the doc's own row, so the per-doc
+    // bucket counts are computed ROW-LOCALLY by the compiled
+    // Md5GramBucketCounts (unigrams + adjacent bigrams, identical buckets to
+    // hashBucket over explode(concat(toks, bigrams)) — spec-pinned), and the
+    // compact one-row-per-doc map table is what gets checkpointed (~doc-count
+    // rows, not doc×bucket rows). Both consumers explode it cheaply; no
+    // corpus shuffle remains before the final doc-keyed score aggregation.
+    // Per-doc count multisets are identical to the r12 form; the per-doc
+    // double sum order becomes sorted-bucket order (the r12 order was
+    // hash-aggregate-arbitrary; the µ-rounding makes both forms
+    // oracle-hash-identical — re-gated at every SF).
+    val gramMaps = graft.util.Parallelism.spreadNarrowScan(docs)
+      .select(col(idCol), targetFilter.as("__t"),
+        graft.functions.HashExpressions.md5_gram_bucket_counts(toksArr, buckets)
+          .as("__m"))
       .localCheckpoint(true)
+    val gramCounts = gramMaps
+      .select(col(idCol), col("__t"), explode(col("__m")).as(Seq("bucket", "__c")))
     // pass 1: per-bucket target/raw totals from the compact counts — exact
     // integer sums, ≤`buckets` rows, safe to collect (bounded by the
     // parameter, not the corpus)
@@ -398,7 +397,7 @@ object Pipeline {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("dsir_score").desc, col(idCol))).cast("long"))
       .localCheckpoint()
-    gramCounts.unpersist(blocking = false)
+    gramMaps.unpersist(blocking = false)
     out
   }
 
@@ -524,62 +523,58 @@ object Pipeline {
     // positive" — matching the oracle's CASE WHEN ... THEN 1 ELSE 0 END,
     // where NULL falls to ELSE (a bare cast would keep NULL and silently
     // drop the doc from every gradient)
-    // r12 optimization (guide §2.4/§1.2): the round loop is ONE Spark job per
-    // round instead of five. (a) labels and the presence table are
-    // hash-partitioned by the doc id BEFORE their one-time localCheckpoint, so
-    // every per-round doc-keyed aggregation/join reuses that exchange (the
-    // only per-round shuffle left is the ≤buckets-row gradient reduce);
-    // (b) the bias gradient rides the SAME aggregation as the per-bucket
-    // gradients via a synthetic bucket −1 row per doc (hashBucket is a pmod —
-    // real buckets are ≥ 0), so the old second collect() — which re-executed
-    // the whole residual chain per round — is gone. Exact-integer math is
-    // untouched: identical residuals, identical BIGINT sums (order-free),
-    // identical floor-rounded updates — bit-identical output (oracle-gated).
-    val labels = docs
-      .select(col(idCol),
-        coalesce(labelFilter.cast("int").cast("long"), lit(0L)).as("y"))
-      .repartition(col(idCol))
-      .localCheckpoint()
+    // r13 optimization (guide §1.2/§2.4, VERDICT r12 #3): the presence TABLE
+    // is gone. One corpus pass builds a compact per-doc row
+    // (id, y, sorted-distinct bucket array) via the compiled Md5BucketSet
+    // (bit-identical buckets to explode + hashBucket + distinct — spec-pinned)
+    // with NO shuffle at all (the r12 shape paid a distinct exchange + a
+    // repartition(id) exchange here). Each GD round is then ONE map-side pass
+    // over that table: the logit is a compiled exact-BIGINT WeightFold
+    // (Σ w_b over the doc's buckets — long addition is order-free, so the sum
+    // is bit-identical to the old presence⨝weights SUM), and the gradient is
+    // an explode of (buckets ++ [−1]) into the ≤buckets+2-row reduce — the
+    // per-round broadcast join + doc-keyed aggregation + label join of the
+    // r12 shape (≈4 operators over presence-row volume, ~10 AQE jobs/round)
+    // collapse into one projection. Residuals, BIGINT gradient sums and
+    // floor-rounded updates are the same expressions over the same integers —
+    // bit-identical output (oracle-gated).
     val feats = graft.util.Parallelism.spreadNarrowScan(docs)
-      .select(col(idCol), explode(toksArr).as("__tok"))
-      .select(col(idCol), hashBucket(col("__tok"), buckets).as("bucket"))
-      .distinct()
-    // presence rows + one bucket −1 row per doc (the bias carrier)
-    val featsPlus = feats
-      .unionAll(labels.select(col(idCol), lit(-1L).as("bucket")))
-      .repartition(col(idCol))
+      .select(col(idCol),
+        coalesce(labelFilter.cast("int").cast("long"), lit(0L)).as("y"),
+        coalesce(
+          graft.functions.HashExpressions.md5_bucket_set(toksArr, buckets),
+          array().cast("array<long>")).as("__bk"))
       .localCheckpoint()
-    val nDocs = labels.count()
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val nDocs = feats.count()
 
     // residual micro-units for a logit in micro-units: floor(1e6·σ(s)+0.5) − 1e6·y
     def residual(s: Column, y: Column): Column =
       (floor(lit(1e6) / (lit(1.0) + exp(-s.cast("double") / 1e6)) + 0.5)).cast("long") -
         y * 1000000L
 
+    // exact integer logit per doc: bias + Σ_{b∈doc} w_b (compiled fold over
+    // the dense micro-unit weight vector; absent buckets carry weight 0, so
+    // the sum equals the old inner-join form that skipped them)
+    def logit(w: Map[Long, Long], bias: Long): Column =
+      if (w.isEmpty) lit(bias)
+      else {
+        val wArr = new Array[Long](buckets)
+        w.foreach { case (b, wm) => wArr(b.toInt) = wm }
+        lit(bias) + graft.functions.HashExpressions.weight_fold(col("__bk"), wArr)
+      }
+
     var w = Map.empty[Long, Long] // bucket → weight in micro units
     var bias = 0L
     var it = 0
     while (it < iters) {
-      // exact integer logit per doc: bias + Σ_{b∈doc} w_b. The bucket −1 rows
-      // never match wDf (its keys are the pmod buckets ≥ 0), so sums are
-      // identical to the feats-only form.
-      val rDf =
-        if (w.isEmpty) labels.select(col(idCol), residual(lit(bias), col("y")).as("r"))
-        else {
-          val wDf = w.toSeq.toDF("bucket", "wm")
-          val sums = featsPlus.join(broadcast(wDf), "bucket")
-            .groupBy(idCol).agg(sum("wm").as("__sw"))
-          labels.join(sums, Seq(idCol), "left")
-            .select(col(idCol),
-              residual(lit(bias) + coalesce(col("__sw"), lit(0L)), col("y")).as("r"))
-        }
-      // exact BIGINT gradient sums in ONE job; ≤ buckets+2 rows reach the
-      // driver. Row bucket −1 is Σ_docs r — the bias gradient (every doc has
-      // exactly one −1 row, so it equals the old rDf.agg(sum(r))).
-      val grads = featsPlus.join(rDf, idCol).groupBy("bucket")
-        .agg(sum("r").as("g")).collect()
+      // ONE job per round: residual is map-side; the only shuffle is the
+      // ≤buckets+2-row gradient reduce. The synthetic bucket −1 per doc is
+      // the bias-gradient carrier (real buckets are pmod ≥ 0), so row −1
+      // equals Σ_docs r exactly as in the r12 shape.
+      val grads = feats
+        .select(residual(logit(w, bias), col("y")).as("r"),
+          explode(concat(col("__bk"), array(lit(-1L)))).as("bucket"))
+        .groupBy("bucket").agg(sum("r").as("g")).collect()
       val step = (g: Long) => math.floor(lr * g / nDocs + 0.5).toLong
       val next = scala.collection.mutable.Map[Long, Long]() ++ w
       var gradBias = 0L
@@ -593,22 +588,19 @@ object Pipeline {
       it += 1
     }
 
-    // final scoring pass with the trained weights
-    val wDf = w.toSeq.toDF("bucket", "wm")
-    val sums = featsPlus.join(broadcast(wDf), "bucket")
-      .groupBy(idCol).agg(sum("wm").as("__sw"))
-    // materialize the (one-row-per-doc) result and RELEASE the presence
-    // table promptly (r12, guide §5): a lazily-returned frame pins the
-    // ~tokens-sized featsPlus/labels checkpoints until the consumer's GC —
-    // measured as heap debt taxing every later query in a shared JVM
-    val out = labels.join(sums, Seq(idCol), "left")
-      .withColumn("__s", lit(bias) + coalesce(col("__sw"), lit(0L)))
+    // final scoring pass with the trained weights — map-side over the compact
+    // table, no join. Materialize the (one-row-per-doc) result and RELEASE
+    // the feature checkpoint promptly (r12, guide §5): a lazily-returned
+    // frame pins the checkpoint blocks until the consumer's GC — measured as
+    // heap debt taxing every later query in a shared JVM.
+    val out = feats
+      .withColumn("__s", logit(w, bias))
       .select(col(idCol), col("y"),
         (floor(lit(1e6) / (lit(1.0) + exp(-col("__s").cast("double") / 1e6)) + 0.5) / 1e6)
           .as("prob"))
       .withColumn("pred", (col("prob") >= 0.5).cast("int").cast("long"))
       .localCheckpoint()
-    Seq(labels, featsPlus).foreach(_.unpersist(blocking = false))
+    feats.unpersist(blocking = false)
     out
   }
 

@@ -31,6 +31,12 @@ object Parallelism {
     val nFiles =
       try df.inputFiles.length
       catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    // r13 A/B note: widening the trigger to nFiles < target (so the 10-file
+    // 10× fixture spreads onto 32 cores) was measured and REVERTED — steady-
+    // state medians were unchanged (classifier 1.15 vs 1.25 s, dsir 1.07 vs
+    // 1.09, minhash_neardup 2.99 vs 3.01 at 10×) while every operator gained
+    // a ~15 MB raw-row exchange; the per-stage CPU the spread parallelizes
+    // (~0.3 s/stage) is already below the exchange + scheduling cost here.
     if (nFiles >= 1 && nFiles < math.max(2, target / 4)) df.repartition(target)
     else df
   }

@@ -202,4 +202,77 @@ class HashExprCodegenSpec extends AnyFunSuite {
     // invariant: every member answers true on BOTH paths
     assert(fromCodegen.take(500).forall(identity), "false negative")
   }
+
+  // ---- r13 md5-bucket sketches: bit-parity with the compositional hashBucket
+  // forms they replaced in qualityClassifierTrain / dsirSelect, under
+  // CODEGEN_ONLY (Janino failure = test failure).
+
+  private def toksArr(c: org.apache.spark.sql.Column) =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= lit(""))
+
+  test("md5_bucket_set == sorted distinct hashBucket over exploded tokens") {
+    import spark.implicits._
+    val indexed = texts.zipWithIndex.collect { case (t, i) if t != null => (i.toLong, t) }
+    val df = indexed.toDF("__id", "text").orderBy("__id")
+    val native = collectCodegen(df, md5_bucket_set(toksArr(col("text")), 64))
+      .map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq)
+    // compositional reference: the exact r12 classifier feature derivation
+    // (explode + pmod(hex60-md5) + distinct), re-assembled per doc
+    val ref = df
+      .select(col("__id"), explode(toksArr(col("text"))).as("__tok"))
+      .select(col("__id"), graft.pipeline.Pipeline.hashBucket(col("__tok"), 64).as("b"))
+      .distinct()
+      .groupBy("__id").agg(sort_array(collect_list("b")).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(native.length == indexed.length)
+    native.zipWithIndex.foreach { case (bs, i) =>
+      val expected = ref.getOrElse(indexed(i)._1, Seq.empty[Long])
+      assert(bs == expected, s"doc $i: native $bs != compositional $expected")
+      assert(bs == bs.sorted && bs.distinct == bs, s"doc $i not sorted-distinct")
+    }
+  }
+
+  test("md5_gram_bucket_counts == hashBucket counts over unigram+bigram explode") {
+    import spark.implicits._
+    val indexed = texts.zipWithIndex.collect { case (t, i) if t != null => (i.toLong, t) }
+    val df = indexed.toDF("__id", "text").orderBy("__id")
+    val native = collectCodegen(df, md5_gram_bucket_counts(toksArr(col("text")), 128))
+      .map(_.asInstanceOf[scala.collection.Map[Long, Long]].toMap)
+    // compositional reference: the exact r12 DSIR gram derivation
+    val ta = toksArr(col("text"))
+    val n = size(col("__toks"))
+    val bigrams = when(n >= 2,
+      zip_with(slice(col("__toks"), lit(1), n - 1), slice(col("__toks"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    val ref = df
+      .select(col("__id"), ta.as("__toks"))
+      .select(col("__id"), explode(concat(col("__toks"), bigrams)).as("gram"))
+      .select(col("__id"), graft.pipeline.Pipeline.hashBucket(col("gram"), 128).as("b"))
+      .groupBy("__id", "b").agg(count(lit(1)).as("c"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(native.length == indexed.length)
+    native.zipWithIndex.foreach { case (m, i) =>
+      val expected = ref.getOrElse(indexed(i)._1, Map.empty[Long, Long])
+      assert(m == expected, s"doc $i: native $m != compositional $expected")
+    }
+  }
+
+  test("weight_fold == exact BIGINT sum of weights over the bucket array") {
+    import spark.implicits._
+    val weights = Array.tabulate(64)(i => (i * 2654435761L) - 1000000L)
+    val arrays = (0 until 200).map(i =>
+      (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(64).toLong))
+    val df = arrays.toDF("bk")
+    val native = collectCodegen(df, weight_fold(col("bk"), weights))
+      .map(_.asInstanceOf[Long])
+    val expected = arrays.map(_.map(b => weights(b.toInt)).sum)
+    assert(native.toSeq == expected, "weight_fold diverges from the plain sum")
+    // interpreted path parity
+    val expr = WeightFold(GraftBridge.expression(lit(Array(0L))), weights)
+    val interp = arrays.map(a => expr.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray[Any])))
+    assert(interp == expected, "weight_fold interpreted eval diverges")
+  }
 }
