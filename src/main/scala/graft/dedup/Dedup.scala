@@ -237,9 +237,13 @@ object Dedup {
     */
   def lshBuckets(docs: DataFrame, idCol: String, sigCol: String,
                  bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandArr = transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws("|",
-        transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))
+    // r13 (guide §4): compiled band hashes — the compositional
+    // transform(sequence, b => xxhash64(concat_ws("|", transform(slice(...)))))
+    // ran three nested INTERPRETED lambdas per row (measured ~3 s CPU at 10×);
+    // LshBandHashes emits bit-identical xxhash64("s1|s2|…") values
+    // (spec-pinned) in one compiled pass.
+    val bandArr = graft.functions.HashExpressions
+      .lsh_band_hashes(col(sigCol), bands, rowsPerBand)
     docs.select(col(idCol), posexplode(bandArr).as(Seq("band", "band_hash")))
   }
 
@@ -326,7 +330,10 @@ object Dedup {
     val gb = withShingles.select(col(idCol).as("id_b"), col("__sig").as("sig_b"))
     val estimated = candidates
       .join(ga, "id_a").join(gb, "id_b")
-      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), b => b))
+      // r13 (guide §4): compiled agreement count — the zip_with+filter+size
+      // form ran two interpreted lambdas per candidate pair (spec-pinned
+      // bit-identical)
+      .filter(graft.functions.HashExpressions.sig_agree_count(col("sig_a"), col("sig_b"))
         >= lit(math.ceil(estMin * numHashes).toInt))
       .select("id_a", "id_b")
 

@@ -254,7 +254,8 @@ object MinHashIndex {
       .join(spark.read.parquet(sigsPath(indexRoot))
         .select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")), "corpus_id")
       .join(withSig.select(col("batch_id"), col("sig").as("sig_b")), "batch_id")
-      .filter(size(filter(zip_with(col("sig_b"), col("sig_c"), _ === _), b => b))
+      // r13 (guide §4): compiled agreement count (see Dedup.minhashNearDupPairs)
+      .filter(graft.functions.HashExpressions.sig_agree_count(col("sig_b"), col("sig_c"))
         >= lit(math.ceil(estMin * p.numHashes).toInt))
       // candidate-sized distinct: belt-and-braces against duplicate sigs rows
       // (e.g. an index written before append() enforced doc_id uniqueness)

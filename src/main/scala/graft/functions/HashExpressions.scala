@@ -120,6 +120,83 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** LSH band hashes of a MinHash signature (r13): out[b] = xxhash64 of the
+    * UTF-8 string "s₁|s₂|…" over band b's signature values rendered as
+    * decimal longs — bit-identical to the compositional
+    * transform(sequence, b => xxhash64(concat_ws("|", transform(slice(sig,…),
+    * cast string)))) it replaces (spec-pinned), which evaluated THREE nested
+    * interpreted lambdas per row. One compiled pass; the string bytes are
+    * built once per band in a reused builder.
+    */
+  case class LshBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression with UnarySketchCodegen {
+    require(bands >= 1 && rowsPerBand >= 1, "bands, rowsPerBand >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def refName: String = "lshBandHashes"
+    def compute(sig: ArrayData): ArrayData = {
+      val out = new Array[Long](bands)
+      val sb = new java.lang.StringBuilder(24 * rowsPerBand)
+      val n = sig.numElements()
+      var b = 0
+      while (b < bands) {
+        sb.setLength(0)
+        var i = b * rowsPerBand
+        val end = math.min(i + rowsPerBand, n)
+        var first = true
+        while (i < end) {
+          if (!first) sb.append('|')
+          sb.append(sig.getLong(i))
+          first = false
+          i += 1
+        }
+        // same seed (42) and byte stream as functions.xxhash64 over the string
+        out(b) = hashUtf8(UTF8String.fromString(sb.toString), 42L)
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+    override protected def withNewChildInternal(c: Expression): LshBandHashes =
+      copy(child = c)
+  }
+
+  /** Number of agreeing positions of two equal-length long arrays — the
+    * MinHash signature-estimate prefilter count, bit-identical to
+    * size(filter(zip_with(a, b, ===), x => x)) over equal-length arrays
+    * (spec-pinned) but compiled instead of two interpreted lambdas per
+    * candidate pair.
+    */
+  case class SigAgreeCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sig_agree_count needs two array<bigint>, got $other")
+      }
+    def compute(a: ArrayData, b: ArrayData): Int = {
+      val n = math.min(a.numElements(), b.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) c += 1
+        i += 1
+      }
+      c
+    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Integer.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val ref = ctx.addReferenceObj("sigAgreeCount", this, classOf[SigAgreeCount].getName)
+        s"${ev.value} = $ref.compute($l, $r);"
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeCount =
+      copy(left = l, right = r)
+  }
+
   /** 64-bit SimHash over tokens: bit b set iff Σ_tokens (bit b of xxhash64(token)
     * ? +1 : -1) > 0.
     */
@@ -755,6 +832,10 @@ object HashExpressions {
     GraftBridge.column(NearestCentroid(ex(vec), centroids))
   def nearest_centroid_l2(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroidL2(ex(vec), centroids))
+  def lsh_band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftBridge.column(LshBandHashes(ex(sig), bands, rowsPerBand))
+  def sig_agree_count(a: Column, b: Column): Column =
+    GraftBridge.column(SigAgreeCount(ex(a), ex(b)))
   def md5_bucket_set(tokens: Column, buckets: Int): Column =
     GraftBridge.column(Md5BucketSet(ex(tokens), buckets))
   def md5_gram_bucket_counts(tokens: Column, buckets: Int): Column =

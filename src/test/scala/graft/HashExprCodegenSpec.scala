@@ -259,6 +259,47 @@ class HashExprCodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh_band_hashes == xxhash64(concat_ws('|', slice-casted sig)) per band") {
+    import spark.implicits._
+    val sigs = (0 until 200).map(_ =>
+      (0 until 32).map(_ => rnd.nextLong()).toArray)
+    val df = sigs.toDF("sig")
+    val (bands, rpb) = (16, 2)
+    val native = collectCodegen(df, lsh_band_hashes(col("sig"), bands, rpb))
+      .map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq)
+    // compositional reference: the exact pre-r13 lshBuckets derivation
+    // (plain execution — the HOFs are CodegenFallback)
+    val ref = df.select(transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("|",
+        transform(slice(col("sig"), b * rpb + 1, lit(rpb)), _.cast("string"))))).as("o"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(native.toSeq == ref.toSeq, "band hashes diverge from the compositional form")
+  }
+
+  test("sig_agree_count == size(filter(zip_with(a, b, ===)))") {
+    import spark.implicits._
+    val pairs = (0 until 300).map { _ =>
+      val a = (0 until 32).map(_ => rnd.nextInt(4).toLong).toArray
+      val b = (0 until 32).map(_ => rnd.nextInt(4).toLong).toArray
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+    val native = collectCodegen(df, sig_agree_count(col("a"), col("b")))
+      .map(_.asInstanceOf[Int])
+    val ref = df.select(
+      size(filter(zip_with(col("a"), col("b"), _ === _), x => x)).as("o"))
+      .collect().map(_.getInt(0))
+    assert(native.toSeq == ref.toSeq, "agreement count diverges")
+    // interpreted parity
+    val expr = SigAgreeCount(GraftBridge.expression(lit(Array(0L))),
+      GraftBridge.expression(lit(Array(0L))))
+    val interp = pairs.map { case (a, b) =>
+      expr.compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(Long.box).toArray[Any]),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b.map(Long.box).toArray[Any]))
+    }
+    assert(interp == native.toSeq, "sig_agree_count interpreted eval diverges")
+  }
+
   test("weight_fold == exact BIGINT sum of weights over the bucket array") {
     import spark.implicits._
     val weights = Array.tabulate(64)(i => (i * 2654435761L) - 1000000L)
