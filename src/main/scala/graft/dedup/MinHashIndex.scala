@@ -58,6 +58,7 @@ object MinHashIndex {
             nParts: Int = 256, maxBucket: Int = 1000): Unit = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val spark = docs.sparkSession
+    invalidate(spark, indexRoot) // a rebuild replaces every artifact
     val p = Params(k, numHashes, bands, nParts, maxBucket)
 
     spark.createDataFrame(
@@ -94,6 +95,7 @@ object MinHashIndex {
       .withColumn("bh_part", pmod(col("band_hash"), lit(nParts)).cast("int"))
       .repartition(nParts, col("bh_part"))
       .write.mode("overwrite").partitionBy("bh_part").parquet(bucketsPath(indexRoot))
+    invalidate(spark, indexRoot) // drop listings cached mid-build
   }
 
   /** Shingle + sign a new batch (e.g. a probe's dedup survivors) and APPEND
@@ -148,6 +150,9 @@ object MinHashIndex {
     buckets.join(broadcast(nowOversized), Seq("band", "band_hash"), "left_anti")
       .repartition(p.nParts, col("bh_part"))
       .write.mode("append").partitionBy("bh_part").parquet(bucketsPath(indexRoot))
+    // appended files change the listings — probes must re-list
+    Seq(bucketsPath(indexRoot), sigsPath(indexRoot), prunedPath(indexRoot))
+      .foreach(path => relationCache.remove((spark, path)))
   }
 
   private val prunedSchema = StructType(Seq(
@@ -166,7 +171,7 @@ object MinHashIndex {
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(hp))
-      spark.read.schema(prunedSchema).parquet(p)
+      cachedRead(spark, p, Some(prunedSchema))
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], prunedSchema)
@@ -184,6 +189,28 @@ object MinHashIndex {
       Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
     })
 
+  // r13 (guide §6 "file listing ... cached per session"): the bucket table is
+  // partitioned into n_parts (256) directories, which puts every
+  // spark.read.parquet over it past the parallel-partition-discovery
+  // threshold — each probe paid a 256-task LISTING job (~0.4 s of pure
+  // scheduling) before reading a byte. The ANALYZED relation (file listing +
+  // schema — metadata only, same discipline as readParams/SparkEntry.t) is
+  // cached per (session, root) and INVALIDATED by build()/append(), which are
+  // the only writers. Every probe still scans the parquet data itself.
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def invalidate(spark: SparkSession, indexRoot: String): Unit = {
+    paramsCache.remove((spark, indexRoot))
+    Seq(bucketsPath(indexRoot), sigsPath(indexRoot), prunedPath(indexRoot))
+      .foreach(p => relationCache.remove((spark, p)))
+  }
+
+  private def cachedRead(spark: SparkSession, path: String,
+                         schema: Option[StructType]): DataFrame =
+    relationCache.computeIfAbsent((spark, path), _ =>
+      schema.fold(spark.read)(spark.read.schema(_)).parquet(path))
+
   // Explicit schema: a corpus whose every bucket was dropped as degenerate
   // (or an empty corpus) writes ZERO data files, and schema inference over an
   // empty partitioned dir fails — the index must still be probeable (empty).
@@ -198,7 +225,7 @@ object MinHashIndex {
     */
   def probedBuckets(spark: SparkSession, indexRoot: String,
                     parts: Seq[Int]): DataFrame =
-    spark.read.schema(bucketSchema).parquet(bucketsPath(indexRoot))
+    cachedRead(spark, bucketsPath(indexRoot), Some(bucketSchema))
       .filter(col("bh_part").isin(parts: _*))
 
   /** Near-dup pairs between a new `batch` and the indexed corpus:
@@ -251,7 +278,7 @@ object MinHashIndex {
     val estMin = threshold -
       3.0 * math.sqrt(threshold * (1 - threshold) / p.numHashes)
     val estimated = candidates
-      .join(spark.read.parquet(sigsPath(indexRoot))
+      .join(cachedRead(spark, sigsPath(indexRoot), None)
         .select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")), "corpus_id")
       .join(withSig.select(col("batch_id"), col("sig").as("sig_b")), "batch_id")
       // r13 (guide §4): compiled agreement count (see Dedup.minhashNearDupPairs)
