@@ -1,5 +1,6 @@
 package graft
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1380,7 +1381,7 @@ object SparkEntry {
       // downstream stages (filter, fingerprint dedup, packing) reuse it.
       val src = t(s, dir, "documents").select(col("doc_id"),
         graft.sources.DocumentSources.nfcNormalize(col("text")).as("text"))
-        .localCheckpoint(true)
+        .cutLineage(true)
       // single-pass native keep (no per-flag projection needed here), then
       // window-based first-wins dedup — ONE subtree and ONE shuffle, where the
       // groupBy-keepers + join-back form evaluated the whole gopher chain once
@@ -1390,7 +1391,7 @@ object SparkEntry {
       // (measured 4 gopher evaluations per run → 1 after the two barriers).
       val kept = src.filter(TextFunctions.gopherKeep(col("text")))
         .select("doc_id", "text")
-      val survivors = graft.dedup.Dedup.exact(kept).localCheckpoint(true)
+      val survivors = graft.dedup.Dedup.exact(kept).cutLineage(true)
       graft.pipeline.Pipeline.packSequences(survivors, "doc_id", "text", seqTokens = 512)
         .select("doc_id", "n_tok", "start_tok", "seq_first", "seq_last")
         .orderBy("doc_id")

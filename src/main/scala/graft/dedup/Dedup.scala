@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -127,7 +128,7 @@ object Dedup {
       .map(_.toDF("__fp"))
       .getOrElse(corpus.select(fp.as("__fp")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage(true)
     val n = if (expectedItems > 0) expectedItems else seen.count()
     val bloom = seen.select(xxhash64(col("__fp")).as("__h"))
       .stat.bloomFilter("__h", math.max(n, 1L), fpp)
@@ -161,7 +162,7 @@ object Dedup {
       // keeping it doubled the checkpoint block size every downstream stage
       // re-reads (localCheckpoint blocks are whole rows, not pruned columns)
       .select(col(idCol), col("__sh"), col("__sig"))
-      .localCheckpoint(true)
+      .cutLineage(true)
 
   /** Shared core of the incremental near-dup paths: both sides already carry
     * (idCol, __sh, __sig).
@@ -301,7 +302,7 @@ object Dedup {
       // five downstream stages re-read these blocks (bands, oversized,
       // estimate ×2, verify ×2); whole rows are deserialized each time
       .select(col(idCol), col("__sh"), col("__sig"))
-      .localCheckpoint(true)
+      .cutLineage(true)
 
     val buckets = lshBuckets(withShingles, idCol, "__sig", bands, rowsPerBand)
     // skew guard: drop degenerate buckets (e.g. empty-text collisions) via a
@@ -356,7 +357,7 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 6)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .localCheckpoint()
+      .cutLineage()
     withShingles.unpersist(blocking = false)
     out
   }
@@ -500,7 +501,7 @@ object Dedup {
         struct(col(idB).as("src"), col(idA).as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage(true)
     // r12 job-fusion (guide §1.2): the initial label table and each round's
     // pointer-jump join are LAZY checkpoints — round i's label-propagation
     // job computes them, persists them (checkpoint-on-first-compute) and
@@ -509,7 +510,7 @@ object Dedup {
     // blocks are dropped). Same rounds, same arithmetic, same fixpoint.
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     val labelType = labels.schema("label").dataType
     var converged = false
     var iter = 0
@@ -532,7 +533,7 @@ object Dedup {
         .observe(obs,
           sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
         .select("v", "label")
-        .localCheckpoint(true)
+        .cutLineage(true)
       // empty vertex set aggregates to no rows → SUM is null → converged
       val changed = Option(obs.get.getOrElse("changed", null))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -551,7 +552,7 @@ object Dedup {
           val jump = next.select(col("v").as("__jv"), col("label").as("__jl"))
           next.join(jump, col("label") === col("__jv"), "left")
             .select(col("v"), coalesce(col("__jl"), col("label")).as("label"))
-            .localCheckpoint(false)
+            .cutLineage(false)
         }
       iter += 1
     }
@@ -768,7 +769,7 @@ object Dedup {
     val sigs = graft.util.Parallelism.spreadNarrowScan(
         docs.select(col(idCol), col(textCol)))
       .select(col(idCol), simhash(col(textCol)).as("sig"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     val blocks = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("block", "block_val")))
@@ -824,7 +825,7 @@ object Dedup {
     val sigs = graft.util.Parallelism.spreadNarrowScan(
         docs.select(col(idCol), col(textCol)))
       .select(col(idCol), simhashMd5(col(textCol)).as("sig"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     val blocks = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until nBlocks).map(b =>
         shiftright(col("sig"), b * bits).bitwiseAND((1L << bits) - 1)): _*))

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -79,7 +80,7 @@ object MinHashIndex {
       // write + bucket write + oversized agg) — text and shingles in the
       // checkpoint tripled the block bytes every consumer re-read
       .select(col("doc_id"), col("sig"))
-      .localCheckpoint(true)
+      .cutLineage(true)
 
     withSig.select("doc_id", "sig").write.mode("overwrite").parquet(sigsPath(indexRoot))
 
@@ -126,13 +127,13 @@ object MinHashIndex {
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), p.numHashes))
       // r13 (guide §5): only (doc_id, sig) is consumed downstream
       .select(col("doc_id"), col("sig"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     withSig.select("doc_id", "sig").write.mode("append").parquet(sigsPath(indexRoot))
     val priorPruned = pruned(spark, indexRoot)
     val buckets = Dedup.lshBuckets(withSig, "doc_id", "sig", p.bands, p.rowsPerBand)
       .join(broadcast(priorPruned), Seq("band", "band_hash"), "left_anti")
       .withColumn("bh_part", pmod(col("band_hash"), lit(p.nParts)).cast("int"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     val newCounts = buckets.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("__new"))
     val touchedParts = buckets.select("bh_part").distinct()
@@ -145,7 +146,7 @@ object MinHashIndex {
       .join(oldCounts, Seq("band", "band_hash"), "left_outer")
       .filter(col("__new") + coalesce(col("__old"), lit(0L)) > p.maxBucket)
       .select("band", "band_hash")
-      .localCheckpoint(true)
+      .cutLineage(true)
     nowOversized.write.mode("append").parquet(prunedPath(indexRoot))
     buckets.join(broadcast(nowOversized), Seq("band", "band_hash"), "left_anti")
       .repartition(p.nParts, col("bh_part"))
@@ -253,11 +254,11 @@ object MinHashIndex {
       // checkpoint feeds the band explode, the estimate join and the verify
       // join — each re-reads whole rows
       .select(col("batch_id"), col("__sh"), col("sig"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     val batchBuckets = Dedup
       .lshBuckets(withSig, "batch_id", "sig", p.bands, p.rowsPerBand)
       .withColumn("bh_part", pmod(col("band_hash"), lit(p.nParts)).cast("int"))
-      .localCheckpoint(false)
+      .cutLineage(false)
 
     // The driver-side part list is bounded by n_parts (== 256 by default), the
     // same cardinality discipline as IvfIndex's probed-cell list. isin over an
@@ -312,7 +313,7 @@ object MinHashIndex {
         round(Dedup.jaccard(col("sh_b"), col("sh_c")), 6)))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")
-      .localCheckpoint()
+      .cutLineage()
     Seq(withSig, batchBuckets).foreach(_.unpersist(blocking = false))
     out
   }

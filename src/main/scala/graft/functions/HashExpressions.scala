@@ -815,7 +815,17 @@ object HashExpressions {
 
   private def ex(c: Column): Expression = GraftBridge.expression(c)
 
-  /** See [[EvalOnceBarrier]]. */
+  /** See [[EvalOnceBarrier]].
+    *
+    * CONTRACT (r13, VERDICT r12 #4): `deterministic = false` blocks ALL
+    * predicate pushdown through the projection — including filters that would
+    * legitimately prune partitions or rows below it. Apply it only where the
+    * wrapped expression is TERMINAL in its operator (nothing below the
+    * projection still benefits from pruning), never underneath a pruning
+    * boundary (a partition filter, a selective scan predicate, an index
+    * lookup). Every current use site is the last CPU-dense verify step of a
+    * dedup/similarity operator, evaluated after all pruning joins/filters.
+    */
   def eval_once(c: Column): Column = GraftBridge.column(EvalOnceBarrier(ex(c)))
 
   def minhash_sig(shingles: Column, numHashes: Int): Column =

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -352,7 +353,7 @@ object Pipeline {
       .select(col(idCol), targetFilter.as("__t"),
         graft.functions.HashExpressions.md5_gram_bucket_counts(toksArr, buckets)
           .as("__m"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     val gramCounts = gramMaps
       .select(col(idCol), col("__t"), explode(col("__m")).as(Seq("bucket", "__c")))
     // pass 1: per-bucket target/raw totals from the compact counts — exact
@@ -396,7 +397,7 @@ object Pipeline {
     val out = top.withColumn("sel_rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("dsir_score").desc, col(idCol))).cast("long"))
-      .localCheckpoint()
+      .cutLineage()
     gramMaps.unpersist(blocking = false)
     out
   }
@@ -544,7 +545,7 @@ object Pipeline {
         coalesce(
           graft.functions.HashExpressions.md5_bucket_set(toksArr, buckets),
           array().cast("array<long>")).as("__bk"))
-      .localCheckpoint()
+      .cutLineage()
     val nDocs = feats.count()
 
     // residual micro-units for a logit in micro-units: floor(1e6·σ(s)+0.5) − 1e6·y
@@ -599,7 +600,7 @@ object Pipeline {
         (floor(lit(1e6) / (lit(1.0) + exp(-col("__s").cast("double") / 1e6)) + 0.5) / 1e6)
           .as("prob"))
       .withColumn("pred", (col("prob") >= 0.5).cast("int").cast("long"))
-      .localCheckpoint()
+      .cutLineage()
     feats.unpersist(blocking = false)
     out
   }

@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -128,7 +129,7 @@ object Quantize {
     val d = dim / m
     val pts = embeddings
       .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .localCheckpoint()
+      .cutLineage()
     val initRows = pts.orderBy(col(idCol)).limit(k).collect()
     require(initRows.length == k, s"k=$k exceeds corpus size ${initRows.length}")
     (0 until m).map { s =>

@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -448,6 +449,13 @@ object Similarity {
                 lam: Double = 0.5, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && pool >= k, "need pool >= k >= 1")
+    // r13 (VERDICT r12 #5): the greedy runs on the driver over pool + pool²
+    // collected rows — bounded by the PARAMETER, but a caller passing a huge
+    // pool would collect pool² pair rows to the driver (pool=50k → 2.5G rows).
+    // Cap where the driver-side table stays comfortably in tens of MB; a
+    // larger pool needs the per-pick Spark-job formulation instead.
+    require(pool <= 2048,
+      s"pool=$pool collects pool^2 pair rows to the driver — cap is 2048")
     val spark = corpus.sparkSession
     import spark.implicits._
     val micro = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
@@ -457,7 +465,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col(idCol), col(vecCol), micro(cosine(col(vecCol), col("__qv"))).as("rel"))
       .orderBy(col("rel").desc, col(idCol)).limit(pool)
-      .localCheckpoint()
+      .cutLineage()
     // pairwise sims among the pool (pool² bounded rows, computed once)
     val l = cand.select(col(idCol).as("__a"), col(vecCol).as("__va"))
     val r = cand.select(col(idCol).as("__b"), col(vecCol).as("__vb"))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -93,7 +94,7 @@ object StreamingDedup {
     import graft.dedup.{Dedup, MinHashIndex}
     val spark = batch.sparkSession
     if (batch.isEmpty) return 0L
-    val b = batch.localCheckpoint(true)
+    val b = batch.cutLineage(true)
     val corpus = readCorpus(spark, corpusPath, b.schema)
     val dupVsCorpus = MinHashIndex
       .probe(spark, indexRoot, b, corpus, threshold, textCol, idCol)
@@ -108,7 +109,7 @@ object StreamingDedup {
     // retried) run of this same micro-batch is skipped on both sinks
     val fresh = accepted
       .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+      .cutLineage(true)
     val n = fresh.count()
     if (n > 0) {
       fresh.write.mode("append").parquet(corpusPath)

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -306,7 +307,7 @@ object TextFunctions {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", regexp_extract_all(col("word"), lit("(.)"), lit(1)))
-      .localCheckpoint(false)
+      .cutLineage(false)
     var parent: Option[DataFrame] = None // materialized predecessor of `vocab`
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -339,7 +340,7 @@ object TextFunctions {
               size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x))))
-          vocab = vocab.withColumn("syms", applied).localCheckpoint(false)
+          vocab = vocab.withColumn("syms", applied).cutLineage(false)
         }
         rank += 1
       }
@@ -677,7 +678,7 @@ object TextFunctions {
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(false)
+      .cutLineage(false)
 
     // every substring of length 1..maxPieceLen tagged with its END position —
     // reused by the seed count and every EM round
@@ -690,12 +691,12 @@ object TextFunctions {
       .select(col("word"), col("freq"), col("l"),
         (col("j") + col("l") - 1).as("e"),
         col("word").substr(col("j"), col("l")).as("piece"))
-      .localCheckpoint(true)
+      .cutLineage(true)
 
     val vocabObs = new org.apache.spark.sql.Observation()
     val vocab = cand.select("piece").distinct()
       .observe(vocabObs, count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     val vocabSize = Option(vocabObs.get.getOrElse("n", null))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (vocabSize == 0L) {
@@ -706,7 +707,7 @@ object TextFunctions {
       val emptySegs = words
         .select(col("word"), col("freq"),
           array().cast("array<string>").as("pieces"))
-        .localCheckpoint(true)
+        .cutLineage(true)
       // release vocab too: the returned counts frame must not be derived from
       // it, or the caller's unpersist on the derived frame is a no-op and the
       // empty checkpoint outlives the call (r10 ADVICE)
@@ -719,7 +720,7 @@ object TextFunctions {
 
     def observedCheckpoint(df: DataFrame): (DataFrame, Long) = {
       val obs = new org.apache.spark.sql.Observation()
-      val cp = df.observe(obs, sum("cnt").as("t")).localCheckpoint(true)
+      val cp = df.observe(obs, sum("cnt").as("t")).cutLineage(true)
       (cp, Option(obs.get.getOrElse("t", null))
         .map(_.asInstanceOf[Long]).getOrElse(0L))
     }
@@ -773,7 +774,7 @@ object TextFunctions {
         .withColumn("__dp", dp)
         .withColumn("pieces", seg.getField("pieces"))
         .select("word", "freq", "pieces")
-        .localCheckpoint(false)
+        .cutLineage(false)
       lastSegs = Some(segmented)
       if (it < iters - 1 || needFinalCounts) {
         val (next, t) = observedCheckpoint(segmented

@@ -312,4 +312,37 @@ class PipelineSpec extends AnyFunSuite {
       .toMap
     assert(again == out)
   }
+
+  test("reliable-checkpoint mode: identical classifier/dedup results, files in the dir") {
+    // r13 scale-safety flag (guide §5): spark.graft.checkpoint.reliable routes
+    // every operator cutLineage site from executor-local blocks to reliable
+    // checkpoint files. Values must be identical either way.
+    val docs = (0L until 200L).map(i =>
+      (i, s"w${i % 7} w${i % 13} w${i % 3} text shared token w${i % 5}",
+        if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    def classify() = graft.pipeline.Pipeline
+      .qualityClassifierTrain(docs, col("lang") === "en", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    def neardup() = graft.dedup.Dedup
+      .minhashNearDupPairs(docs, threshold = 0.3, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val (localC, localN) = (classify(), neardup())
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_rckpt_")
+    spark.conf.set(graft.util.Checkpoints.ReliableKey, "true")
+    spark.conf.set(graft.util.Checkpoints.DirKey, dir.toString)
+    try {
+      assert(classify() == localC, "classifier diverges under reliable checkpoints")
+      assert(neardup() == localN, "near-dup pairs diverge under reliable checkpoints")
+      // the mode actually engaged: checkpoint files landed in the directory
+      val files = java.nio.file.Files.walk(dir).count()
+      assert(files > 1, s"no reliable checkpoint files written under $dir")
+    } finally {
+      spark.conf.unset(graft.util.Checkpoints.ReliableKey)
+      spark.conf.unset(graft.util.Checkpoints.DirKey)
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile))
+    }
+  }
 }
