@@ -165,6 +165,25 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
   // compaction — a floor file subsumes every marker at or below it.
   private val versionMarkers = root.resolve(".versions")
   private val lock = new Object
+  // r13 (serve-tail audit): reader revalidation must NEVER wait behind a
+  // writer's commit — mutateUngrouped/commitGroup hold `lock` through delta
+  // evaluation, shard/manifest writes AND the jittered CAS-retry sleeps (up
+  // to 128 ms each), and the soak measured warm-serve p99 inheriting exactly
+  // those stalls (zero-work L1 hits tailing at ~400 ms with idle cores and
+  // GC < 4%, because their catalog TTL refresh queued behind commits).
+  // Loads are read-only against atomically-committed manifests (readers
+  // already tolerate racing deletions via the loadOrDiff spin), so they only
+  // need to serialize against EACH OTHER (single-flight), not against
+  // writers: a dedicated loadLock. `cached` updates go through a
+  // version-guarded CAS so a reader's just-loaded older snapshot can never
+  // overwrite a writer's newer post-commit one (the ordering the shared lock
+  // used to provide).
+  private val loadLock = new Object
+  private val cacheGuard = new Object
+  private def offerCached(ts: Long, st: Store): Unit = cacheGuard.synchronized {
+    if (cached.forall(_._2.assembled.version <= st.assembled.version))
+      cached = Some((ts, st))
+  }
 
   // Store / Plan live in the companion (private[catalog]) so a group-commit
   // leader can evaluate deltas enqueued by OTHER instances on the same root.
@@ -476,17 +495,19 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
     */
   private def freshStore(): Store = {
     val st = loadOrDiff(cached.map(_._2))
-    cached = Some((System.currentTimeMillis(), st))
+    offerCached(System.currentTimeMillis(), st)
     st
   }
 
-  private def revalidate(): Store = lock.synchronized {
+  // loadLock, NOT `lock`: see the declaration comment — readers single-flight
+  // among themselves but never queue behind an in-flight commit.
+  private def revalidate(): Store = loadLock.synchronized {
     val now = System.currentTimeMillis()
     cached match {
       case Some((ts, st)) if now - ts < cacheTtlMs => st
       case prior =>
         val st = loadOrDiff(prior.map(_._2))
-        cached = Some((now, st))
+        offerCached(now, st)
         st
     }
   }
@@ -776,8 +797,8 @@ final class ChunkCatalog(val root: Path, cacheTtlMs: Long = 60000L,
       if (s0.legacy) Files.deleteIfExists(legacyFile)
     } catch { case scala.util.control.NonFatal(_) => () }
 
-    cached = Some((System.currentTimeMillis(),
-      Store(s0.spanHours, nextVers, nextFiles, nextShards, assembled, legacy = false)))
+    offerCached(System.currentTimeMillis(),
+      Store(s0.spanHours, nextVers, nextFiles, nextShards, assembled, legacy = false))
     true
   }
 
