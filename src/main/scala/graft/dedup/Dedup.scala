@@ -344,7 +344,13 @@ object Dedup {
     // per byte, and AQE's byte-based coalescing ran it on 2 tasks at 10×
     // (measured 10 s with 30 cores idle). Explicit repartition-by-num on the
     // deterministic pair key spreads it; row set unchanged.
-    val verifyParts = estimated.sparkSession.sparkContext.defaultParallelism * 4
+    // r13: ×1, not the r12 ×4 — the jaccard intersect is ~10-50 µs/pair, so
+    // one task per core is granular enough (measured: the two 128-task
+    // stages cost ~0.33 s of pure task scheduling at sf0.1 against ~0.2 s of
+    // actual CPU; 32 tasks keep 10× verify at ~17 ms/task). editsim keeps ×4:
+    // its bounded-Levenshtein DP is ~100× costlier per pair and straggler
+    // granularity matters there.
+    val verifyParts = estimated.sparkSession.sparkContext.defaultParallelism
     // materialize the (candidate-proportional) pair result and RELEASE the
     // shingle+signature checkpoint promptly (r12, guide §5): returning it
     // lazily pins ~corpus-text-sized blocks until the consumer's GC

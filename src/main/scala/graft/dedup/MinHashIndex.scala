@@ -299,7 +299,8 @@ object MinHashIndex {
     // explicit partition count — AQE's byte-based coalescing collapses the
     // few-KB candidate pair set onto 1-2 tasks (same fix as
     // Dedup.minhashNearDupPairs / editSimNearDupPairs). Row set unchanged.
-    val verifyParts = spark.sparkContext.defaultParallelism * 4
+    // r13: ×1, not ×4 — same measurement as Dedup.minhashNearDupPairs
+    val verifyParts = spark.sparkContext.defaultParallelism
     // materialize the pair result and RELEASE the batch sig/bucket
     // checkpoints promptly (r12, guide §5 — the qualityClassifierTrain
     // discipline)
